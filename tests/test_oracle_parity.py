@@ -1,0 +1,48 @@
+"""Oracle parity at sf0.001 for every registered query — the same comparison
+the driver's correctness gate performs at sf0.01 (row count + columns +
+order-insensitive values, floats bit-exact-or-1e-9)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def _specs():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    return [(n, qs[n], oracles.get(n)) for n in qs]
+
+
+@pytest.mark.parametrize("name,fn,oracle", _specs(), ids=[n for n, *_ in _specs()])
+def test_query_matches_oracle(spark, duck, sf_dir, name, fn, oracle):
+    df = fn(spark, sf_dir)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+    if oracle is None:
+        assert len(spark_rows) >= 0  # rows-only contract: just has to run
+        return
+    res = duck.execute(oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows), f"{len(spark_rows)} vs {len(duck_rows)} rows"
+
+    def norm(rows, cols):
+        order = [cols.index(c) for c in sorted(cols)]
+        out = []
+        for r in rows:
+            out.append(tuple(r[i] for i in order))
+        return sorted(out, key=lambda r: tuple(str(c) for c in r))
+
+    for i, (sr, dr) in enumerate(zip(norm(spark_rows, spark_cols), norm(duck_rows, duck_cols))):
+        for a, b, c in zip(sr, dr, sorted(spark_cols)):
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                assert abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b)), f"{name} row {i} col {c}: {a} vs {b}"
+            else:
+                assert a == b, f"{name} row {i} col {c}: {a!r} vs {b!r}"

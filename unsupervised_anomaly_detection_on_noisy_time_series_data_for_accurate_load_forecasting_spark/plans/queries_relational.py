@@ -1,0 +1,122 @@
+"""Relational query specs (SURVEY.md §2: P1, J-class, A-class, O-class, U1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.exact import davg_sql, dsum_sql
+from ..operators import relational as R
+from ..sources.readers import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("P1", "A2", "F6"),
+    doc="TPC-H-Q1-shaped pricing summary; decimal-exact sums.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q5_regional_revenue",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    """,
+    tags=("J1", "A2"),
+    doc="Star join: fact shuffle on orderkey, broadcast dims.",
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.regional_revenue(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "o3_top_customers",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey
+    ), ranked AS (
+        SELECT o_custkey, revenue,
+               row_number() OVER (ORDER BY revenue DESC, o_custkey ASC) AS rk
+        FROM per_cust
+    )
+    SELECT o_custkey AS custkey, c_name AS cust_name, revenue, CAST(rk AS INTEGER) AS rk
+    FROM ranked JOIN customer ON o_custkey = c_custkey
+    WHERE rk <= 10
+    """,
+    tags=("O2", "O3", "W4"),
+    doc="Deterministic top-k by exact revenue with key tiebreak.",
+)
+def o3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "j_semi_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+    tags=("J3",),
+    doc="EXISTS as left-semi join (no duplication, early-out per key).",
+)
+def j_semi_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.order_priority_counts(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "a10_segment_rollup",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("A10", "A13"),
+    doc="Conditional aggregates (confusion-count pattern A10).",
+)
+def a10_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.market_share_by_segment(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))

@@ -1,0 +1,119 @@
+"""Sources: parquet test tables + the reference's CSV ingest contracts.
+
+Reference ingest surface (SURVEY.md §2.1, citations into /root/reference/):
+- S1 CSV directory scan + union      (src/data_processing/process_aemo.py:37-47)
+- S2 CSV custom delimiter            (src/data_processing/process_INPG.py:35-37)
+- S4 labeled benchmark CSV           (src/data_processing/process_yahoo_benchmark.py:33-42)
+- S6/S7 window sink/source           (process_aemo.py:200-223, dataset_ad.py:27-35)
+
+Spark-first: a directory glob is a single multi-file scan (no manual concat —
+U1 union is implicit), schemas are explicit (no inference pass over 100 TB),
+and the window store is parquet keyed by an explicit window_start column
+instead of the reference's filename-encoded .npy-per-window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (mirrors the oracle setup)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Long-format series contract (SURVEY.md §1.4): every ingest lands here.
+# ---------------------------------------------------------------------------
+SERIES_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def read_csv_series(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    value_col: str,
+    ts_format: str,
+    sep: str = ",",
+    series_id: str | None = None,
+) -> DataFrame:
+    """S1/S2 ingest: glob of CSVs -> long-format series.
+
+    Reference: process_aemo.py:37-47 (glob+concat), process_INPG.py:35-37
+    (sep=";"). Spark's multi-file csv scan replaces the per-file loop; the
+    datetime format is explicit so parsing stays JVM-side and vectorized.
+    """
+    raw = (
+        spark.read.option("header", "true")
+        .option("sep", sep)
+        .csv(path)
+        .select(ts_col, value_col)  # P1 projection: pruned at scan
+    )
+    sid = F.lit(series_id) if series_id is not None else F.input_file_name()
+    return raw.select(
+        sid.alias("series_id"),
+        F.to_timestamp(F.col(ts_col), ts_format).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+
+
+def read_labeled_benchmark(spark: SparkSession, path: str) -> DataFrame:
+    """S4: Yahoo-style (timestamp, value, is_anomaly) labeled CSV.
+
+    Reference: process_yahoo_benchmark.py:33-42.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("timestamp", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("is_anomaly", T.IntegerType(), True),
+        ]
+    )
+    return spark.read.option("header", "true").schema(schema).csv(path)
+
+
+def write_windows(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ()) -> None:
+    """S6 window sink: parquet replaces .npy-per-window (process_aemo.py:200-223).
+
+    NaN-window suppression (P4) is the caller's filter; here we only persist.
+    Partitioning by series_id keeps per-series scans pruned at 100 TB.
+    """
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def read_windows(spark: SparkSession, path: str) -> DataFrame:
+    """S7 window source (dataset_ad.py:27-35): plain parquet scan."""
+    return spark.read.parquet(path)
