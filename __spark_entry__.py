@@ -19,7 +19,7 @@ from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return plans.REGISTRY["q1_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
+    return plans.REGISTRY["pipeline_anomaly_e2e"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -39,9 +39,50 @@ def davg(col: Column | str) -> Column:
     return dsum(c) / F.count(c)
 
 
+def dec(col: Column | str) -> Column:
+    """Cast to the exact decimal type — building block for windowed sums:
+    ``F.sum(dec(c)).over(w).cast("double")`` mirrors ``DSUM_OVER_SQL``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({_PREC},{_SCALE})")
+
+
+def dvar(col: Column | str, ddof: int = 1) -> Column:
+    """Deterministic variance from exact moments.
+
+    ``(sumsq - sum*sum/n) / (n - ddof)`` where sum and sumsq are decimal-exact
+    and the final arithmetic is the *same* double expression in both engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c).cast("double")
+    s = dsum(c)
+    s2 = dsum(c * c)
+    # try_divide: singleton groups (n == ddof) yield NULL instead of an ANSI
+    # error; callers filter them out, so engines agree on every surviving row.
+    return F.try_divide(s2 - s * s / n, n - F.lit(float(ddof)))
+
+
+def dstd(col: Column | str, ddof: int = 1) -> Column:
+    return F.sqrt(dvar(col, ddof))
+
+
 def dsum_sql(expr: str) -> str:
     return f"CAST(sum(CAST(({expr}) AS DECIMAL({_PREC},{_SCALE}))) AS DOUBLE)"
 
 
 def davg_sql(expr: str) -> str:
     return f"({dsum_sql(expr)} / count({expr}))"
+
+
+def dec_sql(expr: str) -> str:
+    return f"CAST(({expr}) AS DECIMAL({_PREC},{_SCALE}))"
+
+
+def dvar_sql(expr: str, ddof: int = 1) -> str:
+    n = f"CAST(count({expr}) AS DOUBLE)"
+    s = dsum_sql(expr)
+    s2 = dsum_sql(f"({expr}) * ({expr})")
+    return f"(({s2} - {s} * {s} / {n}) / ({n} - {float(ddof)}))"
+
+
+def dstd_sql(expr: str, ddof: int = 1) -> str:
+    return f"sqrt({dvar_sql(expr, ddof)})"

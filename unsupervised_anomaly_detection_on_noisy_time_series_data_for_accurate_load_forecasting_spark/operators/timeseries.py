@@ -1,0 +1,180 @@
+"""Time-series operators — the reference's core domain, re-expressed as
+declarative Spark plans over the long-format contract
+``(series_id, ts, value)`` (SURVEY.md §1.4).
+
+Reference semantics covered here (citations into /root/reference/):
+- P3/J1 time-grid regularization   process_aemo.py:57-58
+- P2 timestamp dedup               process_aemo.py:54
+- J2/W2 lagged gap fill            process_aemo.py:59, process_INPG.py:45
+- M5 weekly gap fill               fill_missing_values.py:14-46
+- W5 consecutive-run detection     postprocessing.py:5-36
+- W6 z-score outliers              postprocessing.py:58-62
+- W9 position split                process_aemo.py:62-66
+- W1 sliding windows               process_aemo.py:146-172, pipeline.py:158-168
+- W4 variance-rank dedup           pipeline.py:328-333
+- A5 running energy sum            synth_anomaly.py:37-41
+
+Scale design: every operator partitions by ``series_id`` (the natural shard
+key — 100 TB means *many* series, not huge single series), uses window
+functions instead of self-joins, and keeps all arithmetic in decimal-exact
+form so results are independent of partitioning (functions/exact.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import davg, dec, dsum, dvar
+
+SID, TS, VAL = "series_id", "ts", "value"
+
+
+def events_as_series(events: DataFrame) -> DataFrame:
+    """Adapter: the test `events` stream as a long-format series."""
+    return events.select(
+        F.col("user_id").cast("string").alias(SID), F.col("ts").alias(TS), F.col("value").alias(VAL)
+    )
+
+
+def dedup_first(df: DataFrame, order_col: str = "event_id") -> DataFrame:
+    """P2: keep the first row per (series_id, ts) — reference keeps the first
+    duplicate index (process_aemo.py:54). row_number, not dropDuplicates,
+    so 'first' is deterministic under any partitioning."""
+    w = W.partitionBy(SID, TS).orderBy(F.col(order_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def hourly_series(events: DataFrame) -> DataFrame:
+    """Bucket the irregular event stream to an hourly grid per series
+    (decimal-exact mean per bucket). One shuffle on (series_id, hour)."""
+    s = events_as_series(events)
+    return (
+        s.groupBy(SID, F.date_trunc("hour", F.col(TS)).alias(TS))
+        .agg(davg(VAL).alias(VAL))
+    )
+
+
+def time_spine(df: DataFrame, step: str = "1 hour") -> DataFrame:
+    """P3 grid: per-series min..max timestamp spine.
+
+    `sequence` + `explode` generates the spine where the data lives (no
+    driver-side date_range); the per-series agg is a map-side-combinable
+    min/max. A year of hours is ~8.8k rows per series — bounded."""
+    bounds = df.groupBy(SID).agg(F.min(TS).alias("_lo"), F.max(TS).alias("_hi"))
+    return bounds.select(
+        SID, F.explode(F.sequence("_lo", "_hi", F.expr(f"interval {step}"))).alias(TS)
+    )
+
+
+def regularize(events: DataFrame, step: str = "1 hour") -> DataFrame:
+    """P3/J1: spine ⟕ observations. Missing slots surface as NULL value.
+
+    Both sides are partitioned by series_id; at scale this is a co-partitioned
+    sort-merge join (spine is derived from the same table, so AQE reuses the
+    shuffle)."""
+    hourly = hourly_series(events)
+    spine = time_spine(hourly, step)
+    return spine.join(hourly, [SID, TS], "left")
+
+
+def fill_gaps(
+    df: DataFrame, lags: tuple[int, ...] = (24, 168), leads: tuple[int, ...] = (24,), default: float | None = None
+) -> DataFrame:
+    """J2/W2/M5: fill NULL slots from exact earlier/later offsets.
+
+    Reference fills from 7 days prior (process_aemo.py:59) and nearest same
+    weekday (fill_missing_values.py:14-46). `lag`/`lead` over the regular grid
+    express both without a self-join."""
+    w = W.partitionBy(SID).orderBy(TS)
+    candidates = [F.col(VAL)]
+    candidates += [F.lag(VAL, k).over(w) for k in lags]
+    candidates += [F.lead(VAL, k).over(w) for k in leads]
+    if default is not None:
+        candidates.append(F.lit(default))
+    return df.withColumn("filled", F.coalesce(*candidates))
+
+
+def zscore_flags(df: DataFrame, value_col: str = VAL, threshold: float = 2.0) -> DataFrame:
+    """W6: |x - mean| > t·std within the series, exact-moment arithmetic.
+
+    Single window partition per series — no shuffle beyond the series
+    repartition, stats computed once per partition frame."""
+    w = W.partitionBy(SID)
+    n = F.count(value_col).over(w).cast("double")
+    s = F.sum(dec(value_col)).over(w).cast("double")
+    s2 = F.sum(dec(F.col(value_col) * F.col(value_col))).over(w).cast("double")
+    mean = s / n
+    var = (s2 - s * s / n) / (n - F.lit(1.0))
+    return df.withColumn(
+        "is_outlier",
+        (F.abs(F.col(value_col) - mean) > F.lit(threshold) * F.sqrt(var)).cast("int"),
+    )
+
+
+def run_ids(df: DataFrame, flag_col: str) -> DataFrame:
+    """W5 gaps-and-islands: change-flag + running sum assigns a run id to each
+    maximal stretch of equal `flag_col` values per series."""
+    w = W.partitionBy(SID).orderBy(TS)
+    chg = (
+        (F.col(flag_col) != F.lag(flag_col, 1).over(w)) | F.lag(flag_col, 1).over(w).isNull()
+    ).cast("int")
+    running = W.partitionBy(SID).orderBy(TS).rowsBetween(W.unboundedPreceding, 0)
+    return df.withColumn("_chg", chg).withColumn("run_id", F.sum("_chg").over(running)).drop("_chg")
+
+
+def long_runs(df: DataFrame, flag_col: str, min_len: int) -> DataFrame:
+    """W5: runs of `flag_col` with length ≥ min_len (zero-plateau detection,
+    postprocessing.py:5-36)."""
+    with_runs = run_ids(df, flag_col)
+    return (
+        with_runs.groupBy(SID, "run_id")
+        .agg(
+            F.min(flag_col).alias("flag"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.min(TS).alias("run_start"),
+            F.max(TS).alias("run_end"),
+        )
+        .filter((F.col("flag") == 1) & (F.col("run_len") >= min_len))
+        .drop("flag")
+    )
+
+
+def position_split(df: DataFrame, ratio: float = 0.8, day_size: int = 24) -> DataFrame:
+    """W9: first floor(ratio·N / day)·day rows are 'train', rest 'test'
+    (day-aligned split, process_aemo.py:62-66)."""
+    w = W.partitionBy(SID).orderBy(TS)
+    cnt = W.partitionBy(SID)
+    rn = F.row_number().over(w)
+    cut = F.floor(F.lit(ratio) * F.count(F.lit(1)).over(cnt) / day_size) * day_size
+    return df.withColumn("split", F.when(rn <= cut, F.lit("train")).otherwise(F.lit("test")))
+
+
+def sliding_windows(df: DataFrame, size: str = "2 days", slide: str = "1 day") -> DataFrame:
+    """W1: sliding event-time windows via the built-in `window()` bucketing —
+    rows replicate into size/slide buckets map-side; the agg shuffles on
+    (series_id, window_start). No per-row Python, no self-join."""
+    return (
+        df.groupBy(SID, F.window(TS, size, slide).alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n_points"), dsum(VAL).alias("sum_value"))
+        .select(SID, F.col("_w.start").alias("window_start"), "n_points", "sum_value")
+    )
+
+
+def variance_rank_dedup(df: DataFrame) -> DataFrame:
+    """W4: among candidate day-windows per series, keep the one with the
+    lowest variance (reference sorts ascending and keeps first,
+    pipeline.py:328-333), deterministic tiebreak on the day."""
+    day = F.date_trunc("day", F.col(TS)).alias("day")
+    per_day = df.groupBy(SID, day).agg(
+        dvar(VAL, ddof=1).alias("day_var"), F.count(F.lit(1)).alias("n_points")
+    ).filter(F.col("n_points") >= 2)  # singleton edge-days have no variance
+    w = W.partitionBy(SID).orderBy(F.col("day_var").asc(), F.col("day").asc())
+    return per_day.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).drop("rk")
+
+
+def running_energy(df: DataFrame) -> DataFrame:
+    """A5: cumulative energy per series ordered by ts (decimal-exact, so the
+    prefix sums are partition-independent)."""
+    w = W.partitionBy(SID).orderBy(TS).rowsBetween(W.unboundedPreceding, 0)
+    return df.withColumn("cum_energy", F.sum(dec(VAL)).over(w).cast("double"))

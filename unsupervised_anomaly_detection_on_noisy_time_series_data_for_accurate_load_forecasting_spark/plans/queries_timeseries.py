@@ -1,0 +1,445 @@
+"""Time-series query specs (SURVEY.md §2: P2/P3, J1/J2, W1/W4/W5/W6/W9,
+A1/A5/A6, M1-M5, M14/M15) over the `events` stream.
+
+The oracle SQL is assembled from the same constants (salts, thresholds,
+decimal casts) as the Spark plans, so the two sides are one spec."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import davg_sql, dsum, dsum_sql, dvar_sql
+from ..functions.rng import rng_uniform_sql
+from ..operators import anomaly as AN
+from ..operators import timeseries as TSO
+from ..operators.timeseries import SID, TS, VAL
+from ..sources.readers import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTEs (mirror of TSO.hourly_series / time_spine / regularize /
+# fill_gaps and AN.prepared_series / inject_anomalies / detect / impute).
+# ---------------------------------------------------------------------------
+HOURLY_CTE = f"""
+hourly AS (
+  SELECT CAST(user_id AS VARCHAR) AS series_id,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts,
+         {davg_sql('value')} AS value
+  FROM events GROUP BY 1, 2
+)"""
+
+REG_CTE = f"""{HOURLY_CTE},
+bounds AS (SELECT series_id, min(ts) AS lo, max(ts) AS hi FROM hourly GROUP BY 1),
+spine AS (SELECT series_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts FROM bounds),
+reg AS (
+  SELECT s.series_id, s.ts, h.value
+  FROM spine s LEFT JOIN hourly h ON s.series_id = h.series_id AND s.ts = h.ts
+)"""
+
+FILLED_CTE = f"""{REG_CTE},
+filled AS (
+  SELECT series_id, ts,
+         coalesce(value, lag(value, 24) OVER w, lag(value, 168) OVER w,
+                  lead(value, 24) OVER w, 0.0) AS value
+  FROM reg WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+)"""
+
+_U = lambda salt: rng_uniform_sql("skey", "eday", salt=salt)
+
+INJ_CTE = f"""{FILLED_CTE},
+rng_base AS (
+  SELECT series_id, ts, value,
+         CAST(series_id AS BIGINT) AS skey,
+         CAST(floor(CAST(epoch(ts) AS BIGINT) / 86400) AS BIGINT) AS eday,
+         CAST(extract(hour FROM ts) AS INTEGER) AS h
+  FROM filled
+),
+rng2 AS (
+  SELECT *,
+         ({_U(AN.SALT_DAY)} < {AN.CONTAM_RATE}) AS contam,
+         CAST(1 + floor({_U(AN.SALT_TYPE)} * 4) AS INTEGER) AS atype0,
+         CAST(floor({_U(AN.SALT_START)} * 18) AS INTEGER) AS seg_s,
+         CAST(3 + floor({_U(AN.SALT_LEN)} * 4) AS INTEGER) AS seg_len,
+         (1.0 + 3.0 * {_U(AN.SALT_MAG)}) AS mag
+  FROM rng_base
+),
+rng3 AS (
+  SELECT *,
+         CASE WHEN contam THEN atype0 ELSE 0 END AS atype,
+         (contam AND atype0 IN (1, 2) AND h >= seg_s AND h < seg_s + seg_len) AS in_seg,
+         (contam AND atype0 IN (3, 4) AND h = seg_s) AS at_point
+  FROM rng2
+),
+seg AS (
+  SELECT *,
+         coalesce(CAST(sum(CASE WHEN in_seg THEN CAST(value AS DECIMAL(27,6)) END)
+                       OVER (PARTITION BY series_id, eday) AS DOUBLE), 0.0) AS seg_sum
+  FROM rng3
+),
+inj AS (
+  SELECT series_id, ts, value, atype, eday,
+         CASE WHEN in_seg AND atype = 1 THEN 0.0
+              WHEN in_seg AND atype = 2 THEN 0.1 * value
+              WHEN contam AND atype = 1 AND h = 23 THEN value + seg_sum
+              WHEN contam AND atype = 2 AND h = 23 THEN value + 0.9 * seg_sum
+              WHEN at_point AND atype = 3 THEN -mag * value
+              WHEN at_point AND atype = 4 THEN (1.0 + mag) * value
+              ELSE value END AS value_contam,
+         CAST((in_seg OR at_point OR (contam AND atype IN (1, 2) AND h = 23)) AS INTEGER) AS gt
+  FROM seg
+)"""
+
+CLEAN_CTE = f"""{INJ_CTE},
+det1 AS (
+  SELECT *,
+         CAST(count(value_contam) OVER ws AS DOUBLE) AS n,
+         CAST(sum(CAST(value_contam AS DECIMAL(27,6))) OVER ws AS DOUBLE) AS s1,
+         CAST(sum(CAST(value_contam * value_contam AS DECIMAL(27,6))) OVER ws AS DOUBLE) AS s2,
+         CASE WHEN value_contam = 0 THEN 1 ELSE 0 END AS is_zero
+  FROM inj WINDOW ws AS (PARTITION BY series_id)
+),
+det2 AS (
+  SELECT *, (s1 / n) AS mean, sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS std,
+         CASE WHEN is_zero != lag(is_zero, 1) OVER wo
+                   OR lag(is_zero, 1) OVER wo IS NULL THEN 1 ELSE 0 END AS chg
+  FROM det1 WINDOW wo AS (PARTITION BY series_id ORDER BY ts)
+),
+det3 AS (
+  SELECT *, sum(chg) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM det2
+),
+det4 AS (
+  SELECT *,
+         CASE WHEN (abs(value_contam - mean) > 2.5 * std)
+                   OR (is_zero = 1 AND count(*) OVER (PARTITION BY series_id, run_id) >= 3)
+              THEN 1 ELSE 0 END AS flag
+  FROM det3
+),
+clean AS (
+  SELECT *,
+         CASE WHEN flag = 1
+              THEN coalesce(lag(value_contam, 168) OVER (PARTITION BY series_id ORDER BY ts), mean)
+              ELSE value_contam END AS cleaned
+  FROM det4
+)"""
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "p2_dedup_hour_first",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts, value, event_id
+      FROM events
+    ),
+    d AS (SELECT *, row_number() OVER (PARTITION BY series_id, ts ORDER BY event_id) AS rn FROM b)
+    SELECT series_id, count(*) AS n_rows, {dsum_sql('value')} AS sum_value
+    FROM d WHERE rn = 1 GROUP BY series_id
+    """,
+    tags=("P2",),
+    doc="Keep-first dedup per (series, hour) via deterministic row_number.",
+)
+def p2_dedup_hour_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    b = ev.select(
+        F.col("user_id").cast("string").alias(SID),
+        F.date_trunc("hour", F.col("ts")).alias(TS),
+        F.col("value").alias(VAL),
+        "event_id",
+    )
+    d = TSO.dedup_first(b, order_col="event_id")
+    return d.groupBy(SID).agg(F.count(F.lit(1)).alias("n_rows"), dsum(VAL).alias("sum_value"))
+
+
+@register(
+    "p3_regularize_grid",
+    oracle=f"""
+    WITH {REG_CTE}
+    SELECT series_id, count(*) AS n_slots,
+           count(value) AS n_observed,
+           count(*) - count(value) AS n_missing
+    FROM reg GROUP BY series_id
+    """,
+    tags=("P3", "J1"),
+    doc="Spine ⟕ observations; NULL slots are the gaps.",
+)
+def p3_regularize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = TSO.regularize(_events(spark, sf_dir))
+    return reg.groupBy(SID).agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.count(VAL).alias("n_observed"),
+        (F.count(F.lit(1)) - F.count(VAL)).alias("n_missing"),
+    )
+
+
+@register(
+    "j2_gap_fill",
+    oracle=f"""
+    WITH {REG_CTE},
+    f AS (
+      SELECT series_id, ts, value,
+             coalesce(value, lag(value, 24) OVER w, lag(value, 168) OVER w,
+                      lead(value, 24) OVER w) AS filled
+      FROM reg WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+    )
+    SELECT series_id,
+           count(filled) AS n_filled,
+           count(*) - count(filled) AS n_unfillable,
+           {dsum_sql('filled')} AS sum_filled
+    FROM f GROUP BY series_id
+    """,
+    tags=("J2", "W2", "M5"),
+    doc="Exact-lag gap fill: 24 h back, 168 h back, 24 h forward.",
+)
+def j2_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = TSO.regularize(_events(spark, sf_dir))
+    f = TSO.fill_gaps(reg, lags=(24, 168), leads=(24,))
+    return f.groupBy(SID).agg(
+        F.count("filled").alias("n_filled"),
+        (F.count(F.lit(1)) - F.count("filled")).alias("n_unfillable"),
+        dsum("filled").alias("sum_filled"),
+    )
+
+
+@register(
+    "w5_missing_runs",
+    oracle=f"""
+    WITH {REG_CTE},
+    fl AS (SELECT series_id, ts, CASE WHEN value IS NULL THEN 1 ELSE 0 END AS is_gap FROM reg),
+    ch AS (
+      SELECT *, CASE WHEN is_gap != lag(is_gap, 1) OVER w OR lag(is_gap, 1) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS chg
+      FROM fl WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+    ),
+    runs AS (
+      SELECT *, sum(chg) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ch
+    )
+    SELECT series_id, min(ts) AS run_start, max(ts) AS run_end, count(*) AS run_len
+    FROM runs GROUP BY series_id, run_id
+    HAVING min(is_gap) = 1 AND count(*) >= 3
+    """,
+    tags=("W5",),
+    doc="Gaps-and-islands: maximal missing-data runs of length ≥ 3.",
+)
+def w5_missing_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = TSO.regularize(_events(spark, sf_dir))
+    flagged = reg.withColumn("is_gap", F.col(VAL).isNull().cast("int"))
+    return TSO.long_runs(flagged, "is_gap", min_len=3).select(
+        SID, "run_start", "run_end", "run_len"
+    )
+
+
+@register(
+    "w6_zscore_outliers",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    st AS (
+      SELECT *,
+             CAST(count(value) OVER w AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s2
+      FROM hourly WINDOW w AS (PARTITION BY series_id)
+    )
+    SELECT series_id,
+           CAST(sum(CASE WHEN abs(value - s1 / n) >
+                              2.0 * sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n_points
+    FROM st GROUP BY series_id
+    """,
+    tags=("W6", "A3"),
+    doc="Per-series z-score outliers with exact-moment variance.",
+)
+def w6_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    z = TSO.zscore_flags(hourly, threshold=2.0)
+    return z.groupBy(SID).agg(
+        F.sum("is_outlier").cast("bigint").alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+@register(
+    "w9_position_split",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    pos AS (
+      SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn,
+             count(*) OVER (PARTITION BY series_id) AS cnt
+      FROM hourly
+    )
+    SELECT series_id,
+           CASE WHEN rn <= floor(0.8 * cnt / 24) * 24 THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n, {dsum_sql('value')} AS sum_value
+    FROM pos GROUP BY 1, 2
+    """,
+    tags=("W9", "U3"),
+    doc="Day-aligned positional train/test split.",
+)
+def w9_position_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    s = TSO.position_split(hourly, ratio=0.8, day_size=24)
+    return s.groupBy(SID, "split").agg(F.count(F.lit(1)).alias("n"), dsum(VAL).alias("sum_value"))
+
+
+@register(
+    "w1_sliding_windows",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    wins AS (SELECT series_id, value, date_trunc('day', ts) AS d FROM hourly)
+    SELECT series_id, window_start, count(*) AS n_points, {dsum_sql('value')} AS sum_value
+    FROM (
+      SELECT series_id, d AS window_start, value FROM wins
+      UNION ALL
+      SELECT series_id, d - INTERVAL 1 DAY AS window_start, value FROM wins
+    ) GROUP BY series_id, window_start
+    """,
+    tags=("W1", "U1"),
+    doc="Sliding 2-day/1-day windows via built-in window() bucketing.",
+)
+def w1_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    return TSO.sliding_windows(hourly, "2 days", "1 day")
+
+
+@register(
+    "w4_variance_dedup",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    per_day AS (
+      SELECT series_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             {dvar_sql('value')} AS day_var,
+             count(*) AS n_points
+      FROM hourly GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY day_var ASC, day ASC) AS r
+      FROM per_day
+    )
+    SELECT series_id, day, day_var, n_points FROM rk WHERE r = 1
+    """,
+    tags=("W4", "A4", "O2"),
+    doc="Variance-rank dedup: keep the calmest day per series.",
+)
+def w4_variance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    return TSO.variance_rank_dedup(hourly).select(SID, "day", "day_var", "n_points")
+
+
+@register(
+    "a5_running_energy",
+    oracle=f"""
+    WITH {HOURLY_CTE}
+    SELECT series_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(27,6)))
+                OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS cum_energy
+    FROM hourly
+    """,
+    tags=("A5",),
+    doc="Decimal-exact running energy per series.",
+)
+def a5_running_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    return TSO.running_energy(hourly).select(SID, TS, "cum_energy")
+
+
+@register(
+    "a1_price_quantiles",
+    oracle="""
+    SELECT round(quantile_cont(l_extendedprice, 0.01), 6) AS q01,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS q99
+    FROM lineitem
+    """,
+    tags=("A1",),
+    doc="Exact interpolated percentiles (normalization bounds).",
+)
+def a1_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.01)), 6).alias("q01"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("q50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("q99"),
+    )
+
+
+@register(
+    "a6_threshold_flags",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    th AS (SELECT series_id, quantile_cont(value, 0.95) AS p95 FROM hourly GROUP BY 1)
+    SELECT h.series_id,
+           CAST(sum(CASE WHEN h.value > t.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           count(*) AS n_points
+    FROM hourly h JOIN th t ON h.series_id = t.series_id
+    GROUP BY h.series_id
+    """,
+    tags=("A6", "M14"),
+    doc="Percentile threshold → flag counts (broadcast threshold join).",
+)
+def a6_threshold_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    th = hourly.groupBy(SID).agg(F.percentile(VAL, F.lit(0.95)).alias("p95"))
+    return (
+        hourly.join(F.broadcast(th), SID)
+        .groupBy(SID)
+        .agg(
+            F.sum((F.col(VAL) > F.col("p95")).cast("int")).cast("bigint").alias("n_above"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+@register(
+    "m4_inject_anomalies",
+    oracle=f"""
+    WITH {INJ_CTE}
+    SELECT series_id,
+           count(*) AS n_points,
+           CAST(sum(gt) AS BIGINT) AS n_gt,
+           count(DISTINCT CASE WHEN atype > 0 THEN eday END) AS n_contam_days,
+           {dsum_sql('value')} AS sum_before,
+           {dsum_sql('value_contam')} AS sum_after
+    FROM inj GROUP BY series_id
+    """,
+    tags=("M1", "M2", "M3", "M4", "F8"),
+    doc="Deterministic-RNG synthetic anomaly injection, per-series rollup.",
+)
+def m4_inject_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inj = AN.inject_anomalies(AN.prepared_series(_events(spark, sf_dir)))
+    eday = F.floor(F.unix_timestamp(F.col(TS)) / 86400)
+    return inj.groupBy(SID).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("gt").cast("bigint").alias("n_gt"),
+        F.countDistinct(F.when(F.col("atype") > 0, eday)).alias("n_contam_days"),
+        dsum(VAL).alias("sum_before"),
+        dsum("value_contam").alias("sum_after"),
+    )
+
+
+@register(
+    "pipeline_anomaly_e2e",
+    oracle=f"""
+    WITH {CLEAN_CTE}
+    SELECT series_id,
+           CAST(sum(flag * gt) AS BIGINT) AS tp,
+           CAST(sum(flag * (1 - gt)) AS BIGINT) AS fp,
+           CAST(sum((1 - flag) * gt) AS BIGINT) AS fn,
+           CAST(sum((1 - flag) * (1 - gt)) AS BIGINT) AS tn,
+           {dsum_sql('cleaned')} AS sum_cleaned,
+           {dsum_sql('value_contam')} AS sum_contam
+    FROM clean GROUP BY series_id
+    """,
+    tags=("M14", "M15", "M19", "A10", "W5", "W6", "W7"),
+    doc="Flagship end-to-end slice: regularize→fill→inject→detect→impute→score.",
+)
+def pipeline_anomaly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.pipeline_metrics(AN.cleaned_series(_events(spark, sf_dir)))
