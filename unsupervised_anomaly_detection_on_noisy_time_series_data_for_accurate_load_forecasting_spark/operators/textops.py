@@ -1,0 +1,113 @@
+"""Text-analysis operators for the training-data pipeline extensions:
+tokenization, quality scoring, language-ID heuristic, fingerprinting.
+
+All hot-path logic is JVM-side `pyspark.sql.functions` / SQL higher-order
+functions — no Python UDFs — so whole-stage codegen applies and the same
+expressions mirror 1:1 into the DuckDB oracle.
+
+Cross-engine string hash: SQL engines disagree on builtin `hash()`, so we
+define a polynomial character fold (31x + c mod 2^31-1) evaluated with
+`aggregate`/`list_reduce` — exact integer arithmetic in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rng import M
+
+# Marker stopwords per language for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "et", "un", "les"),
+    "de": ("der", "die", "und", "ein", "ist"),
+    "es": ("el", "los", "y", "una", "que"),
+}
+STOPWORDS = ("the", "a", "of", "and", "is")
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (single-space split, mirroring string_split)."""
+    return F.split(F.col(col), " ")
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: str = "text") -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def marker_hits(lang: str, col: str = "text") -> Column:
+    """Count of tokens that are marker stopwords of `lang`."""
+    arr = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return F.expr(f"size(filter(split({col}, ' '), x -> x IN ({arr})))")
+
+
+def predicted_lang(col: str = "text") -> Column:
+    """Deterministic argmax over marker hits with fixed priority order
+    en > fr > de > es; CJK presence short-circuits to 'zh'."""
+    n = {lang: marker_hits(lang, col) for lang in LANG_MARKERS}
+    has_cjk = F.expr(f"length(regexp_replace({col}, '[^\\\\u4e00-\\\\u9fff]', '')) > 0")
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when((n["en"] >= F.greatest(n["fr"], n["de"], n["es"])) & (n["en"] > 0), F.lit("en"))
+        .when((n["fr"] >= F.greatest(n["de"], n["es"])) & (n["fr"] > 0), F.lit("fr"))
+        .when((n["de"] >= n["es"]) & (n["de"] > 0), F.lit("de"))
+        .when(n["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def quality_score(col: str = "text") -> Column:
+    """Composite quality: stopword ratio, length saturation, lexical diversity.
+
+    q = 0.4·stop_ratio + 0.3·min(n_tokens/100, 1) + 0.3·distinct_ratio
+    """
+    nt = token_count(col).cast("double")
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop = F.expr(f"size(filter(split({col}, ' '), x -> x IN ({arr})))").cast("double")
+    dr = distinct_token_count(col).cast("double")
+    return (
+        F.lit(0.4) * (stop / nt)
+        + F.lit(0.3) * F.least(nt / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (dr / nt)
+    )
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Document fingerprint: md5 of the whitespace-collapsed, lower-cased text
+    (both engines implement md5 identically on UTF-8 bytes)."""
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(col), " +", " ")))
+    return F.md5(F.encode(normalized, "UTF-8"))
+
+
+def poly_hash_sql_expr(token_expr: str) -> str:
+    """Spark SQL string: polynomial char fold of a string expression."""
+    codes = f"transform(sequence(1, length({token_expr})), i -> ascii(substring({token_expr}, i, 1)))"
+    return f"aggregate({codes}, 7L, (a, c) -> pmod(a * 31 + c, {M}L))"
+
+
+def poly_hash_duck_expr(token_expr: str) -> str:
+    """DuckDB mirror of :func:`poly_hash_sql_expr` (list_reduce left fold with
+    an explicit seed element)."""
+    codes = (
+        f"list_transform(range(1, length({token_expr}) + 1), "
+        f"i -> CAST(unicode(substr({token_expr}, i, 1)) AS BIGINT))"
+    )
+    return (
+        f"list_reduce(list_concat([CAST(7 AS BIGINT)], {codes}), "
+        f"(a, c) -> (a * 31 + c) % {M})"
+    )
+
+
+def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    return (
+        df.withColumn("n_tokens", token_count(col))
+        .withColumn("n_distinct_tokens", distinct_token_count(col))
+        .withColumn("quality", F.round(quality_score(col), 6))
+        .withColumn("pred_lang", predicted_lang(col))
+        .withColumn("fingerprint", fingerprint(col))
+    )

@@ -1,0 +1,92 @@
+"""Similarity-search query specs over `embeddings` (ANN baseline + LSH scale
+path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.exact import dsum_sql
+from ..functions.rng import rng_uniform_sql
+from ..operators import similarity as SIM
+from ..sources.readers import load_table
+from .registry import register
+
+_LONG = """
+long AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+)"""
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "s_ann_bruteforce_topk",
+    oracle=f"""
+    WITH {_LONG},
+    nm AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM long GROUP BY 1),
+    dots AS (
+      SELECT q.vec_id AS qid, t.vec_id AS nid, {dsum_sql('q.x * t.x')} AS dot
+      FROM long q JOIN long t ON q.i = t.i AND q.vec_id < 100 AND q.vec_id != t.vec_id
+      GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT qid, nid, dot / sqrt(qn.sq * tn.sq) AS cosine
+      FROM dots JOIN nm qn ON qid = qn.vec_id JOIN nm tn ON nid = tn.vec_id
+    ),
+    rk AS (
+      SELECT qid, nid, cosine,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS INTEGER) AS rk
+      FROM cos
+    )
+    SELECT qid, nid, cosine, rk FROM rk WHERE rk <= 5
+    """,
+    tags=("SIM-bruteforce", "J5", "O3"),
+    doc="Exact cosine top-5 for the first 100 vectors (broadcast query side).",
+)
+def s_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cosine_topk(_emb(spark, sf_dir), n_queries=100, k=5)
+
+
+_W = f"(2.0 * {rng_uniform_sql('i', 'k', salt=SIM.PLANE_SALT)} - 1.0)"
+
+
+@register(
+    "s_lsh_near_pairs",
+    oracle=f"""
+    WITH {_LONG},
+    grid AS (
+      SELECT i, k, {_W} AS w
+      FROM (SELECT unnest(range(1, 65)) AS i), (SELECT unnest(range(0, {SIM.N_PLANES})) AS k)
+    ),
+    proj AS (
+      SELECT vec_id, k, {dsum_sql('x * w')} AS proj
+      FROM long JOIN grid USING (i) GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bucket
+      FROM proj GROUP BY 1
+    ),
+    cands AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    ids AS (SELECT d1 AS vec_id FROM cands UNION SELECT d2 FROM cands),
+    pl AS (SELECT * FROM long WHERE vec_id IN (SELECT vec_id FROM ids)),
+    nm2 AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM pl GROUP BY 1),
+    dots AS (
+      SELECT c.d1, c.d2, {dsum_sql('a.x * b.x')} AS dot
+      FROM cands c JOIN pl a ON a.vec_id = c.d1 JOIN pl b ON b.vec_id = c.d2 AND b.i = a.i
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, dot / sqrt(n1.sq * n2.sq) AS cosine
+    FROM dots JOIN nm2 n1 ON d1 = n1.vec_id JOIN nm2 n2 ON d2 = n2.vec_id
+    WHERE dot / sqrt(n1.sq * n2.sq) >= 0.25
+    """,
+    tags=("SIM-lsh", "J5"),
+    doc="Random-hyperplane LSH buckets → exact cosine verify ≥ 0.25.",
+)
+def s_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.lsh_near_pairs(_emb(spark, sf_dir), min_cosine=0.25)

@@ -1,0 +1,249 @@
+"""Text-analysis + dedup query specs over `documents` (training-data pipeline
+extensions: language-ID, quality scoring, token stats, fingerprinting, exact
+dedup, n-gram Jaccard, MinHash+LSH, SimHash)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rng import M
+from ..operators import dedup as DD
+from ..operators import textops as TX
+from ..operators.textops import poly_hash_duck_expr
+from ..sources.readers import load_table
+from .registry import register
+
+_TOKS = "string_split(text, ' ')"
+_STOP = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "t_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    tags=("TXT-tokens",),
+    doc="Whitespace token counting (BPE-ish regex splitting is a superset).",
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count().alias("n_tokens"),
+        TX.distinct_token_count().alias("n_distinct_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "t_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(0.4 * (CAST(len(list_filter({_TOKS}, x -> x IN ({_STOP}))) AS DOUBLE)
+                        / CAST(len({_TOKS}) AS DOUBLE))
+               + 0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                        / CAST(len({_TOKS}) AS DOUBLE)), 6) AS quality
+    FROM documents
+    """,
+    tags=("TXT-quality",),
+    doc="Composite quality: stopword ratio + length saturation + diversity.",
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", F.round(TX.quality_score(), 6).alias("quality"))
+
+
+def _marker_duck(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])
+    return f"CAST(len(list_filter({_TOKS}, x -> x IN ({arr}))) AS INTEGER)"
+
+
+@register(
+    "t_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             {_marker_duck('en')} AS n_en, {_marker_duck('fr')} AS n_fr,
+             {_marker_duck('de')} AS n_de, {_marker_duck('es')} AS n_es,
+             length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0 AS has_cjk
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN has_cjk THEN 'zh'
+                  WHEN n_en >= greatest(n_fr, n_de, n_es) AND n_en > 0 THEN 'en'
+                  WHEN n_fr >= greatest(n_de, n_es) AND n_fr > 0 THEN 'fr'
+                  WHEN n_de >= n_es AND n_de > 0 THEN 'de'
+                  WHEN n_es > 0 THEN 'es'
+                  ELSE 'unknown' END AS pred_lang
+      FROM scored
+    )
+    SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+    """,
+    tags=("TXT-langid",),
+    doc="Stopword-marker language heuristic, confusion vs. labeled lang.",
+)
+def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.withColumn("pred_lang", TX.predicted_lang())
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "t_fingerprint_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT source, md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+           count(*) - count(DISTINCT fp) AS n_dups
+    FROM fp GROUP BY source
+    """,
+    tags=("TXT-fingerprint", "DEDUP-exact"),
+    doc="Normalized-md5 document fingerprint dedup accounting.",
+)
+def t_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.fingerprint_dedup_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "d_exact_dedup",
+    oracle="""
+    WITH k AS (
+      SELECT source, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM k GROUP BY source
+    """,
+    tags=("DEDUP-exact", "P2"),
+    doc="Exact-text dedup, deterministic keep-lowest-id.",
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    kept = DD.exact_dedup(d)
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    k = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return tot.join(k, "source")
+
+
+_SH_DUCK = (
+    f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i + 1] || ' ' || {_TOKS}[i + 2]))"
+)
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT d1, d2, inter, s1.sz AS sz1, s2.sz AS sz2,
+         CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jaccard
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+)"""
+
+
+@register(
+    "d_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SH_DUCK} AS shingles
+      FROM documents WHERE len({_TOKS}) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    {_JACCARD_TAIL}
+    SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+           CAST(sz1 AS BIGINT) AS sz1, CAST(sz2 AS BIGINT) AS sz2, jaccard
+    FROM jac WHERE jaccard >= 0.2
+    """,
+    tags=("DEDUP-ngram",),
+    doc="Exact word-3-gram Jaccard via inverted shingle index (no cross join).",
+)
+def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = DD.shingles(_docs(spark, sf_dir))
+    return DD.jaccard_pairs(sh, min_jaccard=0.2)
+
+
+_POLY = poly_hash_duck_expr("s")
+_SIG_DUCK = (
+    f"list_transform(range(0, {DD.N_HASHES}), j -> "
+    f"list_min(list_transform(hs, h -> ((2*j + 3) * h + 5*j + 1) % {M})))"
+)
+
+
+@register(
+    "d_minhash_lsh_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SH_DUCK} AS shingles FROM documents WHERE len({_TOKS}) >= 3
+    ),
+    shh AS (SELECT doc_id, shingles, list_transform(shingles, s -> {_POLY}) AS hs FROM base),
+    sig AS (SELECT doc_id, shingles, {_SIG_DUCK} AS sig FROM shh),
+    bands AS (
+      SELECT doc_id, b,
+             array_to_string(sig[b * {DD.BAND_ROWS} + 1 : b * {DD.BAND_ROWS} + {DD.BAND_ROWS}], '-') AS band_key
+      FROM sig, (SELECT unnest(range(0, {DD.N_BANDS})) AS b)
+    ),
+    cands AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ids AS (SELECT d1 AS doc_id FROM cands UNION SELECT d2 FROM cands),
+    ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM base
+      WHERE doc_id IN (SELECT doc_id FROM ids)
+    ),
+    {_JACCARD_TAIL}
+    SELECT j.d1, j.d2, CAST(j.inter AS BIGINT) AS inter,
+           CAST(j.sz1 AS BIGINT) AS sz1, CAST(j.sz2 AS BIGINT) AS sz2, j.jaccard
+    FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
+    WHERE j.jaccard >= 0.2
+    """,
+    tags=("DEDUP-minhash", "J5"),
+    doc="MinHash signatures → banded LSH buckets → exact-Jaccard verify.",
+)
+def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_dedup(_docs(spark, sf_dir), min_jaccard=0.2)
+
+
+@register(
+    "d_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS s FROM documents),
+    h AS (SELECT doc_id, {_POLY} AS h FROM t),
+    b AS (SELECT doc_id, h, g.bit FROM h, (SELECT unnest(range(0, 32)) AS bit) g),
+    v AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN CAST(floor(h / power(2.0, bit)) AS BIGINT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM b GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN CAST(power(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM v GROUP BY doc_id
+    """,
+    tags=("DEDUP-simhash",),
+    doc="32-bit SimHash from polynomial token hashes (±1 bit votes).",
+)
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(_docs(spark, sf_dir))
