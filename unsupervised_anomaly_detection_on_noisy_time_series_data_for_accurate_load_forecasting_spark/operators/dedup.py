@@ -4,13 +4,18 @@ SimHash — the scale path for 100 TB corpus dedup.
 Design notes (why each shape survives 100× scale-up):
 - Exact/fingerprint dedup is a hash-shuffle groupBy on the fingerprint — one
   shuffle, map-side combinable.
-- N-gram Jaccard goes through an inverted index (explode shingle → join on
-  shingle) rather than a cross join: cost ∝ Σ posting-list², never N².
-- MinHash+LSH replaces the inverted index with banded signature buckets:
-  candidates are pairs sharing a band key, then verified with exact Jaccard.
-  Signature computation is per-row (no shuffle); bucketing is one groupBy.
-- All hashing is the engine-defined polynomial fold (textops), so the DuckDB
-  oracle reproduces results bit-exactly — no reliance on engine hash().
+- String hashing goes through a **token-hash dimension table**: the distinct
+  vocabulary is hashed once (polynomial char fold, textops) and broadcast;
+  every downstream op (shingles, MinHash, SimHash) is pure 64-bit integer
+  arithmetic. Vocabulary ≪ corpus at any scale, and the hot path never
+  touches characters again.
+- Shingle ids are integer combines of 3 token hashes — so the n-gram Jaccard
+  inverted index joins on bigints, not strings.
+- MinHash+LSH: banded signature buckets produce candidates, verified with
+  exact Jaccard on the hashed shingles. Signatures are one grouped
+  aggregation (16 `min` columns) — map-side combinable, no joins.
+- All hashing is engine-defined, so the DuckDB oracle reproduces results
+  bit-exactly — no reliance on engine-specific hash().
 """
 
 from __future__ import annotations
@@ -24,6 +29,7 @@ from .textops import fingerprint, poly_hash_sql_expr
 N_HASHES = 16
 N_BANDS = 4
 BAND_ROWS = N_HASHES // N_BANDS
+SHINGLE_MULT = 1009  # combine multiplier for token-hash n-grams
 
 
 def exact_dedup(df: DataFrame, key_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -45,24 +51,48 @@ def fingerprint_dedup_stats(df: DataFrame, group_col: str = "source") -> DataFra
     )
 
 
-def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document, exploded long form.
+def token_long(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, tok): positional token explosion (pos is 1-based)."""
+    return df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "tok")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
 
-    `transform(sequence(...))` builds shingles inside codegen; explode gives
-    the inverted-index layout (shingle, doc)."""
-    toks = f"split({text_col}, ' ')"
-    parts = ", ".join(f"{toks}[i + {k}]" for k in range(n))
-    sh = f"array_distinct(transform(sequence(0, size({toks}) - {n}), i -> concat_ws(' ', {parts})))"
+
+def token_hash_dim(tok_long_df: DataFrame) -> DataFrame:
+    """Distinct vocabulary → polynomial char-fold hash. Tiny vs. the corpus;
+    broadcast everywhere so the hot path stays integer-only."""
     return (
-        df.filter(F.size(F.split(F.col(text_col), " ")) >= n)
-        .select(F.col(id_col), F.explode(F.expr(sh)).alias("shingle"))
+        tok_long_df.select("tok").distinct().withColumn("h", F.expr(poly_hash_sql_expr("tok")))
     )
 
 
-def jaccard_pairs(
-    sh: DataFrame, min_jaccard: float, id_col: str = "doc_id"
-) -> DataFrame:
-    """Exact n-gram Jaccard over the inverted index.
+def shingle_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct hashed word-3-gram shingles per doc:
+    shingle = ((h1·1009 + h2) mod M · 1009 + h3) mod M over consecutive token
+    hashes (lead window — no string re-materialization)."""
+    tl = token_long(df, text_col, id_col)
+    dim = token_hash_dim(tl)
+    w = W.partitionBy(id_col).orderBy("pos")
+    hashed = (
+        tl.join(F.broadcast(dim), "tok")
+        .select(
+            id_col,
+            "pos",
+            F.col("h").alias("h1"),
+            F.lead("h", 1).over(w).alias("h2"),
+            F.lead("h", 2).over(w).alias("h3"),
+        )
+        .filter(F.col("h3").isNotNull())
+    )
+    sh = F.pmod(
+        F.pmod(F.col("h1") * SHINGLE_MULT + F.col("h2"), F.lit(M)) * SHINGLE_MULT + F.col("h3"),
+        F.lit(M),
+    )
+    return hashed.select(F.col(id_col), sh.alias("shingle")).distinct()
+
+
+def jaccard_pairs(sh: DataFrame, min_jaccard: float, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard over the (integer) inverted shingle index.
 
     sizes: |A| per doc; intersections via self-join on shingle (d1 < d2);
     J = inter / (|A| + |B| - inter). Integer arithmetic → exact cross-engine.
@@ -90,26 +120,25 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc MinHash signature (N_HASHES affine permutations over the
-    polynomial shingle hash) + banded LSH keys. Entirely per-row codegen —
-    zero shuffle until bucketing."""
-    toks = f"split({text_col}, ' ')"
-    parts = ", ".join(f"{toks}[i + {k}]" for k in range(3))
-    sh = f"array_distinct(transform(sequence(0, size({toks}) - 3), i -> concat_ws(' ', {parts})))"
-    sh_hashes = f"transform({sh}, s -> {poly_hash_sql_expr('s')})"
-    sig = (
-        f"transform(sequence(0, {N_HASHES - 1}), j -> "
-        f"array_min(transform({sh_hashes}, h -> pmod((2*j + 3) * h + 5*j + 1, {M}L))))"
-    )
-    bands = (
-        f"transform(sequence(0, {N_BANDS - 1}), b -> "
-        f"array_join(transform(slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS}), x -> cast(x as string)), '-'))"
-    )
-    return (
-        df.filter(F.size(F.split(F.col(text_col), " ")) >= 3)
-        .select(F.col(id_col), F.expr(sig).alias("sig"))
-        .select(F.col(id_col), F.posexplode(F.expr(bands)).alias("band", "band_key"))
+def minhash_bands(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature as one grouped aggregation (16 affine-permutation
+    mins over the shingle hash), then banded keys. Zero joins, map-side
+    combinable — the signature of a 100 TB corpus is one shuffle."""
+    mins = [
+        F.min(F.pmod(F.col("shingle") * (2 * j + 3) + (5 * j + 1), F.lit(M))).alias(f"s{j}")
+        for j in range(N_HASHES)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    band_cols = [
+        F.array_join(
+            F.array(*[F.col(f"s{b * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)]), "-"
+        ).alias(f"b{b}")
+        for b in range(N_BANDS)
+    ]
+    wide = sig.select(id_col, *band_cols)
+    return wide.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias("band", "band_key"),
     )
 
 
@@ -133,15 +162,13 @@ def minhash_lsh_dedup(
     df: DataFrame, min_jaccard: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """MinHash→LSH→exact-verify: the scalable near-dup join. Candidates from
-    band buckets, then exact Jaccard only on candidates (semi-join pruned)."""
-    bands = minhash_signatures(df, text_col, id_col)
+    band buckets, then exact Jaccard only on candidate docs (semi-pruned)."""
+    sh = shingle_hashes(df, text_col, id_col)
+    bands = minhash_bands(sh, id_col)
     cands = lsh_candidate_pairs(bands, id_col)
-    sh = shingles(df, 3, text_col, id_col)
     pruned = sh.join(
         F.broadcast(
-            cands.select(F.col("d1").alias(id_col))
-            .union(cands.select("d2"))
-            .distinct()
+            cands.select(F.col("d1").alias(id_col)).union(cands.select("d2")).distinct()
         ),
         id_col,
         "left_semi",
@@ -153,10 +180,11 @@ def minhash_lsh_dedup(
 def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash: token hashes → ±1 votes per bit → sign → packed int.
 
-    Computed via explode(token)×bit long form + groupBy — at scale this is one
-    map-side-combinable aggregation keyed by doc, no joins."""
-    toks = F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    t = df.select(F.col(id_col), toks).withColumn("h", F.expr(poly_hash_sql_expr("tok")))
+    Token hashes come from the broadcast vocabulary dim; the bit explosion is
+    a map-side-combinable aggregation keyed by doc."""
+    tl = token_long(df, text_col, id_col)
+    dim = token_hash_dim(tl)
+    t = tl.join(F.broadcast(dim), "tok")
     b = t.select(
         id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     ).withColumn(

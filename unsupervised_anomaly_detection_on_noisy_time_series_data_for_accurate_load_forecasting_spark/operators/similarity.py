@@ -2,124 +2,145 @@
 (the correctness baseline) and random-hyperplane LSH bucketing (the scale
 path for all-pairs near-dup at 100 TB).
 
-Layout choice: embeddings explode to long form (vec_id, dim_idx, x) so dot
-products become decimal-exact grouped sums — reproducible across engines and
-partitionings — and the query side broadcasts (it is always the small side).
+Execution shape: vectors stay as ARRAY columns end-to-end — dot products are
+`zip_with` + decimal `aggregate` folds inside whole-stage codegen (no explode,
+no join-per-dimension). Decimal accumulation is associative, so the result is
+bit-identical to the oracle's long-form decimal sums while running at
+array-kernel speed. The query side of every join is broadcast.
+
 The LSH projection weights come from the deterministic hash-counter RNG keyed
 on (dim, hyperplane), so both engines derive the identical "random" matrix.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.exact import dsum
-from ..functions.rng import rng_uniform
+from ..functions.rng import rng_uniform_sql
 
 DIM = 64
 N_PLANES = 8
 PLANE_SALT = 100
 
 
-def embeddings_long(df: DataFrame) -> DataFrame:
-    """(vec_id, i, x): 1-based dim index, value widened float→double."""
-    return df.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "xf")
-    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+def ddot_expr(a: str, b: str) -> str:
+    """Decimal-exact dot product of two (float) array columns.
+
+    Each element product is computed in double (matching the oracle's
+    widened long form), rounded once to DECIMAL(27,6), and summed exactly —
+    associativity makes the fold order irrelevant."""
+    return (
+        f"cast(aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0 as decimal(38,6)), (acc, v) -> acc + cast(v as decimal(27,6))) as double)"
+    )
 
 
-def norms(long: DataFrame) -> DataFrame:
-    return long.groupBy("vec_id").agg(dsum(F.col("x") * F.col("x")).alias("sq"))
+def fdot_expr(a: str, b: str) -> str:
+    """Fast double-precision dot product (plain FP fold, no BigDecimal).
+
+    Used only as a pre-filter. The decimal path quantizes each element
+    product at 1e-6, so |fdot − ddot| ≤ DIM·5e-7 ≈ 3.2e-5 (quantization
+    dominates fp drift). Filtering at (threshold − MARGIN) with MARGIN well
+    above that keeps a deterministic superset of the exact result; the
+    decimal path then decides the boundary exactly."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+MARGIN = 1e-3  # ≫ DIM·(decimal quantization step)/2, ≪ meaningful data gaps
+
+
+def dnorm_sq(col: str = "embedding") -> Column:
+    return F.expr(ddot_expr(col, col))
 
 
 def cosine_topk(df: DataFrame, n_queries: int = 100, k: int = 5) -> DataFrame:
     """Exact cosine top-k: queries = vec_id < n_queries vs the full corpus.
 
-    The query side is broadcast (n_queries·DIM rows); the corpus streams
-    through one grouped decimal-exact dot-product aggregation. Deterministic
-    ranking: (cosine DESC, neighbor ASC)."""
-    long = embeddings_long(df)
-    nm = norms(long)
-    q = long.filter(F.col("vec_id") < n_queries)
-    dots = (
-        F.broadcast(q.select(F.col("vec_id").alias("qid"), "i", F.col("x").alias("qx")))
-        .join(long.select(F.col("vec_id").alias("nid"), "i", "x"), "i")
-        .filter(F.col("qid") != F.col("nid"))
-        .groupBy("qid", "nid")
-        .agg(dsum(F.col("qx") * F.col("x")).alias("dot"))
+    Broadcast the (tiny) query side against the streaming corpus; one
+    codegen'd dot product per pair; deterministic ranking
+    (cosine DESC, neighbor ASC)."""
+    e = df.select("vec_id", "embedding").withColumn("sq", dnorm_sq())
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), F.col("sq").alias("qsq")
     )
-    qn = nm.select(F.col("vec_id").alias("qid"), F.col("sq").alias("qsq"))
-    tn = nm.select(F.col("vec_id").alias("nid"), F.col("sq").alias("nsq"))
-    cos = (
-        dots.join(F.broadcast(qn), "qid")
-        .join(F.broadcast(tn), "nid")
-        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("qsq") * F.col("nsq")))
+    pairs = (
+        e.select(F.col("vec_id").alias("nid"), "embedding", F.col("sq").alias("nsq"))
+        .join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .withColumn("cos_fast", F.expr(fdot_expr("qemb", "embedding")) / F.sqrt(F.col("qsq") * F.col("nsq")))
+    )
+    # Fast pre-rank keeps everything within MARGIN of the fast kth score —
+    # a deterministic superset of the exact top-k — then the decimal path
+    # decides the final ranking exactly.
+    wf = W.partitionBy("qid").orderBy(F.col("cos_fast").desc(), F.col("nid").asc())
+    kth = F.max(F.when(F.col("rkf") == k, F.col("cos_fast"))).over(W.partitionBy("qid"))
+    survivors = (
+        pairs.withColumn("rkf", F.row_number().over(wf))
+        .withColumn("kth_fast", F.coalesce(kth, F.lit(-2.0)))  # <k pairs: keep all
+        .filter(F.col("cos_fast") >= F.col("kth_fast") - F.lit(MARGIN))
+    )
+    exact = survivors.withColumn(
+        "cosine", F.expr(ddot_expr("qemb", "embedding")) / F.sqrt(F.col("qsq") * F.col("nsq"))
     )
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
-        cos.withColumn("rk", F.row_number().over(w))
+        exact.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("qid", "nid", "cosine", "rk")
     )
 
 
+def _bucket_expr(n_planes: int = N_PLANES) -> str:
+    """Hyperplane signature: bit_k = sign(Σ_i x_i · w(i,k)),
+    w(i,k) = 2·U(i,k)−1. All nested HOFs — per-row codegen, no shuffle."""
+    u = rng_uniform_sql("i", "k", salt=PLANE_SALT)
+    w_k = f"transform(sequence(1, {DIM}), i -> 2.0 * {u} - 1.0)"
+    proj = (
+        f"cast(aggregate(zip_with(embedding, {w_k}, (x, w) -> cast(x as double) * w), "
+        f"cast(0 as decimal(38,6)), (acc, v) -> acc + cast(v as decimal(27,6))) as double)"
+    )
+    return (
+        f"concat_ws('', transform(sequence(0, {n_planes - 1}), "
+        f"k -> case when {proj} >= 0 then '1' else '0' end))"
+    )
+
+
 def lsh_buckets(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """Random-hyperplane signature: bit_k = sign(Σ_i x_i · w(i,k)) with
-    w(i,k) = 2·U(i,k)−1 from the deterministic RNG. Per-vector key, no
-    shuffle until the bucket groupBy."""
-    long = embeddings_long(df)
-    planes = (
-        long.select("vec_id", "i", "x")
-        .join(
-            F.broadcast(
-                long.select("i").distinct().crossJoin(
-                    df.sparkSession.range(n_planes).select(F.col("id").cast("int").alias("k"))
-                )
-            ).withColumn(
-                "w", F.lit(2.0) * rng_uniform(F.col("i"), F.col("k"), salt=PLANE_SALT) - F.lit(1.0)
-            ),
-            "i",
-        )
-        .groupBy("vec_id", "k")
-        .agg(dsum(F.col("x") * F.col("w")).alias("proj"))
-        .withColumn("bit", F.when(F.col("proj") >= 0, F.lit("1")).otherwise(F.lit("0")))
-    )
-    return planes.groupBy("vec_id").agg(
-        F.concat_ws("", F.transform(F.array_sort(F.collect_list(F.struct("k", "bit"))), lambda s: s["bit"])).alias(
-            "bucket"
-        )
-    )
+    return df.select("vec_id", "embedding").withColumn("bucket", F.expr(_bucket_expr(n_planes)))
 
 
 def lsh_near_pairs(df: DataFrame, min_cosine: float = 0.25) -> DataFrame:
     """All-pairs near-dup via LSH buckets + exact cosine verify on candidates.
 
-    Scale shape: candidates only form inside buckets (expected tiny), and the
-    verify join is semi-pruned to candidate vec_ids before the dot products."""
-    buckets = lsh_buckets(df)
-    a, b = buckets.alias("a"), buckets.alias("b")
+    Scale shape: pairs only form inside buckets (bucket count grows with
+    n_planes), the bucket self-join shuffles on the bucket key, and each
+    candidate is verified with one codegen'd dot product."""
+    b = lsh_buckets(df).withColumn("sq", dnorm_sq())
+    a, c = b.alias("a"), b.alias("b")
     cands = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
-
-    long = embeddings_long(df)
-    ids = cands.select(F.col("d1").alias("vec_id")).union(cands.select("d2")).distinct()
-    pruned = long.join(F.broadcast(ids), "vec_id", "left_semi")
-    nm = norms(pruned)
-    l1 = pruned.select(F.col("vec_id").alias("d1"), "i", F.col("x").alias("x1"))
-    l2 = pruned.select(F.col("vec_id").alias("d2"), "i", F.col("x").alias("x2"))
-    dots = (
-        cands.join(l1, "d1")
-        .join(l2, ["d2", "i"])
-        .groupBy("d1", "d2")
-        .agg(dsum(F.col("x1") * F.col("x2")).alias("dot"))
+        c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("d1"),
+        F.col("b.vec_id").alias("d2"),
+        F.col("a.embedding").alias("e1"),
+        F.col("b.embedding").alias("e2"),
+        F.col("a.sq").alias("sq1"),
+        F.col("b.sq").alias("sq2"),
+    )
+    # Fast double dot prunes the bucket pairs (superset within MARGIN);
+    # the decimal-exact dot decides the threshold boundary.
+    survivors = cands.filter(
+        F.expr(fdot_expr("e1", "e2")) / F.sqrt(F.col("sq1") * F.col("sq2"))
+        >= F.lit(min_cosine - MARGIN)
     )
     return (
-        dots.join(F.broadcast(nm.select(F.col("vec_id").alias("d1"), F.col("sq").alias("sq1"))), "d1")
-        .join(F.broadcast(nm.select(F.col("vec_id").alias("d2"), F.col("sq").alias("sq2"))), "d2")
-        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("sq1") * F.col("sq2")))
+        survivors.withColumn(
+            "cosine", F.expr(ddot_expr("e1", "e2")) / F.sqrt(F.col("sq1") * F.col("sq2"))
+        )
         .filter(F.col("cosine") >= min_cosine)
         .select("d1", "d2", "cosine")
     )

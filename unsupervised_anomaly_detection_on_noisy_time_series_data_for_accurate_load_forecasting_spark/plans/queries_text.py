@@ -142,10 +142,26 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(k, "source")
 
 
-_SH_DUCK = (
-    f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), "
-    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i + 1] || ' ' || {_TOKS}[i + 2]))"
-)
+# Hashed-shingle CTE chain: vocabulary dim (char-fold once per distinct
+# token) → token-hash stream → lead-window 3-gram integer combine.
+_SH_CTES = f"""
+base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok_long AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok FROM base
+),
+dimh AS (
+  SELECT tok, {poly_hash_duck_expr('tok')} AS h FROM (SELECT DISTINCT tok FROM tok_long)
+),
+tl AS (SELECT doc_id, pos, h FROM tok_long JOIN dimh USING (tok)),
+tri AS (
+  SELECT doc_id, h AS h1, lead(h, 1) OVER w AS h2, lead(h, 2) OVER w AS h3
+  FROM tl WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ((((h1 * {DD.SHINGLE_MULT} + h2) % {M}) * {DD.SHINGLE_MULT}) + h3) % {M} AS shingle
+  FROM tri WHERE h3 IS NOT NULL
+)"""
 
 _JACCARD_TAIL = """
 sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
@@ -164,42 +180,44 @@ jac AS (
 @register(
     "d_ngram_jaccard_pairs",
     oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, {_SH_DUCK} AS shingles
-      FROM documents WHERE len({_TOKS}) >= 3
-    ),
-    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    WITH {_SH_CTES},
+    ex AS (SELECT doc_id, shingle FROM sh),
     {_JACCARD_TAIL}
     SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
            CAST(sz1 AS BIGINT) AS sz1, CAST(sz2 AS BIGINT) AS sz2, jaccard
     FROM jac WHERE jaccard >= 0.2
     """,
     tags=("DEDUP-ngram",),
-    doc="Exact word-3-gram Jaccard via inverted shingle index (no cross join).",
+    doc="Exact hashed-3-gram Jaccard via integer inverted index (no cross join).",
 )
 def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = DD.shingles(_docs(spark, sf_dir))
+    sh = DD.shingle_hashes(_docs(spark, sf_dir))
     return DD.jaccard_pairs(sh, min_jaccard=0.2)
 
 
-_POLY = poly_hash_duck_expr("s")
-_SIG_DUCK = (
-    f"list_transform(range(0, {DD.N_HASHES}), j -> "
-    f"list_min(list_transform(hs, h -> ((2*j + 3) * h + 5*j + 1) % {M})))"
-)
+def _sig_cols() -> str:
+    return ", ".join(
+        f"min((shingle * {2 * j + 3} + {5 * j + 1}) % {M}) AS s{j}" for j in range(DD.N_HASHES)
+    )
+
+
+def _band_case() -> str:
+    whens = " ".join(
+        f"WHEN {b} THEN concat_ws('-', "
+        + ", ".join(f"s{b * DD.BAND_ROWS + r}" for r in range(DD.BAND_ROWS))
+        + ")"
+        for b in range(DD.N_BANDS)
+    )
+    return f"CASE b {whens} END"
 
 
 @register(
     "d_minhash_lsh_pairs",
     oracle=f"""
-    WITH base AS (
-      SELECT doc_id, {_SH_DUCK} AS shingles FROM documents WHERE len({_TOKS}) >= 3
-    ),
-    shh AS (SELECT doc_id, shingles, list_transform(shingles, s -> {_POLY}) AS hs FROM base),
-    sig AS (SELECT doc_id, shingles, {_SIG_DUCK} AS sig FROM shh),
+    WITH {_SH_CTES},
+    sig AS (SELECT doc_id, {_sig_cols()} FROM sh GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, b,
-             array_to_string(sig[b * {DD.BAND_ROWS} + 1 : b * {DD.BAND_ROWS} + {DD.BAND_ROWS}], '-') AS band_key
+      SELECT doc_id, CAST(b AS INTEGER) AS b, {_band_case()} AS band_key
       FROM sig, (SELECT unnest(range(0, {DD.N_BANDS})) AS b)
     ),
     cands AS (
@@ -208,10 +226,7 @@ _SIG_DUCK = (
       GROUP BY 1, 2
     ),
     ids AS (SELECT d1 AS doc_id FROM cands UNION SELECT d2 FROM cands),
-    ex AS (
-      SELECT doc_id, unnest(shingles) AS shingle FROM base
-      WHERE doc_id IN (SELECT doc_id FROM ids)
-    ),
+    ex AS (SELECT doc_id, shingle FROM sh WHERE doc_id IN (SELECT doc_id FROM ids)),
     {_JACCARD_TAIL}
     SELECT j.d1, j.d2, CAST(j.inter AS BIGINT) AS inter,
            CAST(j.sz1 AS BIGINT) AS sz1, CAST(j.sz2 AS BIGINT) AS sz2, j.jaccard
@@ -223,6 +238,9 @@ _SIG_DUCK = (
 )
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_dedup(_docs(spark, sf_dir), min_jaccard=0.2)
+
+
+_POLY = poly_hash_duck_expr("s")
 
 
 @register(
