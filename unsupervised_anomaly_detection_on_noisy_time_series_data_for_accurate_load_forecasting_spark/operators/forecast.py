@@ -1,0 +1,142 @@
+"""Forecasting layer (reference stage 4) — Spark-first re-expression.
+
+Reference semantics (citations into /root/reference/):
+- M22 forecast windowing        src/forecasting/main.py:73-78, dataset_f.py:17-34
+- A12 regression metric suite   src/forecasting/seq2seq/wrapper.py:102-126
+- W3 EWMA channel feature       src/anomaly_detection/feature_extractor.py:38-58
+- A3 patch std channel feature  src/anomaly_detection/feature_extractor.py:61-96
+- A11 AUROC                     src/anomaly_detection/metrics.py:22-27
+
+The neural forecasters (seq2seq GRU / SCINet, M20/M21) are driver-side Torch
+training loops in the reference; here the *pipeline* around them — windowing,
+input/target splits, metric evaluation — is fully declarative, and the model
+slot is filled by (a) the seasonal-naive baseline below (pure SQL, oracle-
+checkable) and (b) the Torch island in ml/forecaster.py when torch is
+available.
+
+EWMA is a sequential recurrence, which has no exact distributed form — we
+*define* the engine's EWMA on a 1e-6 fixed-point lattice:
+    q_t = (2·x_t + 8·q_{t-1}) div 10      (α = 0.2, integer arithmetic)
+making the fold bit-exact in any engine, while differing from float EWMA by
+< 1e-5 relative — documented, deterministic, and cross-engine reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec, dsum
+from .timeseries import SID, TS, VAL
+
+
+def forecast_windows(df: DataFrame, n_in: int = 24, n_out: int = 24) -> DataFrame:
+    """M22: tumbling (n_in+n_out)-hour windows; first n_in hours are model
+    input, the rest the target. One shuffle on (series, window_start)."""
+    size = f"{n_in + n_out} hours"
+    size_s = (n_in + n_out) * 3600
+    with_w = df.withColumn("w", F.window(TS, size)).withColumn(
+        "h_off", ((F.unix_timestamp(F.col(TS)) % size_s) / 3600).cast("int")
+    )
+    win = with_w.groupBy(SID, "w").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        dsum(F.when(F.col("h_off") < n_in, F.col(VAL))).alias("sum_input"),
+        dsum(F.when(F.col("h_off") >= n_in, F.col(VAL))).alias("sum_target"),
+    )
+    return win.select(
+        SID, F.col("w.start").alias("window_start"), "n_points", "sum_input", "sum_target"
+    )
+
+
+def seasonal_naive_metrics(df: DataFrame, lag_hours: int = 168, ratio: float = 0.8) -> DataFrame:
+    """A12 metric suite for the seasonal-naive forecaster f(t) = x(t−168 h),
+    evaluated on the positional test split (last 1−ratio, day-aligned).
+
+    All metrics from decimal-exact sums → identical across engines and
+    partitionings: MAE, MSE, RMSE, sMAPE, R²."""
+    ow = W.partitionBy(SID).orderBy(TS)
+    cw = W.partitionBy(SID)
+    rn = F.row_number().over(ow)
+    cut = F.floor(F.lit(ratio) * F.count(F.lit(1)).over(cw) / 24) * 24
+    t = (
+        df.withColumn("f", F.lag(VAL, lag_hours).over(ow))
+        .withColumn("rn", rn)
+        .withColumn("cut", cut)
+        .filter((F.col("rn") > F.col("cut")) & F.col("f").isNotNull())
+    )
+    e = F.col("f") - F.col(VAL)
+    a = F.col(VAL)
+    denom = F.abs(F.col("f")) + F.abs(a)
+    n = F.count(F.lit(1)).cast("double")
+    sum_e2 = dsum(e * e)
+    sum_a = dsum(a)
+    sum_a2 = dsum(a * a)
+    mae = dsum(F.abs(e)) / n
+    mse = sum_e2 / n
+    smape = dsum(F.when(denom > 0, F.lit(2.0) * F.abs(e) / denom).otherwise(F.lit(0.0))) / n
+    return t.groupBy(SID).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        mae.alias("mae"),
+        mse.alias("mse"),
+        F.sqrt(mse).alias("rmse"),
+        smape.alias("smape"),
+        (F.lit(1.0) - F.try_divide(sum_e2, sum_a2 - sum_a * sum_a / n)).alias("r2"),
+    )
+
+
+def ewma_fixed_point(df: DataFrame, alpha_num: int = 2, alpha_den: int = 10) -> DataFrame:
+    """W3: fixed-point EWMA fold per series (final smoothed value).
+
+    collect_list is bounded by series length (a year of hours ≈ 8.8k values —
+    fine per executor); the fold itself is codegen'd integer arithmetic."""
+    arr = F.array_sort(F.collect_list(F.struct(TS, VAL)))
+    g = df.groupBy(SID).agg(arr.alias("pts"))
+    q = f"transform(pts, s -> cast(round(s.{VAL} * 1000000) as bigint))"
+    fold = (
+        f"aggregate(slice({q}, 2, size({q}) - 1), element_at({q}, 1), "
+        f"(acc, x) -> ({alpha_num} * x + {alpha_den - alpha_num} * acc) div {alpha_den})"
+    )
+    return g.select(
+        SID,
+        F.expr(fold).alias("ewma_q"),
+        (F.expr(fold).cast("double") / F.lit(1e6)).alias("ewma"),
+        F.size("pts").alias("n_points"),
+    )
+
+
+def patch_std(df: DataFrame, patch_size: int = 8) -> DataFrame:
+    """A3: population std per non-overlapping intra-day patch of `patch_size`
+    hours (reference repeats it across the patch; we emit one row per patch).
+    Exact-moment arithmetic, ddof=0 (population) pinned."""
+    day = F.date_trunc("day", F.col(TS)).alias("day")
+    pidx = F.floor(F.hour(F.col(TS)) / patch_size).cast("int").alias("patch_idx")
+    n = F.count(VAL).cast("double")
+    s = F.sum(dec(VAL)).cast("double")
+    s2 = F.sum(dec(F.col(VAL) * F.col(VAL))).cast("double")
+    return (
+        df.groupBy(SID, day, pidx)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            # greatest(·,0): decimal quantization can push a constant patch's
+            # exact-moment variance a hair negative; clamp in both engines.
+            F.sqrt(F.greatest((s2 - s * s / n) / n, F.lit(0.0))).alias("patch_std"),
+        )
+    )
+
+
+def auroc(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """A11: exact AUROC via the Mann-Whitney rank statistic with midranks
+    (tie-correct). Rank sums of dyadic midranks are exactly associative, so
+    the result is partition-independent without decimal help."""
+    r = F.rank().over(W.orderBy(F.col(score_col)))
+    c = F.count(F.lit(1)).over(W.partitionBy(score_col))
+    t = scored.withColumn("midrank", r + (c - F.lit(1)) / F.lit(2.0))
+    pos = F.col(label_col) == 1
+    p = F.sum(pos.cast("int")).cast("double")
+    nn = F.sum((~pos).cast("int")).cast("double")
+    rank_pos = F.sum(F.when(pos, F.col("midrank")).otherwise(F.lit(0.0)))
+    return t.agg(
+        ((rank_pos - p * (p + 1) / 2) / (p * nn)).alias("auroc"),
+        p.cast("bigint").alias("n_pos"),
+        nn.cast("bigint").alias("n_neg"),
+    )

@@ -1,0 +1,149 @@
+"""Forecasting + feature query specs (SURVEY.md §2: M22, A12, W3, A3, A11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum_sql
+from ..operators import anomaly as AN
+from ..operators import forecast as FC
+from ..operators import timeseries as TSO
+from ..sources.readers import load_table
+from .queries_timeseries import FILLED_CTE, HOURLY_CTE
+from .registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "m22_forecast_windows",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    w AS (
+      SELECT series_id, value,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + ((CAST(epoch(ts) AS BIGINT) // 172800) * 172800) * INTERVAL 1 SECOND
+               AS window_start,
+             CAST((CAST(epoch(ts) AS BIGINT) % 172800) // 3600 AS INTEGER) AS h_off
+      FROM hourly
+    )
+    SELECT series_id, window_start, count(*) AS n_points,
+           {dsum_sql('CASE WHEN h_off < 24 THEN value END')} AS sum_input,
+           {dsum_sql('CASE WHEN h_off >= 24 THEN value END')} AS sum_target
+    FROM w GROUP BY 1, 2
+    """,
+    tags=("M22", "W1"),
+    doc="Tumbling 48 h forecast windows with input/target split at hour 24.",
+)
+def m22_forecast_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    return FC.forecast_windows(hourly, n_in=24, n_out=24)
+
+
+@register(
+    "a12_seasonal_naive_metrics",
+    oracle=f"""
+    WITH {FILLED_CTE},
+    t AS (
+      SELECT series_id, ts, value, lag(value, 168) OVER w AS f,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY series_id) AS cnt
+      FROM filled WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+    ),
+    u AS (SELECT * FROM t WHERE rn > floor(0.8 * cnt / 24) * 24 AND f IS NOT NULL)
+    SELECT series_id, count(*) AS n_eval,
+           {dsum_sql('abs(f - value)')} / CAST(count(*) AS DOUBLE) AS mae,
+           {dsum_sql('(f - value) * (f - value)')} / CAST(count(*) AS DOUBLE) AS mse,
+           sqrt({dsum_sql('(f - value) * (f - value)')} / CAST(count(*) AS DOUBLE)) AS rmse,
+           {dsum_sql("CASE WHEN abs(f) + abs(value) > 0 THEN 2.0 * abs(f - value) / (abs(f) + abs(value)) ELSE 0.0 END")}
+             / CAST(count(*) AS DOUBLE) AS smape,
+           1.0 - ({dsum_sql('(f - value) * (f - value)')}
+                  / NULLIF({dsum_sql('value * value')}
+                           - {dsum_sql('value')} * {dsum_sql('value')} / CAST(count(*) AS DOUBLE), 0.0)) AS r2
+    FROM u GROUP BY series_id
+    """,
+    tags=("A12", "M20", "M22", "W2"),
+    doc="Full regression metric suite (MAE/MSE/RMSE/sMAPE/R²) for the seasonal-naive forecaster on the test split.",
+)
+def a12_seasonal_naive_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = AN.prepared_series(_events(spark, sf_dir))
+    return FC.seasonal_naive_metrics(series, lag_hours=168, ratio=0.8)
+
+
+@register(
+    "w3_ewma",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    arr AS (SELECT series_id, list(value ORDER BY ts) AS vals FROM hourly GROUP BY 1),
+    q AS (
+      SELECT series_id,
+             list_transform(vals, v -> CAST(round(v * 1000000) AS BIGINT)) AS qs,
+             len(vals) AS n
+      FROM arr
+    )
+    SELECT series_id,
+           list_reduce(qs, (acc, x) -> (2 * x + 8 * acc) // 10) AS ewma_q,
+           CAST(list_reduce(qs, (acc, x) -> (2 * x + 8 * acc) // 10) AS DOUBLE) / 1000000.0 AS ewma,
+           CAST(n AS INTEGER) AS n_points
+    FROM q
+    """,
+    tags=("W3", "M7"),
+    doc="Fixed-point EWMA fold (α=0.2 on a 1e-6 lattice) — bit-exact recurrence.",
+)
+def w3_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    return FC.ewma_fixed_point(hourly)
+
+
+@register(
+    "a3_patch_std",
+    oracle=f"""
+    WITH {HOURLY_CTE}
+    SELECT series_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(floor(extract(hour FROM ts) / 8) AS INTEGER) AS patch_idx,
+           count(*) AS n_points,
+           sqrt(greatest(({dsum_sql('value * value')} - {dsum_sql('value')} * {dsum_sql('value')}
+                 / CAST(count(value) AS DOUBLE)) / CAST(count(value) AS DOUBLE), 0.0)) AS patch_std
+    FROM hourly GROUP BY 1, 2, 3
+    """,
+    tags=("A3", "M7"),
+    doc="Population std per non-overlapping 8-hour patch (channel feature).",
+)
+def a3_patch_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    return FC.patch_std(hourly, patch_size=8)
+
+
+@register(
+    "a11_auroc",
+    oracle="""
+    WITH t AS (
+      SELECT value AS score, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label
+      FROM events
+    ),
+    r AS (
+      SELECT *, rank() OVER (ORDER BY score) AS rk,
+             count(*) OVER (PARTITION BY score) AS c
+      FROM t
+    ),
+    m AS (SELECT *, rk + (c - 1) / 2.0 AS midrank FROM r)
+    SELECT (sum(CASE WHEN label = 1 THEN midrank ELSE 0.0 END)
+            - CAST(sum(label) AS DOUBLE) * (CAST(sum(label) AS DOUBLE) + 1) / 2)
+           / (CAST(sum(label) AS DOUBLE) * CAST(sum(1 - label) AS DOUBLE)) AS auroc,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST(sum(1 - label) AS BIGINT) AS n_neg
+    FROM m
+    """,
+    tags=("A11", "M24"),
+    doc="Exact tie-corrected AUROC via Mann-Whitney midranks.",
+)
+def a11_auroc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    scored = ev.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "error").cast("int").alias("label"),
+    )
+    return FC.auroc(scored, "score", "label")
