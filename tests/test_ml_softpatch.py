@@ -1,0 +1,94 @@
+"""Invariant tests for the ML memory-bank layer (golden-free but pinned:
+determinism, coreset size law, mask/window alignment, score separation)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.ml.softpatch import (
+    SoftPatchConfig,
+    _channel_features,
+    fit_memory_bank,
+    greedy_coreset,
+    score_windows,
+    softpatch_scores,
+)
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.ml.windows import (
+    day_windows,
+)
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+    anomaly as AN,
+)
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+    load_table,
+)
+
+
+@pytest.fixture(scope="module")
+def windows(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    points = AN.inject_anomalies(AN.prepared_series(ev))
+    w = day_windows(points)
+    w.cache().count()
+    return w
+
+
+def test_windows_shape(windows):
+    cfg = SoftPatchConfig()
+    rows = windows.limit(5).collect()
+    assert rows, "no complete day windows materialized"
+    for r in rows:
+        assert len(r.points) == cfg.day_size
+        assert len(r.gt) == cfg.day_size
+        assert r.window_label == int(any(g == 1 for g in r.gt))
+
+
+def test_channel_features_shape():
+    cfg = SoftPatchConfig()
+    pts = np.arange(cfg.day_size, dtype=float)
+    ch = _channel_features(pts, cfg)
+    assert ch.shape == (3, cfg.day_size)
+    assert np.allclose(ch[0], pts)
+    # EWMA is seeded with x0 and bounded by the running min/max
+    assert ch[2][0] == pts[0]
+    assert (ch[2] <= pts.max()).all() and (ch[2] >= pts.min()).all()
+
+
+def test_greedy_coreset_size_and_membership():
+    rs = np.random.RandomState(0)
+    feats = rs.standard_normal((200, 8))
+    idx = greedy_coreset(feats, ratio=0.1, seed=42)
+    assert len(idx) == 20
+    assert len(set(idx.tolist())) == 20  # no repeats
+
+
+def test_scores_deterministic(windows):
+    cfg = SoftPatchConfig()
+    a = {(r.series_id, str(r.window_start)): r.score_norm for r in softpatch_scores(windows, cfg).collect()}
+    b = {(r.series_id, str(r.window_start)): r.score_norm for r in softpatch_scores(windows, cfg).collect()}
+    assert a == b
+
+
+def test_anomalous_windows_score_higher(windows):
+    cfg = SoftPatchConfig()
+    scored = softpatch_scores(windows, cfg)
+    m = (
+        scored.groupBy("window_label")
+        .agg(F.avg("score_norm").alias("avg_s"))
+        .collect()
+    )
+    by_label = {r.window_label: r.avg_s for r in m}
+    assert set(by_label) == {0, 1}
+    assert by_label[1] > by_label[0], f"anomalous windows should score higher: {by_label}"
+
+
+def test_bank_fits_and_scores(windows):
+    cfg = SoftPatchConfig()
+    train = windows.filter(F.col("window_label") == 0)
+    bank = fit_memory_bank(train, cfg)
+    assert bank.ndim == 2 and bank.shape[1] == cfg.embed_dim
+    scored = score_windows(windows.limit(20), bank, cfg)
+    rows = scored.collect()
+    assert all(r.score >= 0 for r in rows)

@@ -1,0 +1,263 @@
+"""TS-SoftPatch re-expressed for Spark: memory-bank anomaly detection with
+patch features, outlier-weight denoising, greedy-coreset subsampling, and
+1-NN scoring.
+
+Reference semantics (citations into /root/reference/):
+- M7 channel features (raw, patch-std, EWMA)  src/anomaly_detection/feature_extractor.py:38-112
+- M8 deep embedding                           src/anomaly_detection/softpatch.py:120-180
+- M9 patchify                                 src/anomaly_detection/softpatch.py:457-483
+- M10 gaussian patch-weight denoising         src/anomaly_detection/softpatch.py:224-269,
+                                              multi_variate_gaussian.py:77-104
+- M11 greedy coreset (approx k-center)        src/anomaly_detection/sampler.py:118-174
+- M12 1-NN scoring (FAISS L2 → here exact)    src/anomaly_detection/common.py:275-330,
+                                              softpatch.py:365-397
+- M13 score normalization                     src/anomaly_detection/main.py:157-167
+
+Execution shape (the part that matters at 100 TB):
+- Embedding is a **mapInPandas island**: Arrow-batched, weights broadcast,
+  rows never leave the executor. The backbone here is a seeded random
+  projection (torch/timm are unavailable in this environment — the
+  ``_load_backbone`` hook is where a real frozen ResNet/timm model plugs in;
+  the Spark plumbing is identical either way).
+- Patch-weight fitting groups by **patch position** — small fixed key space,
+  so stats are computed with one tiny applyInPandas per position over a
+  sampled candidate set.
+- Coreset is the reference's inherently-sequential greedy k-center: run on
+  the **driver** over the (weight-filtered, projected) candidate matrix,
+  exactly like the reference collects features before sampling. The bank is
+  ≪ data (10 % of train patches) and is **broadcast** for scoring.
+- Scoring is a second mapInPandas island: vectorized cdist argmin against
+  the broadcast bank — the exact-search analog of FAISS IndexFlatL2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.timeseries import SID
+
+
+@dataclass(frozen=True)
+class SoftPatchConfig:
+    day_size: int = 24
+    patch_size: int = 8  # -> 3 patches per day window
+    embed_dim: int = 16
+    coreset_ratio: float = 0.1
+    weight_quantile: float = 0.15  # drop the most-outlying 15 % of patches
+    ewma_alpha: float = 0.2
+    seed: int = 42
+
+    @property
+    def n_patches(self) -> int:
+        return self.day_size // self.patch_size
+
+
+def _channel_features(points: np.ndarray, cfg: SoftPatchConfig) -> np.ndarray:
+    """M7: stack [raw, patch_std, ewma] -> (3, day_size). Pure numpy mirror of
+    feature_extractor.py semantics (population std per patch, EWMA seeded with
+    x0, adjust=False)."""
+    raw = points
+    ps = np.repeat(
+        points.reshape(-1, cfg.patch_size).std(axis=1), cfg.patch_size
+    )  # population std, repeated across the patch
+    ewma = np.empty_like(points)
+    acc = points[0]
+    for i, x in enumerate(points):
+        acc = cfg.ewma_alpha * x + (1 - cfg.ewma_alpha) * acc if i else x
+        ewma[i] = acc
+    return np.stack([raw, ps, ewma])
+
+
+def _projection(cfg: SoftPatchConfig) -> np.ndarray:
+    """Seeded dense projection standing in for the frozen backbone (M8).
+    Deterministic: same matrix on every executor, no broadcast needed beyond
+    the closure."""
+    rs = np.random.RandomState(cfg.seed)
+    in_dim = 3 * cfg.patch_size
+    return rs.standard_normal((in_dim, cfg.embed_dim)).astype(np.float64) / np.sqrt(in_dim)
+
+
+def embed_windows(windows: DataFrame, cfg: SoftPatchConfig) -> DataFrame:
+    """M8/M9: window -> per-patch embeddings, as a mapInPandas island.
+
+    Output: (series_id, window_start, window_label, patch_idx, feature[]).
+    """
+    proj = _projection(cfg)
+    n_p, p_sz = cfg.n_patches, cfg.patch_size
+
+    schema = T.StructType(
+        [
+            T.StructField("series_id", T.StringType()),
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("window_label", T.IntegerType()),
+            T.StructField("patch_idx", T.IntegerType()),
+            T.StructField("feature", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for _, row in pdf.iterrows():
+                pts = np.asarray(row["points"], dtype=np.float64)
+                ch = _channel_features(pts, cfg)  # (3, day)
+                for p in range(n_p):
+                    patch = ch[:, p * p_sz : (p + 1) * p_sz].reshape(-1)  # (3*p_sz,)
+                    feat = patch @ proj
+                    out.append(
+                        (row["series_id"], row["window_start"], int(row["window_label"]), p, feat.tolist())
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    cols = ["series_id", "window_start", "window_label", "points"]
+    return windows.select(*cols).mapInPandas(gen, schema=schema)
+
+
+def _gaussian_weights(feats: np.ndarray) -> np.ndarray:
+    """M10 (gaussian mode): Mahalanobis distance of each row to the patch
+    population N(mean, cov + 0.01·I) — the reference's denoising score
+    (multi_variate_gaussian.py:77-104, softpatch.py:241-245)."""
+    mean = feats.mean(axis=0)
+    d = feats - mean
+    cov = (d.T @ d) / max(len(feats) - 1, 1) + 0.01 * np.eye(feats.shape[1])
+    inv = np.linalg.inv(cov)
+    return np.sqrt(np.maximum((d @ inv * d).sum(axis=1), 0.0))
+
+
+def patch_weights(embedded: DataFrame, cfg: SoftPatchConfig) -> DataFrame:
+    """M10: per-patch-position outlier weights via applyInPandas.
+
+    Patch position is the natural partition key (reference permutes to
+    (patch, batch, dim) at softpatch.py:232). Key cardinality is tiny, but
+    each group is a bounded (n_windows × dim) matrix — the group fits because
+    the *candidate set* is what flows in, not the raw corpus."""
+    schema = T.StructType(
+        [
+            T.StructField("series_id", T.StringType()),
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("patch_idx", T.IntegerType()),
+            T.StructField("feature", T.ArrayType(T.DoubleType())),
+            T.StructField("weight", T.DoubleType()),
+        ]
+    )
+
+    def per_patch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # Pin row order: float mean/cov are order-sensitive in the last ulps,
+        # and Arrow batch arrival order is not deterministic.
+        pdf = pdf.sort_values(["series_id", "window_start"]).reset_index(drop=True)
+        feats = np.stack(pdf["feature"].to_numpy())
+        w = _gaussian_weights(feats)
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"],
+                "window_start": pdf["window_start"],
+                "patch_idx": pdf["patch_idx"],
+                "feature": pdf["feature"],
+                "weight": w,
+            }
+        )
+
+    return embedded.groupBy("patch_idx").applyInPandas(per_patch, schema=schema)
+
+
+def greedy_coreset(feats: np.ndarray, ratio: float, seed: int) -> np.ndarray:
+    """M11: approximate greedy k-center (driver-side, mirrors
+    sampler.py:118-174): iterative argmax of min-distance to the picked set.
+    Returns selected row indices."""
+    n = len(feats)
+    k = max(1, int(round(n * ratio)))
+    rs = np.random.RandomState(seed)
+    start = int(rs.randint(n))
+    picked = [start]
+    dmin = np.linalg.norm(feats - feats[start], axis=1)
+    for _ in range(k - 1):
+        nxt = int(np.argmax(dmin))
+        picked.append(nxt)
+        dmin = np.minimum(dmin, np.linalg.norm(feats - feats[nxt], axis=1))
+    return np.asarray(picked)
+
+
+def fit_memory_bank(train_windows: DataFrame, cfg: SoftPatchConfig) -> np.ndarray:
+    """Fit = embed → denoise-weight → weight-filter → greedy coreset.
+
+    The collect() here is the reference's own design point: the candidate
+    bank after filtering is ≪ the corpus (10⁴-10⁶ rows), and greedy k-center
+    is sequential — so it runs on the driver, and the resulting bank is
+    broadcast back for scoring (SURVEY.md §4.2)."""
+    weighted = patch_weights(embed_windows(train_windows, cfg), cfg)
+    cut = weighted.agg(
+        F.percentile("weight", F.lit(1.0 - cfg.weight_quantile)).alias("q")
+    ).collect()[0]["q"]
+    kept = weighted.filter(F.col("weight") <= F.lit(float(cut)))
+    # Deterministic candidate order → deterministic coreset (greedy k-center
+    # picks by row index; unordered collect would vary with partitioning).
+    pdf = kept.orderBy(SID, "window_start", "patch_idx").select("feature").toPandas()
+    feats = np.stack(pdf["feature"].to_numpy())
+    idx = greedy_coreset(feats, cfg.coreset_ratio, cfg.seed)
+    return feats[idx]
+
+
+def score_windows(test_windows: DataFrame, bank: np.ndarray, cfg: SoftPatchConfig) -> DataFrame:
+    """M12/M13: 1-NN L2 distance to the broadcast bank per patch; window score
+    = max patch score (W10). Exact search in a vectorized mapInPandas island —
+    the IndexFlatL2 analog; swap in LSH/IVF for billion-row banks."""
+    sc = test_windows.sparkSession.sparkContext
+    bank_b = sc.broadcast(np.ascontiguousarray(bank))
+    embedded = embed_windows(test_windows, cfg)
+
+    schema = T.StructType(
+        [
+            T.StructField("series_id", T.StringType()),
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("window_label", T.IntegerType()),
+            T.StructField("patch_idx", T.IntegerType()),
+            T.StructField("patch_score", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bk = bank_b.value
+        bk_sq = (bk * bk).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["feature"].to_numpy())
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ bk.T) + bk_sq[None, :]
+            score = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+            yield pd.DataFrame(
+                {
+                    "series_id": pdf["series_id"],
+                    "window_start": pdf["window_start"],
+                    "window_label": pdf["window_label"],
+                    "patch_idx": pdf["patch_idx"],
+                    "patch_score": score,
+                }
+            )
+
+    patch_scores = embedded.mapInPandas(gen, schema=schema)
+    return patch_scores.groupBy(SID, "window_start", "window_label").agg(
+        F.max("patch_score").alias("score")
+    )
+
+
+def softpatch_scores(windows: DataFrame, cfg: SoftPatchConfig | None = None) -> DataFrame:
+    """End-to-end M7-M13: train on clean windows, score all windows, min-max
+    normalize scores globally (M13). Returns
+    (series_id, window_start, window_label, score, score_norm)."""
+    cfg = cfg or SoftPatchConfig()
+    train = windows.filter(F.col("window_label") == 0)
+    bank = fit_memory_bank(train, cfg)
+    scored = score_windows(windows, bank, cfg)
+    lo_hi = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi")).collect()[0]
+    lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
+    rng = (hi - lo) or 1.0
+    return scored.withColumn("score_norm", (F.col("score") - F.lit(lo)) / F.lit(rng))

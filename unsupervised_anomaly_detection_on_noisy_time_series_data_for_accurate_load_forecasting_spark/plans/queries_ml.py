@@ -1,0 +1,67 @@
+"""ML memory-bank AD query specs (SURVEY.md §2: M7-M13, M24).
+
+No DuckDB oracle — the operators run numpy linear algebra inside Pandas-UDF
+islands (the driver records rows-only checks; invariants are pinned in
+tests/test_ml_softpatch.py: determinism, coreset size, score separation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..ml.softpatch import SoftPatchConfig, softpatch_scores
+from ..ml.windows import day_windows
+from ..operators import anomaly as AN
+from ..sources.readers import load_table
+from .registry import register
+
+
+def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    points = AN.inject_anomalies(AN.prepared_series(ev))
+    windows = day_windows(points)
+    return softpatch_scores(windows, SoftPatchConfig())
+
+
+@register(
+    "ml_softpatch_scores",
+    oracle=None,
+    tags=("M7", "M8", "M9", "M10", "M11", "M12", "M13", "W10"),
+    doc="TS-SoftPatch memory-bank scores per day window (mapInPandas islands, "
+    "broadcast coreset, numpy stand-in backbone).",
+)
+def ml_softpatch_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scores(spark, sf_dir).select(
+        "series_id", "window_start", "window_label", F.round("score_norm", 9).alias("score_norm")
+    )
+
+
+@register(
+    "ml_softpatch_eval",
+    oracle=None,
+    tags=("M24", "A6", "A10", "A11", "M14"),
+    doc="Evaluation of memory-bank scores vs. injected ground truth: "
+    "contamination-rate threshold (A6) → confusion counts + exact AUROC.",
+)
+def ml_softpatch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scores(spark, sf_dir)
+    contam = scored.agg(F.avg("window_label")).collect()[0][0] or 0.0
+    thresh = scored.agg(
+        F.percentile("score", F.lit(1.0 - float(contam))).alias("t")
+    ).collect()[0]["t"]
+    flagged = scored.withColumn("pred", (F.col("score") > F.lit(float(thresh))).cast("int"))
+    r = F.rank().over(W.orderBy("score"))
+    c = F.count(F.lit(1)).over(W.partitionBy("score"))
+    m = flagged.withColumn("midrank", r + (c - F.lit(1)) / F.lit(2.0))
+    pos = F.col("window_label") == 1
+    p = F.sum(pos.cast("int")).cast("double")
+    nn = F.sum((~pos).cast("int")).cast("double")
+    rank_pos = F.sum(F.when(pos, F.col("midrank")).otherwise(F.lit(0.0)))
+    return m.agg(
+        F.sum((F.col("pred") * F.col("window_label"))).cast("bigint").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("window_label"))).cast("bigint").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("window_label")).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("window_label"))).cast("bigint").alias("tn"),
+        ((rank_pos - p * (p + 1) / 2) / (p * nn)).alias("auroc"),
+    )
