@@ -1,0 +1,68 @@
+"""Anomaly imputation (reference stage 3) — mask generation, imputation,
+splice-back, self-evaluation.
+
+Reference semantics (citations into /root/reference/):
+- M16 random contiguous training mask   src/anomaly_imputation/dataset_ai.py:15-25
+- M17 LSTM-AE denoising autoencoder     src/anomaly_imputation/autoencoder.py:7-167
+- M18 splice: fill masked points only   src/anomaly_imputation/autoencoder.py:187-199
+
+The mask is the deterministic hash-counter RNG (per series-day, contiguous
+``mask_size`` hours) so the whole mask→impute→evaluate loop is a pure column
+program, mirrored in the DuckDB oracle. The model slot:
+- default: **seasonal-profile imputer** — per (series, hour-of-day) exact
+  mean over *unmasked* points; fully declarative, oracle-checkable.
+- ``ml/neural.py`` hosts the torch LSTM-AE for environments that have torch
+  (import-gated); it slots into the same splice contract (M18): output
+  replaces masked points only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..functions.rng import rng_uniform
+from ..operators.timeseries import SID, TS, VAL
+
+MASK_SALT = 23
+MASK_SIZE = 4  # hours; = reference's patch-sized mask (pipeline.py:261)
+
+
+def with_training_mask(series: DataFrame, mask_size: int = MASK_SIZE) -> DataFrame:
+    """M16: one contiguous mask of `mask_size` hours per series-day, start
+    drawn from the deterministic RNG. mask=1 → hidden from the model."""
+    skey = F.col(SID).cast("bigint")
+    eday = F.floor(F.unix_timestamp(F.col(TS)) / 86400)
+    h = F.hour(F.col(TS))
+    start = F.floor(rng_uniform(skey, eday, salt=MASK_SALT) * (24 - mask_size)).cast("int")
+    return series.withColumn(
+        "mask", ((h >= start) & (h < start + mask_size)).cast("int")
+    )
+
+
+def profile_impute(masked: DataFrame) -> DataFrame:
+    """Seasonal-profile model + M18 splice: masked points get the per
+    (series, hour-of-day) exact mean of unmasked points; unmasked points pass
+    through. One shuffle on (series, hod)."""
+    hod = F.hour(F.col(TS))
+    w = W.partitionBy(SID, hod)
+    prof_sum = F.sum(F.when(F.col("mask") == 0, F.col(VAL).cast("decimal(27,6)"))).over(w)
+    prof_n = F.sum(F.when(F.col("mask") == 0, F.lit(1)).otherwise(F.lit(0))).over(w)
+    profile = prof_sum.cast("double") / prof_n.cast("double")
+    return masked.withColumn(
+        "imputed", F.when(F.col("mask") == 1, profile).otherwise(F.col(VAL))
+    )
+
+
+def imputation_eval(imputed: DataFrame) -> DataFrame:
+    """Self-evaluation on masked points (the reference's imputation metric
+    loop, anomaly_imputation/main.py:74-119): MAE/MSE on mask==1 only."""
+    m = imputed.filter(F.col("mask") == 1)
+    e = F.col("imputed") - F.col(VAL)
+    n = F.count(F.lit(1)).cast("double")
+    return m.groupBy(SID).agg(
+        F.count(F.lit(1)).alias("n_masked"),
+        (dsum(F.abs(e)) / n).alias("mae"),
+        (dsum(e * e) / n).alias("mse"),
+    )

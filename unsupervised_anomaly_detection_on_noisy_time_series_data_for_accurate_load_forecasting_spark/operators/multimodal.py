@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: opaque binary payloads with typed metadata,
+decode / feature-extract / resize / frame-sample as Arrow-batched
+mapInPandas islands.
+
+The image/audio/video codec libraries are NOT available in this environment,
+so the decode kernels are STUBS behind ``use_real_codecs``:
+- ``use_real_codecs=True``  → NotImplementedError naming the required libs
+  (PIL/torchvision/librosa/av) — this is the plug point.
+- default                   → deterministic fake decode (seeded from the
+  payload bytes) with the REAL Spark plumbing: binary column + metadata
+  struct schema, Arrow batch shape, partition-preserving mapInPandas, fixed
+  feature dimension.
+
+At 100 TB the pattern is: payloads stay in parquet binary columns (or
+pointers to object storage), metadata is columnar for pruning, and the
+decode UDF is the only Python island — everything before/after is
+Catalyst-planned.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Build a media table from the documents fixture: the UTF-8 bytes stand
+    in for an encoded payload; metadata derives deterministically from it."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/x-fake").alias("mime"),
+            (F.length("text") % 640 + 1).cast("int").alias("width"),
+            (F.length("text") % 480 + 1).cast("int").alias("height"),
+            (F.length("text") % 16 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in decode: sha256(payload) → unit feature vector."""
+    h = hashlib.sha256(payload).digest()
+    v = np.frombuffer(h[: dim * 4], dtype=np.uint32).astype(np.float64)
+    v = v / np.iinfo(np.uint32).max
+    return v
+
+
+def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
+    """Decode + feature-extract island. Output:
+    (media_id, n_bytes, feature ARRAY<DOUBLE>[FEATURE_DIM])."""
+    if use_real_codecs:
+        raise NotImplementedError(
+            "Real decode requires PIL/torchvision (image), librosa (audio), av "
+            "(video) — not installed in this environment. The Spark plumbing "
+            "below is identical; plug the codec into _fake_decode's slot."
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("feature", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = [_fake_decode(bytes(p)).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "feature": feats,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(gen, schema=schema)
+
+
+def frame_sample(media: DataFrame, every_n: int = 4, use_real_codecs: bool = False) -> DataFrame:
+    """Frame sampling for 'video' payloads: emit every n-th frame's feature.
+    Frames here are byte-stride slices of the payload (stub); the row-explosion
+    shape (media → frames long table) is the real contract."""
+    if use_real_codecs:
+        raise NotImplementedError("real frame decode requires av/ffmpeg — not installed")
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("feature", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out: list[tuple] = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                n_frames = int(row["n_frames"])
+                for fi in range(0, n_frames, every_n):
+                    chunk = payload[fi::n_frames] or b"\0"
+                    out.append((row["media_id"], fi, _fake_decode(chunk).tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "feature"])
+
+    flat = media.select("media_id", "payload", F.col("meta.n_frames").alias("n_frames"))
+    return flat.mapInPandas(gen, schema=schema)

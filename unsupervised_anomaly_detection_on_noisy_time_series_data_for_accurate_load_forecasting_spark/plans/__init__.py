@@ -7,5 +7,6 @@ from . import queries_text  # noqa: E402,F401
 from . import queries_similarity  # noqa: E402,F401
 from . import queries_forecast  # noqa: E402,F401
 from . import queries_ml  # noqa: E402,F401
+from . import queries_stream_mm  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql", "register"]

@@ -1,0 +1,133 @@
+"""Streaming, multimodal, and imputation query specs.
+
+- The streaming query has a full DuckDB oracle: Trigger.AvailableNow replays
+  the same plan the live stream runs, so streaming output ≡ batch semantics.
+- Multimodal queries are rows-only (binary payloads + stub decode islands).
+- The masked-imputation query is fully oracle-checked (RNG mask + profile
+  model are pure column programs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import davg_sql, dstd_sql, dsum_sql
+from ..functions.rng import rng_uniform_sql
+from ..ml import imputer as IM
+from ..operators import anomaly as AN
+from ..operators import multimodal as MM
+from ..sources.readers import load_table
+from .queries_timeseries import FILLED_CTE
+from .registry import register
+
+
+@register(
+    "stream_window_flags",
+    oracle=f"""
+    WITH stats AS (
+      SELECT user_id, {davg_sql('value')} AS mean_v, {dstd_sql('value')} AS std_v
+      FROM events GROUP BY 1
+    ),
+    fl AS (
+      SELECT e.user_id, CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS h,
+             CASE WHEN abs(e.value - s.mean_v) > 2.5 * s.std_v THEN 1 ELSE 0 END AS o
+      FROM events e JOIN stats s ON e.user_id = s.user_id
+    ),
+    w AS (
+      SELECT user_id, h AS window_start, o FROM fl
+      UNION ALL
+      SELECT user_id, h - INTERVAL 1 HOUR AS window_start, o FROM fl
+    )
+    SELECT CAST(user_id AS VARCHAR) AS series_id, window_start,
+           count(*) AS n_events, CAST(sum(o) AS BIGINT) AS n_outliers
+    FROM w GROUP BY 1, 2
+    """,
+    tags=("STREAM", "W1", "W6", "M14"),
+    doc="Structured-Streaming watermarked sliding windows + stream-static "
+    "z-flag join, drained via Trigger.AvailableNow ≡ batch semantics.",
+)
+def stream_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.score_stream import run_available_now, stream_window_flags as swf
+
+    result = swf(spark, sf_dir)
+    name = run_available_now(result, "stream_flags")
+    return spark.table(name)
+
+
+@register(
+    "mm_binary_features",
+    oracle=None,
+    tags=("MM-decode", "MM-schema"),
+    doc="Multimodal plumbing: binary payload + metadata struct → Arrow-batched "
+    "decode island (deterministic stub codec) → fixed-dim features.",
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id", "n_bytes", F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 9).alias("feat_sum")
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=None,
+    tags=("MM-video",),
+    doc="Frame-sampling contract: media row → sampled-frame long table with "
+    "per-frame features (stub decoder, real row-explosion shape).",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    frames = MM.frame_sample(media, every_n=4)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.round(F.sum(F.expr("aggregate(feature, 0D, (a, x) -> a + x)")), 9).alias("feat_total"),
+    )
+
+
+@register(
+    "m16_masked_imputation",
+    oracle=f"""
+    WITH {FILLED_CTE},
+    mk AS (
+      SELECT series_id, ts, value,
+             CAST(series_id AS BIGINT) AS skey,
+             CAST(floor(CAST(epoch(ts) AS BIGINT) / 86400) AS BIGINT) AS eday,
+             CAST(extract(hour FROM ts) AS INTEGER) AS h
+      FROM filled
+    ),
+    m2 AS (
+      SELECT series_id, ts, value, h,
+             CASE WHEN h >= CAST(floor({rng_uniform_sql('skey', 'eday', salt=IM.MASK_SALT)} * 20) AS INTEGER)
+                   AND h < CAST(floor({rng_uniform_sql('skey', 'eday', salt=IM.MASK_SALT)} * 20) AS INTEGER) + {IM.MASK_SIZE}
+                  THEN 1 ELSE 0 END AS mask
+      FROM mk
+    ),
+    prof AS (
+      SELECT *,
+             CAST(sum(CASE WHEN mask = 0 THEN CAST(value AS DECIMAL(27,6)) END)
+                  OVER (PARTITION BY series_id, h) AS DOUBLE)
+             / CAST(sum(CASE WHEN mask = 0 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY series_id, h) AS DOUBLE) AS profile
+      FROM m2
+    ),
+    im AS (
+      SELECT series_id, ts, value, mask,
+             CASE WHEN mask = 1 THEN profile ELSE value END AS imputed
+      FROM prof
+    )
+    SELECT series_id, count(*) AS n_masked,
+           {dsum_sql('abs(imputed - value)')} / CAST(count(*) AS DOUBLE) AS mae,
+           {dsum_sql('(imputed - value) * (imputed - value)')} / CAST(count(*) AS DOUBLE) AS mse
+    FROM im WHERE mask = 1 GROUP BY series_id
+    """,
+    tags=("M16", "M17", "M18"),
+    doc="Deterministic contiguous training masks → seasonal-profile imputation "
+    "→ splice → masked-point MAE/MSE (the M17 model slot is torch-gated).",
+)
+def m16_masked_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = AN.prepared_series(load_table(spark, sf_dir, "events"))
+    masked = IM.with_training_mask(series)
+    imputed = IM.profile_impute(masked)
+    return IM.imputation_eval(imputed)

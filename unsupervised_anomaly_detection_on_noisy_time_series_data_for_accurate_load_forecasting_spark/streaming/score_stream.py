@@ -1,0 +1,99 @@
+"""Structured-Streaming variant of the scoring path (SURVEY.md §2.10).
+
+The reference is batch-only; this is the engine extension for live meter
+feeds: watermarked sliding windows + stream-static join against batch-fitted
+per-series statistics — the streaming form of the M14/W6 flag operators.
+
+Scale design: the static side (per-series mean/std) is a broadcast dim; state
+is bounded by the watermark (late meter reads beyond 1 day are dropped);
+`dropDuplicatesWithinWatermark` gives the streaming form of P2 dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events table (micro-batched parquet source)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-fitted per-series mean/std — the static side of the join.
+    Exact-moment arithmetic (functions/exact.py) so the streaming flags are
+    oracle-reproducible."""
+    from ..functions.exact import davg, dstd
+    from ..sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("user_id")).agg(
+        davg("value").alias("mean_v"), dstd("value").alias("std_v")
+    )
+
+
+def stream_window_flags(
+    spark: SparkSession, sf_dir: str, z_threshold: float = 2.5, watermark: str = "1 day"
+) -> DataFrame:
+    """Watermarked sliding-window aggregation + stream-static z-flagging:
+    per (user, 2h window sliding 1h): event count, mean value, outlier count.
+    """
+    stream = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    stats = series_stats(spark, sf_dir)
+    flagged = stream.join(F.broadcast(stats), "user_id").withColumn(
+        "is_outlier",
+        (F.abs(F.col("value") - F.col("mean_v")) > F.lit(z_threshold) * F.col("std_v")).cast("int"),
+    )
+    return (
+        flagged.groupBy(F.col("user_id"), F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_outlier").alias("n_outliers"),
+        )
+        .select(
+            F.col("user_id").cast("string").alias("series_id"),
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+_RUN_COUNTER = [0]
+
+
+def run_available_now(result: DataFrame, table_name: str) -> str:
+    """Drain the full source as micro-batches into an in-memory sink
+    (Trigger.AvailableNow — the batch-replay mode of the same streaming plan).
+    `complete` mode emits final window states (append would hold back windows
+    newer than the watermark). Returns the unique sink table name."""
+    _RUN_COUNTER[0] += 1
+    name = f"{table_name}_{_RUN_COUNTER[0]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
