@@ -88,7 +88,9 @@ def test_bank_fits_and_scores(windows):
     cfg = SoftPatchConfig()
     train = windows.filter(F.col("window_label") == 0)
     bank = fit_memory_bank(train, cfg)
-    assert bank.ndim == 2 and bank.shape[1] == cfg.embed_dim
+    # features + the J6 soft-weight column
+    assert bank.ndim == 2 and bank.shape[1] == cfg.embed_dim + 1
+    assert (bank[:, -1] >= 0).all() and (bank[:, -1] <= 1).all()
     scored = score_windows(windows.limit(20), bank, cfg)
     rows = scored.collect()
     assert all(r.score >= 0 for r in rows)

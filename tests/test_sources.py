@@ -1,0 +1,87 @@
+"""Source-contract tests: CSV directory scan (S1), custom delimiter (S2),
+labeled benchmark (S4), series CSV sink round-trip (S8), window parquet
+sink/source (S6/S7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+    read_csv_series,
+    read_labeled_benchmark,
+    read_windows,
+    write_windows,
+)
+
+
+def test_s1_csv_directory_scan(spark, tmp_path):
+    d = tmp_path / "aemo"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "SETTLEMENTDATE,TOTALDEMAND,REGION\n"
+        "2024/01/01 00:00:00,100.5,SA\n"
+        "2024/01/01 00:30:00,101.5,SA\n"
+    )
+    (d / "b.csv").write_text(
+        "SETTLEMENTDATE,TOTALDEMAND,REGION\n2024/01/01 01:00:00,102.5,SA\n"
+    )
+    df = read_csv_series(
+        spark,
+        str(d / "*.csv"),
+        ts_col="SETTLEMENTDATE",
+        value_col="TOTALDEMAND",
+        ts_format="yyyy/MM/dd HH:mm:ss",
+        series_id="AEMO/SA",
+    )
+    rows = df.orderBy("ts").collect()
+    assert [r.value for r in rows] == [100.5, 101.5, 102.5]  # U1 union implicit
+    assert df.columns == ["series_id", "ts", "value"]  # P1 projection
+    assert rows[0].ts.minute == 0 and rows[1].ts.minute == 30
+
+
+def test_s2_semicolon_csv(spark, tmp_path):
+    p = tmp_path / "inpg.csv"
+    p.write_text("date_time;conso_global\n01/15/2024 05:00:00;42.5\n")
+    df = read_csv_series(
+        spark, str(p), ts_col="date_time", value_col="conso_global",
+        ts_format="MM/dd/yyyy HH:mm:ss", sep=";", series_id="INPG",
+    )
+    r = df.collect()[0]
+    assert r.value == 42.5 and r.ts.month == 1 and r.ts.day == 15 and r.ts.hour == 5
+
+
+def test_s4_labeled_benchmark(spark, tmp_path):
+    p = tmp_path / "yahoo.csv"
+    p.write_text("timestamp,value,is_anomaly\n1,5.0,0\n2,50.0,1\n")
+    df = read_labeled_benchmark(spark, str(p))
+    rows = df.orderBy("timestamp").collect()
+    assert [r.is_anomaly for r in rows] == [0, 1]
+    assert dict(df.dtypes) == {"timestamp": "bigint", "value": "double", "is_anomaly": "int"}
+
+
+def test_s6_s7_window_sink_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame(
+        [("a", [1.0, 2.0], 0), ("b", [3.0, float("nan")], 1)],
+        "series_id string, points array<double>, window_label int",
+    )
+    # P4: NaN-window suppression before the sink
+    clean = src.filter(~F.expr("exists(points, x -> isnan(x))"))
+    out = str(tmp_path / "windows")
+    write_windows(clean, out, partition_cols=("series_id",))
+    back = read_windows(spark, out)
+    rows = back.collect()
+    assert len(rows) == 1 and rows[0].series_id == "a" and rows[0].points == [1.0, 2.0]
+
+
+def test_s8_series_csv_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("s", "2024-01-01 00:00:00", 1.5)], "series_id string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = str(tmp_path / "series_csv")
+    df.coalesce(1).write.option("header", True).mode("overwrite").csv(out)
+    back = (
+        spark.read.option("header", True).csv(out)
+        .select("series_id", F.to_timestamp("ts").alias("ts"), F.col("value").cast("double"))
+    )
+    r = back.collect()[0]
+    assert r.series_id == "s" and r.value == 1.5 and r.ts.hour == 0

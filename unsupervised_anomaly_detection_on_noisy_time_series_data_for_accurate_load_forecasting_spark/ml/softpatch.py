@@ -200,10 +200,15 @@ def fit_memory_bank(train_windows: DataFrame, cfg: SoftPatchConfig) -> np.ndarra
     kept = weighted.filter(F.col("weight") <= F.lit(float(cut)))
     # Deterministic candidate order → deterministic coreset (greedy k-center
     # picks by row index; unordered collect would vary with partitioning).
-    pdf = kept.orderBy(SID, "window_start", "patch_idx").select("feature").toPandas()
+    pdf = kept.orderBy(SID, "window_start", "patch_idx").select("feature", "weight").toPandas()
     feats = np.stack(pdf["feature"].to_numpy())
     idx = greedy_coreset(feats, cfg.coreset_ratio, cfg.seed)
-    return feats[idx]
+    # J6 soft-weighting (softpatch.py:376-380): each bank row keeps its
+    # denoising weight, normalized to [0,1]; scores multiply by the matched
+    # row's weight so matches to noisy bank points score lower confidence.
+    w = pdf["weight"].to_numpy()[idx]
+    w_norm = w / w.max() if w.max() > 0 else np.ones_like(w)
+    return np.hstack([feats[idx], w_norm[:, None]])
 
 
 def score_windows(test_windows: DataFrame, bank: np.ndarray, cfg: SoftPatchConfig) -> DataFrame:
@@ -225,14 +230,17 @@ def score_windows(test_windows: DataFrame, bank: np.ndarray, cfg: SoftPatchConfi
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bk = bank_b.value
+        bank_full = bank_b.value
+        bk, bk_w = bank_full[:, :-1], bank_full[:, -1]  # features | J6 weights
         bk_sq = (bk * bk).sum(axis=1)
         for pdf in batches:
             if pdf.empty:
                 continue
             x = np.stack(pdf["feature"].to_numpy())
             d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ bk.T) + bk_sq[None, :]
-            score = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+            nn_idx = d2.argmin(axis=1)
+            # J6: distance × matched bank row's denoising weight
+            score = np.sqrt(np.maximum(d2[np.arange(len(x)), nn_idx], 0.0)) * bk_w[nn_idx]
             yield pd.DataFrame(
                 {
                     "series_id": pdf["series_id"],

@@ -8,5 +8,6 @@ from . import queries_similarity  # noqa: E402,F401
 from . import queries_forecast  # noqa: E402,F401
 from . import queries_ml  # noqa: E402,F401
 from . import queries_stream_mm  # noqa: E402,F401
+from . import queries_relational2  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql", "register"]

@@ -27,7 +27,7 @@ def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ml_softpatch_scores",
     oracle=None,
-    tags=("M7", "M8", "M9", "M10", "M11", "M12", "M13", "W10"),
+    tags=("M7", "M8", "M9", "M10", "M11", "M12", "M13", "W10", "A7", "A8", "A9", "J4", "J5", "J6", "O4", "U2", "F10", "P4"),
     doc="TS-SoftPatch memory-bank scores per day window (mapInPandas islands, "
     "broadcast coreset, numpy stand-in backbone).",
 )

@@ -1,0 +1,310 @@
+"""Gap-closing query specs for the remaining SURVEY.md §2 rows:
+P5/P6/P7 calendar filters, A2 quantile normalization, W7 patch extension,
+U4 seeded hash split, A14/S3 per-source quality gate, F2/F3 window keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum, dsum_sql
+from ..functions.rng import rng_uniform, rng_uniform_sql
+from ..operators import anomaly as AN
+from ..operators import timeseries as TSO
+from ..operators.timeseries import SID, TS, VAL
+from ..sources.readers import load_table
+from .queries_timeseries import FILLED_CTE, HOURLY_CTE
+from .registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "j3_calendar_anti",
+    oracle="""
+    WITH excl AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+      WHERE (isodow(CAST(date_trunc('day', ts) AS TIMESTAMP)) - 1) >= 5
+         OR CAST(date_trunc('day', ts) AS TIMESTAMP)
+            BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
+    )
+    SELECT CAST(user_id AS VARCHAR) AS series_id, count(*) AS n_kept,
+           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_kept
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM excl x WHERE x.day = CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+    )
+    GROUP BY 1
+    """,
+    tags=("P5", "P7", "J3", "F5"),
+    doc="Calendar exclusion dim (weekends + hand-listed span) removed via "
+    "broadcast left-anti join — the holiday/corrupt-range filter pattern.",
+)
+def j3_calendar_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    excl = (
+        ev.select(day.alias("day"))
+        .distinct()
+        .filter(
+            (F.weekday("day") >= 5)
+            | F.col("day").between(
+                F.lit("2024-01-10").cast("timestamp"), F.lit("2024-01-12").cast("timestamp")
+            )
+        )
+    )
+    kept = ev.withColumn("day", day).join(F.broadcast(excl), "day", "left_anti")
+    return kept.groupBy(F.col("user_id").cast("string").alias(SID)).agg(
+        F.count(F.lit(1)).alias("n_kept"), dsum("value").alias("sum_kept")
+    )
+
+
+@register(
+    "p6_drop_last_day",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    mx AS (
+      SELECT series_id, max(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS last_day
+      FROM hourly GROUP BY 1
+    )
+    SELECT h.series_id, count(*) AS n_kept, {dsum_sql('h.value')} AS sum_kept
+    FROM hourly h JOIN mx ON h.series_id = mx.series_id
+    WHERE CAST(date_trunc('day', h.ts) AS TIMESTAMP) != mx.last_day
+    GROUP BY 1
+    """,
+    tags=("P6", "F4"),
+    doc="Incomplete-last-day removal via per-series max-date anti-filter.",
+)
+def p6_drop_last_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    day = F.date_trunc("day", F.col(TS))
+    mx = hourly.groupBy(SID).agg(F.max(day).alias("last_day"))
+    kept = hourly.withColumn("day", day).join(F.broadcast(mx), SID).filter(
+        F.col("day") != F.col("last_day")
+    )
+    return kept.groupBy(SID).agg(F.count(F.lit(1)).alias("n_kept"), dsum(VAL).alias("sum_kept"))
+
+
+@register(
+    "a2_quantile_normalize",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    q AS (
+      SELECT series_id, quantile_cont(value, 0.01) AS q01, quantile_cont(value, 0.99) AS q99
+      FROM hourly GROUP BY 1
+    )
+    SELECT h.series_id, q.q01 AS q01, q.q99 AS q99,
+           {dsum_sql('(h.value - q.q01) / NULLIF(q.q99 - q.q01, 0.0)')} AS sum_norm,
+           count(*) AS n
+    FROM hourly h JOIN q ON h.series_id = q.series_id
+    GROUP BY 1, 2, 3
+    """,
+    tags=("A1", "A2", "F6", "M13"),
+    doc="Per-series quantile scaling (the reference's normalization contract).",
+)
+def a2_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    q = hourly.groupBy(SID).agg(
+        F.percentile(VAL, F.lit(0.01)).alias("q01"),
+        F.percentile(VAL, F.lit(0.99)).alias("q99"),
+    )
+    j = hourly.join(F.broadcast(q), SID)
+    norm = F.try_divide(F.col(VAL) - F.col("q01"), F.col("q99") - F.col("q01"))
+    return j.groupBy(SID, "q01", "q99").agg(
+        dsum(norm).alias("sum_norm"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "w7_patch_extend",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    st AS (
+      SELECT *,
+             CAST(count(value) OVER w AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s2
+      FROM hourly WINDOW w AS (PARTITION BY series_id)
+    ),
+    fl AS (
+      SELECT series_id, ts,
+             CASE WHEN abs(value - s1 / n) > 2.0 * sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+                  THEN 1 ELSE 0 END AS flag
+      FROM st
+    ),
+    ex AS (
+      SELECT series_id, flag,
+             max(flag) OVER (PARTITION BY series_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND INTERVAL 2 HOURS FOLLOWING) AS ext
+      FROM fl
+    )
+    SELECT series_id,
+           CAST(sum(flag) AS BIGINT) AS n_flagged,
+           CAST(sum(ext) AS BIGINT) AS n_extended
+    FROM ex GROUP BY series_id
+    """,
+    tags=("W7", "M15"),
+    doc="Patch extension: flagged point widens to ±2 h via a RANGE frame max.",
+)
+def w7_patch_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    z = TSO.zscore_flags(hourly, threshold=2.0).withColumnRenamed("is_outlier", "flag")
+    rng_w = (
+        W.partitionBy(SID)
+        .orderBy(F.unix_timestamp(F.col(TS)))
+        .rangeBetween(-2 * 3600, 2 * 3600)
+    )
+    ext = z.withColumn("ext", F.max("flag").over(rng_w))
+    return ext.groupBy(SID).agg(
+        F.sum("flag").cast("bigint").alias("n_flagged"),
+        F.sum("ext").cast("bigint").alias("n_extended"),
+    )
+
+
+@register(
+    "u4_hash_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN {rng_uniform_sql('event_id', salt=31)} < 0.7 THEN 'train'
+                  WHEN {rng_uniform_sql('event_id', salt=31)} < 0.85 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM events
+    )
+    SELECT split, count(*) AS n, {dsum_sql('value')} AS sum_value
+    FROM s GROUP BY split
+    """,
+    tags=("U4", "F8"),
+    doc="Seeded hash split (train/valid/test) — the deterministic stand-in "
+    "for torch random_split.",
+)
+def u4_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    u = rng_uniform(F.col("event_id"), salt=31)
+    split = (
+        F.when(u < 0.7, F.lit("train")).when(u < 0.85, F.lit("valid")).otherwise(F.lit("test"))
+    )
+    return ev.withColumn("split", split).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )
+
+
+@register(
+    "a14_quality_gate",
+    oracle=f"""
+    WITH {FILLED_CTE}
+    SELECT series_id, count(*) AS n,
+           CAST(sum(CASE WHEN value = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS zero_ratio,
+           (CAST(sum(CASE WHEN value = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) <= 0.05
+             AS passed
+    FROM filled GROUP BY series_id
+    """,
+    tags=("A14", "S3", "A13"),
+    doc="Per-source quality gate: zero-ratio ≤ 5 % (the Excel-ingest gate "
+    "semantics, computed as one grouped aggregate + predicate).",
+)
+def a14_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = AN.prepared_series(_events(spark, sf_dir))
+    zero_ratio = F.sum((F.col(VAL) == 0).cast("int")).cast("double") / F.count(F.lit(1))
+    return series.groupBy(SID).agg(
+        F.count(F.lit(1)).alias("n"),
+        zero_ratio.alias("zero_ratio"),
+        (zero_ratio <= 0.05).alias("passed"),
+    )
+
+
+@register(
+    "w8_heatmap_upsample",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    patches AS (
+      SELECT series_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(floor(extract(hour FROM ts) / 8) AS INTEGER) AS patch_idx,
+             sqrt(greatest(({dsum_sql('value * value')} - {dsum_sql('value')} * {dsum_sql('value')}
+                   / CAST(count(value) AS DOUBLE)) / CAST(count(value) AS DOUBLE), 0.0)) AS patch_score
+      FROM hourly GROUP BY 1, 2, 3
+    )
+    SELECT series_id, day,
+           CAST(patch_idx * 8 + off AS INTEGER) AS hour_idx, patch_score
+    FROM patches, (SELECT unnest(range(0, 8)) AS off)
+    """,
+    tags=("W8", "M15"),
+    doc="Heatmap→point upsampling: each patch score repeats patch_size times "
+    "(explode(sequence), the reference's np.repeat).",
+)
+def w8_heatmap_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import forecast as FC
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    patches = FC.patch_std(hourly, patch_size=8).withColumnRenamed("patch_std", "patch_score")
+    return patches.select(
+        SID,
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("off"),
+        "patch_idx",
+        "patch_score",
+    ).select(
+        SID,
+        "day",
+        (F.col("patch_idx") * 8 + F.col("off")).cast("int").alias("hour_idx"),
+        "patch_score",
+    )
+
+
+@register(
+    "m6_knn_impute",
+    oracle=None,
+    tags=("M6",),
+    doc="KNN day-window imputation (nan-euclidean, k=3) via per-series "
+    "applyInPandas — fills what the lag-chain could not.",
+)
+def m6_knn_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.imputer import knn_impute_days
+
+    reg = TSO.regularize(_events(spark, sf_dir))
+    filled = knn_impute_days(reg)
+    return filled.groupBy(SID).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("was_null").cast("bigint").alias("n_was_null"),
+        F.sum(F.col("value").isNull().cast("int")).cast("bigint").alias("n_still_null"),
+        F.round(dsum(F.coalesce(F.col(VAL), F.lit(0.0))), 6).alias("sum_filled"),
+    )
+
+
+@register(
+    "f2_window_keys",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    d AS (SELECT DISTINCT series_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d0 FROM hourly),
+    k AS (
+      SELECT series_id,
+             strftime(d0, '%Y%m%d') || '_' || strftime(d0 + INTERVAL 1 DAY, '%Y%m%d') AS window_key
+      FROM d
+    )
+    SELECT series_id, window_key,
+           CAST(date_diff('day', strptime(split_part(window_key, '_', 1), '%Y%m%d'),
+                          strptime(split_part(window_key, '_', 2), '%Y%m%d')) AS INTEGER) AS n_days
+    FROM k
+    """,
+    tags=("F2", "F3", "F4"),
+    doc="Date-range window keys: format → parse round-trip (the reference's "
+    "filename-encoded window identity).",
+)
+def f2_window_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    d0 = F.date_trunc("day", F.col(TS))
+    d = hourly.select(SID, d0.alias("d0")).distinct()
+    key = F.concat_ws(
+        "_",
+        F.date_format("d0", "yyyyMMdd"),
+        F.date_format(F.col("d0") + F.expr("interval 1 day"), "yyyyMMdd"),
+    )
+    k = d.select(SID, key.alias("window_key"))
+    parsed = F.datediff(
+        F.to_date(F.split("window_key", "_")[1], "yyyyMMdd"),
+        F.to_date(F.split("window_key", "_")[0], "yyyyMMdd"),
+    )
+    return k.withColumn("n_days", parsed)

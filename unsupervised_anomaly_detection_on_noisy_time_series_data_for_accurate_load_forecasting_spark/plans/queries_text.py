@@ -233,7 +233,7 @@ def _band_case() -> str:
     FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
     WHERE j.jaccard >= 0.2
     """,
-    tags=("DEDUP-minhash", "J5"),
+    tags=("DEDUP-minhash", "J5", "U5"),
     doc="MinHash signatures → banded LSH buckets → exact-Jaccard verify.",
 )
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -165,7 +165,7 @@ def p2_dedup_hour_first(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) - count(value) AS n_missing
     FROM reg GROUP BY series_id
     """,
-    tags=("P3", "J1"),
+    tags=("P3", "J1", "F9"),
     doc="Spine ⟕ observations; NULL slots are the gaps.",
 )
 def p3_regularize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,7 +253,7 @@ def w5_missing_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_points
     FROM st GROUP BY series_id
     """,
-    tags=("W6", "A3"),
+    tags=("W6", "A3", "F7"),
     doc="Per-series z-score outliers with exact-moment variance.",
 )
 def w6_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +343,7 @@ def w4_variance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS cum_energy
     FROM hourly
     """,
-    tags=("A5",),
+    tags=("A5", "O1"),
     doc="Decimal-exact running energy per series.",
 )
 def a5_running_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,7 +438,7 @@ def m4_inject_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dsum_sql('value_contam')} AS sum_contam
     FROM clean GROUP BY series_id
     """,
-    tags=("M14", "M15", "M19", "A10", "W5", "W6", "W7"),
+    tags=("M14", "M15", "M19", "A10", "W5", "W6", "W7", "U5", "F7"),
     doc="Flagship end-to-end slice: regularize→fill→inject→detect→impute→score.",
 )
 def pipeline_anomaly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
