@@ -38,6 +38,29 @@ def ml_softpatch_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_ann_scores_mllib",
+    oracle=None,
+    tags=("M11", "M12", "J5", "W10"),
+    doc="Distributed scale mode: MLlib KMeans coreset + BucketedRandomProjectionLSH "
+    "approx NN join replace the driver coreset + broadcast cdist.",
+)
+def ml_ann_scores_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.mllib_modes import ann_window_scores, kmeans_coreset
+    from ..ml.softpatch import SoftPatchConfig, embed_windows
+    from ..ml.windows import day_windows
+
+    ev = load_table(spark, sf_dir, "events")
+    points = AN.inject_anomalies(AN.prepared_series(ev))
+    embedded = embed_windows(day_windows(points), SoftPatchConfig())
+    embedded.persist()
+    bank = kmeans_coreset(embedded, k=64)
+    scores = ann_window_scores(embedded, bank, threshold=1e6)
+    return scores.select(
+        "series_id", "window_start", F.round("score", 9).alias("score")
+    )
+
+
+@register(
     "ml_softpatch_eval",
     oracle=None,
     tags=("M24", "A6", "A10", "A11", "M14"),
