@@ -275,6 +275,34 @@ def m6_knn_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_order_stats",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("CUBE",),
+    doc="Grouping-sets breadth: CUBE over status×priority (Catalyst-native; "
+    "the reference has no analog but a migrating user does).",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total_price",
+        )
+    )
+
+
+@register(
     "f2_window_keys",
     oracle=f"""
     WITH {HOURLY_CTE},

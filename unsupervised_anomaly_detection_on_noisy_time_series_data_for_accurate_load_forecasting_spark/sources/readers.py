@@ -38,6 +38,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     conf) and convert to a proper timestamp column (micro truncation, matching
     DuckDB's ns→us cast)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver may hand us a session with a non-UTC timezone; hour()/
+    # date_trunc() over TIMESTAMP are session-tz-dependent, and the DuckDB
+    # oracle is tz-naive — pin UTC on every entry path.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
