@@ -275,6 +275,29 @@ def m6_knn_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("F-json",),
+    doc="Semi-structured column access: JSON path extraction over the props "
+    "payload (get_json_object ↔ json_extract_string).",
+)
+def f_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+@register(
     "cube_order_stats",
     oracle="""
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
