@@ -113,6 +113,60 @@ def lsh_buckets(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     return df.select("vec_id", "embedding").withColumn("bucket", F.expr(_bucket_expr(n_planes)))
 
 
+def ivf_topk(
+    df: DataFrame, n_queries: int = 100, k: int = 5, n_lists: int = 16, n_probe: int = 4, seed: int = 42
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into `n_lists`
+    KMeans cells; each query scans only its `n_probe` nearest cells.
+
+    Scale shape: centroids are tiny and broadcast; the corpus is bucketed
+    once (one shuffle on cell id); a query touches n_probe/n_lists of the
+    data instead of all of it. Exactness is per-candidate (same decimal dot
+    products as the brute-force baseline); recall is approximate by design.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = df.select("vec_id", "embedding").withColumn("sq", dnorm_sq())
+    vecs = e.select("vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(vecs)
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+
+    # nearest cells via broadcast centroids + squared-L2 rank per vector
+    dist2 = (
+        "aggregate(zip_with(embedding, centroid, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    )
+    assign = (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", F.expr(dist2))
+        .withColumn(
+            "crk",
+            F.row_number().over(W.partitionBy("vec_id").orderBy(F.col("cdist").asc(), F.col("cell").asc())),
+        )
+    )
+    corpus = assign.filter(F.col("crk") == 1).select("vec_id", "embedding", "sq", "cell")
+    probes = (
+        assign.filter((F.col("vec_id") < n_queries) & (F.col("crk") <= n_probe))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), F.col("sq").alias("qsq"), "cell")
+    )
+    pairs = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .withColumn("cosine", F.expr(ddot_expr("qemb", "embedding")) / F.sqrt(F.col("qsq") * F.col("sq")))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("vec_id").alias("nid"), "cosine", "rk")
+    )
+
+
 def lsh_near_pairs(df: DataFrame, min_cosine: float = 0.25) -> DataFrame:
     """All-pairs near-dup via LSH buckets + exact cosine verify on candidates.
 

@@ -90,3 +90,73 @@ _W = f"(2.0 * {rng_uniform_sql('i', 'k', salt=SIM.PLANE_SALT)} - 1.0)"
 )
 def s_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_near_pairs(_emb(spark, sf_dir), min_cosine=0.25)
+
+
+@register(
+    "s_ivf_topk",
+    oracle=None,
+    tags=("SIM-ivf", "J5", "O3"),
+    doc="IVF ANN: KMeans coarse cells + n_probe scan — the billion-row scale "
+    "path where even LSH bucket joins get too wide.",
+)
+def s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return SIM.ivf_topk(_emb(spark, sf_dir), n_queries=100, k=5).select(
+        "qid", "nid", F.round("cosine", 9).alias("cosine"), "rk"
+    )
+
+
+@register(
+    "d_embedding_dedup",
+    oracle=f"""
+    WITH {_LONG},
+    grid AS (
+      SELECT i, k, {_W} AS w
+      FROM (SELECT unnest(range(1, 65)) AS i), (SELECT unnest(range(0, {SIM.N_PLANES})) AS k)
+    ),
+    proj AS (
+      SELECT vec_id, k, {dsum_sql('x * w')} AS proj
+      FROM long JOIN grid USING (i) GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bucket
+      FROM proj GROUP BY 1
+    ),
+    cands AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    nm2 AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM long GROUP BY 1),
+    dots AS (
+      SELECT c.d1, c.d2, {dsum_sql('a.x * b.x')} AS dot
+      FROM cands c JOIN long a ON a.vec_id = c.d1 JOIN long b ON b.vec_id = c.d2 AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT DISTINCT d2 AS vec_id
+      FROM dots JOIN nm2 n1 ON d1 = n1.vec_id JOIN nm2 n2 ON d2 = n2.vec_id
+      WHERE dot / sqrt(n1.sq * n2.sq) >= 0.2
+    )
+    SELECT e.label, count(*) AS n_vecs,
+           CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_id
+    GROUP BY e.label
+    """,
+    tags=("SIM-lsh", "DEDUP-embedding", "P2"),
+    doc="Embedding-cosine near-dup dedup: LSH candidates → exact cosine ≥ τ → "
+    "keep-lowest-id star collapse, accounted per label.",
+)
+def d_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    pairs = SIM.lsh_near_pairs(emb, min_cosine=0.2)
+    dups = pairs.select(F.col("d2").alias("vec_id")).distinct()
+    flagged = emb.join(dups.withColumn("is_dup", F.lit(1)), "vec_id", "left")
+    return flagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+    )
