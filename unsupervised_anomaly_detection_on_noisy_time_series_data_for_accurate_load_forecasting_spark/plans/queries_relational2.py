@@ -275,6 +275,79 @@ def m6_knn_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("PIVOT",),
+    doc="Pivot breadth: order-status counts pivoted per market segment.",
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    p = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "c_mktsegment",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
+    )
+
+
+@register(
+    "set_except_intersect",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+    all_cust AS (SELECT c_custkey AS custkey FROM customer),
+    never AS (SELECT custkey FROM all_cust EXCEPT SELECT custkey FROM buyers),
+    inboth AS (SELECT custkey FROM all_cust INTERSECT SELECT custkey FROM buyers)
+    SELECT (SELECT count(*) FROM never) AS n_never_ordered,
+           (SELECT count(*) FROM inboth) AS n_with_orders
+    """,
+    tags=("U-set",),
+    doc="Set-op breadth: EXCEPT / INTERSECT between customer and buyer sets.",
+)
+def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    buyers = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    all_cust = customer.select(F.col("c_custkey").alias("custkey"))
+    never = all_cust.exceptAll(buyers).distinct()
+    both = all_cust.intersect(buyers)
+    return never.agg(F.count(F.lit(1)).alias("n_never_ordered")).crossJoin(
+        both.agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+
+
+@register(
+    "stream_online_flags",
+    oracle=None,
+    tags=("STREAM-stateful", "W6"),
+    doc="Custom stateful streaming operator: per-series Welford state via "
+    "applyInPandasWithState, online z-flags after a 30-event warm-up.",
+)
+def stream_online_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.score_stream import run_available_now, stream_events
+    from ..streaming.stateful import online_zscore_flags
+
+    flags = online_zscore_flags(stream_events(spark, sf_dir))
+    name = run_available_now(flags, "online_flags", output_mode="append")
+    return spark.table(name).select(
+        "user_id", "event_id", F.round("z", 6).alias("z"), "n_seen"
+    )
+
+
+@register(
     "f_json_props",
     oracle="""
     SELECT event_type,

@@ -82,17 +82,18 @@ def stream_window_flags(
 _RUN_COUNTER = [0]
 
 
-def run_available_now(result: DataFrame, table_name: str) -> str:
+def run_available_now(result: DataFrame, table_name: str, output_mode: str = "complete") -> str:
     """Drain the full source as micro-batches into an in-memory sink
     (Trigger.AvailableNow — the batch-replay mode of the same streaming plan).
-    `complete` mode emits final window states (append would hold back windows
-    newer than the watermark). Returns the unique sink table name."""
+    `complete` emits final window-agg states (append would hold back windows
+    newer than the watermark); stateful operators that emit incrementally use
+    `append`. Returns the unique sink table name."""
     _RUN_COUNTER[0] += 1
     name = f"{table_name}_{_RUN_COUNTER[0]}"
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
