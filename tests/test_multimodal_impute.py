@@ -59,6 +59,19 @@ def test_frame_sample_counts(spark, sf_dir):
         assert r["count"] == (r.nf + 3) // 4  # ceil(n_frames / 4)
 
 
+def test_resize_contract(spark, sf_dir):
+    media = MM.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    out = MM.resize(media, out_w=16, out_h=8)
+    rows = out.limit(10).collect()
+    assert rows
+    for r in rows:
+        assert len(r.pixels) == 16 * 8
+        assert r.width == 16 and r.height == 8
+        assert all(0.0 <= p <= 1.0 for p in r.pixels)
+    with pytest.raises(NotImplementedError):
+        MM.resize(media, use_real_codecs=True)
+
+
 def test_impute_touches_only_masked(spark, sf_dir):
     series = AN.prepared_series(load_table(spark, sf_dir, "events"))
     imputed = IM.profile_impute(IM.with_training_mask(series))

@@ -106,6 +106,40 @@ def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFra
     return media.select("media_id", "payload").mapInPandas(gen, schema=schema)
 
 
+def resize(media: DataFrame, out_w: int = 32, out_h: int = 32, use_real_codecs: bool = False) -> DataFrame:
+    """Resize contract: payload → fixed (out_h × out_w) grid, returned as a
+    flattened ARRAY<DOUBLE> plus updated metadata. Stub decoder maps payload
+    bytes onto a deterministic grid; a real codec slots into the same
+    mapInPandas signature and batch shape."""
+    if use_real_codecs:
+        raise NotImplementedError("real image resize requires PIL/torchvision — not installed")
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixels", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    n_px = out_w * out_h
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) or b"\0"
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) / 255.0
+                # nearest-neighbor 'resample' of the byte stream onto the grid
+                idx = np.linspace(0, len(arr) - 1, n_px).astype(int)
+                out.append((row["media_id"], out_w, out_h, arr[idx].tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "pixels"])
+
+    return media.select("media_id", "payload").mapInPandas(gen, schema=schema)
+
+
 def frame_sample(media: DataFrame, every_n: int = 4, use_real_codecs: bool = False) -> DataFrame:
     """Frame sampling for 'video' payloads: emit every n-th frame's feature.
     Frames here are byte-stride slices of the payload (stub); the row-explosion

@@ -44,6 +44,34 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+@register(
+    "t_regex_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS INTEGER)
+             AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'))) AS INTEGER)
+             AS n_bpe_distinct
+    FROM documents
+    """,
+    tags=("TXT-tokens",),
+    doc="BPE-ish regex tokenization (word/number/punct-run classes) — the "
+    "pre-tokenizer split used by GPT-style BPE vocabularies.",
+)
+def t_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    # lit() avoids SQL-literal backslash escaping ('\s' would become 's')
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
+    )
+
+
 @register(
     "t_quality_score",
     oracle=f"""
