@@ -30,7 +30,7 @@ def kmeans_coreset(embedded: DataFrame, k: int = 256, seed: int = 42) -> DataFra
     Returns (center_id, feature ARRAY<DOUBLE>). KMeans|| init, fixed seed —
     deterministic for a fixed partitioning of the input."""
     vecs = embedded.select(array_to_vector(F.col("feature")).alias("features"))
-    model = KMeans(k=k, seed=seed, maxIter=20).fit(vecs)
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(vecs)
     spark = embedded.sparkSession
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     return spark.createDataFrame(centers, "center_id int, feature array<double>")

@@ -236,6 +236,48 @@ def w5_missing_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w5_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id, ts, value,
+             CASE WHEN lag(ts, 1) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+               AS session_no
+      FROM e
+    )
+    SELECT series_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS session_value,
+           CAST((CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT)) AS BIGINT)
+             AS duration_s
+    FROM s GROUP BY 1, 2
+    """,
+    tags=("W5", "STREAM"),
+    doc="Sessionization: 30-min inactivity gap → session ids via "
+    "gaps-and-islands (lag + running sum), per-session rollup.",
+)
+def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ow = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(ow))
+    new_sess = F.when(F.lag("ts", 1).over(ow).isNull() | (gap > 1800), 1).otherwise(0)
+    run_w = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    s = ev.withColumn("_ns", new_sess).withColumn("session_no", F.sum("_ns").over(run_w))
+    return s.groupBy(
+        F.col("user_id").cast("string").alias(SID), F.col("session_no").cast("bigint").alias("session_no")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("session_value"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_s"),
+    )
+
+
+@register(
     "w6_zscore_outliers",
     oracle=f"""
     WITH {HOURLY_CTE},
