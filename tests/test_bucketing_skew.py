@@ -1,0 +1,45 @@
+"""Scale-technique evidence: bucketed joins elide exchanges; salted joins
+spread hot keys; results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.skew import (
+    salted_join,
+)
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.bucketing import (
+    bucketed_join,
+    write_bucketed,
+)
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+    load_table,
+)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", "l_orderkey", n_buckets=4, sort_col="l_orderkey")
+    write_bucketed(orders, "ord_b", "o_orderkey", n_buckets=4, sort_col="o_orderkey")
+    joined = bucketed_join(spark, "li_b", "ord_b", "l_orderkey", "o_orderkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and it is still a correct join
+    expect = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert joined.count() == expect
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    salted = salted_join(li, parts, key="l_partkey", n_salts=4, salt_source="l_orderkey")
+    plain = li.join(parts, "l_partkey")
+    a = salted.groupBy("p_brand").agg(F.sum("l_quantity").alias("q")).collect()
+    b = plain.groupBy("p_brand").agg(F.sum("l_quantity").alias("q")).collect()
+    assert sorted((r.p_brand, round(r.q, 6)) for r in a) == sorted(
+        (r.p_brand, round(r.q, 6)) for r in b
+    )

@@ -1,0 +1,37 @@
+"""Skew-resilient join: key salting.
+
+AQE's skew-join splitting handles sort-merge skew automatically
+(spark.sql.adaptive.skewJoin.enabled — on in session.py), but salting is the
+explicit fix when one side must broadcast-replicate hot keys, e.g. joining a
+fact against per-key aggregates where one key holds 30 % of rows.
+
+Pattern: fact rows get a deterministic salt in [0, n_salts) (hash of a
+high-cardinality column — NOT rand(), so retries/stage-replays stay
+consistent); the dim side is exploded ×n_salts; the join key becomes
+(key, salt), spreading each hot key over n_salts reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join `fact` ⋈ `dim` on `key` with the dim side replicated ×n_salts.
+
+    `salt_source`: a fact column whose hash spreads rows (defaults to the
+    whole-row monotonic id surrogate via xxhash64 of the key + a row marker).
+    """
+    src = F.col(salt_source) if salt_source else F.spark_partition_id()
+    f = fact.withColumn("_salt", F.pmod(F.xxhash64(src), F.lit(n_salts)).cast("int"))
+    d = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    out = f.join(d, [key, "_salt"], how)
+    return out.drop("_salt")
