@@ -94,3 +94,34 @@ def test_bank_fits_and_scores(windows):
     scored = score_windows(windows.limit(20), bank, cfg)
     rows = scored.collect()
     assert all(r.score >= 0 for r in rows)
+
+
+def test_lof_weights_mode(windows):
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.ml.softpatch import (
+        embed_windows,
+        patch_weights,
+    )
+
+    cfg = SoftPatchConfig()
+    emb = embed_windows(windows.limit(100), cfg)
+    w = patch_weights(emb, cfg, mode="lof")
+    rows = w.collect()
+    assert rows and all(r.weight >= 0 for r in rows)
+    # LOF ≈ 1 for inliers; population mean should sit near 1
+    mean_w = sum(r.weight for r in rows) / len(rows)
+    assert 0.8 < mean_w < 2.0, mean_w
+
+
+def test_lof_numpy_basics():
+    import numpy as np
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.ml.softpatch import (
+        _lof_weights,
+    )
+
+    rs = np.random.RandomState(0)
+    cluster = rs.standard_normal((50, 4)) * 0.1
+    outlier = np.full((1, 4), 5.0)
+    lof = _lof_weights(np.vstack([cluster, outlier]))
+    assert lof[-1] > 2.0  # far point flagged
+    assert np.median(lof[:-1]) < 1.5

@@ -153,7 +153,32 @@ def _gaussian_weights(feats: np.ndarray) -> np.ndarray:
     return np.sqrt(np.maximum((d @ inv * d).sum(axis=1), 0.0))
 
 
-def patch_weights(embedded: DataFrame, cfg: SoftPatchConfig) -> DataFrame:
+def _lof_weights(feats: np.ndarray, k: int = 6) -> np.ndarray:
+    """M10 (LOF mode): Local Outlier Factor, the reference's alternative
+    denoiser (softpatch.py:279-286, k=6). Pure numpy (sklearn is absent):
+    k-distance → reachability distance → local reachability density → LOF.
+    Group sizes are bounded (patch-position populations), so the pairwise
+    matrix is fine inside one group."""
+    n = len(feats)
+    kk = min(k, n - 1)
+    if kk < 1:
+        return np.zeros(n)
+    d = np.sqrt(
+        np.maximum(
+            (feats * feats).sum(1)[:, None] - 2 * feats @ feats.T + (feats * feats).sum(1)[None, :],
+            0.0,
+        )
+    )
+    np.fill_diagonal(d, np.inf)
+    knn_idx = np.argsort(d, axis=1, kind="stable")[:, :kk]  # k nearest neighbors
+    kdist = d[np.arange(n)[:, None], knn_idx][:, -1]  # k-distance per point
+    reach = np.maximum(d[np.arange(n)[:, None], knn_idx], kdist[knn_idx])
+    lrd = kk / np.maximum(reach.sum(axis=1), 1e-12)
+    lof = (lrd[knn_idx].sum(axis=1) / kk) / lrd
+    return lof
+
+
+def patch_weights(embedded: DataFrame, cfg: SoftPatchConfig, mode: str = "gaussian") -> DataFrame:
     """M10: per-patch-position outlier weights via applyInPandas.
 
     Patch position is the natural partition key (reference permutes to
@@ -175,7 +200,7 @@ def patch_weights(embedded: DataFrame, cfg: SoftPatchConfig) -> DataFrame:
         # and Arrow batch arrival order is not deterministic.
         pdf = pdf.sort_values(["series_id", "window_start"]).reset_index(drop=True)
         feats = np.stack(pdf["feature"].to_numpy())
-        w = _gaussian_weights(feats)
+        w = _lof_weights(feats) if mode == "lof" else _gaussian_weights(feats)
         return pd.DataFrame(
             {
                 "series_id": pdf["series_id"],
