@@ -85,3 +85,25 @@ def test_s8_series_csv_sink_roundtrip(spark, tmp_path):
     )
     r = back.collect()[0]
     assert r.series_id == "s" and r.value == 1.5 and r.ts.hour == 0
+
+
+def test_s3_file_quality_gate(spark):
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        file_quality_gate,
+        read_excel_series,
+    )
+
+    rows = (
+        [("good", float(i % 7 + 1)) for i in range(100)]
+        + [("zeros", 0.0 if i < 10 else 1.0) for i in range(100)]  # 10% zeros → reject
+        + [("nulls", None if i == 0 else 2.0) for i in range(100)]  # any null → reject
+    )
+    df = spark.createDataFrame(rows, "_file string, value double")
+    kept = file_quality_gate(df, "_file", "value", max_zero_ratio=0.05)
+    assert set(r._file for r in kept.select("_file").distinct().collect()) == {"good"}
+    assert kept.count() == 100
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="openpyxl"):
+        read_excel_series(spark, "/nonexistent/*.xlsx", "Time", "Power (kW)")

@@ -99,6 +99,62 @@ def read_csv_series(
     )
 
 
+def file_quality_gate(
+    df: DataFrame, file_col: str = "_file", value_col: str = "value", max_zero_ratio: float = 0.05
+) -> DataFrame:
+    """S3 gate (process_park.py:41-53): drop an entire source file if it has
+    any NULL/NaN value or more than `max_zero_ratio` zeros.
+
+    One grouped aggregate over the file key + broadcast semi join — the gate
+    costs a single pass regardless of file count."""
+    v = F.col(value_col)
+    stats = df.groupBy(file_col).agg(
+        F.sum((v.isNull() | F.isnan(v)).cast("int")).alias("n_bad"),
+        (F.sum((v == 0).cast("int")) / F.count(F.lit(1))).alias("zero_ratio"),
+    )
+    passing = stats.filter((F.col("n_bad") == 0) & (F.col("zero_ratio") <= max_zero_ratio)).select(
+        file_col
+    )
+    return df.join(F.broadcast(passing), file_col, "left_semi")
+
+
+def read_excel_series(
+    spark: SparkSession,
+    path_glob: str,
+    ts_col: str,
+    value_col: str,
+    max_zero_ratio: float = 0.05,
+) -> DataFrame:
+    """S3: per-building XLSX ingest with the quality gate
+    (process_park.py:17-53). XLSX is not a splittable columnar format, so the
+    scale pattern is driver/one-task-per-file pandas staging into the long
+    contract, then the engine-side gate. Requires openpyxl (absent in this
+    container — the gate itself is tested via file_quality_gate)."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "read_excel_series requires openpyxl; stage XLSX to CSV/parquet "
+            "out-of-band or install openpyxl. The quality gate "
+            "(file_quality_gate) is format-independent."
+        ) from e
+    import glob as _glob
+
+    import pandas as pd
+
+    frames = []
+    for p in sorted(_glob.glob(path_glob)):
+        pdf = pd.read_excel(p)[[ts_col, value_col]]
+        pdf.columns = ["ts", "value"]
+        pdf["_file"] = p
+        frames.append(pdf)
+    staged = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    gated = file_quality_gate(staged, "_file", "value", max_zero_ratio)
+    return gated.select(
+        F.col("_file").alias("series_id"), F.col("ts").cast("timestamp").alias("ts"), F.col("value").cast("double")
+    )
+
+
 def read_labeled_benchmark(spark: SparkSession, path: str) -> DataFrame:
     """S4: Yahoo-style (timestamp, value, is_anomaly) labeled CSV.
 
