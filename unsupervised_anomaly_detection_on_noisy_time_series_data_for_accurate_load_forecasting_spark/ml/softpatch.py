@@ -235,13 +235,19 @@ def greedy_coreset(feats: np.ndarray, ratio: float, seed: int, k_max: int | None
 
 
 def fit_memory_bank(train_windows: DataFrame, cfg: SoftPatchConfig) -> np.ndarray:
-    """Fit = embed → denoise-weight → weight-filter → greedy coreset.
+    """Fit = embed → denoise-weight → weight-filter → greedy coreset."""
+    return fit_memory_bank_from_embedded(embed_windows(train_windows, cfg), cfg)
+
+
+def fit_memory_bank_from_embedded(embedded: DataFrame, cfg: SoftPatchConfig) -> np.ndarray:
+    """Fit from an already-embedded patch DataFrame (lets callers embed the
+    corpus once and share it between fit and scoring).
 
     The collect() here is the reference's own design point: the candidate
     bank after filtering is ≪ the corpus (10⁴-10⁶ rows), and greedy k-center
     is sequential — so it runs on the driver, and the resulting bank is
     broadcast back for scoring (SURVEY.md §4.2)."""
-    weighted = patch_weights(embed_windows(train_windows, cfg), cfg)
+    weighted = patch_weights(embedded, cfg)
     weighted.persist()  # two actions below (percentile + collect) share lineage
     cut = weighted.agg(
         F.percentile("weight", F.lit(1.0 - cfg.weight_quantile)).alias("q")
@@ -269,9 +275,13 @@ def score_windows(test_windows: DataFrame, bank: np.ndarray, cfg: SoftPatchConfi
     """M12/M13: 1-NN L2 distance to the broadcast bank per patch; window score
     = max patch score (W10). Exact search in a vectorized mapInPandas island —
     the IndexFlatL2 analog; swap in LSH/IVF for billion-row banks."""
-    sc = test_windows.sparkSession.sparkContext
+    return score_embedded(embed_windows(test_windows, cfg), bank)
+
+
+def score_embedded(embedded: DataFrame, bank: np.ndarray) -> DataFrame:
+    """Score an already-embedded patch DataFrame against the broadcast bank."""
+    sc = embedded.sparkSession.sparkContext
     bank_b = sc.broadcast(np.ascontiguousarray(bank))
-    embedded = embed_windows(test_windows, cfg)
 
     schema = T.StructType(
         [
@@ -316,10 +326,12 @@ def softpatch_scores(windows: DataFrame, cfg: SoftPatchConfig | None = None) -> 
     normalize scores globally (M13). Returns
     (series_id, window_start, window_label, score, score_norm)."""
     cfg = cfg or SoftPatchConfig()
-    windows.persist()  # consumed by fit (2 actions) and scoring (2 actions)
-    train = windows.filter(F.col("window_label") == 0)
-    bank = fit_memory_bank(train, cfg)
-    scored = score_windows(windows, bank, cfg)
+    # Embed the whole corpus ONCE; fit consumes the clean subset, scoring the
+    # full set — the expensive windows→channels→projection pass is shared.
+    embedded = embed_windows(windows, cfg)
+    embedded.persist()
+    bank = fit_memory_bank_from_embedded(embedded.filter(F.col("window_label") == 0), cfg)
+    scored = score_embedded(embedded, bank)
     scored.persist()  # min/max action + the caller's collect share lineage
     lo_hi = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi")).collect()[0]
     lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
