@@ -54,21 +54,46 @@ def rng_uniform(*keys: Column | str, salt: int = 0) -> Column:
 
 
 def rng_draw_sql(*key_exprs: str, salt: int = 0, dialect: str = "duckdb") -> str:
-    """SQL-text mirror of :func:`rng_draw` (``%`` on non-negatives == pmod).
+    """SQL-text mirror of :func:`rng_draw`.
 
-    Dialects differ only in the xor spelling: DuckDB ``xor(a, b)`` (its ``^``
-    is power!), Spark ``(a ^ b)``. Shift ``>>`` parses in both."""
+    Every reduction is spelled as a true pmod ``((x % M + M) % M)`` — plain
+    ``%`` is a *remainder* in DuckDB (negative for negative operands), so a
+    negative key (pre-1970 timestamp → negative epoch-day, signed id) would
+    silently diverge from Spark's ``pmod`` instead of erroring. With the
+    guard, both engines agree for ALL bigint keys. Dialects differ only in
+    the xor spelling: DuckDB ``xor(a, b)`` (its ``^`` is power!), Spark
+    ``(a ^ b)``. Shift ``>>`` parses in both."""
     xor = (lambda a, b: f"xor({a}, {b})") if dialect == "duckdb" else (lambda a, b: f"(({a}) ^ ({b}))")
+    pmod = lambda x: f"((({x}) % {M} + {M}) % {M})"
     acc = f"CAST({salt} AS BIGINT)"
     for k in key_exprs:
-        acc = f"((({acc}) * 31 + (CAST(({k}) AS BIGINT) % {M})) % {M})"
+        acc = pmod(f"({acc}) * 31 + {pmod(f'CAST(({k}) AS BIGINT)')}")
     acc = xor(acc, f"({acc}) >> 16")
-    acc = f"((({acc}) * {A}) % {M})"
+    acc = pmod(f"({acc}) * {A}")
     acc = xor(acc, f"({acc}) >> 13")
-    acc = f"((({acc}) * {A}) % {M})"
+    acc = pmod(f"({acc}) * {A}")
     acc = xor(acc, f"({acc}) >> 16")
-    return f"(({acc}) % {M})"
+    return pmod(acc)
 
 
 def rng_uniform_sql(*key_exprs: str, salt: int = 0, dialect: str = "duckdb") -> str:
     return f"(CAST({rng_draw_sql(*key_exprs, salt=salt, dialect=dialect)} AS DOUBLE) / {float(M)})"
+
+
+def rng_draw_np(keys, salt: int = 0):
+    """Vectorized numpy mirror of :func:`rng_draw` for driver/oracle-side
+    replication (e.g. the softpatch numpy mirror). ``keys`` is a sequence of
+    int64 arrays (or scalars); returns an int64 array of draws in [0, M).
+    All intermediates stay < 2^58, exact in int64."""
+    import numpy as np
+
+    arrs = [np.asarray(k, dtype=np.int64) for k in keys]
+    acc = np.zeros(np.broadcast(*arrs).shape if len(arrs) > 1 else arrs[0].shape, dtype=np.int64) + np.int64(salt)
+    for k in arrs:
+        acc = (acc * np.int64(31) + ((k % M) + M) % M) % M
+    acc = acc ^ (acc >> np.int64(16))
+    acc = (acc * np.int64(A)) % M
+    acc = acc ^ (acc >> np.int64(13))
+    acc = (acc * np.int64(A)) % M
+    acc = acc ^ (acc >> np.int64(16))
+    return acc % M

@@ -19,13 +19,16 @@ Execution shape (the part that matters at 100 TB):
   projection (torch/timm are unavailable in this environment — the
   ``_load_backbone`` hook is where a real frozen ResNet/timm model plugs in;
   the Spark plumbing is identical either way).
-- Patch-weight fitting groups by **patch position** — small fixed key space,
-  so stats are computed with one tiny applyInPandas per position over a
-  sampled candidate set.
+- Patch-weight fitting is **two-phase**: salted partial moments per
+  (patch position × RNG bucket) — 96-way parallel, associative — combined
+  on the driver into per-position (mean, inv cov), then Mahalanobis as a
+  stateless map. No group ever holds more than an Arrow batch.
 - Coreset is the reference's inherently-sequential greedy k-center: run on
-  the **driver** over the (weight-filtered, projected) candidate matrix,
-  exactly like the reference collects features before sampling. The bank is
-  ≪ data (10 % of train patches) and is **broadcast** for scoring.
+  the **driver** over the weight-filtered candidate matrix, which is
+  **bounded by construction** — an engine-side deterministic hash-stride
+  filter caps what can ever reach the driver at ``candidate_cap`` rows.
+  The bank is ≪ data (10 % of train patches) and is **broadcast** for
+  scoring.
 - Scoring is a second mapInPandas island: vectorized cdist argmin against
   the broadcast bank — the exact-search analog of FAISS IndexFlatL2.
 """
@@ -178,40 +181,160 @@ def _lof_weights(feats: np.ndarray, k: int = 6) -> np.ndarray:
     return lof
 
 
-def patch_weights(embedded: DataFrame, cfg: SoftPatchConfig, mode: str = "gaussian") -> DataFrame:
-    """M10: per-patch-position outlier weights via applyInPandas.
+BUCKET_SALT = 23
+N_BUCKETS = 32
 
-    Patch position is the natural partition key (reference permutes to
-    (patch, batch, dim) at softpatch.py:232). Key cardinality is tiny, but
-    each group is a bounded (n_windows × dim) matrix — the group fits because
-    the *candidate set* is what flows in, not the raw corpus."""
-    schema = T.StructType(
+_WEIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.StringType()),
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField("patch_idx", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+        T.StructField("weight", T.DoubleType()),
+    ]
+)
+
+
+def _bucket_col() -> "F.Column":
+    """Deterministic salt bucket for the two-phase moment shuffle — keyed on
+    (series, epoch-day) via the cross-engine RNG so the numpy mirror can
+    reproduce the exact same groups."""
+    from ..functions.rng import rng_draw
+
+    skey = F.col("series_id").cast("bigint")
+    eday = F.floor(F.unix_timestamp(F.col("window_start")) / 86400)
+    return F.pmod(rng_draw(skey, eday, salt=BUCKET_SALT), F.lit(N_BUCKETS)).cast("int")
+
+
+def gaussian_patch_stats(embedded: DataFrame, cfg: SoftPatchConfig) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """A8 two-phase: exact per-patch (mean, inv(cov + 0.01I)) via salted
+    partial moments.
+
+    SURVEY §4.2(2)'s prescription: ``patch_idx`` alone has cardinality
+    ``n_patches`` (3!), so a direct groupBy caps parallelism at 3 with each
+    pandas group holding the whole corpus. Instead:
+
+    - phase 1 shuffles on ``patch_idx × bucket`` (bucket = deterministic RNG
+      of (series, day) mod 32 → 96-way parallelism, each group bounded), and
+      reduces each group to one (n, Σx, Σxxᵀ) row — A8 moments are
+      associative;
+    - the ≤ n_patches·32 partial rows are combined on the driver in sorted
+      bucket order (deterministic float order), giving
+      cov = (Σxxᵀ − n·μμᵀ)/(n−1) + 0.01·I per
+      multi_variate_gaussian.py:77-104.
+
+    Rows inside a phase-1 group are sorted by (series_id, window_start)
+    before summing so the result is partition-layout-independent."""
+    dim = cfg.embed_dim
+    part_schema = T.StructType(
         [
-            T.StructField("series_id", T.StringType()),
-            T.StructField("window_start", T.TimestampType()),
             T.StructField("patch_idx", T.IntegerType()),
-            T.StructField("feature", T.ArrayType(T.DoubleType())),
-            T.StructField("weight", T.DoubleType()),
+            T.StructField("bkt", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("ss", T.ArrayType(T.DoubleType())),
         ]
     )
 
-    def per_patch(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # Pin row order: float mean/cov are order-sensitive in the last ulps,
-        # and Arrow batch arrival order is not deterministic.
+    def partials(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["series_id", "window_start"]).reset_index(drop=True)
+        X = np.stack(pdf["feature"].to_numpy())
+        return pd.DataFrame(
+            {
+                "patch_idx": [int(key[0])],
+                "bkt": [int(key[1])],
+                "n": [len(X)],
+                "s": [X.sum(axis=0).tolist()],
+                "ss": [(X.T @ X).ravel().tolist()],
+            }
+        )
+
+    parts = (
+        embedded.withColumn("bkt", _bucket_col())
+        .groupBy("patch_idx", "bkt")
+        .applyInPandas(partials, schema=part_schema)
+        .collect()
+    )
+    by_patch: dict[int, list] = {}
+    for r in parts:
+        by_patch.setdefault(r["patch_idx"], []).append(r)
+    stats: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for p, rows in sorted(by_patch.items()):
+        rows = sorted(rows, key=lambda r: r["bkt"])
+        n = int(sum(r["n"] for r in rows))
+        s = np.stack([np.asarray(r["s"]) for r in rows]).sum(axis=0)
+        ss = np.stack([np.asarray(r["ss"]) for r in rows]).sum(axis=0).reshape(dim, dim)
+        mean = s / n
+        cov = (ss - n * np.outer(mean, mean)) / max(n - 1, 1) + 0.01 * np.eye(dim)
+        stats[p] = (mean, np.linalg.inv(cov))
+    return stats
+
+
+def patch_weights(embedded: DataFrame, cfg: SoftPatchConfig, mode: str = "gaussian") -> DataFrame:
+    """M10: per-patch-position outlier weights.
+
+    ``gaussian`` (default): two-phase distributed moments
+    (:func:`gaussian_patch_stats`) then Mahalanobis as a *stateless*
+    mapInPandas — no group ever holds more than an Arrow batch, so this path
+    scales to any corpus size.
+
+    ``lof``: the reference's alternative denoiser needs the full pairwise
+    matrix per patch position, which is inherently quadratic — each position
+    group is capped at ``candidate_cap`` rows (deterministic key order) and
+    documented as a sampled estimate at scale."""
+    if mode == "lof":
+        return _lof_patch_weights(embedded, cfg)
+
+    stats = gaussian_patch_stats(embedded, cfg)
+    sc = embedded.sparkSession.sparkContext
+    stats_b = sc.broadcast(stats)
+
+    def maha(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = stats_b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["feature"].to_numpy())
+            w = np.empty(len(X))
+            pidx = pdf["patch_idx"].to_numpy()
+            for p in np.unique(pidx):
+                mean, inv = st[int(p)]
+                m = pidx == p
+                d = X[m] - mean
+                w[m] = np.sqrt(np.maximum((d @ inv * d).sum(axis=1), 0.0))
+            yield pd.DataFrame(
+                {
+                    "series_id": pdf["series_id"],
+                    "window_start": pdf["window_start"],
+                    "patch_idx": pdf["patch_idx"],
+                    "feature": pdf["feature"],
+                    "weight": w,
+                }
+            )
+
+    cols = ["series_id", "window_start", "patch_idx", "feature"]
+    return embedded.select(*cols).mapInPandas(maha, schema=_WEIGHT_SCHEMA)
+
+
+def _lof_patch_weights(embedded: DataFrame, cfg: SoftPatchConfig) -> DataFrame:
+    def per_patch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # Pin row order: float kNN ties are order-sensitive, and Arrow batch
+        # arrival order is not deterministic.
+        pdf = pdf.sort_values(["series_id", "window_start"]).reset_index(drop=True)
+        if len(pdf) > cfg.candidate_cap:  # bounded quadratic term
+            pdf = pdf.iloc[: cfg.candidate_cap]
         feats = np.stack(pdf["feature"].to_numpy())
-        w = _lof_weights(feats) if mode == "lof" else _gaussian_weights(feats)
         return pd.DataFrame(
             {
                 "series_id": pdf["series_id"],
                 "window_start": pdf["window_start"],
                 "patch_idx": pdf["patch_idx"],
                 "feature": pdf["feature"],
-                "weight": w,
+                "weight": _lof_weights(feats),
             }
         )
 
-    return embedded.groupBy("patch_idx").applyInPandas(per_patch, schema=schema)
+    return embedded.groupBy("patch_idx").applyInPandas(per_patch, schema=_WEIGHT_SCHEMA)
 
 
 def greedy_coreset(feats: np.ndarray, ratio: float, seed: int, k_max: int | None = None) -> np.ndarray:
@@ -239,29 +362,47 @@ def fit_memory_bank(train_windows: DataFrame, cfg: SoftPatchConfig) -> np.ndarra
     return fit_memory_bank_from_embedded(embed_windows(train_windows, cfg), cfg)
 
 
+STRIDE_SALT = 29
+
+
 def fit_memory_bank_from_embedded(embedded: DataFrame, cfg: SoftPatchConfig) -> np.ndarray:
     """Fit from an already-embedded patch DataFrame (lets callers embed the
     corpus once and share it between fit and scoring).
 
-    The collect() here is the reference's own design point: the candidate
-    bank after filtering is ≪ the corpus (10⁴-10⁶ rows), and greedy k-center
-    is sequential — so it runs on the driver, and the resulting bank is
-    broadcast back for scoring (SURVEY.md §4.2)."""
+    The driver collect here is **bounded by construction**: when the kept
+    candidate set exceeds ``candidate_cap``, a deterministic hash-stride
+    filter (RNG of the row key mod ⌈n/cap⌉) subsamples it *engine-side*
+    before any row reaches the driver — ~cap rows arrive no matter how big
+    the corpus is. Below the cap (every test SF) nothing is dropped, so the
+    fit is exact there. Greedy k-center is inherently sequential, so the
+    (bounded) candidate matrix runs on the driver and the resulting bank is
+    broadcast back for scoring (SURVEY.md §4.2).
+
+    ``F.percentile`` is exact for oracle parity; at 100 TB swap
+    ``percentile_approx`` (single-pass sketch) — the cut only gates the
+    candidate pool, not the scores."""
+    from ..functions.rng import rng_draw
+
     weighted = patch_weights(embedded, cfg)
-    weighted.persist()  # two actions below (percentile + collect) share lineage
+    weighted.persist()  # three actions below (percentile + count + collect) share lineage
     cut = weighted.agg(
         F.percentile("weight", F.lit(1.0 - cfg.weight_quantile)).alias("q")
     ).collect()[0]["q"]
     kept = weighted.filter(F.col("weight") <= F.lit(float(cut)))
+    n_kept = kept.count()
+    if n_kept > cfg.candidate_cap:
+        stride = -(-n_kept // cfg.candidate_cap)  # ceil
+        skey = F.col(SID).cast("bigint")
+        eday = F.floor(F.unix_timestamp(F.col("window_start")) / 86400)
+        kept = kept.filter(
+            F.pmod(rng_draw(skey, eday, F.col("patch_idx"), salt=STRIDE_SALT), F.lit(stride)) == 0
+        )
     # Deterministic candidate order → deterministic coreset (greedy k-center
     # picks by row index; unordered collect would vary with partitioning).
     pdf = kept.orderBy(SID, "window_start", "patch_idx").select("feature", "weight").toPandas()
     weighted.unpersist()
     feats = np.stack(pdf["feature"].to_numpy())
     w_all = pdf["weight"].to_numpy()
-    if len(feats) > cfg.candidate_cap:  # deterministic stride subsample
-        stride_idx = np.linspace(0, len(feats) - 1, cfg.candidate_cap).astype(int)
-        feats, w_all = feats[stride_idx], w_all[stride_idx]
     idx = greedy_coreset(feats, cfg.coreset_ratio, cfg.seed, k_max=cfg.coreset_max)
     # J6 soft-weighting (softpatch.py:376-380): each bank row keeps its
     # denoising weight, normalized to [0,1]; scores multiply by the matched
@@ -321,11 +462,24 @@ def score_embedded(embedded: DataFrame, bank: np.ndarray) -> DataFrame:
     )
 
 
+_live_caches: list[DataFrame] = []
+
+
+def _release_caches() -> None:
+    """Unpersist caches left behind by the *previous* softpatch run. The
+    returned score DataFrame must stay cache-backed until the caller's
+    action, so each run releases its predecessor's instead of its own —
+    bounding a long-lived session to one run's working set."""
+    while _live_caches:
+        _live_caches.pop().unpersist(False)
+
+
 def softpatch_scores(windows: DataFrame, cfg: SoftPatchConfig | None = None) -> DataFrame:
     """End-to-end M7-M13: train on clean windows, score all windows, min-max
     normalize scores globally (M13). Returns
     (series_id, window_start, window_label, score, score_norm)."""
     cfg = cfg or SoftPatchConfig()
+    _release_caches()
     # Embed the whole corpus ONCE; fit consumes the clean subset, scoring the
     # full set — the expensive windows→channels→projection pass is shared.
     embedded = embed_windows(windows, cfg)
@@ -334,6 +488,10 @@ def softpatch_scores(windows: DataFrame, cfg: SoftPatchConfig | None = None) -> 
     scored = score_embedded(embedded, bank)
     scored.persist()  # min/max action + the caller's collect share lineage
     lo_hi = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi")).collect()[0]
+    # ^ materializes the scored cache end-to-end, so the big embedded cache
+    #   can be dropped immediately; scored (one row per window) remains.
+    embedded.unpersist(False)
+    _live_caches.append(scored)
     lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
     rng = (hi - lo) or 1.0
     return scored.withColumn("score_norm", (F.col("score") - F.lit(lo)) / F.lit(rng))

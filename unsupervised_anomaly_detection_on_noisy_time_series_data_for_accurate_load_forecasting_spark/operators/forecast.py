@@ -126,17 +126,30 @@ def patch_std(df: DataFrame, patch_size: int = 8) -> DataFrame:
 
 def auroc(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """A11: exact AUROC via the Mann-Whitney rank statistic with midranks
-    (tie-correct). Rank sums of dyadic midranks are exactly associative, so
-    the result is partition-independent without decimal help."""
-    r = F.rank().over(W.orderBy(F.col(score_col)))
-    c = F.count(F.lit(1)).over(W.partitionBy(score_col))
-    t = scored.withColumn("midrank", r + (c - F.lit(1)) / F.lit(2.0))
-    pos = F.col(label_col) == 1
-    p = F.sum(pos.cast("int")).cast("double")
-    nn = F.sum((~pos).cast("int")).cast("double")
-    rank_pos = F.sum(F.when(pos, F.col("midrank")).otherwise(F.lit(0.0)))
-    return t.agg(
+    (tie-correct), computed distributed:
+
+    1. collapse to distinct scores (groupBy score → count + positive count);
+    2. exact global cumulative count below each score via value-bucketed
+       prefix sums (`ranks.ordered_cumsum_before`) — parallel per-bucket
+       Windows, no single-task global Window;
+    3. midrank(score) = cum_before + (cnt+1)/2; rank-sum of positives.
+
+    Midranks are dyadic rationals and counts are integers, so every product
+    and sum below is exact in double — the result is partition-independent
+    and bit-identical to the naive single-window formulation."""
+    from .ranks import ordered_cumsum_before
+
+    pos = (F.col(label_col) == 1).cast("long")
+    g = scored.groupBy(score_col).agg(
+        F.count(F.lit(1)).alias("_cnt"), F.sum(pos).alias("_pos")
+    )
+    g = ordered_cumsum_before(g, score_col, "_cnt")
+    midrank = F.col("_cum_before") + (F.col("_cnt") + F.lit(1)) / F.lit(2.0)
+    p = F.sum("_pos").cast("double")
+    nn = (F.sum("_cnt") - F.sum("_pos")).cast("double")
+    rank_pos = F.sum(F.col("_pos").cast("double") * midrank)
+    return g.agg(
         ((rank_pos - p * (p + 1) / 2) / (p * nn)).alias("auroc"),
-        p.cast("bigint").alias("n_pos"),
-        nn.cast("bigint").alias("n_neg"),
+        F.sum("_pos").cast("bigint").alias("n_pos"),
+        (F.sum("_cnt") - F.sum("_pos")).cast("bigint").alias("n_neg"),
     )

@@ -66,10 +66,11 @@ def regional_revenue(
 def top_customers(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 10) -> DataFrame:
     """O3-style deterministic top-k: rank with an explicit key tiebreak.
 
-    Revenue is decimal-exact, so the ordering (and thus the top-k set) is
-    reproducible across engines and partitionings. A bare LIMIT after ORDER BY
-    would be tie-unstable; rank ≤ k with (revenue DESC, custkey ASC) is not.
-    Top-k over a grouped aggregate is a single extra exchange of k rows.
+    Revenue is decimal-exact and the sort key (revenue DESC, custkey ASC) is
+    unique per row, so ORDER BY + LIMIT is deterministic — and Catalyst
+    executes it as TakeOrderedAndProject: per-partition top-k heaps merged on
+    the driver, never a single-task global Window over every customer. The
+    rank column is assigned afterwards over just the k survivors.
     """
     from pyspark.sql import Window as W
 
@@ -79,10 +80,11 @@ def top_customers(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k
         .groupBy("o_custkey")
         .agg(dsum(revenue).alias("revenue"))
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    order_cols = [F.col("revenue").desc(), F.col("o_custkey").asc()]
+    topk = per_cust.orderBy(*order_cols).limit(k)
+    w = W.orderBy(*order_cols)  # over k rows only — trivially single-task
     return (
-        per_cust.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+        F.broadcast(topk.withColumn("rk", F.row_number().over(w)))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             F.col("o_custkey").alias("custkey"),

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from ..ml.softpatch import SoftPatchConfig, softpatch_scores
 from ..ml.windows import day_windows
@@ -45,6 +44,7 @@ def ml_softpatch_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx NN join replace the driver coreset + broadcast cdist.",
 )
 def ml_ann_scores_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml import softpatch as SP
     from ..ml.mllib_modes import ann_window_scores, kmeans_coreset
     from ..ml.softpatch import SoftPatchConfig, embed_windows
     from ..ml.windows import day_windows
@@ -52,7 +52,9 @@ def ml_ann_scores_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     points = AN.inject_anomalies(AN.prepared_series(ev))
     embedded = embed_windows(day_windows(points), SoftPatchConfig())
+    SP._release_caches()  # drop the previous run's cached plans first
     embedded.persist()
+    SP._live_caches.append(embedded)  # released by the next softpatch/ANN run
     bank = kmeans_coreset(embedded, k=64)
     scores = ann_window_scores(embedded, bank, threshold=1e6)
     return scores.select(
@@ -68,23 +70,19 @@ def ml_ann_scores_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination-rate threshold (A6) → confusion counts + exact AUROC.",
 )
 def ml_softpatch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.forecast import auroc
+
     scored = _scores(spark, sf_dir)
     contam = scored.agg(F.avg("window_label")).collect()[0][0] or 0.0
     thresh = scored.agg(
         F.percentile("score", F.lit(1.0 - float(contam))).alias("t")
     ).collect()[0]["t"]
     flagged = scored.withColumn("pred", (F.col("score") > F.lit(float(thresh))).cast("int"))
-    r = F.rank().over(W.orderBy("score"))
-    c = F.count(F.lit(1)).over(W.partitionBy("score"))
-    m = flagged.withColumn("midrank", r + (c - F.lit(1)) / F.lit(2.0))
-    pos = F.col("window_label") == 1
-    p = F.sum(pos.cast("int")).cast("double")
-    nn = F.sum((~pos).cast("int")).cast("double")
-    rank_pos = F.sum(F.when(pos, F.col("midrank")).otherwise(F.lit(0.0)))
-    return m.agg(
+    confusion = flagged.agg(
         F.sum((F.col("pred") * F.col("window_label"))).cast("bigint").alias("tp"),
         F.sum(F.col("pred") * (1 - F.col("window_label"))).cast("bigint").alias("fp"),
         F.sum((1 - F.col("pred")) * F.col("window_label")).cast("bigint").alias("fn"),
         F.sum((1 - F.col("pred")) * (1 - F.col("window_label"))).cast("bigint").alias("tn"),
-        ((rank_pos - p * (p + 1) / 2) / (p * nn)).alias("auroc"),
     )
+    area = auroc(scored, "score", "window_label").select("auroc")
+    return confusion.crossJoin(area)
