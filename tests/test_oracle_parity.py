@@ -11,14 +11,21 @@ import pytest
 import __spark_entry__ as entry_mod
 
 
-def _specs():
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
-    return [(n, qs[n], oracles.get(n)) for n in qs]
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans import (
+    REGISTRY,
+)
+
+# Oracles are resolved lazily INSIDE the test (callable oracles train numpy
+# mirror models — far too expensive to run at collection time).
+_NAMES = list(entry_mod.queries())
 
 
-@pytest.mark.parametrize("name,fn,oracle", _specs(), ids=[n for n, *_ in _specs()])
-def test_query_matches_oracle(spark, duck, sf_dir, name, fn, oracle):
+@pytest.mark.parametrize("name", _NAMES, ids=_NAMES)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    fn = REGISTRY[name].spark
+    oracle = REGISTRY[name].oracle
+    if callable(oracle):
+        oracle = oracle()
     df = fn(spark, sf_dir)
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]

@@ -51,6 +51,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
+    # numpy-mirror oracles read their input at this SF (defaults to the
+    # driver's correctness SF); keep them aligned with the tables we check.
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
     from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.session import (

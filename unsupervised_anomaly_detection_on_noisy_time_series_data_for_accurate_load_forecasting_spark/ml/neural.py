@@ -8,10 +8,13 @@ Reference models these mirror (citations into /root/reference/):
 Training is driver-side (collected anomaly-free windows fit comfortably —
 the window set is ≪ the raw corpus); inference distributes via mapInPandas
 with broadcast weights, exactly like ml/softpatch.py's embedding island.
-Without torch, constructors raise with installation guidance; the rest of
-the engine (mask → impute → splice → evaluate, window → forecast → metrics)
-runs on the declarative model slots instead (ml/imputer.py,
-operators/forecast.py).
+
+These torch classes are the *accelerated* plug-point only. The ACTIVE
+implementations are the pure-numpy trained models in ml/neural_np.py
+(DenoisingAE, GRUSeq2Seq, SCINetNP) — deterministic analytic-gradient
+training that runs in this container and is oracle-verified
+(plans/queries_neural.py). Without torch, constructors here raise and
+point at those.
 """
 
 from __future__ import annotations
@@ -31,9 +34,9 @@ def _require_torch(what: str) -> None:
     if not HAS_TORCH:
         raise NotImplementedError(
             f"{what} requires torch, which is not installed in this environment. "
-            "The declarative substitutes are ml/imputer.py (profile imputer) and "
-            "operators/forecast.py (seasonal-naive forecaster); install torch to "
-            "enable the neural slots."
+            "Use the trained pure-numpy implementations in ml/neural_np.py "
+            "(DenoisingAE / GRUSeq2Seq / SCINetNP) — same contracts, no torch — "
+            "or install torch to enable these accelerated slots."
         )
 
 

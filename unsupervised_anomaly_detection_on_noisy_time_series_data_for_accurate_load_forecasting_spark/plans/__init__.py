@@ -9,5 +9,6 @@ from . import queries_forecast  # noqa: E402,F401
 from . import queries_ml  # noqa: E402,F401
 from . import queries_stream_mm  # noqa: E402,F401
 from . import queries_relational2  # noqa: E402,F401
+from . import queries_neural  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql", "register"]

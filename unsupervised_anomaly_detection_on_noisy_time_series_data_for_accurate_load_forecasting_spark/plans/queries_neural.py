@@ -1,0 +1,301 @@
+"""Trained-neural-model query specs (M17 denoising AE, M20 seq2seq GRU,
+M21 SCINet) with **numpy-mirror oracles**.
+
+These operators run numpy linear algebra inside Pandas-UDF islands, so a
+plain SQL oracle can't express them. Instead each oracle is a *lazy
+callable* (see plans/registry.py): at oracle_sql() time it
+
+1. produces the identical input points with pure DuckDB SQL (the same CTE
+   mirrors the driver has been hash-verifying all along),
+2. rebuilds windows / trains the same deterministic numpy models / predicts
+   on a single node (ml/forecaster.py pandas mirror — an independent data
+   path from the Spark plan),
+3. emits the expected per-point rows as a VALUES table wrapped in the same
+   decimal-exact aggregation SQL the Spark side uses.
+
+The driver then hash-compares Spark vs DuckDB as for any other query —
+the distributed windowing, bounded-collect training and broadcast-inference
+islands must reproduce the single-node mirror bit-for-bit.
+
+The oracle data SF is pinned to the driver's correctness SF
+(``SPARK_GRAFT_ORACLE_SF_DIR``, default /root/testdata/sf0.01); tools/check.py
+exports it when checking other SFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.exact import dsum, dsum_sql
+from ..functions.rng import rng_uniform_sql
+from ..ml import imputer as IM
+from ..ml.neural_np import DenoisingAE
+from ..operators import anomaly as AN
+from ..operators.timeseries import SID, TS, VAL
+from ..sources.readers import load_table
+from .queries_timeseries import CLEAN_CTE, FILLED_CTE
+from .registry import register
+
+AE_SEED = 0
+AE_EPOCHS = 300
+AE_CAP = 4096
+AE_STRIDE_SALT = 41
+
+
+def _oracle_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _duck_points(sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{_oracle_sf_dir()}/events.parquet')"
+    )
+    return con.execute(sql).fetchdf()
+
+
+# ---------------------------------------------------------------------------
+# M17: trained denoising autoencoder imputation
+# ---------------------------------------------------------------------------
+
+# identical mask spec to m16_masked_imputation (ml/imputer.py:32-41)
+_MASK_SQL = f"""
+mk AS (
+  SELECT series_id, ts, value,
+         CAST(series_id AS BIGINT) AS skey,
+         CAST(floor(CAST(epoch(ts) AS BIGINT) / 86400) AS BIGINT) AS eday,
+         CAST(extract(hour FROM ts) AS INTEGER) AS h
+  FROM filled
+),
+m2 AS (
+  SELECT series_id, ts, value, h,
+         CASE WHEN h >= CAST(floor({rng_uniform_sql('skey', 'eday', salt=IM.MASK_SALT)} * 20) AS INTEGER)
+               AND h < CAST(floor({rng_uniform_sql('skey', 'eday', salt=IM.MASK_SALT)} * 20) AS INTEGER) + {IM.MASK_SIZE}
+              THEN 1 ELSE 0 END AS mask
+  FROM mk
+)"""
+
+
+def _ae_day_windows_pd(points: pd.DataFrame) -> pd.DataFrame:
+    """(series_id, day, vals[24], mask[24]) — complete days, key-sorted."""
+    df = points.copy()
+    secs = df["ts"].values.astype("datetime64[s]").astype("int64")
+    df["day"] = secs // 86400
+    df["h"] = (secs % 86400) // 3600
+    df = df.sort_values(["series_id", "day", "h"])
+    rows = []
+    for (sid, day), grp in df.groupby(["series_id", "day"], sort=True):
+        if len(grp) != 24:
+            continue
+        rows.append(
+            {
+                "series_id": sid,
+                "day": int(day),
+                "vals": grp["value"].to_numpy(dtype=np.float64),
+                "mask": grp["mask"].to_numpy(dtype=np.int64),
+            }
+        )
+    return pd.DataFrame(rows).sort_values(["series_id", "day"]).reset_index(drop=True)
+
+
+def _fit_ae(windows_pdf: pd.DataFrame) -> DenoisingAE:
+    """Deterministic fit on key-sorted windows: input = mask-zeroed values,
+    target = the observed sequence (autoencoder.py:134-139 denoising loss)."""
+    clean = np.stack(windows_pdf["vals"].to_numpy())
+    mask = np.stack(windows_pdf["mask"].to_numpy())
+    masked_in = np.where(mask == 1, 0.0, clean)
+    ae = DenoisingAE(seq_len=24, seed=AE_SEED)
+    ae.fit(masked_in, clean, epochs=AE_EPOCHS)
+    return ae
+
+
+def _ae_spark_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = IM.with_training_mask(AN.prepared_series(load_table(spark, sf_dir, "events")))
+    day = F.floor(F.unix_timestamp(F.col(TS)) / 86400).cast("bigint")
+    h = F.hour(F.col(TS))
+    return (
+        series.withColumn("_day", day)
+        .withColumn("_h", h)
+        .groupBy(SID, "_day")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_h"), F.col(VAL).alias("v"), F.col("mask").alias("m")))
+            ).alias("pts")
+        )
+        .filter(F.size("pts") == 24)
+        .select(
+            SID,
+            F.col("_day").alias("day"),
+            F.expr("transform(pts, s -> s.v)").alias("vals"),
+            F.expr("transform(pts, s -> s.m)").alias("mask"),
+        )
+    )
+
+
+def _collect_ae_train(windows: DataFrame) -> pd.DataFrame:
+    from ..functions.rng import rng_draw
+
+    n = windows.count()
+    w = windows
+    if n > AE_CAP:
+        stride = -(-n // AE_CAP)
+        w = w.filter(
+            F.pmod(rng_draw(F.col(SID).cast("bigint"), F.col("day"), salt=AE_STRIDE_SALT), F.lit(stride)) == 0
+        )
+    return w.orderBy(SID, "day").select("vals", "mask").toPandas()
+
+
+@register(
+    "m17_ae_imputation",
+    oracle=lambda: _ae_mirror_sql(),
+    tags=("M16", "M17", "M18"),
+    doc="TRAINED denoising autoencoder imputation: deterministic numpy "
+    "Adam/early-stop fit on a bounded driver sample, broadcast-weight "
+    "mapInPandas inference, M18 splice, masked-point MAE/MSE. Oracle = "
+    "independent single-node numpy mirror (VALUES golden).",
+)
+def m17_ae_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml import softpatch as SP
+
+    windows = _ae_spark_windows(spark, sf_dir)
+    SP._release_caches()
+    windows.persist()
+    SP._live_caches.append(windows)  # released by the next ML query's run
+    ae = _fit_ae(_collect_ae_train(windows))
+    w_b = spark.sparkContext.broadcast(ae.weights())
+
+    schema = T.StructType(
+        [
+            T.StructField("series_id", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("imputed", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        model = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if model is None:
+                model = DenoisingAE.from_weights(w_b.value, seq_len=24)
+            clean = np.stack(pdf["vals"].to_numpy())
+            mask = np.stack(pdf["mask"].to_numpy())
+            out = model.predict(np.where(mask == 1, 0.0, clean))
+            sel = mask == 1  # M18 splice: only hidden points are replaced
+            reps = sel.sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "series_id": np.repeat(pdf["series_id"].to_numpy(), reps),
+                    "value": clean[sel],
+                    "imputed": out[sel],
+                }
+            )
+
+    pts = windows.mapInPandas(gen, schema=schema)
+    n = F.count(F.lit(1)).cast("double")
+    e = F.col("imputed") - F.col("value")
+    return pts.groupBy(SID).agg(
+        F.count(F.lit(1)).alias("n_masked"),
+        (dsum(F.abs(e)) / n).alias("mae"),
+        (dsum(e * e) / n).alias("mse"),
+    )
+
+
+def _ae_mirror_sql() -> str:
+    pts = _duck_points(f"WITH {FILLED_CTE},{_MASK_SQL} SELECT series_id, ts, value, mask FROM m2")
+    w = _ae_day_windows_pd(pts)
+    tr = w
+    if len(tr) > AE_CAP:
+        from ..functions.rng import rng_draw_np
+
+        stride = -(-len(tr) // AE_CAP)
+        draws = rng_draw_np(
+            [tr["series_id"].astype("int64").to_numpy(), tr["day"].to_numpy()], salt=AE_STRIDE_SALT
+        )
+        tr = tr[draws % stride == 0].reset_index(drop=True)
+    ae = _fit_ae(tr)
+    clean = np.stack(w["vals"].to_numpy())
+    mask = np.stack(w["mask"].to_numpy())
+    out = ae.predict(np.where(mask == 1, 0.0, clean))
+    sel = mask == 1
+    sids = np.repeat(w["series_id"].to_numpy(), sel.sum(axis=1))
+    vals = clean[sel]
+    imps = out[sel]
+    assert np.isfinite(imps).all(), "mirror produced non-finite imputations"
+    rows = ",".join(
+        f"('{s}',{v!r}::DOUBLE,{i!r}::DOUBLE)" for s, v, i in zip(sids, vals, imps)
+    )
+    return f"""
+    WITH imp(series_id, value, imputed) AS (VALUES {rows})
+    SELECT series_id, count(*) AS n_masked,
+           {dsum_sql('abs(imputed - value)')} / CAST(count(*) AS DOUBLE) AS mae,
+           {dsum_sql('(imputed - value) * (imputed - value)')} / CAST(count(*) AS DOUBLE) AS mse
+    FROM imp GROUP BY series_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# M20/M21: forecast A/B (seq2seq GRU + SCINet × cleaned/contaminated)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_ab_neural",
+    oracle=lambda: _ab_mirror_sql(),
+    tags=("M20", "M21", "M22", "A12", "M23", "M24"),
+    doc="The reference's headline experiment (pipeline.py:400-486): TRAINED "
+    "seq2seq GRU (numpy BPTT) and SCINet (frozen interaction tree + ridge "
+    "readout) each fit on cleaned and contaminated data, scored distributed "
+    "on the common test split, full metric suite per cell. Oracle = "
+    "independent single-node numpy mirror (VALUES golden).",
+)
+def forecast_ab_neural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml import forecaster as FC
+
+    ev = load_table(spark, sf_dir, "events")
+    points = AN.cleaned_series(ev).select(SID, TS, "value_contam", "cleaned")
+    return FC.run_forecast_ab(points)
+
+
+_SMAPE_TERM = (
+    "CASE WHEN abs(pred) + abs(actual) > 0 "
+    "THEN 2.0 * abs(pred - actual) / (abs(pred) + abs(actual)) ELSE 0.0 END"
+)
+
+
+def _ab_mirror_sql() -> str:
+    from ..ml import forecaster as FC
+
+    pts = _duck_points(
+        f"WITH {CLEAN_CTE} SELECT series_id, ts, value_contam, cleaned FROM clean"
+    )
+    w = FC.ab_windows_pd(pts)
+    preds = FC.mirror_predictions(w)
+    assert np.isfinite(preds["pred"].to_numpy()).all(), "mirror predictions not finite"
+    rows = ",".join(
+        f"('{m}','{v}',{p!r}::DOUBLE,{a!r}::DOUBLE)"
+        for m, v, p, a in zip(preds["model"], preds["train_data"], preds["pred"], preds["actual"])
+    )
+    n = "CAST(count(*) AS DOUBLE)"
+    sse = dsum_sql("(pred - actual) * (pred - actual)")
+    sy = dsum_sql("actual")
+    sy2 = dsum_sql("actual * actual")
+    return f"""
+    WITH preds(model, train_data, pred, actual) AS (VALUES {rows})
+    SELECT model, train_data, count(*) AS n_points,
+           {dsum_sql(_SMAPE_TERM)} / {n} * 100 AS smape,
+           {dsum_sql('abs(pred - actual)')} / {n} AS mae,
+           {sse} / {n} AS mse,
+           sqrt({sse} / {n}) AS rmse,
+           1.0 - ({sse} / ({sy2} - {sy} * {sy} / {n})) AS r2
+    FROM preds GROUP BY model, train_data
+    """

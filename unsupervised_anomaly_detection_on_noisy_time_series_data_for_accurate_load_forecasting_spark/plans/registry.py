@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 class QuerySpec:
     name: str
     spark: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL; None → driver runs a rows-only check
+    # DuckDB SQL; None → driver runs a rows-only check. A zero-arg callable
+    # defers oracle construction to oracle_sql() time — used by the numpy-
+    # mirror oracles (ML queries whose expected output is computed by an
+    # independent single-node replica and emitted as a VALUES table), which
+    # are too expensive to build at import.
+    oracle: str | Callable[[], str] | None
     tags: tuple[str, ...] = ()  # SURVEY.md §2 operator ids this query covers
     doc: str = ""
 
@@ -28,7 +33,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(
-    name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc: str = ""
+    name: str,
+    oracle: str | Callable[[], str] | None = None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
@@ -44,4 +52,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+    return {
+        n: (s.oracle() if callable(s.oracle) else s.oracle)
+        for n, s in REGISTRY.items()
+        if s.oracle is not None
+    }
