@@ -55,11 +55,47 @@ def profile_impute(masked: DataFrame) -> DataFrame:
     )
 
 
+def knn_impute_series(v, k: int = 3, day_size: int = 24):
+    """M6 kernel: fill NaNs in one series' hourly vector from the k nearest
+    day-windows by nan-euclidean distance (reference:
+    fill_missing_values.py:6-11, sklearn KNNImputer semantics in numpy).
+    Shared by the Spark island AND the oracle mirror — the sequential
+    day loop (earlier imputations feed later donors) is part of the spec.
+    Returns the imputed copy; caller derives was_null from the input."""
+    import numpy as np
+
+    v = np.asarray(v, dtype=float).copy()
+    n_days = len(v) // day_size
+    if n_days >= 2:
+        mat = v[: n_days * day_size].reshape(n_days, day_size)
+        nanmask = np.isnan(mat)
+        for d in range(n_days):
+            if not nanmask[d].any():
+                continue
+            # nan-euclidean distance to every other day over shared slots
+            diff = mat[None, d, :] - mat  # (n_days, day)
+            shared = ~(nanmask[d][None, :] | nanmask)
+            cnt = shared.sum(axis=1)
+            with np.errstate(invalid="ignore"):
+                dist = np.sqrt(
+                    np.where(shared, np.nan_to_num(diff) ** 2, 0.0).sum(axis=1)
+                    * day_size
+                    / np.maximum(cnt, 1)
+                )
+            dist[d] = np.inf
+            dist[cnt == 0] = np.inf
+            order = np.argsort(dist, kind="stable")[:k]
+            donors = mat[order]
+            fill = np.nanmean(np.where(np.isnan(donors), np.nan, donors), axis=0)
+            idx = np.where(nanmask[d])[0]
+            mat[d, idx] = fill[idx]
+        v[: n_days * day_size] = mat.reshape(-1)
+    return v
+
+
 def knn_impute_days(series: DataFrame, k: int = 3, day_size: int = 24) -> DataFrame:
-    """M6: remaining NULLs filled from the k nearest day-windows by
-    nan-euclidean distance (reference: fill_missing_values.py:6-11 uses
-    sklearn KNNImputer; this is the same metric in numpy, partitioned by
-    series via applyInPandas — each series' day matrix is tiny).
+    """M6: remaining NULLs filled via :func:`knn_impute_series`, partitioned
+    by series via applyInPandas — each series' day matrix is tiny.
 
     Scale shape: the shuffle key is series_id; a series-year is ≈ 365×24
     floats per group. 100 TB = many series, not big groups."""
@@ -80,35 +116,8 @@ def knn_impute_days(series: DataFrame, k: int = 3, day_size: int = 24) -> DataFr
         pdf = pdf.sort_values("ts").reset_index(drop=True)
         v = pdf[VAL].to_numpy(dtype=float)
         was_null = np.isnan(v).astype(int)
-        n_days = len(v) // day_size
-        if n_days >= 2:
-            mat = v[: n_days * day_size].reshape(n_days, day_size)
-            nanmask = np.isnan(mat)
-            for d in range(n_days):
-                if not nanmask[d].any():
-                    continue
-                # nan-euclidean distance to every other day over shared slots
-                diff = mat[None, d, :] - mat  # (n_days, day)
-                shared = ~(nanmask[d][None, :] | nanmask)
-                cnt = shared.sum(axis=1)
-                with np.errstate(invalid="ignore"):
-                    dist = np.sqrt(
-                        np.where(shared, np.nan_to_num(diff) ** 2, 0.0).sum(axis=1)
-                        * day_size
-                        / np.maximum(cnt, 1)
-                    )
-                dist[d] = np.inf
-                dist[cnt == 0] = np.inf
-                order = np.argsort(dist, kind="stable")[:k]
-                donors = mat[order]
-                fill = np.nanmean(
-                    np.where(np.isnan(donors), np.nan, donors), axis=0
-                )
-                idx = np.where(nanmask[d])[0]
-                mat[d, idx] = fill[idx]
-            v[: n_days * day_size] = mat.reshape(-1)
         out = pdf.copy()
-        out[VAL] = v
+        out[VAL] = knn_impute_series(v, k=k, day_size=day_size)
         out["was_null"] = was_null
         return out[["series_id", "ts", VAL, "was_null"]]
 

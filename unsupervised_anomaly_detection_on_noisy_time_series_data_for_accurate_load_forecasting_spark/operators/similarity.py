@@ -113,33 +113,46 @@ def lsh_buckets(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     return df.select("vec_id", "embedding").withColumn("bucket", F.expr(_bucket_expr(n_planes)))
 
 
+IVF_SALT = 53
+
+
 def ivf_topk(
-    df: DataFrame, n_queries: int = 100, k: int = 5, n_lists: int = 16, n_probe: int = 4, seed: int = 42
+    df: DataFrame, n_queries: int = 100, k: int = 5, n_lists: int = 16, n_probe: int = 4
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into `n_lists`
-    KMeans cells; each query scans only its `n_probe` nearest cells.
+    cells; each query scans only its `n_probe` nearest cells.
+
+    The coarse quantizer is a **deterministic seeded corpus subset** (the
+    n_lists vectors minimizing the cross-engine RNG hash of their id) — the
+    FAISS "arbitrary quantizer" pattern. That keeps the whole plan, cell
+    assignment included, exactly reproducible in the SQL oracle; swap in
+    KMeans‖ centroids (ml/mllib_modes.kmeans_coreset) when cell balance
+    matters more than cross-engine verifiability.
 
     Scale shape: centroids are tiny and broadcast; the corpus is bucketed
     once (one shuffle on cell id); a query touches n_probe/n_lists of the
-    data instead of all of it. Exactness is per-candidate (same decimal dot
-    products as the brute-force baseline); recall is approximate by design.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    data instead of all of it. Distances are decimal-exact (same as the
+    brute-force baseline), so assignment and ranking are partition-
+    independent; recall is approximate by design (tests/test_ann_recall.py
+    pins the bound against brute force)."""
+    from ..functions.rng import rng_draw
 
     e = df.select("vec_id", "embedding").withColumn("sq", dnorm_sq())
-    vecs = e.select("vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(vecs)
-    spark = df.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
+    picked = (
+        e.withColumn("_d", rng_draw(F.col("vec_id"), salt=IVF_SALT))
+        .orderBy("_d", "vec_id")  # TakeOrdered: n_lists rows, distributed
+        .limit(n_lists)
+    )
+    centroids = picked.select(
+        F.row_number().over(W.orderBy("_d", "vec_id")).alias("cell"),  # 16 rows
+        F.col("embedding").alias("centroid"),
     )
 
-    # nearest cells via broadcast centroids + squared-L2 rank per vector
+    # nearest cells via broadcast centroids + decimal-exact squared L2
     dist2 = (
-        "aggregate(zip_with(embedding, centroid, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), "
-        "cast(0 as double), (acc, v) -> acc + v)"
+        "cast(aggregate(zip_with(embedding, centroid, "
+        "(x, c) -> (cast(x as double) - cast(c as double)) * (cast(x as double) - cast(c as double))), "
+        "cast(0 as decimal(38,6)), (acc, v) -> acc + cast(v as decimal(27,6))) as double)"
     )
     assign = (
         e.crossJoin(F.broadcast(centroids))

@@ -1,11 +1,17 @@
 """ML memory-bank AD query specs (SURVEY.md §2: M7-M13, M24).
 
-No DuckDB oracle — the operators run numpy linear algebra inside Pandas-UDF
-islands (the driver records rows-only checks; invariants are pinned in
-tests/test_ml_softpatch.py: determinism, coreset size, score separation)."""
+The softpatch queries carry **numpy-mirror oracles** (lazy VALUES goldens —
+see plans/queries_neural.py for the pattern): ml/softpatch_mirror.py
+recomputes the whole pipeline single-node on DuckDB-prepared input, and the
+driver hash-compares the distributed plan against it. Invariants are
+additionally pinned in tests/test_ml_softpatch.py (determinism, coreset
+size, score separation). ml_ann_scores_mllib stays rows-only: its KMeans‖ +
+LSH join run on seeded JVM-internal randomness that no other engine can
+reproduce — the exact-path twin ml_softpatch_scores is the verified one."""
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -14,6 +20,69 @@ from ..ml.windows import day_windows
 from ..operators import anomaly as AN
 from ..sources.readers import load_table
 from .registry import register
+
+
+def _mirror_scored():
+    from ..ml.softpatch_mirror import softpatch_scores_pd
+    from .queries_neural import _duck_points
+    from .queries_timeseries import INJ_CTE
+
+    pts = _duck_points(f"WITH {INJ_CTE} SELECT series_id, ts, value_contam, gt FROM inj")
+    return softpatch_scores_pd(pts)
+
+
+def _ts_lit(eday: int) -> str:
+    import datetime
+
+    d = datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=int(eday) * 86400)
+    return f"'{d:%Y-%m-%d %H:%M:%S}'::TIMESTAMP"
+
+
+def _scores_oracle() -> str:
+    s = _mirror_scored()
+    rows = ",".join(
+        f"('{r.series_id}',{_ts_lit(r.eday)},{int(r.window_label)},{round(float(r.score_norm), 9)!r}::DOUBLE)"
+        for r in s.itertuples()
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(series_id, window_start, window_label, score_norm)"
+    )
+
+
+def _eval_oracle() -> str:
+    s = _mirror_scored()
+    score = s["score"].to_numpy()
+    label = s["window_label"].to_numpy()
+    contam = int(label.sum()) / len(label)
+    from ..ml.softpatch_mirror import spark_percentile
+
+    thresh = spark_percentile(score, 1.0 - contam)
+    pred = score > thresh
+    tp = int((pred & (label == 1)).sum())
+    fp = int((pred & (label == 0)).sum())
+    fn = int((~pred & (label == 1)).sum())
+    tn = int((~pred & (label == 0)).sum())
+    # exact midrank AUROC (same dyadic arithmetic as operators/forecast.auroc)
+    uniq, counts = np.unique(score, return_counts=True)
+    pos_by = {u: 0 for u in uniq}
+    for v, l in zip(score, label):
+        if l == 1:
+            pos_by[v] += 1
+    cum = 0
+    rank_pos = 0.0
+    p_tot = int(label.sum())
+    n_tot = len(label) - p_tot
+    for u, c in zip(uniq, counts):
+        midrank = cum + (c + 1) / 2.0
+        rank_pos += pos_by[u] * midrank
+        cum += int(c)
+    auroc = (rank_pos - p_tot * (p_tot + 1) / 2) / (p_tot * n_tot)
+    return (
+        f"SELECT {tp}::BIGINT AS tp, {fp}::BIGINT AS fp, {fn}::BIGINT AS fn, "
+        f"{tn}::BIGINT AS tn, {auroc!r}::DOUBLE AS auroc"
+    )
 
 
 def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -25,7 +94,7 @@ def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_softpatch_scores",
-    oracle=None,
+    oracle=lambda: _scores_oracle(),
     tags=("M7", "M8", "M9", "M10", "M11", "M12", "M13", "W10", "A7", "A8", "A9", "J4", "J5", "J6", "O4", "U2", "F10", "P4"),
     doc="TS-SoftPatch memory-bank scores per day window (mapInPandas islands, "
     "broadcast coreset, numpy stand-in backbone).",
@@ -64,7 +133,7 @@ def ml_ann_scores_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_softpatch_eval",
-    oracle=None,
+    oracle=lambda: _eval_oracle(),
     tags=("M24", "A6", "A10", "A11", "M14"),
     doc="Evaluation of memory-bank scores vs. injected ground truth: "
     "contamination-rate threshold (A6) → confusion counts + exact AUROC.",

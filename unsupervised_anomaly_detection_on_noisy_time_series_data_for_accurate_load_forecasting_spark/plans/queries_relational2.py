@@ -254,12 +254,49 @@ def w8_heatmap_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m6_oracle() -> str:
+    """Numpy-mirror oracle: DuckDB rebuilds the regular grid (the same
+    hash-verified REG mirror), the shared knn_impute_series kernel runs per
+    series on one node, and the per-series aggregates are computed with
+    exact decimal arithmetic (Python Decimal ≡ DECIMAL(27,6) sums — ties
+    are unrepresentable in binary, so nearest-rounding agrees)."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    from ..ml.imputer import knn_impute_series
+    from .queries_neural import _duck_points
+    from .queries_timeseries import REG_CTE
+
+    pts = _duck_points(f"WITH {REG_CTE} SELECT series_id, ts, value FROM reg")
+    q6 = Decimal("0.000001")
+    rows = []
+    for sid, grp in pts.sort_values(["series_id", "ts"]).groupby("series_id", sort=True):
+        v = grp["value"].to_numpy(dtype=float)
+        imputed = knn_impute_series(v)
+        n_was_null = int(np.isnan(v).sum())
+        n_still = int(np.isnan(imputed).sum())
+        total = Decimal(0)
+        for x in imputed:
+            total += Decimal(0.0 if np.isnan(x) else float(x)).quantize(q6)
+        rows.append(
+            f"('{sid}',{len(v)}::BIGINT,{n_was_null}::BIGINT,{n_still}::BIGINT,"
+            f"{float(total)!r}::DOUBLE)"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(series_id, n, n_was_null, n_still_null, sum_filled)"
+    )
+
+
 @register(
     "m6_knn_impute",
-    oracle=None,
+    oracle=lambda: _m6_oracle(),
     tags=("M6",),
     doc="KNN day-window imputation (nan-euclidean, k=3) via per-series "
-    "applyInPandas — fills what the lag-chain could not.",
+    "applyInPandas — fills what the lag-chain could not. Oracle = shared "
+    "kernel re-run single-node on the DuckDB-mirrored grid.",
 )
 def m6_knn_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.imputer import knn_impute_days

@@ -92,12 +92,61 @@ def s_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_near_pairs(_emb(spark, sf_dir), min_cosine=0.25)
 
 
+def _ivf_oracle() -> str:
+    from ..functions.rng import rng_draw_sql
+
+    draw = rng_draw_sql("vec_id", salt=SIM.IVF_SALT)
+    return f"""
+    WITH {_LONG},
+    cents AS (
+      SELECT vec_id AS cvid, CAST(row_number() OVER (ORDER BY {draw}, vec_id) AS INTEGER) AS cell
+      FROM embeddings ORDER BY {draw}, vec_id LIMIT 16
+    ),
+    clong AS (SELECT cell, i, x AS c FROM cents JOIN long ON long.vec_id = cvid),
+    adist AS (
+      SELECT l.vec_id, cl.cell, {dsum_sql('(l.x - cl.c) * (l.x - cl.c)')} AS d2
+      FROM long l JOIN clong cl USING (i) GROUP BY 1, 2
+    ),
+    crk AS (
+      SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crk
+      FROM adist
+    ),
+    corpus AS (SELECT vec_id, cell FROM crk WHERE crk = 1),
+    probes AS (SELECT vec_id AS qid, cell FROM crk WHERE crk <= 4 AND vec_id < 100),
+    cands AS (
+      SELECT p.qid, c.vec_id AS nid FROM probes p JOIN corpus c USING (cell)
+      WHERE c.vec_id != p.qid
+    ),
+    nm AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM long GROUP BY 1),
+    dots AS (
+      SELECT cd.qid, cd.nid, {dsum_sql('q.x * t.x')} AS dot
+      FROM cands cd
+      JOIN long q ON q.vec_id = cd.qid
+      JOIN long t ON t.vec_id = cd.nid AND t.i = q.i
+      GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT qid, nid, dot / sqrt(qn.sq * tn.sq) AS cosine
+      FROM dots JOIN nm qn ON qid = qn.vec_id JOIN nm tn ON nid = tn.vec_id
+    ),
+    rk AS (
+      SELECT qid, nid, cosine,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS INTEGER) AS rk
+      FROM cos
+    )
+    SELECT qid, nid, round(cosine, 9) AS cosine, rk FROM rk WHERE rk <= 5
+    """
+
+
 @register(
     "s_ivf_topk",
-    oracle=None,
+    oracle=_ivf_oracle(),
     tags=("SIM-ivf", "J5", "O3"),
-    doc="IVF ANN: KMeans coarse cells + n_probe scan — the billion-row scale "
-    "path where even LSH bucket joins get too wide.",
+    doc="IVF ANN: deterministic seeded-subset coarse cells + n_probe scan — "
+    "the billion-row scale path where even LSH bucket joins get too wide. "
+    "Cell assignment is decimal-exact, so the full approximate plan "
+    "(probing included) is oracle-mirrored; recall vs brute force is pinned "
+    "in tests/test_ann_recall.py.",
 )
 def s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F

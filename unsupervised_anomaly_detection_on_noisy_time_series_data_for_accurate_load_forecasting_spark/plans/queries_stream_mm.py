@@ -55,12 +55,65 @@ def stream_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _docs_pd():
+    """Oracle-side fetch of (doc_id, text) at the pinned oracle SF."""
+    from .queries_neural import _oracle_sf_dir
+
+    import duckdb
+
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{_oracle_sf_dir()}/documents.parquet') ORDER BY doc_id"
+    ).fetchdf()
+
+
+def _fold_sum(vals) -> float:
+    """The island's left-fold `aggregate(feature, 0D, (a, x) -> a + x)`."""
+    acc = 0.0
+    for v in vals:
+        acc = acc + float(v)
+    return acc
+
+
+def _mm_features_oracle() -> str:
+    """Mirror: same stub codec (sha256 → unit vector) recomputed single-node
+    from the raw documents; payload = UTF-8 bytes exactly like
+    multimodal.attach_binary_payload."""
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        payload = r.text.encode("utf-8")
+        feat = MM._fake_decode(payload)
+        rows.append(f"({int(r.doc_id)}::BIGINT,{len(payload)}::INTEGER,{round(_fold_sum(feat), 9)!r}::DOUBLE)")
+    return "SELECT * FROM (VALUES " + ",".join(rows) + ") AS t(media_id, n_bytes, feat_sum)"
+
+
+def _mm_frames_oracle() -> str:
+    """Mirror of the frame-sampling island: byte-stride 'frames', per-frame
+    fold, then the same decimal-exact per-media total the Spark side uses."""
+    docs = _docs_pd()
+    frame_rows = []
+    for r in docs.itertuples():
+        payload = r.text.encode("utf-8")
+        n_frames = len(r.text) % 16 + 1
+        for fi in range(0, n_frames, 4):
+            chunk = payload[fi::n_frames] or b"\0"
+            frame_rows.append(f"({int(r.doc_id)}::BIGINT,{_fold_sum(MM._fake_decode(chunk))!r}::DOUBLE)")
+    return f"""
+    WITH frames(media_id, fsum) AS (VALUES {",".join(frame_rows)})
+    SELECT media_id, count(*) AS n_frames_sampled,
+           round({dsum_sql('fsum')}, 9) AS feat_total
+    FROM frames GROUP BY media_id
+    """
+
+
 @register(
     "mm_binary_features",
-    oracle=None,
+    oracle=lambda: _mm_features_oracle(),
     tags=("MM-decode", "MM-schema"),
     doc="Multimodal plumbing: binary payload + metadata struct → Arrow-batched "
-    "decode island (deterministic stub codec) → fixed-dim features.",
+    "decode island (deterministic stub codec) → fixed-dim features. Oracle = "
+    "single-node codec mirror (VALUES golden).",
 )
 def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_binary_payload(load_table(spark, sf_dir, "documents"))
@@ -72,17 +125,21 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample",
-    oracle=None,
+    oracle=lambda: _mm_frames_oracle(),
     tags=("MM-video",),
     doc="Frame-sampling contract: media row → sampled-frame long table with "
-    "per-frame features (stub decoder, real row-explosion shape).",
+    "per-frame features (stub decoder, real row-explosion shape). Oracle = "
+    "single-node codec mirror; the per-media total is decimal-exact so "
+    "partitioning can never change it.",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import dsum
+
     media = MM.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     frames = MM.frame_sample(media, every_n=4)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames_sampled"),
-        F.round(F.sum(F.expr("aggregate(feature, 0D, (a, x) -> a + x)")), 9).alias("feat_total"),
+        F.round(dsum(F.expr("aggregate(feature, 0D, (a, x) -> a + x)")), 9).alias("feat_total"),
     )
 
 
