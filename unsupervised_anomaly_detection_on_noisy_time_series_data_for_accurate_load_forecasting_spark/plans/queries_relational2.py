@@ -368,10 +368,35 @@ def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_online_flags",
-    oracle=None,
+    oracle="""
+    WITH q AS (
+      SELECT user_id, event_id, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS q
+      FROM events
+    ),
+    pre AS (
+      SELECT user_id, event_id, q,
+             count(*) OVER w AS n,
+             sum(CAST(q AS DECIMAL(18,0))) OVER w AS s1,
+             sum(CAST(q AS DECIMAL(18,0)) * CAST(q AS DECIMAL(18,0))) OVER w AS s2
+      FROM q
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    zz AS (
+      SELECT user_id, event_id, n,
+             (CAST(q AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+               / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS z,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS var_q
+      FROM pre WHERE n >= 30
+    )
+    SELECT user_id, event_id, round(z, 6) AS z, n AS n_seen
+    FROM zz WHERE var_q > 0 AND abs(z) > 3.0
+    """,
     tags=("STREAM-stateful", "W6"),
-    doc="Custom stateful streaming operator: per-series Welford state via "
-    "applyInPandasWithState, online z-flags after a 30-event warm-up.",
+    doc="Custom stateful streaming operator: per-series EXACT integer-moment "
+    "state via applyInPandasWithState, online z-flags after a 30-event "
+    "warm-up. The batch-SQL oracle (prefix-window moments) equals the "
+    "streaming result bit-for-bit at any micro-batch slicing.",
 )
 def stream_online_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.score_stream import run_available_now, stream_events

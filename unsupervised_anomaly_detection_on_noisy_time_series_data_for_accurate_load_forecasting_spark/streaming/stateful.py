@@ -2,11 +2,29 @@
 ``applyInPandasWithState`` (SURVEY.md §2.10 — the 'custom stateful operator'
 extension slot).
 
-Keeps (count, mean, M2) Welford state per series across micro-batches and
-emits, per batch, the events whose |z| against the *state so far* exceeds the
-threshold — the streaming analog of W6 with training-free, incrementally
-learned statistics. State is O(3 doubles) per series: bounded regardless of
-stream length.
+Spec (cross-engine exact): events are consumed per series in event_id order.
+Each value is quantized to the 1e-3 lattice with the *identical double
+expression* in every engine:
+
+    q = floor(value · 1000 + 0.5)
+
+State is the pair of **exact integer prefix moments** (Σq, Σq²) plus the
+count — associative, no float drift, so the streaming result equals the
+batch SQL over ``ROWS UNBOUNDED PRECEDING AND 1 PRECEDING`` bit-for-bit
+(the DuckDB oracle for stream_online_flags is exactly that window program).
+An event is flagged iff
+
+    n ≥ 30,  var > 0,  |q − μ| > 3·σ,
+    μ = double(Σq)/n,  var = (double(Σq²) − double(Σq)²/n)/(n−1)
+
+computed in doubles *of the exact integers* — deterministic at any
+partitioning, any micro-batch boundaries, any scale.
+
+Execution: the whole micro-batch group is processed **vectorized** (int64
+cumsums + one boolean mask — no per-row Python), with an arbitrary-precision
+fallback when the int64 prefix could overflow (|q|²·batch > 2^62). State
+accumulators are stored as strings: unbounded-precision integers survive any
+stream length; state stays O(1) per series.
 """
 
 from __future__ import annotations
@@ -14,10 +32,14 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+WARMUP = 30
+Z_THRESHOLD = 3.0
 
 OUT_SCHEMA = T.StructType(
     [
@@ -32,42 +54,72 @@ OUT_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("mean", T.DoubleType()),
-        T.StructField("m2", T.DoubleType()),
+        T.StructField("s1", T.StringType()),  # exact Σq as decimal text
+        T.StructField("s2", T.StringType()),  # exact Σq² as decimal text
     ]
 )
 
 
-def _welford_flags(
+def _online_flags(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
-    out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("event_id")
-        for _, row in pdf.iterrows():
-            x = float(row["value"])
-            if n >= 30 and m2 > 0:
-                std = (m2 / (n - 1)) ** 0.5
-                z = (x - mean) / std if std > 0 else 0.0
-                if abs(z) > 3.0:
-                    out_rows.append((key[0], int(row["event_id"]), x, z, n))
-            n += 1
-            d = x - mean
-            mean += d / n
-            m2 += d * (x - mean)
-    state.update((n, mean, m2))
-    if out_rows:
-        yield pd.DataFrame(out_rows, columns=[f.name for f in OUT_SCHEMA.fields])
+    n0, s1_0, s2_0 = (state.get if state.exists else (0, "0", "0"))
+    s1_0, s2_0 = int(s1_0), int(s2_0)
+
+    # One sort over the whole group-batch: chunk arrival order is not a
+    # contract, event_id order is.
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    v = pdf["value"].to_numpy(dtype=np.float64)
+    q = np.floor(v * 1000.0 + 0.5).astype(np.int64)
+
+    qq = q * q
+    # int64 fast path unless the batch prefix could overflow 2^62
+    if len(q) and (abs(int(s1_0)) + int(np.abs(q).max()) * len(q) < 2**62) and (
+        int(s2_0) + int(qq.max()) * len(q) < 2**62
+    ):
+        s1_prev = s1_0 + (np.cumsum(q) - q)
+        s2_prev = s2_0 + (np.cumsum(qq) - qq)
+        s1f, s2f = s1_prev.astype(np.float64), s2_prev.astype(np.float64)
+        s1_end, s2_end = s1_0 + int(q.sum()), s2_0 + int(qq.sum())
+    else:  # arbitrary-precision prefix (object cumsum), exact at any scale
+        acc1, acc2 = s1_0, s2_0
+        s1f = np.empty(len(q))
+        s2f = np.empty(len(q))
+        for i in range(len(q)):
+            s1f[i], s2f[i] = float(acc1), float(acc2)
+            acc1 += int(q[i])
+            acc2 += int(qq[i])
+        s1_end, s2_end = acc1, acc2
+
+    n_prev = n0 + np.arange(len(q), dtype=np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        nf = n_prev.astype(np.float64)
+        mean = s1f / nf
+        var = (s2f - s1f * s1f / nf) / (nf - 1.0)
+        z = (q.astype(np.float64) - mean) / np.sqrt(var)
+    flag = (n_prev >= WARMUP) & (var > 0) & (np.abs(z) > Z_THRESHOLD)
+
+    state.update((int(n0 + len(q)), str(s1_end), str(s2_end)))
+    if flag.any():
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(int(flag.sum()), key[0], dtype=np.int64),
+                "event_id": pdf["event_id"].to_numpy()[flag],
+                "value": v[flag],
+                "z": z[flag],
+                "n_seen": n_prev[flag],
+            }
+        )
 
 
 def online_zscore_flags(stream: DataFrame) -> DataFrame:
-    """Apply the Welford state machine per user over the event stream."""
+    """Apply the exact-moment state machine per user over the event stream."""
     return (
         stream.select("user_id", "event_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _welford_flags,
+            _online_flags,
             outputStructType=OUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
