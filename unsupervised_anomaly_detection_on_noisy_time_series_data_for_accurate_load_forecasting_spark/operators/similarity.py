@@ -21,8 +21,11 @@ from pyspark.sql import Window as W
 from ..functions.rng import rng_uniform_sql
 
 DIM = 64
-N_PLANES = 8
+N_BANDS = 4
+PLANES_PER_BAND = 8
+N_PLANES = N_BANDS * PLANES_PER_BAND  # total hyperplanes across all bands
 PLANE_SALT = 100
+BUCKET_CAP = 2000  # per-(band, bucket) member cap — bounds the self-join quadratic
 
 
 def ddot_expr(a: str, b: str) -> str:
@@ -113,6 +116,37 @@ def lsh_buckets(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     return df.select("vec_id", "embedding").withColumn("bucket", F.expr(_bucket_expr(n_planes)))
 
 
+def banded_buckets(df: DataFrame, bucket_cap: int | None = BUCKET_CAP) -> DataFrame:
+    """Multi-table (banded) LSH: the full `N_PLANES`-bit signature is split
+    into `N_BANDS` bands of `PLANES_PER_BAND` bits; a pair is a candidate if
+    it collides in ANY band. Versus one long signature this trades a few
+    extra shuffled rows (×N_BANDS) for recall that doesn't collapse as the
+    corpus grows; versus one short signature it keeps bucket populations —
+    and therefore the self-join quadratic — small.
+
+    ``bucket_cap`` bounds every (band, bucket) population deterministically
+    (lowest vec_ids survive, SQL-mirrorable). Oversized buckets mean the
+    planes stopped discriminating (duplicate-heavy corpora); the cap turns a
+    quadratic blow-up into a reported truncation — see lsh_band_stats for
+    the visibility query (no silent caps)."""
+    sig = df.select("vec_id", "embedding").withColumn("sig", F.expr(_bucket_expr(N_PLANES)))
+    r = PLANES_PER_BAND
+    bands = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), "
+                f"b -> struct(b AS band, substring(sig, b * {r} + 1, {r}) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("vec_id", "embedding", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if bucket_cap is not None:
+        rk = F.row_number().over(W.partitionBy("band", "bucket").orderBy("vec_id"))
+        bands = bands.withColumn("_rk", rk).filter(F.col("_rk") <= bucket_cap).drop("_rk")
+    return bands
+
+
 IVF_SALT = 53
 
 
@@ -180,17 +214,22 @@ def ivf_topk(
     )
 
 
-def lsh_near_pairs(df: DataFrame, min_cosine: float = 0.25) -> DataFrame:
-    """All-pairs near-dup via LSH buckets + exact cosine verify on candidates.
+def lsh_near_pairs(df: DataFrame, min_cosine: float = 0.25, bucket_cap: int | None = BUCKET_CAP) -> DataFrame:
+    """All-pairs near-dup via banded LSH + exact cosine verify on candidates.
 
-    Scale shape: pairs only form inside buckets (bucket count grows with
-    n_planes), the bucket self-join shuffles on the bucket key, and each
-    candidate is verified with one codegen'd dot product."""
-    b = lsh_buckets(df).withColumn("sq", dnorm_sq())
+    Scale shape: pairs only form inside (band, bucket) groups, bucket
+    populations are capped, the self-join shuffles on the bucket key, a
+    cross-band row_number dedups pairs that collide in several bands, and
+    each candidate is verified with one codegen'd dot product."""
+    b = banded_buckets(df, bucket_cap=bucket_cap).withColumn("sq", dnorm_sq())
     a, c = b.alias("a"), b.alias("b")
-    cands = a.join(
-        c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    multi = a.join(
+        c,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
+        F.col("a.band").alias("band"),
         F.col("a.vec_id").alias("d1"),
         F.col("b.vec_id").alias("d2"),
         F.col("a.embedding").alias("e1"),
@@ -198,6 +237,9 @@ def lsh_near_pairs(df: DataFrame, min_cosine: float = 0.25) -> DataFrame:
         F.col("a.sq").alias("sq1"),
         F.col("b.sq").alias("sq2"),
     )
+    # a pair colliding in several bands must be verified exactly once
+    first_band = F.row_number().over(W.partitionBy("d1", "d2").orderBy("band"))
+    cands = multi.withColumn("_fb", first_band).filter(F.col("_fb") == 1).drop("_fb", "band")
     # Fast double dot prunes the bucket pairs (superset within MARGIN);
     # the decimal-exact dot decides the threshold boundary.
     survivors = cands.filter(
@@ -210,4 +252,17 @@ def lsh_near_pairs(df: DataFrame, min_cosine: float = 0.25) -> DataFrame:
         )
         .filter(F.col("cosine") >= min_cosine)
         .select("d1", "d2", "cosine")
+    )
+
+
+def lsh_band_stats(df: DataFrame, bucket_cap: int | None = BUCKET_CAP) -> DataFrame:
+    """Band diagnostics — makes the cap visible (no silent truncation):
+    per band, bucket count, max (capped) population, and the candidate-pair
+    count Σ c·(c−1)/2 the self-join will materialize."""
+    b = banded_buckets(df, bucket_cap=bucket_cap)
+    sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return sizes.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("c").cast("bigint").alias("max_bucket"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("n_cand_pairs"),
     )

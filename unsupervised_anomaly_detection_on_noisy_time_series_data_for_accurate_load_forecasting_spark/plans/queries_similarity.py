@@ -52,11 +52,8 @@ def s_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _W = f"(2.0 * {rng_uniform_sql('i', 'k', salt=SIM.PLANE_SALT)} - 1.0)"
 
-
-@register(
-    "s_lsh_near_pairs",
-    oracle=f"""
-    WITH {_LONG},
+# banded LSH candidate CTEs: 4 bands × 8 planes, per-bucket cap, distinct pairs
+_BANDED = f"""
     grid AS (
       SELECT i, k, {_W} AS w
       FROM (SELECT unnest(range(1, 65)) AS i), (SELECT unnest(range(0, {SIM.N_PLANES})) AS k)
@@ -65,14 +62,28 @@ _W = f"(2.0 * {rng_uniform_sql('i', 'k', salt=SIM.PLANE_SALT)} - 1.0)"
       SELECT vec_id, k, {dsum_sql('x * w')} AS proj
       FROM long JOIN grid USING (i) GROUP BY 1, 2
     ),
-    buckets AS (
-      SELECT vec_id, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bucket
-      FROM proj GROUP BY 1
+    bands AS (
+      SELECT vec_id, k // {SIM.PLANES_PER_BAND} AS band,
+             string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bucket
+      FROM proj GROUP BY vec_id, k // {SIM.PLANES_PER_BAND}
+    ),
+    capped AS (
+      SELECT band, bucket, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS _rk
+        FROM bands
+      ) WHERE _rk <= {SIM.BUCKET_CAP}
     ),
     cands AS (
-      SELECT a.vec_id AS d1, b.vec_id AS d2
-      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ),
+      SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )"""
+
+
+@register(
+    "s_lsh_near_pairs",
+    oracle=f"""
+    WITH {_LONG},{_BANDED},
     ids AS (SELECT d1 AS vec_id FROM cands UNION SELECT d2 FROM cands),
     pl AS (SELECT * FROM long WHERE vec_id IN (SELECT vec_id FROM ids)),
     nm2 AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM pl GROUP BY 1),
@@ -86,10 +97,34 @@ _W = f"(2.0 * {rng_uniform_sql('i', 'k', salt=SIM.PLANE_SALT)} - 1.0)"
     WHERE dot / sqrt(n1.sq * n2.sq) >= 0.25
     """,
     tags=("SIM-lsh", "J5"),
-    doc="Random-hyperplane LSH buckets → exact cosine verify ≥ 0.25.",
+    doc="Banded random-hyperplane LSH (4 bands × 8 planes, per-bucket cap) → "
+    "exact cosine verify ≥ 0.25. Banding keeps recall up and bucket "
+    "populations bounded as the corpus grows.",
 )
 def s_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_near_pairs(_emb(spark, sf_dir), min_cosine=0.25)
+
+
+@register(
+    "s_lsh_band_stats",
+    oracle=f"""
+    WITH {_LONG},{_BANDED},
+    sizes AS (SELECT band, bucket, count(*) AS c FROM capped GROUP BY 1, 2)
+    SELECT CAST(band AS BIGINT) AS band, count(*) AS n_buckets,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_cand_pairs
+    FROM sizes GROUP BY band
+    """,
+    tags=("SIM-lsh",),
+    doc="LSH band diagnostics: bucket counts, max capped population, and the "
+    "candidate-pair volume per band — the no-silent-caps visibility query.",
+)
+def s_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return SIM.lsh_band_stats(_emb(spark, sf_dir)).withColumn(
+        "band", F.col("band").cast("bigint")
+    )
 
 
 def _ivf_oracle() -> str:
@@ -159,23 +194,7 @@ def s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d_embedding_dedup",
     oracle=f"""
-    WITH {_LONG},
-    grid AS (
-      SELECT i, k, {_W} AS w
-      FROM (SELECT unnest(range(1, 65)) AS i), (SELECT unnest(range(0, {SIM.N_PLANES})) AS k)
-    ),
-    proj AS (
-      SELECT vec_id, k, {dsum_sql('x * w')} AS proj
-      FROM long JOIN grid USING (i) GROUP BY 1, 2
-    ),
-    buckets AS (
-      SELECT vec_id, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bucket
-      FROM proj GROUP BY 1
-    ),
-    cands AS (
-      SELECT a.vec_id AS d1, b.vec_id AS d2
-      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ),
+    WITH {_LONG},{_BANDED},
     nm2 AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM long GROUP BY 1),
     dots AS (
       SELECT c.d1, c.d2, {dsum_sql('a.x * b.x')} AS dot
