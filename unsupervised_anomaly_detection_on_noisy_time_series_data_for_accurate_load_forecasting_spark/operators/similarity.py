@@ -55,6 +55,11 @@ def fdot_expr(a: str, b: str) -> str:
 
 
 MARGIN = 1e-3  # ≫ DIM·(decimal quantization step)/2, ≪ meaningful data gaps
+# MARGIN bounds the *dot product* error; the induced cosine error is
+# MARGIN/(‖q‖·‖n‖), so the superset guarantee assumes norm products ≳ 0.03
+# (unit-ish embeddings — true for every supported fixture). Zero-norm
+# vectors are excluded up front (they have no defined cosine at all);
+# sub-0.03-norm corpora should scale MARGIN by 1/min(‖q‖·‖n‖).
 
 
 def dnorm_sq(col: str = "embedding") -> Column:
@@ -67,7 +72,7 @@ def cosine_topk(df: DataFrame, n_queries: int = 100, k: int = 5) -> DataFrame:
     Broadcast the (tiny) query side against the streaming corpus; one
     codegen'd dot product per pair; deterministic ranking
     (cosine DESC, neighbor ASC)."""
-    e = df.select("vec_id", "embedding").withColumn("sq", dnorm_sq())
+    e = df.select("vec_id", "embedding").withColumn("sq", dnorm_sq()).filter(F.col("sq") > 0)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), F.col("sq").alias("qsq")
     )
@@ -221,7 +226,7 @@ def lsh_near_pairs(df: DataFrame, min_cosine: float = 0.25, bucket_cap: int | No
     populations are capped, the self-join shuffles on the bucket key, a
     cross-band row_number dedups pairs that collide in several bands, and
     each candidate is verified with one codegen'd dot product."""
-    b = banded_buckets(df, bucket_cap=bucket_cap).withColumn("sq", dnorm_sq())
+    b = banded_buckets(df, bucket_cap=bucket_cap).withColumn("sq", dnorm_sq()).filter(F.col("sq") > 0)
     a, c = b.alias("a"), b.alias("b")
     multi = a.join(
         c,

@@ -27,11 +27,16 @@ def salted_join(
 ) -> DataFrame:
     """Join `fact` ⋈ `dim` on `key` with the dim side replicated ×n_salts.
 
-    `salt_source`: a fact column whose hash spreads rows (defaults to the
-    whole-row monotonic id surrogate via xxhash64 of the key + a row marker).
+    `salt_source`: a fact column whose hash spreads rows. Defaults to the
+    hash of the WHOLE fact row (xxhash64 over every column) — a pure
+    function of the data, so stage retries and repartitioning replay the
+    exact same row→reducer assignment (spark_partition_id would not).
+    Identical duplicate rows share a salt under the default; pass a
+    high-cardinality `salt_source` if hot keys are dominated by exact
+    duplicates.
     """
-    src = F.col(salt_source) if salt_source else F.spark_partition_id()
-    f = fact.withColumn("_salt", F.pmod(F.xxhash64(src), F.lit(n_salts)).cast("int"))
+    src = [F.col(salt_source)] if salt_source else [F.col(c) for c in fact.columns]
+    f = fact.withColumn("_salt", F.pmod(F.xxhash64(*src), F.lit(n_salts)).cast("int"))
     d = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     out = f.join(d, [key, "_salt"], how)
     return out.drop("_salt")

@@ -22,12 +22,17 @@ def run_grid(
     fn: Callable[[SparkSession, dict[str, Any]], Any],
     max_concurrency: int = 4,
     pool: str = "experiments",
+    log: Any | None = None,  # metrics_log.MetricsLog
+    run_id: str = "grid0",
 ) -> dict[str, Any]:
     """Run `fn(spark, config)` for every named config, concurrently.
 
     Each thread tags its jobs with a scheduler pool + job group so the UI and
     cancellation work per-experiment. Exceptions are captured per experiment
-    (one failing config doesn't sink the grid)."""
+    (one failing config doesn't sink the grid). With `log`, every
+    experiment's params and numeric results land in the persisted
+    experiment-metrics contract (the reference's per-run mlflow logging,
+    run_parallel_experiments.py + pipeline.py:136-148)."""
     sc = spark.sparkContext
 
     def run_one(item: tuple[str, dict[str, Any]]) -> tuple[str, Any]:
@@ -42,4 +47,12 @@ def run_grid(
             sc.setLocalProperty("spark.scheduler.pool", None)
 
     with ThreadPoolExecutor(max_workers=max_concurrency) as ex:
-        return dict(ex.map(run_one, configs.items()))
+        results = dict(ex.map(run_one, configs.items()))
+    if log is not None:
+        for name, r in results.items():
+            log.log_params(run_id, name, configs[name])
+            if r["ok"] and isinstance(r["result"], dict):
+                nums = {k: v for k, v in r["result"].items() if isinstance(v, (int, float))}
+                if nums:
+                    log.log_metrics(run_id, name, nums)
+    return results

@@ -38,6 +38,7 @@ class PipelineConfig:
     forecast_lag_hours: int = 168
     split_ratio: float = 0.8
     persist_dir: str | None = None
+    run_id: str = "run0"  # experiment-log key (metrics_log.MetricsLog)
 
 
 def run_pipeline(spark: SparkSession, sf_dir: str, cfg: PipelineConfig | None = None) -> dict[str, DataFrame]:
@@ -86,4 +87,16 @@ def run_pipeline(spark: SparkSession, sf_dir: str, cfg: PipelineConfig | None = 
             out[name].write.mode("overwrite").partitionBy("series_id").parquet(
                 f"{cfg.persist_dir}/{name}"
             )
+        # experiment-log contract (reference: mlflow log_params/log_metrics at
+        # every stage, pipeline.py:136-148) — params once, metric tables per
+        # stage, all columnar and re-readable
+        from dataclasses import asdict
+
+        from .metrics_log import MetricsLog
+
+        log = MetricsLog(spark, f"{cfg.persist_dir}/mlog")
+        log.log_params(cfg.run_id, "pipeline", asdict(cfg))
+        log.log_metrics_df(cfg.run_id, "detection", out["metrics"], ["series_id"])
+        log.log_metrics_df(cfg.run_id, "forecast_ab", out["forecast_ab"], ["series_id"])
+        out["metrics_log"] = log.metrics()
     return out

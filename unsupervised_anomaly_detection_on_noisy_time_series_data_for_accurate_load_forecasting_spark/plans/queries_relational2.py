@@ -62,6 +62,61 @@ def j3_calendar_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _holiday_oracle() -> str:
+    """Mirror: same Gauss-computus holiday builder, emitted as literal dates
+    (dates are exact data, not floats — no rounding concerns)."""
+    import duckdb
+
+    from ..operators.calendar import french_holidays
+    from .queries_neural import _oracle_sf_dir
+
+    con = duckdb.connect()
+    yr = con.execute(
+        f"SELECT min(extract(year FROM ts)) lo, max(extract(year FROM ts)) hi "
+        f"FROM read_parquet('{_oracle_sf_dir()}/events.parquet')"
+    ).fetchone()
+    hol = french_holidays(range(int(yr[0]), int(yr[1]) + 1))
+    days = ",".join(f"(TIMESTAMP '{d:%Y-%m-%d} 00:00:00')" for d, _ in hol)
+    return f"""
+    WITH hol(day) AS (VALUES {days}),
+    excl AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+      WHERE (isodow(CAST(date_trunc('day', ts) AS TIMESTAMP)) - 1) >= 5
+      UNION
+      SELECT day FROM hol
+    )
+    SELECT CAST(user_id AS VARCHAR) AS series_id, count(*) AS n_kept,
+           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_kept
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM excl x WHERE x.day = CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+    )
+    GROUP BY 1
+    """
+
+
+@register(
+    "j3_holiday_anti",
+    oracle=lambda: _holiday_oracle(),
+    tags=("P5", "P7", "J3", "F5"),
+    doc="F5 with the REAL holiday calendar: weekend days ∪ French national "
+    "holidays (Gauss-computus builder, `holidays`-lib when installed) "
+    "broadcast into a left-anti join — the reference's process_INPG "
+    "exclusion, engine-side.",
+)
+def j3_holiday_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.calendar import exclusion_days
+
+    ev = _events(spark, sf_dir)
+    excl = exclusion_days(spark, ev, ts_col="ts")
+    day = F.date_trunc("day", F.col("ts"))
+    kept = ev.withColumn("day", day).join(F.broadcast(excl), "day", "left_anti")
+    return kept.groupBy(F.col("user_id").cast("string").alias(SID)).agg(
+        F.count(F.lit(1)).alias("n_kept"), dsum("value").alias("sum_kept")
+    )
+
+
 @register(
     "p6_drop_last_day",
     oracle=f"""
