@@ -125,3 +125,44 @@ def test_lof_numpy_basics():
     lof = _lof_weights(np.vstack([cluster, outlier]))
     assert lof[-1] > 2.0  # far point flagged
     assert np.median(lof[:-1]) < 1.5
+
+
+def test_backbone_plug_point(windows):
+    """M8: a real (CNN-shaped) numpy backbone slots into the embedding island
+    without touching any Spark plumbing — proving the torch/timm plug point
+    is load-bearing, not decorative."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.ml.softpatch import (
+        embed_windows,
+        score_embedded,
+        fit_memory_bank_from_embedded,
+    )
+
+    cfg = SoftPatchConfig()
+    rs = np.random.RandomState(7)
+    k1 = rs.standard_normal((4, 1, 3)) * 0.5   # conv: 4 filters, kernel 3
+    w2 = rs.standard_normal((4 * (cfg.patch_size * 3 - 2) // 2, cfg.embed_dim)) * 0.1
+
+    def cnn_backbone(flat):
+        # flat: (b, 3*patch) -> 1D conv over the flattened channel-patch,
+        # ReLU, stride-2 pool, dense head -> (b, embed_dim)
+        b, L = flat.shape
+        x = flat[:, None, :]
+        conv = np.stack(
+            [sum(k1[f, 0, j] * x[:, 0, j : L - 2 + j] for j in range(3)) for f in range(4)],
+            axis=1,
+        )  # (b, 4, L-2)
+        act = np.maximum(conv, 0.0)[:, :, ::2]  # pool
+        return act.reshape(b, -1) @ w2
+
+    emb = embed_windows(windows, cfg, backbone=cnn_backbone)
+    rows = emb.limit(10).collect()
+    assert rows and all(len(r.feature) == cfg.embed_dim for r in rows)
+    # end-to-end: fit + score run unchanged on the swapped backbone
+    bank = fit_memory_bank_from_embedded(emb.filter(F.col("window_label") == 0), cfg)
+    assert bank.shape[1] == cfg.embed_dim + 1  # features + J6 weight
+    scored = score_embedded(emb, bank)
+    assert scored.filter(F.col("score").isNull()).count() == 0
+    # determinism of the swapped-backbone pipeline
+    a = {(r.series_id, str(r.window_start)): r.score for r in scored.collect()}
+    b2 = {(r.series_id, str(r.window_start)): r.score for r in score_embedded(emb, bank).collect()}
+    assert a == b2

@@ -43,9 +43,9 @@ N_IN = 24
 N_OUT = 24
 WIN_H = N_IN + N_OUT
 TRAIN_FRAC = 0.8
-TRAIN_CAP = 4096
+TRAIN_CAP = 1024  # driver-sample bound: models this size saturate well before 1k windows
 FC_STRIDE_SALT = 37
-GRU_HIDDEN, GRU_FC, GRU_EPOCHS, GRU_PATIENCE = 16, 8, 60, 10
+GRU_HIDDEN, GRU_FC, GRU_EPOCHS, GRU_PATIENCE = 16, 8, 40, 8
 VARIANTS = ("cleaned", "contam")
 
 

@@ -89,12 +89,22 @@ def _projection(cfg: SoftPatchConfig) -> np.ndarray:
     return rs.standard_normal((in_dim, cfg.embed_dim)).astype(np.float64) / np.sqrt(in_dim)
 
 
-def embed_windows(windows: DataFrame, cfg: SoftPatchConfig) -> DataFrame:
+def embed_windows(
+    windows: DataFrame, cfg: SoftPatchConfig, backbone=None
+) -> DataFrame:
     """M8/M9: window -> per-patch embeddings, as a mapInPandas island.
 
     Output: (series_id, window_start, window_label, patch_idx, feature[]).
-    """
+
+    ``backbone``: the M8 plug point — a picklable callable
+    ``(b, 3·patch_size) channel-patch matrix → (b, embed_dim) features``.
+    Default is the seeded dense projection; a frozen ResNet/timm forward (or
+    any numpy model, see tests/test_ml_softpatch.py::test_backbone_plug_point)
+    slots in without touching the Spark plumbing — the island ships whatever
+    weights the closure captures."""
     proj = _projection(cfg)
+    if backbone is None:
+        backbone = lambda flat: flat @ proj  # noqa: E731 - default frozen projection
     n_p, p_sz = cfg.n_patches, cfg.patch_size
 
     schema = T.StructType(
@@ -127,7 +137,7 @@ def embed_windows(windows: DataFrame, cfg: SoftPatchConfig) -> DataFrame:
             ch = np.stack([pts, ps, ew], axis=1)  # (b, 3, day)
             frames = []
             for p in range(n_p):
-                feats = ch[:, :, p * p_sz : (p + 1) * p_sz].reshape(b, -1) @ proj
+                feats = backbone(ch[:, :, p * p_sz : (p + 1) * p_sz].reshape(b, -1))
                 frames.append(
                     pd.DataFrame(
                         {
@@ -384,14 +394,19 @@ def fit_memory_bank_from_embedded(embedded: DataFrame, cfg: SoftPatchConfig) -> 
     from ..functions.rng import rng_draw
 
     weighted = patch_weights(embedded, cfg)
-    weighted.persist()  # three actions below (percentile + count + collect) share lineage
-    cut = weighted.agg(
-        F.percentile("weight", F.lit(1.0 - cfg.weight_quantile)).alias("q")
-    ).collect()[0]["q"]
+    weighted.persist()  # two actions below (cut/count + collect) share lineage
+    # one job for both driver scalars: the quantile cut and the kept-count
+    # upper bound (count ≥ kept-count; the stride only needs an upper bound
+    # to bound the collect, and total count is cheaper than a second action)
+    row = weighted.agg(
+        F.percentile("weight", F.lit(1.0 - cfg.weight_quantile)).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    cut = row["q"]
     kept = weighted.filter(F.col("weight") <= F.lit(float(cut)))
-    n_kept = kept.count()
-    if n_kept > cfg.candidate_cap:
-        stride = -(-n_kept // cfg.candidate_cap)  # ceil
+    n_cand = int(row["n"])
+    if n_cand > cfg.candidate_cap:
+        stride = -(-n_cand // cfg.candidate_cap)  # ceil
         skey = F.col(SID).cast("bigint")
         eday = F.floor(F.unix_timestamp(F.col("window_start")) / 86400)
         kept = kept.filter(
@@ -474,23 +489,37 @@ def _release_caches() -> None:
         _live_caches.pop().unpersist(False)
 
 
-def softpatch_scores(windows: DataFrame, cfg: SoftPatchConfig | None = None) -> DataFrame:
+def softpatch_scores(
+    windows: DataFrame | None,
+    cfg: SoftPatchConfig | None = None,
+    embedded: DataFrame | None = None,
+    release_previous: bool = True,
+) -> DataFrame:
     """End-to-end M7-M13: train on clean windows, score all windows, min-max
     normalize scores globally (M13). Returns
-    (series_id, window_start, window_label, score, score_norm)."""
+    (series_id, window_start, window_label, score, score_norm).
+
+    Pass ``embedded`` (already persisted) to share one corpus-embedding pass
+    across several consumers in a session (plans/queries_ml.py memoizes it —
+    Python-UDF plans don't canonicalize equal, so CacheManager can't dedupe
+    them; explicit sharing can)."""
     cfg = cfg or SoftPatchConfig()
-    _release_caches()
-    # Embed the whole corpus ONCE; fit consumes the clean subset, scoring the
-    # full set — the expensive windows→channels→projection pass is shared.
-    embedded = embed_windows(windows, cfg)
-    embedded.persist()
+    if release_previous:
+        _release_caches()
+    own_embedded = embedded is None
+    if own_embedded:
+        # Embed the whole corpus ONCE; fit consumes the clean subset, scoring
+        # the full set — the expensive windows→channels→projection pass is shared.
+        embedded = embed_windows(windows, cfg)
+        embedded.persist()
     bank = fit_memory_bank_from_embedded(embedded.filter(F.col("window_label") == 0), cfg)
     scored = score_embedded(embedded, bank)
     scored.persist()  # min/max action + the caller's collect share lineage
     lo_hi = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi")).collect()[0]
-    # ^ materializes the scored cache end-to-end, so the big embedded cache
-    #   can be dropped immediately; scored (one row per window) remains.
-    embedded.unpersist(False)
+    # ^ materializes the scored cache end-to-end; registered handles are
+    #   released by the next ML query's run (or owned by the caller's memo).
+    if own_embedded:
+        _live_caches.append(embedded)
     _live_caches.append(scored)
     lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
     rng = (hi - lo) or 1.0

@@ -144,8 +144,11 @@ def fit_bank_pd(embedded: pd.DataFrame, cfg: SoftPatchConfig) -> np.ndarray:
     weighted = gaussian_weights_pd(embedded, cfg)
     cut = spark_percentile(weighted["weight"].to_numpy(), 1.0 - cfg.weight_quantile)
     kept = weighted[weighted["weight"] <= cut]
-    if len(kept) > cfg.candidate_cap:
-        stride = -(-len(kept) // cfg.candidate_cap)
+    # stride derives from the TOTAL candidate count (one driver job serves
+    # both scalars engine-side) — an upper bound on the kept count, so the
+    # collect stays ≤ cap either way; must match fit_memory_bank_from_embedded
+    if len(weighted) > cfg.candidate_cap:
+        stride = -(-len(weighted) // cfg.candidate_cap)
         draws = rng_draw_np(
             [
                 kept["series_id"].astype("int64").to_numpy(),

@@ -102,19 +102,47 @@ def cosine_topk(df: DataFrame, n_queries: int = 100, k: int = 5) -> DataFrame:
     )
 
 
+def _plane_matrix(n_planes: int = N_PLANES) -> "list[list[float]]":
+    """The hyperplane weights w(i,k) = 2·U(i,k)−1, materialized ONCE on the
+    driver from the shared RNG model. Bit-identical to what the SQL mirror
+    derives per row (`2.0*(draw/M)−1.0` on exact integer draws), but paid
+    once per query instead of per row×plane×dim."""
+    import numpy as np
+
+    from ..functions.rng import M, rng_draw_np
+
+    ks, is_ = np.meshgrid(
+        np.arange(n_planes, dtype=np.int64), np.arange(1, DIM + 1, dtype=np.int64), indexing="ij"
+    )
+    u = rng_draw_np([is_.ravel(), ks.ravel()], salt=PLANE_SALT).astype(np.float64) / float(M)
+    return (2.0 * u - 1.0).reshape(n_planes, DIM).tolist()
+
+
 def _bucket_expr(n_planes: int = N_PLANES) -> str:
-    """Hyperplane signature: bit_k = sign(Σ_i x_i · w(i,k)),
-    w(i,k) = 2·U(i,k)−1. All nested HOFs — per-row codegen, no shuffle."""
-    u = rng_uniform_sql("i", "k", salt=PLANE_SALT, dialect="spark")
-    w_k = f"transform(sequence(1, {DIM}), i -> 2.0 * {u} - 1.0)"
-    proj = (
-        f"cast(aggregate(zip_with(embedding, {w_k}, (x, w) -> cast(x as double) * w), "
-        f"cast(0 as decimal(38,6)), (acc, v) -> acc + cast(v as decimal(27,6))) as double)"
-    )
-    return (
-        f"concat_ws('', transform(sequence(0, {n_planes - 1}), "
-        f"k -> case when {proj} >= 0 then '1' else '0' end))"
-    )
+    """Hyperplane signature: bit_k = sign(Σ_i x_i · w_k) with the plane
+    weights inlined as double literals (exact round-trip via repr).
+
+    Two-speed sign decision per plane: a plain-double fold decides every
+    plane whose |projection| clears the decimal-quantization error bound
+    (nearly all); only projections inside ±MARGIN re-run the BigDecimal
+    fold (CASE branches evaluate lazily). The signature stays bit-identical
+    to the all-decimal long-form oracle at double-fold speed."""
+    planes = _plane_matrix(n_planes)
+    bits = []
+    for k in range(n_planes):
+        w_k = "array(" + ",".join(repr(w) + "D" for w in planes[k]) + ")"
+        prods = f"zip_with(embedding, {w_k}, (x, w) -> cast(x as double) * w)"
+        fproj = f"aggregate({prods}, cast(0 as double), (acc, v) -> acc + v)"
+        dproj = (
+            f"cast(aggregate({prods}, "
+            f"cast(0 as decimal(38,6)), (acc, v) -> acc + cast(v as decimal(27,6))) as double)"
+        )
+        bits.append(
+            f"case when {fproj} > {MARGIN} then '1' "
+            f"when {fproj} < -{MARGIN} then '0' "
+            f"when {dproj} >= 0 then '1' else '0' end"
+        )
+    return "concat_ws(''," + ",".join(bits) + ")"
 
 
 def lsh_buckets(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
@@ -219,14 +247,24 @@ def ivf_topk(
     )
 
 
-def lsh_near_pairs(df: DataFrame, min_cosine: float = 0.25, bucket_cap: int | None = BUCKET_CAP) -> DataFrame:
+def lsh_near_pairs(
+    df: DataFrame,
+    min_cosine: float = 0.25,
+    bucket_cap: int | None = BUCKET_CAP,
+    bands: DataFrame | None = None,
+) -> DataFrame:
     """All-pairs near-dup via banded LSH + exact cosine verify on candidates.
 
     Scale shape: pairs only form inside (band, bucket) groups, bucket
     populations are capped, the self-join shuffles on the bucket key, a
     cross-band row_number dedups pairs that collide in several bands, and
-    each candidate is verified with one codegen'd dot product."""
-    b = banded_buckets(df, bucket_cap=bucket_cap).withColumn("sq", dnorm_sq()).filter(F.col("sq") > 0)
+    each candidate is verified with one codegen'd dot product.
+
+    ``bands``: pass a precomputed (ideally persisted) banded_buckets result
+    to share the 32-projection signature pass across several consumers —
+    the signature is the dominant scan cost."""
+    b = bands if bands is not None else banded_buckets(df, bucket_cap=bucket_cap)
+    b = b.withColumn("sq", dnorm_sq()).filter(F.col("sq") > 0)
     a, c = b.alias("a"), b.alias("b")
     multi = a.join(
         c,
@@ -260,11 +298,13 @@ def lsh_near_pairs(df: DataFrame, min_cosine: float = 0.25, bucket_cap: int | No
     )
 
 
-def lsh_band_stats(df: DataFrame, bucket_cap: int | None = BUCKET_CAP) -> DataFrame:
+def lsh_band_stats(
+    df: DataFrame, bucket_cap: int | None = BUCKET_CAP, bands: DataFrame | None = None
+) -> DataFrame:
     """Band diagnostics — makes the cap visible (no silent truncation):
     per band, bucket count, max (capped) population, and the candidate-pair
     count Σ c·(c−1)/2 the self-join will materialize."""
-    b = banded_buckets(df, bucket_cap=bucket_cap)
+    b = bands if bands is not None else banded_buckets(df, bucket_cap=bucket_cap)
     sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("c"))
     return sizes.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_buckets"),

@@ -85,11 +85,48 @@ def _eval_oracle() -> str:
     )
 
 
+_EMB_MEMO: dict[str, DataFrame] = {}
+_MEMO: dict[str, tuple[DataFrame, list[DataFrame]]] = {}
+
+
+def _embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted corpus-embedding pass per sf_dir, shared by every ML
+    query in the session (softpatch scores/eval AND the MLlib ANN scale
+    mode). Inserting evicts + unpersists any other sf_dir's entry."""
+    from ..ml.softpatch import embed_windows
+
+    if sf_dir not in _EMB_MEMO:
+        for k in list(_EMB_MEMO):
+            _EMB_MEMO.pop(k).unpersist(False)
+        ev = load_table(spark, sf_dir, "events")
+        points = AN.inject_anomalies(AN.prepared_series(ev))
+        emb = embed_windows(day_windows(points), SoftPatchConfig())
+        emb.persist()
+        _EMB_MEMO[sf_dir] = emb
+    return _EMB_MEMO[sf_dir]
+
+
 def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    points = AN.inject_anomalies(AN.prepared_series(ev))
-    windows = day_windows(points)
-    return softpatch_scores(windows, SoftPatchConfig())
+    """Memoized softpatch scores per sf_dir: ml_softpatch_scores and
+    ml_softpatch_eval are registry siblings over the same pipeline — in one
+    session the second must reuse the first's (small, persisted) score
+    cache instead of recomputing. The memo takes ownership of softpatch's
+    cache handles so intervening ML queries can't release them."""
+    from ..ml import softpatch as SP
+
+    if sf_dir not in _MEMO:
+        for k in list(_MEMO):
+            for cached in _MEMO.pop(k)[1]:
+                cached.unpersist(False)
+        df = softpatch_scores(
+            None,
+            SoftPatchConfig(),
+            embedded=_embedded(spark, sf_dir),
+            release_previous=False,
+        )
+        handles, SP._live_caches[:] = list(SP._live_caches), []
+        _MEMO[sf_dir] = (df, handles)
+    return _MEMO[sf_dir][0]
 
 
 @register(
@@ -113,17 +150,9 @@ def ml_softpatch_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx NN join replace the driver coreset + broadcast cdist.",
 )
 def ml_ann_scores_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml import softpatch as SP
     from ..ml.mllib_modes import ann_window_scores, kmeans_coreset
-    from ..ml.softpatch import SoftPatchConfig, embed_windows
-    from ..ml.windows import day_windows
 
-    ev = load_table(spark, sf_dir, "events")
-    points = AN.inject_anomalies(AN.prepared_series(ev))
-    embedded = embed_windows(day_windows(points), SoftPatchConfig())
-    SP._release_caches()  # drop the previous run's cached plans first
-    embedded.persist()
-    SP._live_caches.append(embedded)  # released by the next softpatch/ANN run
+    embedded = _embedded(spark, sf_dir)  # shared persisted embedding pass
     bank = kmeans_coreset(embedded, k=64)
     scores = ann_window_scores(embedded, bank, threshold=1e6)
     return scores.select(

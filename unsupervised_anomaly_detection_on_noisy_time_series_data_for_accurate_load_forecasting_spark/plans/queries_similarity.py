@@ -22,6 +22,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+_BANDS_MEMO: dict[str, DataFrame] = {}
+
+
+def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted banded signatures, shared by the three LSH consumers in a
+    session (near-pairs, band-stats, embedding-dedup) — the 32-projection
+    decimal signature pass is the dominant cost and is identical for all."""
+    if sf_dir not in _BANDS_MEMO:
+        for k in list(_BANDS_MEMO):
+            _BANDS_MEMO.pop(k).unpersist(False)
+        b = SIM.banded_buckets(_emb(spark, sf_dir))
+        b.persist()
+        _BANDS_MEMO[sf_dir] = b
+    return _BANDS_MEMO[sf_dir]
+
+
 @register(
     "s_ann_bruteforce_topk",
     oracle=f"""
@@ -102,7 +118,7 @@ _BANDED = f"""
     "populations bounded as the corpus grows.",
 )
 def s_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.lsh_near_pairs(_emb(spark, sf_dir), min_cosine=0.25)
+    return SIM.lsh_near_pairs(_emb(spark, sf_dir), min_cosine=0.25, bands=_bands(spark, sf_dir))
 
 
 @register(
@@ -122,7 +138,7 @@ def s_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    return SIM.lsh_band_stats(_emb(spark, sf_dir)).withColumn(
+    return SIM.lsh_band_stats(_emb(spark, sf_dir), bands=_bands(spark, sf_dir)).withColumn(
         "band", F.col("band").cast("bigint")
     )
 
@@ -220,7 +236,7 @@ def d_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = _emb(spark, sf_dir)
-    pairs = SIM.lsh_near_pairs(emb, min_cosine=0.2)
+    pairs = SIM.lsh_near_pairs(emb, min_cosine=0.2, bands=_bands(spark, sf_dir))
     dups = pairs.select(F.col("d2").alias("vec_id")).distinct()
     flagged = emb.join(dups.withColumn("is_dup", F.lit(1)), "vec_id", "left")
     return flagged.groupBy("label").agg(
