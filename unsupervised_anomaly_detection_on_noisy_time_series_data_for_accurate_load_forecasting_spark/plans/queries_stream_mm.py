@@ -2,7 +2,9 @@
 
 - The streaming query has a full DuckDB oracle: Trigger.AvailableNow replays
   the same plan the live stream runs, so streaming output ≡ batch semantics.
-- Multimodal queries are rows-only (binary payloads + stub decode islands).
+- Multimodal queries carry single-node codec-mirror oracles (lazy VALUES
+  goldens — the stub codec is deterministic, so the distributed islands must
+  reproduce the local replica bit-for-bit).
 - The masked-imputation query is fully oracle-checked (RNG mask + profile
   model are pure column programs).
 """
@@ -188,3 +190,42 @@ def m16_masked_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     masked = IM.with_training_mask(series)
     imputed = IM.profile_impute(masked)
     return IM.imputation_eval(imputed)
+
+
+def _mm_resize_oracle() -> str:
+    """Mirror of the resize island: byte stream -> /255 grid -> nearest-
+    neighbor resample -> left-fold pixel sum (same order as the Spark HOF)."""
+    import numpy as np
+
+    docs = _docs_pd()
+    rows = []
+    n_px = 32 * 32
+    for r in docs.itertuples():
+        payload = r.text.encode("utf-8") or b"\0"
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) / 255.0
+        idx = np.linspace(0, len(arr) - 1, n_px).astype(int)
+        rows.append(f"({int(r.doc_id)}::BIGINT,{round(_fold_sum(arr[idx]), 9)!r}::DOUBLE)")
+    return (
+        "SELECT media_id, 32 AS width, 32 AS height, pix_sum FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, pix_sum)"
+    )
+
+
+@register(
+    "mm_resize",
+    oracle=lambda: _mm_resize_oracle(),
+    tags=("MM-decode", "MM-schema"),
+    doc="Resize contract: payload -> fixed 32x32 grid via the stub "
+    "nearest-neighbor resampler (real codec slots into the same island). "
+    "Oracle = single-node resampler mirror (VALUES golden).",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    grid = MM.resize(media, out_w=32, out_h=32)
+    return grid.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.round(F.expr("aggregate(pixels, 0D, (a, x) -> a + x)"), 9).alias("pix_sum"),
+    )

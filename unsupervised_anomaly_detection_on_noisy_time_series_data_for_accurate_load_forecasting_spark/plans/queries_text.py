@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import dsum_sql
 from ..functions.rng import M
 from ..operators import dedup as DD
 from ..operators import textops as TX
@@ -293,3 +294,84 @@ _POLY = poly_hash_duck_expr("s")
 )
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(_docs(spark, sf_dir))
+
+
+_QUALITY = f"""(0.4 * (CAST(len(list_filter({_TOKS}, x -> x IN ({_STOP}))) AS DOUBLE)
+                        / CAST(len({_TOKS}) AS DOUBLE))
+               + 0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                        / CAST(len({_TOKS}) AS DOUBLE)))"""
+
+_PRED_LANG = f"""CASE WHEN length(regexp_replace(text, '[^\\x{{{{4e00}}}}-\\x{{{{9fff}}}}]', '', 'g')) > 0 THEN 'zh'
+         WHEN {{en}} >= greatest({{fr}}, {{de}}, {{es}}) AND {{en}} > 0 THEN 'en'
+         WHEN {{fr}} >= greatest({{de}}, {{es}}) AND {{fr}} > 0 THEN 'fr'
+         WHEN {{de}} >= {{es}} AND {{de}} > 0 THEN 'de'
+         WHEN {{es}} > 0 THEN 'es'
+         ELSE 'unknown' END"""
+
+
+def _pred_lang_duck() -> str:
+    hits = {}
+    for lang, words in TX.LANG_MARKERS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        hits[lang] = f"CAST(len(list_filter({_TOKS}, x -> x IN ({arr}))) AS INTEGER)"
+    return _PRED_LANG.format(**hits)
+
+
+@register(
+    "pipeline_corpus_filter",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk,
+             {_QUALITY} AS quality,
+             {_pred_lang_duck()} AS pred_lang,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cls AS (
+      SELECT pred_lang,
+             CASE WHEN rk > 1 THEN 'dup'
+                  WHEN quality < 0.5 THEN 'low_quality'
+                  ELSE 'kept' END AS stage,
+             n_tokens, quality
+      FROM staged
+    )
+    SELECT pred_lang, stage, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round({dsum_sql('quality')} / count(*), 6) AS avg_quality
+    FROM cls GROUP BY 1, 2
+    """,
+    tags=("TXT-quality", "TXT-langid", "DEDUP-exact", "U5", "A13"),
+    doc="The LLM-training-corpus filter pipeline as ONE plan: exact dedup "
+    "(keep-first per text) -> quality gate (q >= 0.5) -> language routing; "
+    "per (lang, stage) accounting of docs and token volume. Composes the "
+    "dedup/quality/langid operators the way a 100 TB ingest would.",
+)
+def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import dsum
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id",
+        F.row_number().over(W.partitionBy("text").orderBy("doc_id")).alias("rk"),
+        TX.quality_score().alias("quality"),
+        TX.predicted_lang().alias("pred_lang"),
+        TX.token_count().cast("bigint").alias("n_tokens"),
+    )
+    stage = (
+        F.when(F.col("rk") > 1, F.lit("dup"))
+        .when(F.col("quality") < 0.5, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        staged.withColumn("stage", stage)
+        .groupBy("pred_lang", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(dsum("quality") / F.count(F.lit(1)), 6).alias("avg_quality"),
+        )
+    )
