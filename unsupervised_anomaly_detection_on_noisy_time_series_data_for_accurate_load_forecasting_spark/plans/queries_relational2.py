@@ -549,3 +549,70 @@ def f2_window_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.split("window_key", "_")[0], "yyyyMMdd"),
     )
     return k.withColumn("n_days", parsed)
+
+
+P8_ANOMALY_DAYS = ("2024-01-15", "2024-01-22", "2024-02-05")
+
+
+@register(
+    "p8_test_exclusions",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    days AS (
+      SELECT series_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             {dsum_sql('value')} AS day_sum
+      FROM hourly GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY day) AS rk,
+             count(*) OVER (PARTITION BY series_id) AS n_days
+      FROM days
+    ),
+    split AS (
+      SELECT *, rk > floor(0.8 * n_days) AS is_test FROM ranked
+    ),
+    ts_start AS (
+      SELECT series_id, min(day) AS test_start FROM split WHERE is_test GROUP BY 1
+    ),
+    cls AS (
+      SELECT s.*, t.test_start,
+             s.is_test AND s.day IN ({",".join(f"TIMESTAMP '{d} 00:00:00'" for d in P8_ANOMALY_DAYS)})
+               AND t.test_start <= s.day AS excluded
+      FROM split s JOIN ts_start t USING (series_id)
+    )
+    SELECT series_id,
+           CAST(sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_train_days,
+           CAST(sum(CASE WHEN is_test AND NOT excluded THEN 1 ELSE 0 END) AS BIGINT) AS n_test_days,
+           CAST(sum(CASE WHEN excluded THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded_days,
+           {dsum_sql('CASE WHEN is_test AND NOT excluded THEN day_sum ELSE 0.0 END')} AS sum_test_kept
+    FROM cls GROUP BY series_id
+    """,
+    tags=("P8", "J3", "U3"),
+    doc="P8: genuine-anomaly exclusions applied to the TEST split only, "
+    "conditional on each series' test-start date (the reference's "
+    "process_LF_INPG hand-curated removal, as a broadcast conditional "
+    "anti-filter over the positional split).",
+)
+def p8_test_exclusions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    day = F.date_trunc("day", F.col(TS))
+    days = hourly.groupBy(SID, day.alias("day")).agg(dsum(VAL).alias("day_sum"))
+    rk = F.row_number().over(W.partitionBy(SID).orderBy("day"))
+    n = F.count(F.lit(1)).over(W.partitionBy(SID))
+    split = days.withColumn("rk", rk).withColumn("n_days", n).withColumn(
+        "is_test", F.col("rk") > F.floor(0.8 * F.col("n_days"))
+    )
+    ts_start = split.filter("is_test").groupBy(SID).agg(F.min("day").alias("test_start"))
+    anom = [F.lit(d).cast("timestamp") for d in P8_ANOMALY_DAYS]
+    cls = split.join(F.broadcast(ts_start), SID).withColumn(
+        "excluded",
+        F.col("is_test")
+        & F.col("day").isin(*anom)
+        & (F.col("test_start") <= F.col("day")),
+    )
+    return cls.groupBy(SID).agg(
+        F.sum((~F.col("is_test")).cast("int")).cast("bigint").alias("n_train_days"),
+        F.sum((F.col("is_test") & ~F.col("excluded")).cast("int")).cast("bigint").alias("n_test_days"),
+        F.sum(F.col("excluded").cast("int")).cast("bigint").alias("n_excluded_days"),
+        dsum(F.when(F.col("is_test") & ~F.col("excluded"), F.col("day_sum")).otherwise(F.lit(0.0))).alias("sum_test_kept"),
+    )
