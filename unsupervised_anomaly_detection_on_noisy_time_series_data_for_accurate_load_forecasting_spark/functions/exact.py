@@ -6,14 +6,23 @@ engines (or even across runs at different parallelism). The correctness gate
 hash-compares values, so every oracle-checked aggregate goes through exact
 DECIMAL arithmetic:
 
-    double --cast--> DECIMAL(s=6) --exact sum--> DECIMAL --cast--> double
+    double --quantize--> DECIMAL(s=6) --exact sum--> DECIMAL --cast--> double
 
-Both engines round the *exact* binary double to 6 decimal digits (ties are
-impossible: x.0000005 has no finite binary expansion), sum exactly in decimal,
-and convert the exact decimal result back to the nearest double — fully
-deterministic regardless of partitioning, at any scale. This is also the right
-100 TB answer: decimal sums are associative, so map-side partial aggregation
-still applies.
+The quantization step is ``floor(x·1e6 + 0.5) / 1e6`` — pure double
+arithmetic, bit-identical in every engine — *before* the decimal cast. A
+naive ``CAST(x AS DECIMAL)`` is NOT engine-portable at ties: dyadic doubles
+can land exactly on a decimal midpoint (0.0078125 = 2⁻⁷ is precisely
+…125·10⁻⁷), and Spark rounds ties HALF_UP while DuckDB rounds half-even —
+a one-ulp-of-decimal divergence that real data does hit at scale (seen at
+sf0.1). ``floor`` has no tie mode at all, and its output is within ½ulp of
+an exact 1e-6 multiple, so the subsequent cast is unambiguous in both
+engines. Decimal sums stay associative, so map-side partial aggregation
+still applies — the right 100 TB answer.
+
+Domain note: Spark's ``floor(double)`` yields LONG, so the quantizer is
+exact for |x| < ~9·10¹² (then x·1e6 < 2⁶³); larger magnitudes raise under
+ANSI mode instead of silently diverging — widen ``_SCALE`` down if a table
+ever carries such values.
 
 Each helper has a ``*_sql`` twin emitting the equivalent DuckDB expression.
 """
@@ -25,12 +34,12 @@ from pyspark.sql import functions as F
 
 _PREC = 27  # 21 integer digits + 6 decimals; sum widens precision by 10 in both engines
 _SCALE = 6
+_Q = 10**_SCALE
 
 
 def dsum(col: Column | str) -> Column:
     """Deterministic sum of a double column (exact decimal internally)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal({_PREC},{_SCALE})")).cast("double")
+    return F.sum(dec(col)).cast("double")
 
 
 def davg(col: Column | str) -> Column:
@@ -40,10 +49,12 @@ def davg(col: Column | str) -> Column:
 
 
 def dec(col: Column | str) -> Column:
-    """Cast to the exact decimal type — building block for windowed sums:
-    ``F.sum(dec(c)).over(w).cast("double")`` mirrors ``DSUM_OVER_SQL``."""
+    """Tie-free quantization to the exact decimal type — building block for
+    windowed sums: ``F.sum(dec(c)).over(w).cast("double")`` mirrors the
+    ``dec_sql`` window form."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({_PREC},{_SCALE})")
+    q = F.floor(c * F.lit(float(_Q)) + F.lit(0.5)) / F.lit(float(_Q))
+    return q.cast(f"decimal({_PREC},{_SCALE})")
 
 
 def dvar(col: Column | str, ddof: int = 1) -> Column:
@@ -66,7 +77,7 @@ def dstd(col: Column | str, ddof: int = 1) -> Column:
 
 
 def dsum_sql(expr: str) -> str:
-    return f"CAST(sum(CAST(({expr}) AS DECIMAL({_PREC},{_SCALE}))) AS DOUBLE)"
+    return f"CAST(sum({dec_sql(expr)}) AS DOUBLE)"
 
 
 def davg_sql(expr: str) -> str:
@@ -74,7 +85,10 @@ def davg_sql(expr: str) -> str:
 
 
 def dec_sql(expr: str) -> str:
-    return f"CAST(({expr}) AS DECIMAL({_PREC},{_SCALE}))"
+    return (
+        f"CAST(floor(({expr}) * {float(_Q)} + 0.5) / {float(_Q)} "
+        f"AS DECIMAL({_PREC},{_SCALE}))"
+    )
 
 
 def dvar_sql(expr: str, ddof: int = 1) -> str:

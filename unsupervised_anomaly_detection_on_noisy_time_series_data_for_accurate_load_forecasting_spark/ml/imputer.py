@@ -47,7 +47,9 @@ def profile_impute(masked: DataFrame) -> DataFrame:
     through. One shuffle on (series, hod)."""
     hod = F.hour(F.col(TS))
     w = W.partitionBy(SID, hod)
-    prof_sum = F.sum(F.when(F.col("mask") == 0, F.col(VAL).cast("decimal(27,6)"))).over(w)
+    from ..functions.exact import dec
+
+    prof_sum = F.sum(F.when(F.col("mask") == 0, dec(VAL))).over(w)
     prof_n = F.sum(F.when(F.col("mask") == 0, F.lit(1)).otherwise(F.lit(0))).over(w)
     profile = prof_sum.cast("double") / prof_n.cast("double")
     return masked.withColumn(

@@ -36,7 +36,7 @@ def ddot_expr(a: str, b: str) -> str:
     associativity makes the fold order irrelevant."""
     return (
         f"cast(aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
-        f"cast(0 as decimal(38,6)), (acc, v) -> acc + cast(v as decimal(27,6))) as double)"
+        f"cast(0 as decimal(38,6)), (acc, v) -> acc + cast(floor(v * 1000000.0 + 0.5) / 1000000.0 as decimal(27,6))) as double)"
     )
 
 
@@ -135,7 +135,7 @@ def _bucket_expr(n_planes: int = N_PLANES) -> str:
         fproj = f"aggregate({prods}, cast(0 as double), (acc, v) -> acc + v)"
         dproj = (
             f"cast(aggregate({prods}, "
-            f"cast(0 as decimal(38,6)), (acc, v) -> acc + cast(v as decimal(27,6))) as double)"
+            f"cast(0 as decimal(38,6)), (acc, v) -> acc + cast(floor(v * 1000000.0 + 0.5) / 1000000.0 as decimal(27,6))) as double)"
         )
         bits.append(
             f"case when {fproj} > {MARGIN} then '1' "
@@ -219,7 +219,7 @@ def ivf_topk(
     dist2 = (
         "cast(aggregate(zip_with(embedding, centroid, "
         "(x, c) -> (cast(x as double) - cast(c as double)) * (cast(x as double) - cast(c as double))), "
-        "cast(0 as decimal(38,6)), (acc, v) -> acc + cast(v as decimal(27,6))) as double)"
+        "cast(0 as decimal(38,6)), (acc, v) -> acc + cast(floor(v * 1000000.0 + 0.5) / 1000000.0 as decimal(27,6))) as double)"
     )
     assign = (
         e.crossJoin(F.broadcast(centroids))

@@ -32,7 +32,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
             BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
     )
     SELECT CAST(user_id AS VARCHAR) AS series_id, count(*) AS n_kept,
-           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_kept
+           CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6))) AS DOUBLE) AS sum_kept
     FROM events e
     WHERE NOT EXISTS (
       SELECT 1 FROM excl x WHERE x.day = CAST(date_trunc('day', e.ts) AS TIMESTAMP)
@@ -87,7 +87,7 @@ def _holiday_oracle() -> str:
       SELECT day FROM hol
     )
     SELECT CAST(user_id AS VARCHAR) AS series_id, count(*) AS n_kept,
-           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_kept
+           CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6))) AS DOUBLE) AS sum_kept
     FROM events e
     WHERE NOT EXISTS (
       SELECT 1 FROM excl x WHERE x.day = CAST(date_trunc('day', e.ts) AS TIMESTAMP)
@@ -180,8 +180,8 @@ def a2_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (
       SELECT *,
              CAST(count(value) OVER w AS DOUBLE) AS n,
-             CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s1,
-             CAST(sum(CAST(value * value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s2
+             CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s1,
+             CAST(sum(CAST(floor((value * value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s2
       FROM hourly WINDOW w AS (PARTITION BY series_id)
     ),
     fl AS (
@@ -312,10 +312,9 @@ def w8_heatmap_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _m6_oracle() -> str:
     """Numpy-mirror oracle: DuckDB rebuilds the regular grid (the same
     hash-verified REG mirror), the shared knn_impute_series kernel runs per
-    series on one node, and the per-series aggregates are computed with
-    exact decimal arithmetic (Python Decimal ≡ DECIMAL(27,6) sums — ties
-    are unrepresentable in binary, so nearest-rounding agrees)."""
-    from decimal import Decimal
+    series on one node, and the per-series aggregates use the engine's
+    tie-free quantization spec (floor(x·1e6+0.5), exact integer sums)."""
+    import math
 
     import numpy as np
 
@@ -324,19 +323,18 @@ def _m6_oracle() -> str:
     from .queries_timeseries import REG_CTE
 
     pts = _duck_points(f"WITH {REG_CTE} SELECT series_id, ts, value FROM reg")
-    q6 = Decimal("0.000001")
     rows = []
     for sid, grp in pts.sort_values(["series_id", "ts"]).groupby("series_id", sort=True):
         v = grp["value"].to_numpy(dtype=float)
         imputed = knn_impute_series(v)
         n_was_null = int(np.isnan(v).sum())
         n_still = int(np.isnan(imputed).sum())
-        total = Decimal(0)
-        for x in imputed:
-            total += Decimal(0.0 if np.isnan(x) else float(x)).quantize(q6)
+        total_q = sum(
+            int(math.floor((0.0 if np.isnan(x) else float(x)) * 1e6 + 0.5)) for x in imputed
+        )
         rows.append(
             f"('{sid}',{len(v)}::BIGINT,{n_was_null}::BIGINT,{n_still}::BIGINT,"
-            f"{float(total)!r}::DOUBLE)"
+            f"{total_q / 10**6!r}::DOUBLE)"
         )
     return (
         "SELECT * FROM (VALUES "
@@ -493,7 +491,7 @@ def f_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price
+           CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6))) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,

@@ -165,7 +165,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     prof AS (
       SELECT *,
-             CAST(sum(CASE WHEN mask = 0 THEN CAST(value AS DECIMAL(27,6)) END)
+             CAST(sum(CASE WHEN mask = 0 THEN CAST(floor((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6)) END)
                   OVER (PARTITION BY series_id, h) AS DOUBLE)
              / CAST(sum(CASE WHEN mask = 0 THEN 1 ELSE 0 END)
                     OVER (PARTITION BY series_id, h) AS DOUBLE) AS profile

@@ -73,7 +73,7 @@ rng3 AS (
 ),
 seg AS (
   SELECT *,
-         coalesce(CAST(sum(CASE WHEN in_seg THEN CAST(value AS DECIMAL(27,6)) END)
+         coalesce(CAST(sum(CASE WHEN in_seg THEN CAST(floor((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6)) END)
                        OVER (PARTITION BY series_id, eday) AS DOUBLE), 0.0) AS seg_sum
   FROM rng3
 ),
@@ -94,8 +94,8 @@ CLEAN_CTE = f"""{INJ_CTE},
 det1 AS (
   SELECT *,
          CAST(count(value_contam) OVER ws AS DOUBLE) AS n,
-         CAST(sum(CAST(value_contam AS DECIMAL(27,6))) OVER ws AS DOUBLE) AS s1,
-         CAST(sum(CAST(value_contam * value_contam AS DECIMAL(27,6))) OVER ws AS DOUBLE) AS s2,
+         CAST(sum(CAST(floor((value_contam) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6))) OVER ws AS DOUBLE) AS s1,
+         CAST(sum(CAST(floor((value_contam * value_contam) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6))) OVER ws AS DOUBLE) AS s2,
          CASE WHEN value_contam = 0 THEN 1 ELSE 0 END AS is_zero
   FROM inj WINDOW ws AS (PARTITION BY series_id)
 ),
@@ -252,7 +252,7 @@ def w5_missing_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT series_id, CAST(session_no AS BIGINT) AS session_no,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS session_value,
+           CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6))) AS DOUBLE) AS session_value,
            CAST((CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT)) AS BIGINT)
              AS duration_s
     FROM s GROUP BY 1, 2
@@ -284,8 +284,8 @@ def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (
       SELECT *,
              CAST(count(value) OVER w AS DOUBLE) AS n,
-             CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s1,
-             CAST(sum(CAST(value * value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s2
+             CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s1,
+             CAST(sum(CAST(floor((value * value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s2
       FROM hourly WINDOW w AS (PARTITION BY series_id)
     )
     SELECT series_id,
@@ -380,7 +380,7 @@ def w4_variance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {HOURLY_CTE}
     SELECT series_id, ts,
-           CAST(sum(CAST(value AS DECIMAL(27,6)))
+           CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6)))
                 OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS DOUBLE)
              AS cum_energy
     FROM hourly
