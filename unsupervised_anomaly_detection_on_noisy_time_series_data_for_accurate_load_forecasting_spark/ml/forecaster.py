@@ -46,6 +46,7 @@ TRAIN_FRAC = 0.8
 TRAIN_CAP = 1024  # driver-sample bound: models this size saturate well before 1k windows
 FC_STRIDE_SALT = 37
 GRU_HIDDEN, GRU_FC, GRU_EPOCHS, GRU_PATIENCE = 16, 8, 40, 8
+SCI_EPOCHS, SCI_PATIENCE = 40, 8
 VARIANTS = ("cleaned", "contam")
 
 
@@ -118,7 +119,10 @@ def fit_ab_models(train_pdf: pd.DataFrame) -> dict[tuple[str, str], dict[str, np
         gru = GRUSeq2Seq(n_in=N_IN, n_out=N_OUT, hidden=GRU_HIDDEN, fc_units=GRU_FC, seed=0)
         gru.fit(X, Y, epochs=GRU_EPOCHS, patience=GRU_PATIENCE)
         sci = SCINetNP(n_in=N_IN, n_out=N_OUT, levels=2, seed=0)
-        sci.fit(X, Y)
+        # full end-to-end training (conv tree + projection, analytic
+        # gradients); falls back to its ridge warm start if Adam never
+        # beats it on validation
+        sci.fit_bp(X, Y, epochs=SCI_EPOCHS, patience=SCI_PATIENCE)
         out[("seq2seq", variant)] = gru.weights()
         out[("scinet", variant)] = sci.weights()
     return out

@@ -359,11 +359,31 @@ def _conv1d(x: np.ndarray, W: np.ndarray) -> np.ndarray:
     return out
 
 
+def _conv1d_back(x: np.ndarray, W: np.ndarray, dout: np.ndarray):
+    """Gradients of _conv1d: returns (dx, dW)."""
+    k = W.shape[2]
+    L = dout.shape[2]
+    dx = np.zeros_like(x)
+    dW = np.zeros_like(W)
+    for j in range(k):
+        dx[:, :, j : j + L] += np.einsum("oc,bot->bct", W[:, :, j], dout)
+        dW[:, :, j] += np.einsum("bot,bct->oc", dout, x[:, :, j : j + L])
+    return dx, dW
+
+
 def _rep_pad(x: np.ndarray, pad: int) -> np.ndarray:
     """ReplicationPad1d on (B, C, T)."""
     left = np.repeat(x[:, :, :1], pad, axis=2)
     right = np.repeat(x[:, :, -1:], pad, axis=2)
     return np.concatenate([left, x, right], axis=2)
+
+
+def _rep_pad_back(dpadded: np.ndarray, pad: int) -> np.ndarray:
+    """Gradient of _rep_pad: edge gradients fold back onto the border cells."""
+    d = dpadded[:, :, pad:-pad].copy()
+    d[:, :, 0] += dpadded[:, :, :pad].sum(axis=2)
+    d[:, :, -1] += dpadded[:, :, -pad:].sum(axis=2)
+    return d
 
 
 class SCINetNP:
@@ -401,30 +421,90 @@ class SCINetNP:
         self.proj = np.zeros((n_out, n_in))
         self.fitted = False
 
-    def _module(self, node: dict, mod: str, x: np.ndarray) -> np.ndarray:
+    def _module_fwd(self, node: dict, mod: str, x: np.ndarray):
         """x: (B, T) → (B, T): reppad → conv k1 → LeakyReLU → conv k2 → tanh.
         pad_l = pad_r = (k−1)//2 + 1 keeps length (SCINet.py:38-41)."""
         pad = (self.k1 - 1) // 2 + 1
-        h = _conv1d(_rep_pad(x[:, None, :], pad), node[mod + "_W1"]) + node[mod + "_b1"][None, :, None]
-        h = np.where(h > 0, h, 0.01 * h)
-        out = _conv1d(h, node[mod + "_W2"]) + node[mod + "_b2"][None, :, None]
-        return np.tanh(out)[:, 0, :]
+        xp = _rep_pad(x[:, None, :], pad)
+        pre1 = _conv1d(xp, node[mod + "_W1"]) + node[mod + "_b1"][None, :, None]
+        act = np.where(pre1 > 0, pre1, 0.01 * pre1)
+        pre2 = _conv1d(act, node[mod + "_W2"]) + node[mod + "_b2"][None, :, None]
+        y = np.tanh(pre2)[:, 0, :]
+        return y, (xp, pre1, act, y)
 
-    def _tree(self, path: str, level: int, x: np.ndarray) -> np.ndarray:
+    def _module(self, node: dict, mod: str, x: np.ndarray) -> np.ndarray:
+        return self._module_fwd(node, mod, x)[0]
+
+    def _module_back(self, path: str, mod: str, cache, dy: np.ndarray, grads: dict) -> np.ndarray:
+        """Backprop one conv module; accumulates into grads, returns dx."""
+        node = self.nodes[path]
+        xp, pre1, act, y = cache
+        pad = (self.k1 - 1) // 2 + 1
+        dpre2 = (dy * (1 - y * y))[:, None, :]
+        dact, dW2 = _conv1d_back(act, node[mod + "_W2"], dpre2)
+        dpre1 = dact * np.where(pre1 > 0, 1.0, 0.01)
+        dxp, dW1 = _conv1d_back(xp, node[mod + "_W1"], dpre1)
+        grads[path + "/" + mod + "_W2"] += dW2
+        grads[path + "/" + mod + "_b2"] += dpre2.sum(axis=(0, 2))
+        grads[path + "/" + mod + "_W1"] += dW1
+        grads[path + "/" + mod + "_b1"] += dpre1.sum(axis=(0, 2))
+        return _rep_pad_back(dxp, pad)[:, 0, :]
+
+    def _tree_fwd(self, path: str, level: int, x: np.ndarray):
         node = self.nodes[path]
         even, odd = x[:, ::2], x[:, 1::2]
-        d = odd * np.exp(self._module(node, "phi", even))
-        c = even * np.exp(self._module(node, "psi", odd))
-        even_u = c + self._module(node, "U", d)
-        odd_u = d - self._module(node, "P", c)
+        phi_y, phi_c = self._module_fwd(node, "phi", even)
+        exp_phi = np.exp(phi_y)
+        d = odd * exp_phi
+        psi_y, psi_c = self._module_fwd(node, "psi", odd)
+        exp_psi = np.exp(psi_y)
+        c = even * exp_psi
+        U_y, U_c = self._module_fwd(node, "U", d)
+        even_u = c + U_y
+        P_y, P_c = self._module_fwd(node, "P", c)
+        odd_u = d - P_y
+        sub = None
         if level > 0:
-            even_u = self._tree(path + "e", level - 1, even_u)
-            odd_u = self._tree(path + "o", level - 1, odd_u)
+            e_out, e_sub = self._tree_fwd(path + "e", level - 1, even_u)
+            o_out, o_sub = self._tree_fwd(path + "o", level - 1, odd_u)
+            sub = (e_sub, o_sub)
+            even_u, odd_u = e_out, o_out
         # zip_up_the_pants (SCINet.py:166-178)
         out = np.empty((x.shape[0], even_u.shape[1] + odd_u.shape[1]))
         out[:, ::2] = even_u
         out[:, 1::2] = odd_u
-        return out
+        cache = dict(
+            even=even, odd=odd, exp_phi=exp_phi, exp_psi=exp_psi, d=d, c=c,
+            phi_c=phi_c, psi_c=psi_c, U_c=U_c, P_c=P_c, sub=sub,
+        )
+        return out, cache
+
+    def _tree(self, path: str, level: int, x: np.ndarray) -> np.ndarray:
+        return self._tree_fwd(path, level, x)[0]
+
+    def _tree_back(self, path: str, level: int, cache: dict, dout: np.ndarray, grads: dict) -> np.ndarray:
+        de_u = np.ascontiguousarray(dout[:, ::2])
+        do_u = np.ascontiguousarray(dout[:, 1::2])
+        if level > 0:
+            e_sub, o_sub = cache["sub"]
+            de_u = self._tree_back(path + "e", level - 1, e_sub, de_u, grads)
+            do_u = self._tree_back(path + "o", level - 1, o_sub, do_u, grads)
+        even, odd = cache["even"], cache["odd"]
+        exp_phi, exp_psi = cache["exp_phi"], cache["exp_psi"]
+        # odd_u = d − P(c);  even_u = c + U(d)
+        dd = do_u.copy()
+        dc = de_u + self._module_back(path, "P", cache["P_c"], -do_u, grads)
+        dd += self._module_back(path, "U", cache["U_c"], de_u, grads)
+        # c = even · exp(psi(odd))
+        deven = dc * exp_psi
+        dodd = self._module_back(path, "psi", cache["psi_c"], dc * even * exp_psi, grads)
+        # d = odd · exp(phi(even))
+        dodd += dd * exp_phi
+        deven += self._module_back(path, "phi", cache["phi_c"], dd * odd * exp_phi, grads)
+        dx = np.empty((dout.shape[0], deven.shape[1] + dodd.shape[1]))
+        dx[:, ::2] = deven
+        dx[:, 1::2] = dodd
+        return dx
 
     def features(self, X: np.ndarray) -> np.ndarray:
         """Frozen encoder tree + residual (SCINet.py:379-381)."""
@@ -432,7 +512,8 @@ class SCINetNP:
         return self._tree("r", self.levels - 1, X) + X
 
     def fit(self, X: np.ndarray, Y: np.ndarray) -> float:
-        """Closed-form ridge for the time-axis projection (projection1)."""
+        """Closed-form ridge for the time-axis projection (projection1),
+        conv tree frozen — the fast deterministic default."""
         Z = self.features(X)
         A = Z.T @ Z + self.ridge * np.eye(self.n_in)
         B = Z.T @ np.asarray(Y, dtype=np.float64)
@@ -440,6 +521,83 @@ class SCINetNP:
         self.fitted = True
         pred = Z @ self.proj.T
         return float(((pred - Y) ** 2).mean())
+
+    def _flat_params(self) -> dict[str, np.ndarray]:
+        p = {"proj": self.proj}
+        for path, node in self.nodes.items():
+            for k, v in node.items():
+                p[path + "/" + k] = v
+        return p
+
+    def _grads(self, X: np.ndarray, Y: np.ndarray):
+        """Full analytic gradients through projection AND the interaction
+        tree (conv stacks, exp/mul couplings, zip recursion)."""
+        X = np.asarray(X, dtype=np.float64)
+        Y = np.asarray(Y, dtype=np.float64)
+        tree_out, cache = self._tree_fwd("r", self.levels - 1, X)
+        feat = tree_out + X
+        pred = feat @ self.proj.T
+        err = pred - Y
+        loss = float((err * err).mean())
+        d_pred = 2.0 * err / err.size
+        grads = {k: np.zeros_like(v) for k, v in self._flat_params().items()}
+        grads["proj"] += d_pred.T @ feat
+        d_feat = d_pred @ self.proj
+        self._tree_back("r", self.levels - 1, cache, d_feat, grads)
+        return loss, grads
+
+    def fit_bp(
+        self,
+        X: np.ndarray,
+        Y: np.ndarray,
+        epochs: int = 80,
+        lr: float = 5e-3,
+        max_grad_norm: float = 5.0,
+        patience: int = 10,
+        val_frac: float = 0.2,
+    ) -> list[float]:
+        """End-to-end training: every conv weight in the even/odd interaction
+        tree plus the projection, full-batch Adam with early stop — the
+        complete SCINet.py training contract (ridge `fit` remains the cheap
+        reservoir-style alternative). Warm-starts the projection with one
+        ridge solve so early epochs aren't wasted learning scale."""
+        X = np.asarray(X, dtype=np.float64)
+        Y = np.asarray(Y, dtype=np.float64)
+        cut = _val_split(len(X), val_frac)
+        Xtr, Ytr, Xva, Yva = X[:cut], Y[:cut], X[cut:], Y[cut:]
+        if not len(Xva):
+            Xva, Yva = Xtr, Ytr
+        self.fit(Xtr, Ytr)  # ridge warm start for proj
+        params = self._flat_params()
+        opt = _Adam(params, lr)
+        # the warm start competes as a checkpoint too: if no Adam epoch beats
+        # its validation loss, training falls back to exactly the ridge model
+        v0 = float(((self.predict(Xva) - Yva) ** 2).mean())
+        best = (v0, {k: v.copy() for k, v in params.items()})
+        bad, hist = 0, []
+        for _ in range(epochs):
+            loss, g = self._grads(Xtr, Ytr)
+            hist.append(loss)
+            _clip_global(g, max_grad_norm)
+            opt.step(params, g)  # in-place: params alias self.proj / nodes
+            self.proj = params["proj"]
+            v = self.predict(Xva)
+            v_loss = float(((v - Yva) ** 2).mean())
+            if v_loss < best[0] - 1e-12:
+                best = (v_loss, {k: v.copy() for k, v in params.items()})
+                bad = 0
+            else:
+                bad += 1
+                if bad >= patience:
+                    break
+        # restore best checkpoint
+        self.proj = best[1]["proj"]
+        for key, v in best[1].items():
+            if "/" in key:
+                path, name = key.split("/", 1)
+                self.nodes[path][name] = v
+        self.fitted = True
+        return hist
 
     def predict(self, X: np.ndarray) -> np.ndarray:
         return self.features(X) @ self.proj.T
