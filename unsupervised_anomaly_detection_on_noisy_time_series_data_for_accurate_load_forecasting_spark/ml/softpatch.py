@@ -56,6 +56,7 @@ class SoftPatchConfig:
     coreset_max: int = 1024  # greedy k-center is O(k·n); cap k for the driver loop
     candidate_cap: int = 50000  # deterministic stride-subsample of the bank candidates
     weight_quantile: float = 0.15  # drop the most-outlying 15 % of patches
+    weight_mode: str = "gaussian"  # M10 denoiser: 'gaussian' (two-phase) | 'lof'
     ewma_alpha: float = 0.2
     seed: int = 42
 
@@ -280,7 +281,7 @@ def gaussian_patch_stats(embedded: DataFrame, cfg: SoftPatchConfig) -> dict[int,
     return stats
 
 
-def patch_weights(embedded: DataFrame, cfg: SoftPatchConfig, mode: str = "gaussian") -> DataFrame:
+def patch_weights(embedded: DataFrame, cfg: SoftPatchConfig, mode: str | None = None) -> DataFrame:
     """M10: per-patch-position outlier weights.
 
     ``gaussian`` (default): two-phase distributed moments
@@ -292,6 +293,8 @@ def patch_weights(embedded: DataFrame, cfg: SoftPatchConfig, mode: str = "gaussi
     matrix per patch position, which is inherently quadratic — each position
     group is capped at ``candidate_cap`` rows (deterministic key order) and
     documented as a sampled estimate at scale."""
+    if mode is None:
+        mode = cfg.weight_mode
     if mode == "lof":
         return _lof_patch_weights(embedded, cfg)
 

@@ -27,6 +27,7 @@ from .softpatch import (
     N_BUCKETS,
     STRIDE_SALT,
     SoftPatchConfig,
+    _lof_weights,
     _projection,
     greedy_coreset,
 )
@@ -128,6 +129,23 @@ def gaussian_weights_pd(embedded: pd.DataFrame, cfg: SoftPatchConfig) -> pd.Data
     return out
 
 
+def lof_weights_pd(embedded: pd.DataFrame, cfg: SoftPatchConfig) -> pd.DataFrame:
+    """Mirror of softpatch._lof_patch_weights: full patch-position groups,
+    key-sorted, capped at candidate_cap, scored with the SHARED _lof_weights
+    kernel (bit-identical numpy). Rows beyond the cap are dropped, exactly
+    like the Spark island."""
+    frames = []
+    for p, grp in embedded.groupby("patch_idx", sort=True):
+        grp = grp.sort_values(["series_id", "eday"]).reset_index(drop=True)
+        if len(grp) > cfg.candidate_cap:
+            grp = grp.iloc[: cfg.candidate_cap]
+        feats = np.stack(grp["patch"].to_numpy())
+        out = grp.copy()
+        out["weight"] = _lof_weights(feats)
+        frames.append(out)
+    return pd.concat(frames, ignore_index=True)
+
+
 def spark_percentile(values: np.ndarray, q: float) -> float:
     """Spark's exact `percentile` interpolation (and numpy's 'linear'):
     pos = q·(n−1); v = lo + (pos − ⌊pos⌋)·(hi − lo)."""
@@ -141,7 +159,10 @@ def spark_percentile(values: np.ndarray, q: float) -> float:
 
 def fit_bank_pd(embedded: pd.DataFrame, cfg: SoftPatchConfig) -> np.ndarray:
     """Mirror of softpatch.fit_memory_bank_from_embedded (clean subset in)."""
-    weighted = gaussian_weights_pd(embedded, cfg)
+    if cfg.weight_mode == "lof":
+        weighted = lof_weights_pd(embedded, cfg)
+    else:
+        weighted = gaussian_weights_pd(embedded, cfg)
     cut = spark_percentile(weighted["weight"].to_numpy(), 1.0 - cfg.weight_quantile)
     kept = weighted[weighted["weight"] <= cut]
     # stride derives from the TOTAL candidate count (one driver job serves

@@ -22,13 +22,13 @@ from ..sources.readers import load_table
 from .registry import register
 
 
-def _mirror_scored():
+def _mirror_scored(cfg: SoftPatchConfig | None = None):
     from ..ml.softpatch_mirror import softpatch_scores_pd
     from .queries_neural import _duck_points
     from .queries_timeseries import INJ_CTE
 
     pts = _duck_points(f"WITH {INJ_CTE} SELECT series_id, ts, value_contam, gt FROM inj")
-    return softpatch_scores_pd(pts)
+    return softpatch_scores_pd(pts, cfg)
 
 
 def _ts_lit(eday: int) -> str:
@@ -38,8 +38,8 @@ def _ts_lit(eday: int) -> str:
     return f"'{d:%Y-%m-%d %H:%M:%S}'::TIMESTAMP"
 
 
-def _scores_oracle() -> str:
-    s = _mirror_scored()
+def _scores_oracle(cfg: SoftPatchConfig | None = None) -> str:
+    s = _mirror_scored(cfg)
     rows = ",".join(
         f"('{r.series_id}',{_ts_lit(r.eday)},{int(r.window_label)},{round(float(r.score_norm), 9)!r}::DOUBLE)"
         for r in s.itertuples()
@@ -138,6 +138,27 @@ def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_softpatch_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scores(spark, sf_dir).select(
+        "series_id", "window_start", "window_label", F.round("score_norm", 9).alias("score_norm")
+    )
+
+
+_LOF_CFG = SoftPatchConfig(weight_mode="lof")
+
+
+@register(
+    "ml_softpatch_scores_lof",
+    oracle=lambda: _scores_oracle(_LOF_CFG),
+    tags=("M10", "M11", "M12", "M13", "A7", "W10"),
+    doc="M10's alternative denoiser: Local Outlier Factor patch weights "
+    "(softpatch.py:279-286 semantics, k=6) feeding the same coreset/scoring "
+    "pipeline — capped per-position groups (the documented sampled estimate "
+    "at scale), mirror-verified like the gaussian path.",
+)
+def ml_softpatch_scores_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = softpatch_scores(
+        None, _LOF_CFG, embedded=_embedded(spark, sf_dir), release_previous=False
+    )
+    return scored.select(
         "series_id", "window_start", "window_label", F.round("score_norm", 9).alias("score_norm")
     )
 

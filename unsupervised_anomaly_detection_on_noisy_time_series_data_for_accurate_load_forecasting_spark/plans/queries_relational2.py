@@ -614,3 +614,32 @@ def p8_test_exclusions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("excluded").cast("int")).cast("bigint").alias("n_excluded_days"),
         dsum(F.when(F.col("is_test") & ~F.col("excluded"), F.col("day_sum")).otherwise(F.lit(0.0))).alias("sum_test_kept"),
     )
+
+
+@register(
+    "bucketed_join_revenue",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n_items,
+           {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("J1", "S6"),
+    doc="Storage-side co-location contract: both fact tables written "
+    "bucketed by the join key, then joined shuffle-free (SortMergeJoin "
+    "with zero Exchange — the plan property tests/test_bucketing_skew.py "
+    "asserts). The oracle checks the JOIN RESULT; bucketing must never "
+    "change values, only the physical plan.",
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bucketing import bucketed_join, write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    write_bucketed(li, "b_lineitem", "l_orderkey", n_buckets=8, sort_col="l_orderkey")
+    write_bucketed(od, "b_orders", "o_orderkey", n_buckets=8, sort_col="o_orderkey")
+    j = bucketed_join(spark, "b_lineitem", "b_orders", "l_orderkey", "o_orderkey")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
+    )
