@@ -57,6 +57,9 @@ class SoftPatchConfig:
     candidate_cap: int = 50000  # deterministic stride-subsample of the bank candidates
     weight_quantile: float = 0.15  # drop the most-outlying 15 % of patches
     weight_mode: str = "gaussian"  # M10 denoiser: 'gaussian' (two-phase) | 'lof'
+    # LOF builds a cap² pairwise matrix per patch-position group; 2048 rows
+    # ≈ 34 MB — the memory-derived bound, much tighter than candidate_cap
+    lof_cap: int = 2048
     ewma_alpha: float = 0.2
     seed: int = 42
 
@@ -334,8 +337,8 @@ def _lof_patch_weights(embedded: DataFrame, cfg: SoftPatchConfig) -> DataFrame:
         # Pin row order: float kNN ties are order-sensitive, and Arrow batch
         # arrival order is not deterministic.
         pdf = pdf.sort_values(["series_id", "window_start"]).reset_index(drop=True)
-        if len(pdf) > cfg.candidate_cap:  # bounded quadratic term
-            pdf = pdf.iloc[: cfg.candidate_cap]
+        if len(pdf) > cfg.lof_cap:  # bounded quadratic term (cap² matrix)
+            pdf = pdf.iloc[: cfg.lof_cap]
         feats = np.stack(pdf["feature"].to_numpy())
         return pd.DataFrame(
             {

@@ -137,8 +137,8 @@ def lof_weights_pd(embedded: pd.DataFrame, cfg: SoftPatchConfig) -> pd.DataFrame
     frames = []
     for p, grp in embedded.groupby("patch_idx", sort=True):
         grp = grp.sort_values(["series_id", "eday"]).reset_index(drop=True)
-        if len(grp) > cfg.candidate_cap:
-            grp = grp.iloc[: cfg.candidate_cap]
+        if len(grp) > cfg.lof_cap:
+            grp = grp.iloc[: cfg.lof_cap]
         feats = np.stack(grp["patch"].to_numpy())
         out = grp.copy()
         out["weight"] = _lof_weights(feats)
