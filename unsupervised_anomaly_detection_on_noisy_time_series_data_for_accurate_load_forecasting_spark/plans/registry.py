@@ -31,6 +31,27 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Explicit presentation order for queries()/oracle_sql(), decoupled from
+# import/registration order. The driver's correctness gate hash-checks the
+# FIRST 50 entries of queries() each round, so this list front-loads the
+# queries most in need of fresh driver evidence (never-checked, changed this
+# round) ahead of queries already driver-green in prior rounds. Names absent
+# from the list follow in registration order.
+PRIORITY: list[str] = []
+
+
+def set_priority(names: list[str]) -> None:
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        raise ValueError(f"priority names not registered: {unknown}")
+    PRIORITY[:] = names
+
+
+def _ordered() -> list[QuerySpec]:
+    prioritized = [REGISTRY[n] for n in PRIORITY]
+    rest = [s for n, s in REGISTRY.items() if n not in set(PRIORITY)]
+    return prioritized + rest
+
 
 def register(
     name: str,
@@ -48,12 +69,12 @@ def register(
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {n: s.spark for n, s in REGISTRY.items()}
+    return {s.name: s.spark for s in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        n: (s.oracle() if callable(s.oracle) else s.oracle)
-        for n, s in REGISTRY.items()
+        s.name: (s.oracle() if callable(s.oracle) else s.oracle)
+        for s in _ordered()
         if s.oracle is not None
     }
