@@ -156,3 +156,39 @@ def test_stateful_bigint_fallback_matches_fast_path():
     assert [(int(a), float(b), int(c)) for a, b, c in manual] == [
         (int(a), float(b), int(c)) for a, b, c in ref_out
     ]
+
+
+def test_stateful_overflow_regime_exact():
+    """|q| > ~3.03e9 makes q*q wrap in int64: the guard must be computed from
+    Python-int |q|.max() (never an int64 square) and the fallback must square
+    Python ints. Values ~4e6 → q ~4e9 → q² ≈ 1.6e19 > 2^63."""
+    import unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.streaming.stateful as S
+
+    rs = np.random.RandomState(11)
+    n = 60
+    values = 4.0e6 + rs.standard_normal(n) * 100.0
+    values[45] = 4.2e6  # outlier on the quantized lattice
+    q = np.floor(values * 1000.0 + 0.5).astype(np.int64)
+    assert int(np.abs(q).max()) ** 2 > 2**63, "test must be in the wrap regime"
+
+    out, final_state = _run_sliced(values, [20, 20, 20])
+
+    # Exact Python-int replica of the spec
+    acc1, acc2 = 0, 0
+    s1f, s2f = np.empty(n), np.empty(n)
+    for i in range(n):
+        s1f[i], s2f[i] = float(acc1), float(acc2)
+        acc1 += int(q[i])
+        acc2 += int(q[i]) ** 2
+    n_prev = np.arange(n, dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = s1f / n_prev
+        var = (s2f - s1f * s1f / n_prev) / (n_prev - 1.0)
+        z = (q.astype(np.float64) - mean) / np.sqrt(var)
+    flag = (np.arange(n) >= S.WARMUP) & (var > 0) & (np.abs(z) > S.Z_THRESHOLD)
+
+    assert final_state == (n, str(acc1), str(acc2))
+    assert acc2 > 2**63, "exact Σq² must exceed int64 — proves no wrap survived"
+    expect = [(int(i), float(z[i]), int(i)) for i in np.arange(n)[flag]]
+    assert [(int(a), float(b), int(c)) for a, b, c in out] == expect
+    assert len(expect) > 0, "the planted outlier must flag"

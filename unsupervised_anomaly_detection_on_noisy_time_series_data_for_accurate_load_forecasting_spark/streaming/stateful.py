@@ -73,11 +73,15 @@ def _online_flags(
     v = pdf["value"].to_numpy(dtype=np.float64)
     q = np.floor(v * 1000.0 + 0.5).astype(np.int64)
 
-    qq = q * q
-    # int64 fast path unless the batch prefix could overflow 2^62
-    if len(q) and (abs(int(s1_0)) + int(np.abs(q).max()) * len(q) < 2**62) and (
-        int(s2_0) + int(qq.max()) * len(q) < 2**62
+    # Overflow guard computed entirely in Python ints: q*q in int64 would
+    # itself wrap for |q| > ~3.03e9, so the bound must come from |q|.max(),
+    # never from an int64 square. mq*mq*len < 2^62 (with s1_0/s2_0 folded in)
+    # also guarantees every q*q and both int64 cumsums below stay exact.
+    mq = int(np.abs(q).max()) if len(q) else 0
+    if len(q) and (abs(int(s1_0)) + mq * len(q) < 2**62) and (
+        int(s2_0) + mq * mq * len(q) < 2**62
     ):
+        qq = q * q  # int64-exact: guard above bounds mq² · len
         s1_prev = s1_0 + (np.cumsum(q) - q)
         s2_prev = s2_0 + (np.cumsum(qq) - qq)
         s1f, s2f = s1_prev.astype(np.float64), s2_prev.astype(np.float64)
@@ -87,9 +91,10 @@ def _online_flags(
         s1f = np.empty(len(q))
         s2f = np.empty(len(q))
         for i in range(len(q)):
+            qi = int(q[i])
             s1f[i], s2f[i] = float(acc1), float(acc2)
-            acc1 += int(q[i])
-            acc2 += int(qq[i])
+            acc1 += qi
+            acc2 += qi * qi
         s1_end, s2_end = acc1, acc2
 
     n_prev = n0 + np.arange(len(q), dtype=np.int64)
