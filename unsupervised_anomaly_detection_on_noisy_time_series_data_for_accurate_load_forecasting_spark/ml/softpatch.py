@@ -40,7 +40,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -294,8 +294,11 @@ def patch_weights(embedded: DataFrame, cfg: SoftPatchConfig, mode: str | None = 
 
     ``lof``: the reference's alternative denoiser needs the full pairwise
     matrix per patch position, which is inherently quadratic — each position
-    group is capped at ``candidate_cap`` rows (deterministic key order) and
-    documented as a sampled estimate at scale."""
+    group is capped at ``lof_cap`` rows (2048, derived from the quadratic
+    memory footprint of the cap²-sized pairwise matrix; deterministic
+    (series_id, window_start) key order), applied **engine-side** with a
+    ``row_number`` filter so the Arrow transfer into the UDF is bounded by
+    construction; documented as a sampled estimate at scale."""
     if mode is None:
         mode = cfg.weight_mode
     if mode == "lof":
@@ -335,10 +338,9 @@ def patch_weights(embedded: DataFrame, cfg: SoftPatchConfig, mode: str | None = 
 def _lof_patch_weights(embedded: DataFrame, cfg: SoftPatchConfig) -> DataFrame:
     def per_patch(key, pdf: pd.DataFrame) -> pd.DataFrame:
         # Pin row order: float kNN ties are order-sensitive, and Arrow batch
-        # arrival order is not deterministic.
+        # arrival order is not deterministic. The row SET is already capped
+        # engine-side; this sort only fixes the in-matrix order.
         pdf = pdf.sort_values(["series_id", "window_start"]).reset_index(drop=True)
-        if len(pdf) > cfg.lof_cap:  # bounded quadratic term (cap² matrix)
-            pdf = pdf.iloc[: cfg.lof_cap]
         feats = np.stack(pdf["feature"].to_numpy())
         return pd.DataFrame(
             {
@@ -350,7 +352,23 @@ def _lof_patch_weights(embedded: DataFrame, cfg: SoftPatchConfig) -> DataFrame:
             }
         )
 
-    return embedded.groupBy("patch_idx").applyInPandas(per_patch, schema=_WEIGHT_SCHEMA)
+    # Cap each patch-position group BEFORE the group is shipped to Python:
+    # row_number over the same (series_id, window_start) order the UDF sorts
+    # by selects exactly the rows the old in-UDF truncation kept, but the
+    # executor never materializes (or Arrow-transfers) the unbounded group.
+    # (series_id, window_start) is unique within a patch position, so the
+    # window order is total and the selection deterministic.
+    capped = (
+        embedded.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("patch_idx").orderBy("series_id", "window_start")
+            ),
+        )
+        .where(F.col("_rn") <= cfg.lof_cap)
+        .drop("_rn")
+    )
+    return capped.groupBy("patch_idx").applyInPandas(per_patch, schema=_WEIGHT_SCHEMA)
 
 
 def greedy_coreset(feats: np.ndarray, ratio: float, seed: int, k_max: int | None = None) -> np.ndarray:
