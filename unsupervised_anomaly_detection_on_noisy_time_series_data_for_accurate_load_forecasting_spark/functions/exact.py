@@ -76,6 +76,30 @@ def dstd(col: Column | str, ddof: int = 1) -> Column:
     return F.sqrt(dvar(col, ddof))
 
 
+def qround(col: Column | str, digits: int) -> Column:
+    """Tie-free engine-portable rounding to ``digits`` decimals:
+    ``floor(x·10^d + 0.5) / 10^d``. Unlike ``F.round`` (BigDecimal HALF_UP)
+    vs Python ``round`` / DuckDB double-round (half-even), ``floor`` has no
+    tie mode, so dyadic doubles that land exactly on decimal midpoints
+    (k/2^n with n > d·log2(10)) quantize identically in every engine.
+    Exact for |x| < ~9·10^(18-d) (Spark's floor(double) yields LONG)."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.lit(float(10**digits))
+    return F.floor(c * p + F.lit(0.5)) / p
+
+
+def qround_sql(expr: str, digits: int) -> str:
+    p = float(10**digits)
+    return f"(floor(({expr}) * {p} + 0.5) / {p})"
+
+
+def qround_py(x: float, digits: int) -> float:
+    import math
+
+    p = float(10**digits)
+    return math.floor(x * p + 0.5) / p
+
+
 def dsum_sql(expr: str) -> str:
     return f"CAST(sum({dec_sql(expr)}) AS DOUBLE)"
 

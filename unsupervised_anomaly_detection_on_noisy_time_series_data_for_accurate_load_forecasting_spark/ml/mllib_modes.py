@@ -1,17 +1,21 @@
-"""MLlib scale modes for the memory-bank pipeline.
+"""Distributed scale modes for the memory-bank pipeline.
 
 The parity modes (ml/softpatch.py) mirror the reference's sequential
 algorithms (greedy k-center on the driver, exact 1-NN against a broadcast
-bank). These MLlib modes are the *distributed* alternatives for banks that
+bank). These modes are the *distributed* alternatives for banks that
 outgrow a driver/broadcast — flagged in SURVEY.md §4.2:
 
-- M11 scale mode: KMeans(k)‖ replaces greedy k-center — cluster centers are
-  the coreset. Fully distributed, JVM-side.
-- J5/M12 scale mode: BucketedRandomProjectionLSH approxSimilarityJoin
-  replaces the broadcast cdist — an ANN join that shuffles on hash buckets
-  instead of materializing N×M distances.
+- M11 scale mode: a distributed bank subsample replaces greedy k-center.
+  Two variants: KMeans(k)‖ cluster centers (JVM-side, seeded but not
+  reproducible outside the JVM — pytest-covered), and the deterministic
+  seeded-subset bank (cross-engine RNG, fully oracle-verifiable).
+- J5/M12 scale mode: an ANN join replaces the broadcast cdist. Two
+  variants: BucketedRandomProjectionLSH approxSimilarityJoin (JVM hash
+  planes), and the deterministic IVF cell join (:func:`det_ann_scores`) —
+  broadcast coarse centroids, one shuffle on cell id, decimal-exact
+  distances, reproducible in the numpy mirror.
 
-Both operate on the same embedded-patch DataFrame contract
+All operate on the same embedded-patch DataFrame contract
 (series_id, window_start, patch_idx, feature ARRAY<DOUBLE>).
 """
 
@@ -20,8 +24,109 @@ from __future__ import annotations
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.feature import BucketedRandomProjectionLSH
 from pyspark.ml.functions import array_to_vector, vector_to_array
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+
+ANN_BANK_SALT = 61
+ANN_N_BANK = 64
+ANN_N_LISTS = 8
+ANN_N_PROBE = 2
+
+# decimal-exact squared L2 between two ARRAY<DOUBLE> columns: each element
+# square is quantized tie-free at 1e-6 then summed exactly (associative ⇒
+# partition-independent), matching operators/similarity.py's dist2 form.
+_D2Q = (
+    "cast(aggregate(zip_with({a}, {b}, (x, c) -> (x - c) * (x - c)), "
+    "cast(0 as decimal(38,6)), (acc, v) -> acc + "
+    "cast(floor(v * 1000000.0 + 0.5) / 1000000.0 as decimal(27,6))) as double)"
+)
+
+
+def det_ann_scores(
+    embedded: DataFrame,
+    n_bank: int = ANN_N_BANK,
+    n_lists: int = ANN_N_LISTS,
+    n_probe: int = ANN_N_PROBE,
+) -> DataFrame:
+    """Deterministic distributed ANN window scores (M11+M12 scale mode,
+    cross-engine verifiable).
+
+    Bank = the ``n_bank`` patches minimizing the cross-engine RNG draw of
+    their (series, day, patch) key — the same FAISS "arbitrary quantizer"
+    subsample pattern as operators/similarity.ivf_topk, standing in for
+    greedy k-center / KMeans‖ (sampler.py:118-174's own justification is
+    that the coreset is an approximation). Scoring = IVF: the first
+    ``n_lists`` bank rows are the coarse cells (broadcast — tiny by
+    construction); bank rows shuffle once on their nearest cell id; each
+    query patch probes its ``n_probe`` nearest cells; min patch distance →
+    max over patches (W10), like the exact path but with neither side
+    collected and the candidate join bounded by the inverted lists.
+
+    Every distance is decimal-exact and every selection keyed by the
+    hash-counter RNG, so the numpy mirror (softpatch_mirror.det_ann_scores_pd)
+    reproduces the full approximate plan bit-for-bit — unlike the KMeans‖ /
+    JVM-LSH variants below, which are seeded but JVM-internal."""
+    skey = F.col("series_id").cast("bigint")
+    eday = F.floor(F.unix_timestamp(F.col("window_start")) / 86400).cast("bigint")
+    from ..functions.rng import rng_draw
+
+    drawn = embedded.select(
+        "series_id",
+        "window_start",
+        "patch_idx",
+        "feature",
+        rng_draw(skey, eday, F.col("patch_idx"), salt=ANN_BANK_SALT).alias("_d"),
+        skey.alias("_sk"),
+        eday.alias("_ed"),
+    )
+    # TakeOrdered n_bank rows (draw is tie-broken by the unique natural key)
+    bank_rows = drawn.orderBy("_d", "_sk", "_ed", "patch_idx").limit(n_bank)
+    bank = bank_rows.select(
+        F.row_number().over(W.orderBy("_d", "_sk", "_ed", "patch_idx")).alias("bank_id"),
+        F.col("feature").alias("bfeat"),
+    )
+    cells = bank.filter(F.col("bank_id") <= n_lists).select(
+        F.col("bank_id").alias("cell"), F.col("bfeat").alias("centroid")
+    )
+    # inverted lists: each bank row joins its nearest cell (cells broadcast;
+    # works at any bank size — the bank itself is never broadcast)
+    bcell = (
+        bank.crossJoin(F.broadcast(cells))
+        .withColumn("cdist", F.expr(_D2Q.format(a="bfeat", b="centroid")))
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                W.partitionBy("bank_id").orderBy(F.col("cdist").asc(), F.col("cell").asc())
+            ),
+        )
+        .filter(F.col("crk") == 1)
+        .select("cell", "bank_id", "bfeat")
+    )
+    probes = (
+        embedded.crossJoin(F.broadcast(cells))
+        .withColumn("cdist", F.expr(_D2Q.format(a="feature", b="centroid")))
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                W.partitionBy("series_id", "window_start", "patch_idx").orderBy(
+                    F.col("cdist").asc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("crk") <= n_probe)
+        .select("series_id", "window_start", "patch_idx", "feature", "cell")
+    )
+    # candidate join shuffles on cell id (no broadcast: inverted lists scale
+    # with the bank; AQE may still broadcast at test SFs where it's tiny)
+    cands = probes.join(bcell, "cell").withColumn(
+        "d2", F.expr(_D2Q.format(a="feature", b="bfeat"))
+    )
+    patch_min = cands.groupBy("series_id", "window_start", "patch_idx").agg(
+        F.min("d2").alias("pd2")
+    )
+    return patch_min.groupBy("series_id", "window_start").agg(
+        F.sqrt(F.max("pd2")).alias("score")
+    )
 
 
 def kmeans_coreset(embedded: DataFrame, k: int = 256, seed: int = 42) -> DataFrame:

@@ -211,6 +211,67 @@ def score_pd(embedded: pd.DataFrame, bank: np.ndarray) -> pd.DataFrame:
     return scored
 
 
+def _qd2_rows(X: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Mirror of mllib_modes._D2Q for a (n, dim) matrix vs one centroid:
+    per-element squared diffs in double, tie-free 1e-6 quantization
+    (floor(v·1e6 + 0.5) — exact integers), exact integer sum, one correctly
+    rounded division back to double. Matches Spark's decimal fold + double
+    cast bit-for-bit."""
+    q = np.floor((X - c[None, :]) ** 2 * 1e6 + 0.5)
+    # integer-valued doubles; sums stay far below 2^53 so the fold is exact
+    return q.sum(axis=1) / 1e6
+
+
+def det_ann_scores_pd(
+    embedded: pd.DataFrame, n_bank: int = 64, n_lists: int = 8, n_probe: int = 2
+) -> pd.DataFrame:
+    """Mirror of mllib_modes.det_ann_scores over the embed_pd long frame:
+    seeded-subset bank → IVF cell assignment → n_probe scan → min patch
+    distance → max over patches → sqrt. Returns (series_id, eday, score)."""
+    from .mllib_modes import ANN_BANK_SALT
+
+    emb = embedded.reset_index(drop=True)
+    draws = rng_draw_np(
+        [
+            emb["series_id"].astype("int64").to_numpy(),
+            emb["eday"].to_numpy(),
+            emb["patch_idx"].to_numpy(),
+        ],
+        salt=ANN_BANK_SALT,
+    )
+    order = np.lexsort(
+        (
+            emb["patch_idx"].to_numpy(),
+            emb["eday"].to_numpy(),
+            emb["series_id"].astype("int64").to_numpy(),
+            draws,
+        )
+    )[:n_bank]
+    bank = np.stack(emb["patch"].iloc[order].to_numpy())  # bank_id = row + 1
+    cells = bank[:n_lists]  # cell = row + 1
+    # bank → nearest cell (ties broken by lowest cell id, like the row_number)
+    bank_cell = np.empty(len(bank), dtype=np.int64)
+    for i in range(len(bank)):
+        d = _qd2_rows(cells, bank[i])
+        bank_cell[i] = int(np.argmin(d))  # argmin takes the first minimum
+    scores: dict[tuple, float] = {}
+    X = np.stack(emb["patch"].to_numpy())
+    sid = emb["series_id"].to_numpy()
+    eday = emb["eday"].to_numpy()
+    for i in range(len(emb)):
+        cd = _qd2_rows(cells, X[i])
+        probe_cells = np.lexsort((np.arange(n_lists), cd))[:n_probe]
+        cand = np.isin(bank_cell, probe_cells)
+        d2min = float(_qd2_rows(bank[cand], X[i]).min())
+        key = (sid[i], int(eday[i]))
+        scores[key] = max(scores.get(key, -np.inf), d2min)
+    rows = [
+        {"series_id": k[0], "eday": k[1], "score": float(np.sqrt(v))}
+        for k, v in scores.items()
+    ]
+    return pd.DataFrame(rows).sort_values(["series_id", "eday"]).reset_index(drop=True)
+
+
 def softpatch_scores_pd(points: pd.DataFrame, cfg: SoftPatchConfig | None = None) -> pd.DataFrame:
     """End-to-end mirror: returns (series_id, eday, window_label, score,
     score_norm) — the expected values for the distributed plan."""

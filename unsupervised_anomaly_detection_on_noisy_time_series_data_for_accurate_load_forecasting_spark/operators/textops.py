@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exact import qround
 from ..functions.rng import M
 
 # Marker stopwords per language for the n-gram/stopword language heuristic.
@@ -107,7 +108,7 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     return (
         df.withColumn("n_tokens", token_count(col))
         .withColumn("n_distinct_tokens", distinct_token_count(col))
-        .withColumn("quality", F.round(quality_score(col), 6))
+        .withColumn("quality", qround(quality_score(col), 6))
         .withColumn("pred_lang", predicted_lang(col))
         .withColumn("fingerprint", fingerprint(col))
     )

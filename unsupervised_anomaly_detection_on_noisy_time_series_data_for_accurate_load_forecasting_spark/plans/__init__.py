@@ -38,7 +38,7 @@ set_priority([
     # (c) changed in round 3 — need fresh evidence
     "ml_softpatch_scores",
     "ml_softpatch_scores_lof",
-    "ml_ann_scores_mllib",
+    "ml_ann_scores_scale",
     "ml_softpatch_eval",
     "d_simhash",
     "stream_window_flags",

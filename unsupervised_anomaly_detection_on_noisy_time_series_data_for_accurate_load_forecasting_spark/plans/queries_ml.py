@@ -5,9 +5,11 @@ see plans/queries_neural.py for the pattern): ml/softpatch_mirror.py
 recomputes the whole pipeline single-node on DuckDB-prepared input, and the
 driver hash-compares the distributed plan against it. Invariants are
 additionally pinned in tests/test_ml_softpatch.py (determinism, coreset
-size, score separation). ml_ann_scores_mllib stays rows-only: its KMeans‖ +
-LSH join run on seeded JVM-internal randomness that no other engine can
-reproduce — the exact-path twin ml_softpatch_scores is the verified one."""
+size, score separation). The ANN scale mode (ml_ann_scores_scale) is also
+mirror-oracled: its bank selection and IVF cell joins run on the
+cross-engine RNG + decimal-exact distances, so the full approximate plan is
+reproducible — the JVM-internal KMeans‖/LSH variants stay in
+ml/mllib_modes.py with pytest coverage only."""
 
 from __future__ import annotations
 
@@ -39,9 +41,11 @@ def _ts_lit(eday: int) -> str:
 
 
 def _scores_oracle(cfg: SoftPatchConfig | None = None) -> str:
+    from ..functions.exact import qround_py
+
     s = _mirror_scored(cfg)
     rows = ",".join(
-        f"('{r.series_id}',{_ts_lit(r.eday)},{int(r.window_label)},{round(float(r.score_norm), 9)!r}::DOUBLE)"
+        f"('{r.series_id}',{_ts_lit(r.eday)},{int(r.window_label)},{qround_py(float(r.score_norm), 9)!r}::DOUBLE)"
         for r in s.itertuples()
     )
     return (
@@ -137,8 +141,10 @@ def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast coreset, numpy stand-in backbone).",
 )
 def ml_softpatch_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+
     return _scores(spark, sf_dir).select(
-        "series_id", "window_start", "window_label", F.round("score_norm", 9).alias("score_norm")
+        "series_id", "window_start", "window_label", qround("score_norm", 9).alias("score_norm")
     )
 
 
@@ -155,29 +161,57 @@ _LOF_CFG = SoftPatchConfig(weight_mode="lof")
     "at scale), mirror-verified like the gaussian path.",
 )
 def ml_softpatch_scores_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+
     scored = softpatch_scores(
         None, _LOF_CFG, embedded=_embedded(spark, sf_dir), release_previous=False
     )
     return scored.select(
-        "series_id", "window_start", "window_label", F.round("score_norm", 9).alias("score_norm")
+        "series_id", "window_start", "window_label", qround("score_norm", 9).alias("score_norm")
+    )
+
+
+def _ann_oracle() -> str:
+    from ..functions.exact import qround_py
+    from ..ml.softpatch_mirror import day_windows_pd, det_ann_scores_pd, embed_pd
+
+    cfg = SoftPatchConfig()
+    from .queries_neural import _duck_points
+    from .queries_timeseries import INJ_CTE
+
+    pts = _duck_points(f"WITH {INJ_CTE} SELECT series_id, ts, value_contam, gt FROM inj")
+    emb = embed_pd(day_windows_pd(pts, cfg.day_size), cfg)
+    s = det_ann_scores_pd(emb)
+    rows = ",".join(
+        f"('{r.series_id}',{_ts_lit(r.eday)},{qround_py(float(r.score), 9)!r}::DOUBLE)"
+        for r in s.itertuples()
+    )
+    return (
+        "SELECT * FROM (VALUES " + rows + ") AS t(series_id, window_start, score)"
     )
 
 
 @register(
-    "ml_ann_scores_mllib",
-    oracle=None,
+    "ml_ann_scores_scale",
+    oracle=lambda: _ann_oracle(),
     tags=("M11", "M12", "J5", "W10"),
-    doc="Distributed scale mode: MLlib KMeans coreset + BucketedRandomProjectionLSH "
-    "approx NN join replace the driver coreset + broadcast cdist.",
+    doc="Distributed ANN scale mode, fully oracle-verifiable: deterministic "
+    "seeded-subset bank + IVF cell join (broadcast coarse centroids, one "
+    "shuffle on cell id, decimal-exact distances) replace the driver coreset "
+    "+ broadcast cdist. The JVM variants (KMeans‖ coreset, "
+    "BucketedRandomProjectionLSH join — ml/mllib_modes.py) remain available "
+    "and pytest-covered; their internal randomness is not reproducible "
+    "outside the JVM, which is why the registered query uses the "
+    "cross-engine-deterministic pattern (same trade as s_ivf_topk).",
 )
-def ml_ann_scores_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.mllib_modes import ann_window_scores, kmeans_coreset
+def ml_ann_scores_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+    from ..ml.mllib_modes import det_ann_scores
 
     embedded = _embedded(spark, sf_dir)  # shared persisted embedding pass
-    bank = kmeans_coreset(embedded, k=64)
-    scores = ann_window_scores(embedded, bank, threshold=1e6)
+    scores = det_ann_scores(embedded)
     return scores.select(
-        "series_id", "window_start", F.round("score", 9).alias("score")
+        "series_id", "window_start", qround("score", 9).alias("score")
     )
 
 

@@ -289,6 +289,9 @@ def _ab_mirror_sql() -> str:
     sse = dsum_sql("(pred - actual) * (pred - actual)")
     sy = dsum_sql("actual")
     sy2 = dsum_sql("actual * actual")
+    # Spark side uses try_divide (NULL on a zero-variance test cell); the
+    # CASE guard keeps the degenerate cell NULL here too instead of inf/NaN.
+    ssy = f"({sy2} - {sy} * {sy} / {n})"
     return f"""
     WITH preds(model, train_data, pred, actual) AS (VALUES {rows})
     SELECT model, train_data, count(*) AS n_points,
@@ -296,6 +299,6 @@ def _ab_mirror_sql() -> str:
            {dsum_sql('abs(pred - actual)')} / {n} AS mae,
            {sse} / {n} AS mse,
            sqrt({sse} / {n}) AS rmse,
-           1.0 - ({sse} / ({sy2} - {sy} * {sy} / {n})) AS r2
+           CASE WHEN {ssy} = 0 THEN NULL ELSE 1.0 - ({sse} / {ssy}) END AS r2
     FROM preds GROUP BY model, train_data
     """

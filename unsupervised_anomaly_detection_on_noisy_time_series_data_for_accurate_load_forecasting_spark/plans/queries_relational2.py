@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum, dsum_sql
+from ..functions.exact import dsum, dsum_sql, qround
 from ..functions.rng import rng_uniform, rng_uniform_sql
 from ..operators import anomaly as AN
 from ..operators import timeseries as TSO
@@ -360,7 +360,7 @@ def m6_knn_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("was_null").cast("bigint").alias("n_was_null"),
         F.sum(F.col("value").isNull().cast("int")).cast("bigint").alias("n_still_null"),
-        F.round(dsum(F.coalesce(F.col(VAL), F.lit(0.0))), 6).alias("sum_filled"),
+        qround(dsum(F.coalesce(F.col(VAL), F.lit(0.0))), 6).alias("sum_filled"),
     )
 
 
@@ -442,7 +442,7 @@ def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS var_q
       FROM pre WHERE n >= 30
     )
-    SELECT user_id, event_id, round(z, 6) AS z, n AS n_seen
+    SELECT user_id, event_id, (floor(z * 1000000.0 + 0.5) / 1000000.0) AS z, n AS n_seen
     FROM zz WHERE var_q > 0 AND abs(z) > 3.0
     """,
     tags=("STREAM-stateful", "W6"),
@@ -458,7 +458,7 @@ def stream_online_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = online_zscore_flags(stream_events(spark, sf_dir))
     name = run_available_now(flags, "online_flags", output_mode="append")
     return spark.table(name).select(
-        "user_id", "event_id", F.round("z", 6).alias("z"), "n_seen"
+        "user_id", "event_id", qround("z", 6).alias("z"), "n_seen"
     )
 
 

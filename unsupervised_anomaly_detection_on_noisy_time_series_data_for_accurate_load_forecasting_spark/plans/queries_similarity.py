@@ -185,7 +185,7 @@ def _ivf_oracle() -> str:
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS INTEGER) AS rk
       FROM cos
     )
-    SELECT qid, nid, round(cosine, 9) AS cosine, rk FROM rk WHERE rk <= 5
+    SELECT qid, nid, (floor(cosine * 1000000000.0 + 0.5) / 1000000000.0) AS cosine, rk FROM rk WHERE rk <= 5
     """
 
 
@@ -200,10 +200,10 @@ def _ivf_oracle() -> str:
     "in tests/test_ann_recall.py.",
 )
 def s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
+    from ..functions.exact import qround
 
     return SIM.ivf_topk(_emb(spark, sf_dir), n_queries=100, k=5).select(
-        "qid", "nid", F.round("cosine", 9).alias("cosine"), "rk"
+        "qid", "nid", qround("cosine", 9).alias("cosine"), "rk"
     )
 
 

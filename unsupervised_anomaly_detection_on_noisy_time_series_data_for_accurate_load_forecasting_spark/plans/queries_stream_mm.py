@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg_sql, dstd_sql, dsum_sql
+from ..functions.exact import davg_sql, dstd_sql, dsum_sql, qround, qround_py
 from ..functions.rng import rng_uniform_sql
 from ..ml import imputer as IM
 from ..operators import anomaly as AN
@@ -86,7 +86,7 @@ def _mm_features_oracle() -> str:
     for r in docs.itertuples():
         payload = r.text.encode("utf-8")
         feat = MM._fake_decode(payload)
-        rows.append(f"({int(r.doc_id)}::BIGINT,{len(payload)}::INTEGER,{round(_fold_sum(feat), 9)!r}::DOUBLE)")
+        rows.append(f"({int(r.doc_id)}::BIGINT,{len(payload)}::INTEGER,{qround_py(_fold_sum(feat), 9)!r}::DOUBLE)")
     return "SELECT * FROM (VALUES " + ",".join(rows) + ") AS t(media_id, n_bytes, feat_sum)"
 
 
@@ -104,7 +104,7 @@ def _mm_frames_oracle() -> str:
     return f"""
     WITH frames(media_id, fsum) AS (VALUES {",".join(frame_rows)})
     SELECT media_id, count(*) AS n_frames_sampled,
-           round({dsum_sql('fsum')}, 9) AS feat_total
+           (floor(({dsum_sql('fsum')}) * 1000000000.0 + 0.5) / 1000000000.0) AS feat_total
     FROM frames GROUP BY media_id
     """
 
@@ -121,7 +121,7 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     feats = MM.extract_features(media)
     return feats.select(
-        "media_id", "n_bytes", F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 9).alias("feat_sum")
+        "media_id", "n_bytes", qround(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 9).alias("feat_sum")
     )
 
 
@@ -141,7 +141,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = MM.frame_sample(media, every_n=4)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames_sampled"),
-        F.round(dsum(F.expr("aggregate(feature, 0D, (a, x) -> a + x)")), 9).alias("feat_total"),
+        qround(dsum(F.expr("aggregate(feature, 0D, (a, x) -> a + x)")), 9).alias("feat_total"),
     )
 
 
@@ -204,7 +204,7 @@ def _mm_resize_oracle() -> str:
         payload = r.text.encode("utf-8") or b"\0"
         arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) / 255.0
         idx = np.linspace(0, len(arr) - 1, n_px).astype(int)
-        rows.append(f"({int(r.doc_id)}::BIGINT,{round(_fold_sum(arr[idx]), 9)!r}::DOUBLE)")
+        rows.append(f"({int(r.doc_id)}::BIGINT,{qround_py(_fold_sum(arr[idx]), 9)!r}::DOUBLE)")
     return (
         "SELECT media_id, 32 AS width, 32 AS height, pix_sum FROM (VALUES "
         + ",".join(rows)
@@ -227,5 +227,5 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
-        F.round(F.expr("aggregate(pixels, 0D, (a, x) -> a + x)"), 9).alias("pix_sum"),
+        qround(F.expr("aggregate(pixels, 0D, (a, x) -> a + x)"), 9).alias("pix_sum"),
     )

@@ -77,19 +77,21 @@ def t_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_quality_score",
     oracle=f"""
     SELECT doc_id,
-           round(0.4 * (CAST(len(list_filter({_TOKS}, x -> x IN ({_STOP}))) AS DOUBLE)
+           (floor((0.4 * (CAST(len(list_filter({_TOKS}, x -> x IN ({_STOP}))) AS DOUBLE)
                         / CAST(len({_TOKS}) AS DOUBLE))
                + 0.3 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
                + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
-                        / CAST(len({_TOKS}) AS DOUBLE)), 6) AS quality
+                        / CAST(len({_TOKS}) AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0) AS quality
     FROM documents
     """,
     tags=("TXT-quality",),
     doc="Composite quality: stopword ratio + length saturation + diversity.",
 )
 def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", F.round(TX.quality_score(), 6).alias("quality"))
+    return d.select("doc_id", qround(TX.quality_score(), 6).alias("quality"))
 
 
 def _marker_duck(lang: str) -> str:
@@ -339,7 +341,7 @@ def _pred_lang_duck() -> str:
     )
     SELECT pred_lang, stage, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           round({dsum_sql('quality')} / count(*), 6) AS avg_quality
+           (floor(({dsum_sql('quality')} / count(*)) * 1000000.0 + 0.5) / 1000000.0) AS avg_quality
     FROM cls GROUP BY 1, 2
     """,
     tags=("TXT-quality", "TXT-langid", "DEDUP-exact", "U5", "A13"),
@@ -351,7 +353,7 @@ def _pred_lang_duck() -> str:
 def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from ..functions.exact import dsum
+    from ..functions.exact import dsum, qround
 
     d = _docs(spark, sf_dir)
     staged = d.select(
@@ -372,6 +374,6 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.round(dsum("quality") / F.count(F.lit(1)), 6).alias("avg_quality"),
+            qround(dsum("quality") / F.count(F.lit(1)), 6).alias("avg_quality"),
         )
     )

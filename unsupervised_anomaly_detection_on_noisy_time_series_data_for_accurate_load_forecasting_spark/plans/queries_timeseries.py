@@ -396,20 +396,22 @@ def a5_running_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a1_price_quantiles",
     oracle="""
-    SELECT round(quantile_cont(l_extendedprice, 0.01), 6) AS q01,
-           round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,
-           round(quantile_cont(l_extendedprice, 0.99), 6) AS q99
+    SELECT (floor(quantile_cont(l_extendedprice, 0.01) * 1000000.0 + 0.5) / 1000000.0) AS q01,
+           (floor(quantile_cont(l_extendedprice, 0.5) * 1000000.0 + 0.5) / 1000000.0) AS q50,
+           (floor(quantile_cont(l_extendedprice, 0.99) * 1000000.0 + 0.5) / 1000000.0) AS q99
     FROM lineitem
     """,
     tags=("A1",),
     doc="Exact interpolated percentiles (normalization bounds).",
 )
 def a1_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.01)), 6).alias("q01"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("q50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("q99"),
+        qround(F.percentile("l_extendedprice", F.lit(0.01)), 6).alias("q01"),
+        qround(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("q50"),
+        qround(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("q99"),
     )
 
 
