@@ -22,10 +22,13 @@ Reference contracts these mirror (citations into /root/reference/):
   conv k=5 → LeakyReLU → conv k=3 → tanh); modified interaction
   d = odd·exp(φ(even)), c = even·exp(ψ(odd)), even' = c + U(d),
   odd' = d − P(c); zip-up interleave; residual; then the time-axis
-  projection Conv1d(input_len→output_len, k=1, no bias). The conv tree is
-  seeded-frozen (a deterministic feature extractor) and the projection is
-  trained in closed form (ridge) — reservoir-style training that keeps the
-  whole fit deterministic without iterative conv backprop.
+  projection Conv1d(input_len→output_len, k=1, no bias). Trained end-to-end
+  (``fit_bp``): analytic backprop through the full conv interaction tree
+  (reppad/conv/LeakyReLU/tanh modules, exp-mul couplings, zip recursion),
+  gradients verified numerically. The closed-form ridge solve (``fit``) is
+  the warm start for the projection and competes as a validation checkpoint,
+  so training falls back to exactly the ridge model when no Adam epoch
+  beats it — everything stays deterministic.
 
 Scale shape: models are O(1)-size; training consumes a driver-side sample of
 windows (callers bound it exactly like the softpatch candidate cap), and

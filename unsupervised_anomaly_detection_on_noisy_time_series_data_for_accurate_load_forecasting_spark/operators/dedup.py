@@ -180,22 +180,39 @@ def minhash_lsh_dedup(
 def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash: token hashes → ±1 votes per bit → sign → packed int.
 
-    Token hashes come from the broadcast vocabulary dim; the bit explosion is
-    a map-side-combinable aggregation keyed by doc."""
+    Token hashes come from the broadcast vocabulary dim. Per-bit vote counts
+    are packed SIMD-style — each token row folds its ``bits`` bit values into
+    ``bits/2`` 32-bit lanes across ``bits/2`` long columns, and one
+    map-side-combinable ``sum`` per lane-column accumulates all bit counters
+    at once. Versus the naive ``explode(0..bits-1)`` shape this cuts
+    pre-combine row volume ``bits``× (one row per token, not one per
+    token×bit). The ±1 vote sum never materializes: sign(Σ±1) > 0 ⟺
+    2·ones(bit) > n_tokens. Lanes are 32-bit so counts are exact for docs up
+    to 2^31 token occurrences — far past any real document."""
     tl = token_long(df, text_col, id_col)
     dim = token_hash_dim(tl)
     t = tl.join(F.broadcast(dim), "tok")
-    b = t.select(
-        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    ).withColumn(
-        "vote",
-        F.when(F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("bigint") % 2 == 1, 1).otherwise(-1),
+    n_lanes = bits // 2  # two 32-bit lanes per long column
+    lanes = [
+        (
+            F.shiftright(F.col("h"), 2 * g).bitwiseAND(F.lit(1))
+            + F.shiftleft(F.shiftright(F.col("h"), 2 * g + 1).bitwiseAND(F.lit(1)), 32)
+        ).alias(f"_l{g}")
+        for g in range(n_lanes)
+    ]
+    packed = t.select(id_col, *lanes)
+    agg = packed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"_l{g}").alias(f"_s{g}") for g in range(n_lanes)],
     )
-    votes = b.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("bigint")).otherwise(F.lit(0))
+    mask32 = F.lit((1 << 32) - 1)
+    code = F.lit(0).cast("bigint")
+    for g in range(n_lanes):
+        ones_lo = F.col(f"_s{g}").bitwiseAND(mask32)
+        ones_hi = F.shiftrightunsigned(F.col(f"_s{g}"), 32)
+        code = (
+            code
+            + F.when(ones_lo * 2 > F.col("_n"), F.lit(1 << (2 * g)).cast("bigint")).otherwise(F.lit(0))
+            + F.when(ones_hi * 2 > F.col("_n"), F.lit(1 << (2 * g + 1)).cast("bigint")).otherwise(F.lit(0))
         )
-        .cast("bigint")
-        .alias("simhash")
-    )
+    return agg.select(id_col, code.cast("bigint").alias("simhash"))
