@@ -35,7 +35,8 @@ set_priority([
     "w7_patch_extend",
     "u4_hash_split",
     "a14_quality_gate",
-    # (c) changed in round 3 — need fresh evidence
+    # (c) new or changed in round 3 — need fresh evidence
+    "a1_price_quantiles_approx",
     "ml_softpatch_scores",
     "ml_softpatch_scores_lof",
     "ml_ann_scores_scale",

@@ -415,6 +415,55 @@ def a1_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A1_PROBS = (0.01, 0.5, 0.99)
+_A1_ACC = 10000  # GK sketch accuracy: rank error <= n / _A1_ACC
+
+
+@register(
+    "a1_price_quantiles_approx",
+    oracle="SELECT TRUE AS q01_ok, TRUE AS q50_ok, TRUE AS q99_ok",
+    tags=("A1",),
+    doc="A1 scale mode: percentile_approx (Greenwald-Khanna sketch, "
+    "single-pass, mergeable partials — the 100-TB shape, vs exact "
+    "percentile's full sort). The sketch value itself is engine-internal, "
+    "so the oracle is an invariant: each returned quantile's true rank "
+    "(counted exactly against the data) must sit within the sketch's "
+    "documented n/accuracy rank-error bound of the target rank. Reference "
+    "semantics: process_aemo.py:184-188 quantile normalization bounds.",
+)
+def a1_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    qs = li.agg(
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(*[F.lit(p) for p in _A1_PROBS]),
+            F.lit(_A1_ACC),
+        ).alias("qs")
+    )
+    j = li.crossJoin(F.broadcast(qs))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(len(_A1_PROBS)):
+        q_i = F.element_at("qs", i + 1)
+        aggs.append(
+            F.sum((F.col("l_extendedprice") < q_i).cast("bigint")).alias(f"lt{i}")
+        )
+        aggs.append(
+            F.sum((F.col("l_extendedprice") <= q_i).cast("bigint")).alias(f"le{i}")
+        )
+    counts = j.agg(*aggs)
+    tol = F.col("n").cast("double") / F.lit(float(_A1_ACC)) + F.lit(1.0)
+    checks = []
+    for i, (p, name) in enumerate(zip(_A1_PROBS, ("q01_ok", "q50_ok", "q99_ok"))):
+        target = F.col("n").cast("double") * F.lit(p)
+        checks.append(
+            (
+                (F.col(f"lt{i}").cast("double") <= target + tol)
+                & (F.col(f"le{i}").cast("double") >= target - tol)
+            ).alias(name)
+        )
+    return counts.select(*checks)
+
+
 @register(
     "a6_threshold_flags",
     oracle=f"""
