@@ -46,9 +46,26 @@ def test_gru_seq2seq_gradients_match_numerical():
         assert np.allclose(g[k], num, rtol=1e-4, atol=1e-6), f"grad mismatch for {k}"
 
 
+def test_ae_gradients_match_numerical():
+    rs = np.random.RandomState(7)
+    m = DenoisingAE(seq_len=6, embed=3, seed=1)
+    X = rs.standard_normal((4, 6))
+    Y = rs.standard_normal((4, 6))
+    loss, g = m._grads(X, Y)
+
+    def f():
+        out = m._forward(X)
+        return float(((out - Y) ** 2).mean())
+
+    for k in ("ef_Wi", "ef_Wh", "eb_bi", "df_Wi", "df_Wh", "db_Wh", "db_bh", "Wf", "bf"):
+        num = _num_grad(f, m.p[k])
+        assert np.allclose(g[k], num, rtol=1e-4, atol=1e-6), f"grad mismatch for {k}"
+
+
 def test_ae_gradients_descend_and_restore_best():
     rs = np.random.RandomState(0)
-    clean = rs.standard_normal((40, 24))
+    t = np.arange(24) / 24 * 2 * np.pi
+    clean = np.sin(t)[None, :] * (1 + 0.2 * rs.standard_normal((40, 1))) + 0.1 * rs.standard_normal((40, 24))
     mask = np.zeros_like(clean)
     mask[:, 5:9] = 1
     masked = np.where(mask == 1, 0.0, clean)

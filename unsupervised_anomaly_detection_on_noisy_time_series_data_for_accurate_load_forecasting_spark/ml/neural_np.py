@@ -9,10 +9,12 @@ bit-identical results.
 Reference contracts these mirror (citations into /root/reference/):
 - M17 denoising autoencoder   src/anomaly_imputation/autoencoder.py:107-167
   (input = masked sequence, target = clean sequence, full-sequence MSE,
-   Adam lr 1e-3, grad-clip, early stop with best-checkpoint restore;
+   Adam, grad-clip, early stop with best-checkpoint restore;
    splice per autoencoder.py:187-199 — model output replaces hidden points
-   only). The encoder cell here is an MLP bottleneck rather than a bi-LSTM:
-   the *training contract* is the spec, the cell is an implementation.
+   only). Recurrent cell matching the reference's shape: bidirectional
+   recurrent encoder → mean-over-time latent → latent repeated into a
+   bidirectional recurrent decoder → linear head (GRU gating instead of
+   LSTM; the GRU machinery is shared with M20 and numerically verified).
 - M20 seq2seq GRU             src/forecasting/seq2seq/model.py:6-59,
   wrapper.py:12-135 — torch-convention GRU encoder; decoder GRU seeded with
   the encoder state, fc→relu→out head, feeding its own output back for the
@@ -37,9 +39,62 @@ inference ships broadcast weights into mapInPandas islands.
 
 from __future__ import annotations
 
+import contextlib
+import ctypes
+import glob
+import os
+
 import numpy as np
 
 __all__ = ["DenoisingAE", "GRUSeq2Seq", "SCINetNP"]
+
+
+def _openblas_handle():
+    """The OpenBLAS shared object numpy loaded, or None. Cached."""
+    global _OPENBLAS
+    if _OPENBLAS is not False:
+        return _OPENBLAS
+    _OPENBLAS = None
+    libdir = os.path.join(os.path.dirname(os.path.dirname(np.__file__)), "numpy.libs")
+    for f in glob.glob(os.path.join(libdir, "*openblas*")):
+        try:
+            h = ctypes.CDLL(f)
+        except OSError:
+            continue
+        for suffix in ("64_", "", "_64"):
+            if hasattr(h, f"openblas_set_num_threads{suffix}"):
+                _OPENBLAS = (
+                    getattr(h, f"openblas_get_num_threads{suffix}"),
+                    getattr(h, f"openblas_set_num_threads{suffix}"),
+                )
+                return _OPENBLAS
+    return _OPENBLAS
+
+
+_OPENBLAS: object = False
+
+
+@contextlib.contextmanager
+def _blas_single_thread():
+    """Pin the in-process OpenBLAS pool to one thread for the duration.
+
+    The recurrent fits run hundreds of tiny GEMMs per epoch; OpenBLAS's
+    default all-core pool spends more time spinning than computing on those
+    shapes (3× wall measured on local[32]), and a fixed thread count also
+    pins the GEMM reduction order, so driver fit and mirror fit stay
+    bit-identical regardless of machine core count. No-op when OpenBLAS
+    isn't the loaded backend."""
+    h = _openblas_handle()
+    if h is None:
+        yield
+        return
+    get_n, set_n = h
+    prev = get_n()
+    set_n(1)
+    try:
+        yield
+    finally:
+        set_n(prev)
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
@@ -84,48 +139,203 @@ def _val_split(n: int, val_frac: float) -> int:
 
 
 class DenoisingAE:
-    """M17: denoising autoencoder seq_len → bottleneck → seq_len."""
+    """M17: recurrent denoising autoencoder, the reference's cell shape
+    (src/anomaly_imputation/autoencoder.py:7-58): bidirectional recurrent
+    encoder over the masked sequence, latent = mean of the encoder outputs
+    over time (``torch.mean(x, dim=1)``), latent repeated seq_len times into
+    a bidirectional recurrent decoder (hidden = 2·embed, as the reference's
+    ``Decoder.hidden_size = 2 * no_features``), linear head to the scalar
+    channel. The cell is a GRU rather than an LSTM (same recurrent gating
+    family; the GRU machinery is shared with the M20 seq2seq model and its
+    gradients are numerically verified)."""
 
-    def __init__(self, seq_len: int = 24, embed: int = 8, hidden: int = 32, seed: int = 0):
+    def __init__(self, seq_len: int = 24, embed: int = 8, seed: int = 0):
         rs = np.random.RandomState(seed)
-        self.seq_len = seq_len
-        self.p = {
-            "W1": _glorot(rs, seq_len, hidden),
-            "b1": np.zeros(hidden),
-            "W2": _glorot(rs, hidden, embed),
-            "b2": np.zeros(embed),
-            "W3": _glorot(rs, embed, hidden),
-            "b3": np.zeros(hidden),
-            "W4": _glorot(rs, hidden, seq_len),
-            "b4": np.zeros(seq_len),
-        }
+        self.seq_len, self.embed = seq_len, embed
+        dec_h = 2 * embed
+        self.p: dict[str, np.ndarray] = {}
+        for pre, d, h in (
+            ("ef_", 1, embed),
+            ("eb_", 1, embed),
+            ("df_", 2 * embed, dec_h),
+            ("db_", 2 * embed, dec_h),
+        ):
+            for k, v in _gru_init(rs, d, h).items():
+                self.p[pre + k] = v
+        self.p["Wf"] = _glorot(rs, 2 * dec_h, 1)
+        self.p["bf"] = np.zeros(1)
+        self.mu, self.sd = 0.0, 1.0  # affine input scale, learned at fit
         self.fitted = False
 
-    def _forward(self, X: np.ndarray):
-        p = self.p
-        h1 = np.tanh(X @ p["W1"].T + p["b1"])
-        z = np.tanh(h1 @ p["W2"].T + p["b2"])  # the embedding
-        h2 = np.tanh(z @ p["W3"].T + p["b3"])
-        out = h2 @ p["W4"].T + p["b4"]
-        return h1, z, h2, out
+    def _forward(self, X: np.ndarray, want_cache: bool = False):
+        """X: (n, L) masked input → (n, L) reconstruction.
 
-    def predict(self, X: np.ndarray) -> np.ndarray:
-        return self._forward(np.asarray(X, dtype=np.float64))[-1]
+        Bidirectional runs share one loop body: the backward direction
+        processes positions L-1..0; its output for position t is the state
+        after step s = L-1-t."""
+        n, L = X.shape
+        E, D = self.embed, 2 * self.embed
+        p = self.p
+        # input-side projections hoisted out of the recurrence: the encoder
+        # input is a scalar (one broadcast multiply covers all steps), the
+        # decoder input is step-constant (one matmul per direction)
+        gi_ef = X[:, :, None] * p["ef_Wi"][None, None, :, 0] + p["ef_bi"]  # (n, L, 3E)
+        gi_eb = X[:, :, None] * p["eb_Wi"][None, None, :, 0] + p["eb_bi"]
+        hf, hb = np.zeros((n, E)), np.zeros((n, E))
+        ef_h, eb_h, ef_c, eb_c = [], [], [], []
+        for t in range(L):
+            hf, c = _gru_step(p, "ef_", X[:, t : t + 1], hf, gi=gi_ef[:, t])
+            ef_h.append(hf)
+            ef_c.append(c)
+            s = L - 1 - t
+            hb, c = _gru_step(p, "eb_", X[:, s : s + 1], hb, gi=gi_eb[:, s])
+            eb_h.append(hb)
+            eb_c.append(c)
+        # latent: mean over positions of concat(fw_t, bw_t); the concat
+        # commutes with the mean, so each direction is averaged separately
+        lat = np.concatenate(
+            [np.mean(ef_h, axis=0), np.mean(eb_h, axis=0)], axis=1
+        )  # (n, 2E)
+        gi_df = lat @ p["df_Wi"].T + p["df_bi"]  # step-constant, (n, 3D)
+        gi_db = lat @ p["db_Wi"].T + p["db_bi"]
+        gf, gb = np.zeros((n, D)), np.zeros((n, D))
+        df_h, db_h, df_c, db_c = [], [], [], []
+        for t in range(L):
+            gf, c = _gru_step(p, "df_", lat, gf, gi=gi_df)
+            df_h.append(gf)
+            df_c.append(c)
+            gb, c = _gru_step(p, "db_", lat, gb, gi=gi_db)
+            db_h.append(gb)
+            db_c.append(c)
+        # head over all positions in one matmul: out[t] pairs the forward
+        # state at t with the backward state for position t (= step L-1-t)
+        fw = np.stack(df_h, axis=1)  # (n, L, D)
+        bw = np.stack(db_h[::-1], axis=1)
+        cats = np.concatenate([fw, bw], axis=2)  # (n, L, 2D)
+        out = cats.reshape(n * L, 2 * D) @ p["Wf"].T
+        out = out.reshape(n, L) + p["bf"][0]
+        if want_cache:
+            return out, (ef_c, eb_c, df_c, db_c, cats, lat)
+        return out
+
+    def predict(self, X: np.ndarray, mask: np.ndarray | None = None) -> np.ndarray:
+        """Reconstruct. The model operates in normalized space (the reference
+        pipeline min-max-normalizes before the AE; here an affine z-scale
+        learned at fit time, carried in the weights): observed points are
+        z-scaled, masked points become the 0.0 missing token *after* scaling
+        — exactly the train-time view — and the output is de-scaled."""
+        X = np.asarray(X, dtype=np.float64)
+        one = X.ndim == 1
+        Xn = (np.atleast_2d(X) - self.mu) / self.sd
+        if mask is not None:
+            Xn = np.where(np.atleast_2d(np.asarray(mask)) == 1, 0.0, Xn)
+        # single-thread BLAS: predict also runs inside executor pandas-UDF
+        # workers, where 32 tasks × an all-core BLAS pool would thrash
+        with _blas_single_thread():
+            out = self._forward(Xn) * self.sd + self.mu
+        return out[0] if one else out
+
+    def _grads(self, X: np.ndarray, Y: np.ndarray):
+        """Full BPTT through head → both decoder directions → latent mean →
+        both encoder directions. Returns (loss, grads)."""
+        n, L = X.shape
+        E, D = self.embed, 2 * self.embed
+        p = self.p
+        out, (ef_c, eb_c, df_c, db_c, cats, lat) = self._forward(X, want_cache=True)
+        err = out - Y
+        loss = float((err * err).mean())
+        d_out = 2.0 * err / err.size  # (n, L)
+        g = {k: np.zeros_like(v) for k, v in p.items()}
+        # head grads in one matmul over all positions
+        do_flat = d_out.reshape(n * L, 1)
+        g["Wf"] = do_flat.T @ cats.reshape(n * L, 2 * D)
+        g["bf"][0] = do_flat.sum()
+        dcats = (do_flat @ p["Wf"]).reshape(n, L, 2 * D)
+        # grads wrt decoder states by PROCESSING step: fw step t is position
+        # t; bw step s is position L-1-s
+        d_df = dcats[:, :, :D]
+        d_db = dcats[:, ::-1, D:]
+        # decoder BPTT. Weight grads batch across steps after the loop:
+        # the input is step-constant, so Σ_t dgi_t.T @ x_t = (Σ dgi).T @ lat,
+        # and the h-side pairs stack into one (L·n) matmul.
+        carry_f = np.zeros((n, D))
+        carry_b = np.zeros((n, D))
+        dgi_f_sum = np.zeros((n, 3 * D))
+        dgi_b_sum = np.zeros((n, 3 * D))
+        dgh_f, dgh_b = [None] * L, [None] * L
+        for t in range(L - 1, -1, -1):
+            dgi, dgh, carry_f = _gru_back_parts(p, "df_", d_df[:, t] + carry_f, df_c[t])
+            dgi_f_sum += dgi
+            dgh_f[t] = dgh
+            dgi, dgh, carry_b = _gru_back_parts(p, "db_", d_db[:, t] + carry_b, db_c[t])
+            dgi_b_sum += dgi
+            dgh_b[t] = dgh
+        for pre, dgi_sum, dgh_l, caches in (
+            ("df_", dgi_f_sum, dgh_f, df_c),
+            ("db_", dgi_b_sum, dgh_b, db_c),
+        ):
+            g[pre + "Wi"] = dgi_sum.T @ lat
+            g[pre + "bi"] = dgi_sum.sum(axis=0)
+            dgh_all = np.concatenate(dgh_l, axis=0)  # (L·n, 3D)
+            h_all = np.concatenate([c[1] for c in caches], axis=0)
+            g[pre + "Wh"] = dgh_all.T @ h_all
+            g[pre + "bh"] = dgh_all.sum(axis=0)
+        d_lat = dgi_f_sum @ p["df_Wi"] + dgi_b_sum @ p["db_Wi"]
+        # encoder BPTT: each position contributes 1/L of the latent mean;
+        # dx is never needed (inputs are data), so only dgi/dgh are kept
+        d_ef = d_lat[:, :E] / L
+        d_eb = d_lat[:, E:] / L
+        carry_f = np.zeros((n, E))
+        carry_b = np.zeros((n, E))
+        dgi_ef, dgh_ef = [None] * L, [None] * L
+        dgi_eb, dgh_eb = [None] * L, [None] * L
+        for t in range(L - 1, -1, -1):
+            dgi, dgh, carry_f = _gru_back_parts(p, "ef_", d_ef + carry_f, ef_c[t])
+            dgi_ef[t] = dgi
+            dgh_ef[t] = dgh
+            dgi, dgh, carry_b = _gru_back_parts(p, "eb_", d_eb + carry_b, eb_c[t])
+            dgi_eb[t] = dgi
+            dgh_eb[t] = dgh
+        for pre, dgi_l, dgh_l, caches in (
+            ("ef_", dgi_ef, dgh_ef, ef_c),
+            ("eb_", dgi_eb, dgh_eb, eb_c),
+        ):
+            dgi_all = np.concatenate(dgi_l, axis=0)  # (L·n, 3E)
+            dgh_all = np.concatenate(dgh_l, axis=0)
+            x_all = np.concatenate([c[0] for c in caches], axis=0)  # (L·n, 1)
+            h_all = np.concatenate([c[1] for c in caches], axis=0)
+            g[pre + "Wi"] = dgi_all.T @ x_all
+            g[pre + "bi"] = dgi_all.sum(axis=0)
+            g[pre + "Wh"] = dgh_all.T @ h_all
+            g[pre + "bh"] = dgh_all.sum(axis=0)
+        return loss, g
 
     def fit(
         self,
         masked: np.ndarray,
         clean: np.ndarray,
         epochs: int = 300,
-        lr: float = 1e-3,
-        max_grad_norm: float = 0.05,
+        lr: float = 5e-3,
+        max_grad_norm: float = 1.0,
         patience: int = 20,
         val_frac: float = 0.2,
+        mask: np.ndarray | None = None,
     ) -> list[float]:
         """Full-sequence MSE(clean, decode(masked)) — autoencoder.py:134-139's
-        'option 1' loss; early stop on val loss with best-weight restore."""
-        X = np.asarray(masked, dtype=np.float64)
+        'option 1' loss; early stop on val loss with best-weight restore.
+        Training happens in z-scaled space (deterministic affine from the
+        clean targets, stored with the weights): the reference normalizes
+        upstream of the AE, and a recurrent cell on raw hundreds-scale load
+        values would saturate its gates. ``mask`` marks the hidden points so
+        the 0.0 missing token lands *after* scaling; without it, points where
+        masked != clean are treated as hidden."""
         Y = np.asarray(clean, dtype=np.float64)
+        Xraw = np.asarray(masked, dtype=np.float64)
+        m = np.asarray(mask) == 1 if mask is not None else Xraw != Y
+        self.mu = float(Y.mean())
+        self.sd = float(Y.std()) or 1.0
+        Y = (Y - self.mu) / self.sd
+        X = np.where(m, 0.0, Y)
         cut = _val_split(len(X), val_frac)
         Xtr, Ytr, Xva, Yva = X[:cut], Y[:cut], X[cut:], Y[cut:]
         if not len(Xva):
@@ -133,36 +343,21 @@ class DenoisingAE:
         opt = _Adam(self.p, lr)
         best = (np.inf, {k: v.copy() for k, v in self.p.items()})
         bad, hist = 0, []
-        n = len(Xtr)
-        for _ in range(epochs):
-            h1, z, h2, out = self._forward(Xtr)
-            err = out - Ytr  # (n, L)
-            loss = float((err * err).mean())
-            hist.append(loss)
-            d_out = 2.0 * err / err.size
-            g = {}
-            g["W4"] = d_out.T @ h2
-            g["b4"] = d_out.sum(axis=0)
-            d_h2 = (d_out @ self.p["W4"]) * (1 - h2 * h2)
-            g["W3"] = d_h2.T @ z
-            g["b3"] = d_h2.sum(axis=0)
-            d_z = (d_h2 @ self.p["W3"]) * (1 - z * z)
-            g["W2"] = d_z.T @ h1
-            g["b2"] = d_z.sum(axis=0)
-            d_h1 = (d_z @ self.p["W2"]) * (1 - h1 * h1)
-            g["W1"] = d_h1.T @ Xtr
-            g["b1"] = d_h1.sum(axis=0)
-            _clip_global(g, max_grad_norm)
-            opt.step(self.p, g)
-            v_out = self._forward(Xva)[-1]
-            v_loss = float(((v_out - Yva) ** 2).mean())
-            if v_loss < best[0] - 1e-12:
-                best = (v_loss, {k: v.copy() for k, v in self.p.items()})
-                bad = 0
-            else:
-                bad += 1
-                if bad >= patience:
-                    break
+        with _blas_single_thread():
+            for _ in range(epochs):
+                loss, g = self._grads(Xtr, Ytr)
+                hist.append(loss)
+                _clip_global(g, max_grad_norm)
+                opt.step(self.p, g)
+                v_out = self._forward(Xva)
+                v_loss = float(((v_out - Yva) ** 2).mean())
+                if v_loss < best[0] - 1e-12:
+                    best = (v_loss, {k: v.copy() for k, v in self.p.items()})
+                    bad = 0
+                else:
+                    bad += 1
+                    if bad >= patience:
+                        break
         self.p = best[1]  # checkpoint restore, autoencoder.py:163-165
         self.fitted = True
         return hist
@@ -170,17 +365,25 @@ class DenoisingAE:
     def impute(self, ts: np.ndarray, mask: np.ndarray) -> np.ndarray:
         """M18 splice: model output replaces hidden points only
         (autoencoder.py:187-199; there mask==0 is hidden, here mask==1)."""
-        out = self.predict(ts)
+        out = self.predict(ts, mask)
         ts = np.asarray(ts, dtype=np.float64)
         return np.where(np.asarray(mask) == 1, out, ts)
 
     def weights(self) -> dict[str, np.ndarray]:
-        return {k: v.copy() for k, v in self.p.items()}
+        w = {k: v.copy() for k, v in self.p.items()}
+        w["_mu"] = np.array(self.mu)
+        w["_sd"] = np.array(self.sd)
+        return w
 
     @classmethod
     def from_weights(cls, w: dict[str, np.ndarray], seq_len: int = 24) -> "DenoisingAE":
         m = cls(seq_len=seq_len)
-        m.p = {k: np.asarray(v, dtype=np.float64) for k, v in w.items()}
+        m.p = {
+            k: np.asarray(v, dtype=np.float64) for k, v in w.items() if not k.startswith("_")
+        }
+        m.mu = float(w["_mu"])
+        m.sd = float(w["_sd"])
+        m.embed = m.p["ef_Wh"].shape[1]
         m.fitted = True
         return m
 
@@ -195,10 +398,13 @@ def _gru_init(rs: np.random.RandomState, in_dim: int, h: int) -> dict[str, np.nd
     }
 
 
-def _gru_step(p: dict, prefix: str, x: np.ndarray, h: np.ndarray):
-    """torch-convention GRU cell; returns (h', cache for backprop)."""
+def _gru_step(p: dict, prefix: str, x: np.ndarray, h: np.ndarray, gi: np.ndarray | None = None):
+    """torch-convention GRU cell; returns (h', cache for backprop).
+    ``gi`` lets callers pass the input-side projection precomputed (batched
+    over timesteps, or hoisted when the input is step-constant)."""
     H = h.shape[1]
-    gi = x @ p[prefix + "Wi"].T + p[prefix + "bi"]
+    if gi is None:
+        gi = x @ p[prefix + "Wi"].T + p[prefix + "bi"]
     gh = h @ p[prefix + "Wh"].T + p[prefix + "bh"]
     r = _sigmoid(gi[:, :H] + gh[:, :H])
     z = _sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
@@ -208,10 +414,12 @@ def _gru_step(p: dict, prefix: str, x: np.ndarray, h: np.ndarray):
     return h_new, (x, h, r, z, n, q)
 
 
-def _gru_back(p: dict, prefix: str, dh_new: np.ndarray, cache, g: dict):
-    """Backprop one GRU step: returns (dx, dh_prev); accumulates into g."""
+def _gru_back_parts(p: dict, prefix: str, dh_new: np.ndarray, cache):
+    """One GRU step of backprop WITHOUT weight-grad accumulation: returns
+    (dgi, dgh, dh_prev). Callers batch ``dgi.T @ x`` / ``dgh.T @ h`` across
+    timesteps into single matmuls (the AE) or accumulate per step
+    (_gru_back)."""
     x, h, r, z, n, q = cache
-    H = h.shape[1]
     dz = dh_new * (h - n)
     dn = dh_new * (1 - z)
     dh_prev = dh_new * z
@@ -222,12 +430,19 @@ def _gru_back(p: dict, prefix: str, dh_new: np.ndarray, cache, g: dict):
     dz_pre = dz * z * (1 - z)
     dgi = np.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
     dgh = np.concatenate([dr_pre, dz_pre, dq], axis=1)
+    dh_prev = dh_prev + dgh @ p[prefix + "Wh"]
+    return dgi, dgh, dh_prev
+
+
+def _gru_back(p: dict, prefix: str, dh_new: np.ndarray, cache, g: dict):
+    """Backprop one GRU step: returns (dx, dh_prev); accumulates into g."""
+    x, h = cache[0], cache[1]
+    dgi, dgh, dh_prev = _gru_back_parts(p, prefix, dh_new, cache)
     g[prefix + "Wi"] += dgi.T @ x
     g[prefix + "Wh"] += dgh.T @ h
     g[prefix + "bi"] += dgi.sum(axis=0)
     g[prefix + "bh"] += dgh.sum(axis=0)
     dx = dgi @ p[prefix + "Wi"]
-    dh_prev = dh_prev + dgh @ p[prefix + "Wh"]
     return dx, dh_prev
 
 
@@ -271,7 +486,9 @@ class GRUSeq2Seq:
         return outs
 
     def predict(self, X: np.ndarray) -> np.ndarray:
-        return self._forward(np.asarray(X, dtype=np.float64))
+        # single-thread BLAS: also runs inside executor pandas-UDF workers
+        with _blas_single_thread():
+            return self._forward(np.asarray(X, dtype=np.float64))
 
     def _grads(self, X: np.ndarray, Y: np.ndarray):
         outs, (enc_caches, dec_caches) = self._forward(X, want_cache=True)
@@ -322,20 +539,21 @@ class GRUSeq2Seq:
         opt = _Adam(self.p, lr)
         best = (np.inf, {k: v.copy() for k, v in self.p.items()})
         bad, hist = 0, []
-        for _ in range(epochs):
-            loss, g = self._grads(Xtr, Ytr)
-            hist.append(loss)
-            _clip_global(g, max_grad_norm)
-            opt.step(self.p, g)
-            v = self._forward(Xva)
-            v_loss = float(((v - Yva) ** 2).mean())
-            if v_loss < best[0] - 1e-12:
-                best = (v_loss, {k: v.copy() for k, v in self.p.items()})
-                bad = 0
-            else:
-                bad += 1
-                if bad >= patience:
-                    break
+        with _blas_single_thread():
+            for _ in range(epochs):
+                loss, g = self._grads(Xtr, Ytr)
+                hist.append(loss)
+                _clip_global(g, max_grad_norm)
+                opt.step(self.p, g)
+                v = self._forward(Xva)
+                v_loss = float(((v - Yva) ** 2).mean())
+                if v_loss < best[0] - 1e-12:
+                    best = (v_loss, {k: v.copy() for k, v in self.p.items()})
+                    bad = 0
+                else:
+                    bad += 1
+                    if bad >= patience:
+                        break
         self.p = best[1]
         self.fitted = True
         return hist
@@ -578,21 +796,22 @@ class SCINetNP:
         v0 = float(((self.predict(Xva) - Yva) ** 2).mean())
         best = (v0, {k: v.copy() for k, v in params.items()})
         bad, hist = 0, []
-        for _ in range(epochs):
-            loss, g = self._grads(Xtr, Ytr)
-            hist.append(loss)
-            _clip_global(g, max_grad_norm)
-            opt.step(params, g)  # in-place: params alias self.proj / nodes
-            self.proj = params["proj"]
-            v = self.predict(Xva)
-            v_loss = float(((v - Yva) ** 2).mean())
-            if v_loss < best[0] - 1e-12:
-                best = (v_loss, {k: v.copy() for k, v in params.items()})
-                bad = 0
-            else:
-                bad += 1
-                if bad >= patience:
-                    break
+        with _blas_single_thread():
+            for _ in range(epochs):
+                loss, g = self._grads(Xtr, Ytr)
+                hist.append(loss)
+                _clip_global(g, max_grad_norm)
+                opt.step(params, g)  # in-place: params alias self.proj / nodes
+                self.proj = params["proj"]
+                v = self.predict(Xva)
+                v_loss = float(((v - Yva) ** 2).mean())
+                if v_loss < best[0] - 1e-12:
+                    best = (v_loss, {k: v.copy() for k, v in params.items()})
+                    bad = 0
+                else:
+                    bad += 1
+                    if bad >= patience:
+                        break
         # restore best checkpoint
         self.proj = best[1]["proj"]
         for key, v in best[1].items():
@@ -603,7 +822,9 @@ class SCINetNP:
         return hist
 
     def predict(self, X: np.ndarray) -> np.ndarray:
-        return self.features(X) @ self.proj.T
+        # single-thread BLAS: also runs inside executor pandas-UDF workers
+        with _blas_single_thread():
+            return self.features(X) @ self.proj.T
 
     def weights(self) -> dict[str, np.ndarray]:
         w = {"proj": self.proj.copy()}
