@@ -41,6 +41,23 @@ _D2Q = (
     "cast(floor(v * 1000000.0 + 0.5) / 1000000.0 as decimal(27,6))) as double)"
 )
 
+# fast double-precision squared L2 — the pruning pass of the two-speed
+# pattern (operators/similarity.fdot_expr). Terms are non-negative, so
+# |fast − decimal| ≤ dim·(quantization step)/2 + dim·eps·d2
+# = dim·5e-7 + ~4e-15·d2; _d2_margin is ≥ 2× that bound, making the
+# fast-filtered candidate set a provable superset of every decimal winner.
+_F2 = (
+    "aggregate(zip_with({a}, {b}, (x, c) -> (x - c) * (x - c)), "
+    "cast(0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _d2_margin(fcol: str) -> "F.Column":
+    """2× the |fast − decimal| error bound for a squared-L2 fold, as a
+    column over the fast value (absolute quantization term + relative fp
+    term, both padded well past their analytic bounds)."""
+    return F.lit(1e-3) + F.lit(1e-9) * F.greatest(F.col(fcol), F.lit(0.0))
+
 
 def det_ann_scores(
     embedded: DataFrame,
@@ -102,28 +119,46 @@ def det_ann_scores(
         .filter(F.col("crk") == 1)
         .select("cell", "bank_id", "bfeat")
     )
-    probes = (
+    # Two-speed probe selection: the plain-double fold ranks all n_lists
+    # cells; only cells within the error margin of the n_probe-th fast value
+    # (almost always exactly n_probe of them) pay the BigDecimal fold, which
+    # then decides the final ranking exactly. Any cell outside the margin has
+    # decimal cdist strictly above the decimal n_probe-th (|fast − decimal|
+    # ≤ margin/2 per fold), so the pruned ranking is identical to ranking
+    # all cells in decimal — same rows, ~n_probe/n_lists of the decimal cost.
+    pkey = W.partitionBy("series_id", "window_start", "patch_idx")
+    pw_fast = pkey.orderBy(F.col("fdist").asc(), F.col("cell").asc())
+    kth_fast = F.max(F.when(F.col("frk") == n_probe, F.col("fdist"))).over(pkey)
+    probe_surv = (
         embedded.crossJoin(F.broadcast(cells))
-        .withColumn("cdist", F.expr(_D2Q.format(a="feature", b="centroid")))
+        .withColumn("fdist", F.expr(_F2.format(a="feature", b="centroid")))
+        .withColumn("frk", F.row_number().over(pw_fast))
+        .withColumn("_kth", F.coalesce(kth_fast, F.lit(float("inf"))))
+        .filter(F.col("fdist") <= F.col("_kth") + _d2_margin("_kth"))
+    )
+    probes = (
+        probe_surv.withColumn("cdist", F.expr(_D2Q.format(a="feature", b="centroid")))
         .withColumn(
             "crk",
-            F.row_number().over(
-                W.partitionBy("series_id", "window_start", "patch_idx").orderBy(
-                    F.col("cdist").asc(), F.col("cell").asc()
-                )
-            ),
+            F.row_number().over(pkey.orderBy(F.col("cdist").asc(), F.col("cell").asc())),
         )
         .filter(F.col("crk") <= n_probe)
         .select("series_id", "window_start", "patch_idx", "feature", "cell")
     )
     # candidate join shuffles on cell id (no broadcast: inverted lists scale
-    # with the bank; AQE may still broadcast at test SFs where it's tiny)
+    # with the bank; AQE may still broadcast at test SFs where it's tiny).
+    # Same two-speed shape for the 1-NN: fast min prunes to the margin
+    # survivors (≈1 per patch), decimal decides the winner and its value.
     cands = probes.join(bcell, "cell").withColumn(
+        "fd2", F.expr(_F2.format(a="feature", b="bfeat"))
+    )
+    fmin = F.min("fd2").over(W.partitionBy("series_id", "window_start", "patch_idx"))
+    cand_surv = cands.withColumn("_fmin", fmin).filter(
+        F.col("fd2") <= F.col("_fmin") + _d2_margin("_fmin")
+    )
+    patch_min = cand_surv.withColumn(
         "d2", F.expr(_D2Q.format(a="feature", b="bfeat"))
-    )
-    patch_min = cands.groupBy("series_id", "window_start", "patch_idx").agg(
-        F.min("d2").alias("pd2")
-    )
+    ).groupBy("series_id", "window_start", "patch_idx").agg(F.min("d2").alias("pd2"))
     return patch_min.groupBy("series_id", "window_start").agg(
         F.sqrt(F.max("pd2")).alias("score")
     )

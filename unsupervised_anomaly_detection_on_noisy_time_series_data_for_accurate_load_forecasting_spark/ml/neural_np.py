@@ -608,7 +608,14 @@ def _rep_pad_back(dpadded: np.ndarray, pad: int) -> np.ndarray:
 
 
 class SCINetNP:
-    """M21: seeded-frozen SCINet interaction tree + ridge-trained projection."""
+    """M21: SCINet interaction tree, trained end-to-end.
+
+    ``fit`` ridge-solves the readout over the frozen seeded tree (the fast
+    warm start); ``fit_bp`` then trains the FULL tree — conv stacks, exp-mul
+    couplings, readout — with analytic backprop through the reppad/conv/
+    LeakyReLU/tanh modules and the even/odd zip recursion (gradients verified
+    numerically in tests/test_neural_np.py). The A/B harness uses fit_bp
+    with the ridge solution competing as a checkpoint."""
 
     def __init__(
         self,

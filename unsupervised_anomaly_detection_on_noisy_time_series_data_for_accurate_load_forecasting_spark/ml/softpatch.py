@@ -108,7 +108,9 @@ def embed_windows(
     weights the closure captures."""
     proj = _projection(cfg)
     if backbone is None:
-        backbone = lambda flat: flat @ proj  # noqa: E731 - default frozen projection
+        # einsum (BLAS-free, fixed loop order) so batched executor calls and
+        # the mirror's one full-matrix call agree bit-for-bit at any shape
+        backbone = lambda flat: np.einsum("ij,jk->ik", flat, proj)  # noqa: E731
     n_p, p_sz = cfg.n_patches, cfg.patch_size
 
     schema = T.StructType(
@@ -167,7 +169,7 @@ def _gaussian_weights(feats: np.ndarray) -> np.ndarray:
     d = feats - mean
     cov = (d.T @ d) / max(len(feats) - 1, 1) + 0.01 * np.eye(feats.shape[1])
     inv = np.linalg.inv(cov)
-    return np.sqrt(np.maximum((d @ inv * d).sum(axis=1), 0.0))
+    return np.sqrt(np.maximum(np.einsum("ij,jk,ik->i", d, inv, d), 0.0))
 
 
 def _lof_weights(feats: np.ndarray, k: int = 6) -> np.ndarray:
@@ -320,7 +322,8 @@ def patch_weights(embedded: DataFrame, cfg: SoftPatchConfig, mode: str | None = 
                 mean, inv = st[int(p)]
                 m = pidx == p
                 d = X[m] - mean
-                w[m] = np.sqrt(np.maximum((d @ inv * d).sum(axis=1), 0.0))
+                # einsum: shape-independent bits for any Arrow batching
+                w[m] = np.sqrt(np.maximum(np.einsum("ij,jk,ik->i", d, inv, d), 0.0))
             yield pd.DataFrame(
                 {
                     "series_id": pdf["series_id"],
@@ -352,14 +355,39 @@ def _lof_patch_weights(embedded: DataFrame, cfg: SoftPatchConfig) -> DataFrame:
             }
         )
 
-    # Cap each patch-position group BEFORE the group is shipped to Python:
-    # row_number over the same (series_id, window_start) order the UDF sorts
-    # by selects exactly the rows the old in-UDF truncation kept, but the
-    # executor never materializes (or Arrow-transfers) the unbounded group.
-    # (series_id, window_start) is unique within a patch position, so the
-    # window order is total and the selection deterministic.
+    # Cap each patch-position group BEFORE the group is shipped to Python,
+    # in two phases so no task ever sorts more than a bounded slice:
+    #
+    # 1. rank within (patch_idx × hash-bucket) — N_BUCKETS-way parallel, each
+    #    sort group is ~group/N_BUCKETS rows — and keep each bucket's first
+    #    ``lof_cap`` rows in (series_id, window_start) order. Any row in the
+    #    global per-patch top-``lof_cap`` is necessarily within its bucket's
+    #    top-``lof_cap`` (its bucket-rank ≤ its global rank), so this phase
+    #    keeps a superset of the final set while discarding the unbounded
+    #    tail engine-side.
+    # 2. rank the ≤ N_BUCKETS·lof_cap survivors per patch globally and keep
+    #    the first ``lof_cap`` — the same set a single global row_number
+    #    selects, but the narrow per-patch sort now touches a bounded row
+    #    count no matter how large the corpus is (the r3 shape funneled the
+    #    whole corpus through n_patches sort tasks).
+    #
+    # (series_id, window_start) is unique within a patch position, so both
+    # window orders are total and the selection deterministic; the bucket
+    # hash only spreads phase-1 work and cannot change the selected set.
+    bkt = F.pmod(F.xxhash64("series_id", "window_start"), F.lit(N_BUCKETS))
+    pre = (
+        embedded.withColumn("_bkt", bkt)
+        .withColumn(
+            "_rn1",
+            F.row_number().over(
+                Window.partitionBy("patch_idx", "_bkt").orderBy("series_id", "window_start")
+            ),
+        )
+        .where(F.col("_rn1") <= cfg.lof_cap)
+        .drop("_rn1", "_bkt")
+    )
     capped = (
-        embedded.withColumn(
+        pre.withColumn(
             "_rn",
             F.row_number().over(
                 Window.partitionBy("patch_idx").orderBy("series_id", "window_start")
@@ -383,11 +411,20 @@ def greedy_coreset(feats: np.ndarray, ratio: float, seed: int, k_max: int | None
     rs = np.random.RandomState(seed)
     start = int(rs.randint(n))
     picked = [start]
-    dmin = np.linalg.norm(feats - feats[start], axis=1)
+    # Track squared distances (argmax is sqrt-invariant) via the cached-norm
+    # dot-product identity: one (n·dim) matvec per iteration instead of a
+    # full (n×dim) difference matrix + sqrt — ~10× less memory traffic for
+    # the same greedy semantics. The mirror shares this exact function, so
+    # both engines pick identical indices by construction.
+    feats = np.ascontiguousarray(feats)
+    sq = np.einsum("ij,ij->i", feats, feats)
+    dmin = np.maximum(sq - 2.0 * (feats @ feats[start]) + sq[start], 0.0)
     for _ in range(k - 1):
         nxt = int(np.argmax(dmin))
         picked.append(nxt)
-        dmin = np.minimum(dmin, np.linalg.norm(feats - feats[nxt], axis=1))
+        np.minimum(
+            dmin, np.maximum(sq - 2.0 * (feats @ feats[nxt]) + sq[nxt], 0.0), out=dmin
+        )
     return np.asarray(picked)
 
 
@@ -451,6 +488,31 @@ def fit_memory_bank_from_embedded(embedded: DataFrame, cfg: SoftPatchConfig) -> 
     return np.hstack([feats[idx], w_norm[:, None]])
 
 
+def nn_weighted_scores(X: np.ndarray, bank: np.ndarray, row_chunk: int = 512) -> np.ndarray:
+    """The 1-NN scoring kernel, shared verbatim by the Spark island and the
+    numpy mirror (M12/J6): per row, min squared L2 to the bank → sqrt → × the
+    matched bank row's denoising weight.
+
+    Deliberately NOT the GEMM dot-product identity (‖x‖² − 2x·b + ‖b‖²):
+    BLAS picks kernels — and therefore k-summation order — by matrix shape
+    and thread count, so a batched executor GEMM and the mirror's one
+    full-matrix GEMM can disagree in the low bits (observed: same rows,
+    m=5000 vs m=12603, ≠ at ~1e-6 — enough to flip the 1e-9 oracle gate).
+    Direct differences reduced over the fixed feature axis are computed
+    per (row, bank-row) cell, so ANY row batching — Arrow batch, row chunk,
+    full matrix — yields identical bits. Ties: first bank index wins, same
+    as a global argmin; chunking over rows cannot reorder bank indices."""
+    bk, bk_w = np.ascontiguousarray(bank[:, :-1]), bank[:, -1]
+    out = np.empty(len(X), dtype=np.float64)
+    for s in range(0, len(X), row_chunk):
+        xc = X[s : s + row_chunk]
+        d2 = ((xc[:, None, :] - bk[None, :, :]) ** 2).sum(axis=2)
+        idx = d2.argmin(axis=1)
+        rows = np.arange(len(xc))
+        out[s : s + row_chunk] = np.sqrt(np.maximum(d2[rows, idx], 0.0)) * bk_w[idx]
+    return out
+
+
 def score_windows(test_windows: DataFrame, bank: np.ndarray, cfg: SoftPatchConfig) -> DataFrame:
     """M12/M13: 1-NN L2 distance to the broadcast bank per patch; window score
     = max patch score (W10). Exact search in a vectorized mapInPandas island —
@@ -475,16 +537,12 @@ def score_embedded(embedded: DataFrame, bank: np.ndarray) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bank_full = bank_b.value
-        bk, bk_w = bank_full[:, :-1], bank_full[:, -1]  # features | J6 weights
-        bk_sq = (bk * bk).sum(axis=1)
         for pdf in batches:
             if pdf.empty:
                 continue
             x = np.stack(pdf["feature"].to_numpy())
-            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ bk.T) + bk_sq[None, :]
-            nn_idx = d2.argmin(axis=1)
-            # J6: distance × matched bank row's denoising weight
-            score = np.sqrt(np.maximum(d2[np.arange(len(x)), nn_idx], 0.0)) * bk_w[nn_idx]
+            # J6 weighting happens inside the shared shape-independent kernel
+            score = nn_weighted_scores(x, bank_full)
             yield pd.DataFrame(
                 {
                     "series_id": pdf["series_id"],

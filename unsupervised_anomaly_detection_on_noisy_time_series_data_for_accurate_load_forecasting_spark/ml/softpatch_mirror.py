@@ -75,7 +75,7 @@ def embed_pd(windows: pd.DataFrame, cfg: SoftPatchConfig) -> pd.DataFrame:
     ch = np.stack([pts, ps, ew], axis=1)
     frames = []
     for p in range(n_p):
-        feats = ch[:, :, p * p_sz : (p + 1) * p_sz].reshape(b, -1) @ proj
+        feats = np.einsum("ij,jk->ik", ch[:, :, p * p_sz : (p + 1) * p_sz].reshape(b, -1), proj)
         frames.append(
             pd.DataFrame(
                 {
@@ -123,7 +123,7 @@ def gaussian_weights_pd(embedded: pd.DataFrame, cfg: SoftPatchConfig) -> pd.Data
         mean, inv = stats[int(p)]
         m = pidx == p
         d = X[m] - mean
-        w[m] = np.sqrt(np.maximum((d @ inv * d).sum(axis=1), 0.0))
+        w[m] = np.sqrt(np.maximum(np.einsum("ij,jk,ik->i", d, inv, d), 0.0))
     out = emb.copy()
     out["weight"] = w
     return out
@@ -190,13 +190,14 @@ def fit_bank_pd(embedded: pd.DataFrame, cfg: SoftPatchConfig) -> np.ndarray:
 
 def score_pd(embedded: pd.DataFrame, bank: np.ndarray) -> pd.DataFrame:
     """Mirror of softpatch.score_embedded: 1-NN × J6 weight, max over
-    patches, then global min-max normalization."""
-    bk, bk_w = bank[:, :-1], bank[:, -1]
-    bk_sq = (bk * bk).sum(axis=1)
+    patches, then global min-max normalization. Uses the SAME
+    shape-independent kernel as the Spark island (nn_weighted_scores) —
+    a GEMM here vs batched GEMMs there differs in the low bits because
+    BLAS picks summation order by matrix shape."""
+    from .softpatch import nn_weighted_scores
+
     X = np.stack(embedded["patch"].to_numpy())
-    d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ bk.T) + bk_sq[None, :]
-    nn_idx = d2.argmin(axis=1)
-    ps = np.sqrt(np.maximum(d2[np.arange(len(X)), nn_idx], 0.0)) * bk_w[nn_idx]
+    ps = nn_weighted_scores(X, bank)
     out = embedded[["series_id", "eday", "window_label"]].copy()
     out["patch_score"] = ps
     scored = (

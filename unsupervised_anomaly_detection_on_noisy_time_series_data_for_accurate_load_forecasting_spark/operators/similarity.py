@@ -215,18 +215,42 @@ def ivf_topk(
         F.col("embedding").alias("centroid"),
     )
 
-    # nearest cells via broadcast centroids + decimal-exact squared L2
+    # nearest cells, two-speed: a plain-double squared-L2 ranks all n_lists
+    # cells; only cells within the error margin of the row's deepest needed
+    # rank (1 for corpus assignment, n_probe for query probing) pay the
+    # decimal-exact fold, which then decides the ranking exactly. A cell
+    # outside the margin has decimal distance strictly above the decimal
+    # rank-``need`` value (|fast − decimal| ≤ margin/2 per fold), so the
+    # pruned decimal ranking selects identical rows at ~need/n_lists of the
+    # BigDecimal cost.
     dist2 = (
         "cast(aggregate(zip_with(embedding, centroid, "
         "(x, c) -> (cast(x as double) - cast(c as double)) * (cast(x as double) - cast(c as double))), "
         "cast(0 as decimal(38,6)), (acc, v) -> acc + cast(floor(v * 1000000.0 + 0.5) / 1000000.0 as decimal(27,6))) as double)"
     )
+    fdist2 = (
+        "aggregate(zip_with(embedding, centroid, "
+        "(x, c) -> (cast(x as double) - cast(c as double)) * (cast(x as double) - cast(c as double))), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    )
+    d2_margin = F.lit(1e-3) + F.lit(1e-9) * F.greatest(F.col("_kth"), F.lit(0.0))
+    need = F.when(F.col("vec_id") < n_queries, F.lit(n_probe)).otherwise(F.lit(1))
+    vkey = W.partitionBy("vec_id")
+    kth_fast = F.max(F.when(F.col("frk") == F.col("_need"), F.col("fdist"))).over(vkey)
     assign = (
         e.crossJoin(F.broadcast(centroids))
+        .withColumn("fdist", F.expr(fdist2))
+        .withColumn("_need", need)
+        .withColumn(
+            "frk",
+            F.row_number().over(vkey.orderBy(F.col("fdist").asc(), F.col("cell").asc())),
+        )
+        .withColumn("_kth", kth_fast)
+        .filter(F.col("fdist") <= F.col("_kth") + d2_margin)
         .withColumn("cdist", F.expr(dist2))
         .withColumn(
             "crk",
-            F.row_number().over(W.partitionBy("vec_id").orderBy(F.col("cdist").asc(), F.col("cell").asc())),
+            F.row_number().over(vkey.orderBy(F.col("cdist").asc(), F.col("cell").asc())),
         )
     )
     corpus = assign.filter(F.col("crk") == 1).select("vec_id", "embedding", "sq", "cell")
@@ -234,14 +258,27 @@ def ivf_topk(
         assign.filter((F.col("vec_id") < n_queries) & (F.col("crk") <= n_probe))
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), F.col("sq").alias("qsq"), "cell")
     )
+    # candidate ranking, two-speed (same shape as cosine_topk): fast cosine
+    # pre-rank keeps everything within MARGIN of the fast kth — a provable
+    # superset of the exact top-k — then the decimal path decides exactly.
     pairs = (
         corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("qid") != F.col("vec_id"))
+        .withColumn(
+            "cos_fast", F.expr(fdot_expr("qemb", "embedding")) / F.sqrt(F.col("qsq") * F.col("sq"))
+        )
+    )
+    wf = W.partitionBy("qid").orderBy(F.col("cos_fast").desc(), F.col("vec_id").asc())
+    kth_cos = F.max(F.when(F.col("rkf") == k, F.col("cos_fast"))).over(W.partitionBy("qid"))
+    survivors = (
+        pairs.withColumn("rkf", F.row_number().over(wf))
+        .withColumn("kth_fast", F.coalesce(kth_cos, F.lit(-2.0)))  # <k pairs: keep all
+        .filter(F.col("cos_fast") >= F.col("kth_fast") - F.lit(MARGIN))
         .withColumn("cosine", F.expr(ddot_expr("qemb", "embedding")) / F.sqrt(F.col("qsq") * F.col("sq")))
     )
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
-        pairs.withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("qid", F.col("vec_id").alias("nid"), "cosine", "rk")
     )

@@ -12,66 +12,13 @@ from . import queries_relational2  # noqa: E402,F401
 from . import queries_neural  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 entries of queries().
-# Front-load (a) queries that have never had a driver row, (b) queries last
-# driver-checked in round 1, (c) queries whose code changed this round —
-# pushing stable twice-driver-green relational queries past position 50.
-set_priority([
-    # (a) never driver-checked before round 3
-    "forecast_ab_neural",
-    "m17_ae_imputation",
-    "p8_test_exclusions",
-    "bucketed_join_revenue",
-    "m6_knn_impute",
-    "stream_online_flags",
-    "w8_heatmap_upsample",
-    "f2_window_keys",
-    "cube_order_stats",
-    "pivot_status_by_segment",
-    "set_except_intersect",
-    "f_json_props",
-    # (b) driver-green in round 1 only (rotated out of the r2 window)
-    "p6_drop_last_day",
-    "a2_quantile_normalize",
-    "w7_patch_extend",
-    "u4_hash_split",
-    "a14_quality_gate",
-    # (c) new or changed in round 3 — need fresh evidence
-    "a1_price_quantiles_approx",
-    "ml_softpatch_scores",
-    "ml_softpatch_scores_lof",
-    "ml_ann_scores_scale",
-    "ml_softpatch_eval",
-    "d_simhash",
-    "stream_window_flags",
-    "a12_seasonal_naive_metrics",
-    # round-2-green queries kept inside the window (heaviest / ML first)
-    "pipeline_anomaly_e2e",
-    "pipeline_corpus_filter",
-    "s_ann_bruteforce_topk",
-    "s_lsh_near_pairs",
-    "s_lsh_band_stats",
-    "s_ivf_topk",
-    "d_embedding_dedup",
-    "d_minhash_lsh_pairs",
-    "d_ngram_jaccard_pairs",
-    "d_exact_dedup",
-    "m22_forecast_windows",
-    "m16_masked_imputation",
-    "m4_inject_anomalies",
-    "a11_auroc",
-    "a3_patch_std",
-    "w3_ewma",
-    "mm_binary_features",
-    "mm_frame_sample",
-    "mm_resize",
-    "j3_calendar_anti",
-    "j3_holiday_anti",
-    "a1_price_quantiles",
-    "a5_running_energy",
-    "a6_threshold_flags",
-    "w1_sliding_windows",
-    "w4_variance_dedup",
-    # > position 50: twice-driver-green stable relational/text queries
-])
+# The ordering is DERIVED each import (plans/priority.py): never-driver-green
+# queries first, then queries whose import-closure touched a file changed
+# since the last verdict commit, then everything else stalest-evidence-first
+# — so the round-3 failure mode (a changed query hand-listed past position
+# 50) cannot recur, and rotation alone bounds every query's evidence age.
+from .priority import auto_priority  # noqa: E402
+
+set_priority(auto_priority(list(REGISTRY)))
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql", "register", "set_priority"]
