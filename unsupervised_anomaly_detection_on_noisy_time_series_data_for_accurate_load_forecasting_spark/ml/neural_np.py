@@ -11,10 +11,10 @@ Reference contracts these mirror (citations into /root/reference/):
   (input = masked sequence, target = clean sequence, full-sequence MSE,
    Adam, grad-clip, early stop with best-checkpoint restore;
    splice per autoencoder.py:187-199 — model output replaces hidden points
-   only). Recurrent cell matching the reference's shape: bidirectional
-   recurrent encoder → mean-over-time latent → latent repeated into a
-   bidirectional recurrent decoder → linear head (GRU gating instead of
-   LSTM; the GRU machinery is shared with M20 and numerically verified).
+   only). Cell matches the reference's shape AND gating: bidirectional
+   LSTM encoder → mean-over-time latent → latent repeated into a
+   bidirectional LSTM decoder → linear head (LSTM step/backstep beside the
+   shared GRU machinery, both numerically verified).
 - M20 seq2seq GRU             src/forecasting/seq2seq/model.py:6-59,
   wrapper.py:12-135 — torch-convention GRU encoder; decoder GRU seeded with
   the encoder state, fc→relu→out head, feeding its own output back for the
@@ -139,15 +139,14 @@ def _val_split(n: int, val_frac: float) -> int:
 
 
 class DenoisingAE:
-    """M17: recurrent denoising autoencoder, the reference's cell shape
-    (src/anomaly_imputation/autoencoder.py:7-58): bidirectional recurrent
+    """M17: recurrent denoising autoencoder, the reference's cell shape AND
+    gating (src/anomaly_imputation/autoencoder.py:7-58): bidirectional LSTM
     encoder over the masked sequence, latent = mean of the encoder outputs
     over time (``torch.mean(x, dim=1)``), latent repeated seq_len times into
-    a bidirectional recurrent decoder (hidden = 2·embed, as the reference's
+    a bidirectional LSTM decoder (hidden = 2·embed, as the reference's
     ``Decoder.hidden_size = 2 * no_features``), linear head to the scalar
-    channel. The cell is a GRU rather than an LSTM (same recurrent gating
-    family; the GRU machinery is shared with the M20 seq2seq model and its
-    gradients are numerically verified)."""
+    channel. The LSTM step/backstep live beside the shared GRU machinery and
+    are numerically verified the same way (tests/test_neural_np.py)."""
 
     def __init__(self, seq_len: int = 24, embed: int = 8, seed: int = 0):
         rs = np.random.RandomState(seed)
@@ -160,7 +159,7 @@ class DenoisingAE:
             ("df_", 2 * embed, dec_h),
             ("db_", 2 * embed, dec_h),
         ):
-            for k, v in _gru_init(rs, d, h).items():
+            for k, v in _lstm_init(rs, d, h).items():
                 self.p[pre + k] = v
         self.p["Wf"] = _glorot(rs, 2 * dec_h, 1)
         self.p["bf"] = np.zeros(1)
@@ -179,16 +178,17 @@ class DenoisingAE:
         # input-side projections hoisted out of the recurrence: the encoder
         # input is a scalar (one broadcast multiply covers all steps), the
         # decoder input is step-constant (one matmul per direction)
-        gi_ef = X[:, :, None] * p["ef_Wi"][None, None, :, 0] + p["ef_bi"]  # (n, L, 3E)
+        gi_ef = X[:, :, None] * p["ef_Wi"][None, None, :, 0] + p["ef_bi"]  # (n, L, 4E)
         gi_eb = X[:, :, None] * p["eb_Wi"][None, None, :, 0] + p["eb_bi"]
         hf, hb = np.zeros((n, E)), np.zeros((n, E))
+        cf, cb = np.zeros((n, E)), np.zeros((n, E))
         ef_h, eb_h, ef_c, eb_c = [], [], [], []
         for t in range(L):
-            hf, c = _gru_step(p, "ef_", X[:, t : t + 1], hf, gi=gi_ef[:, t])
+            hf, cf, c = _lstm_step(p, "ef_", X[:, t : t + 1], hf, cf, gi=gi_ef[:, t])
             ef_h.append(hf)
             ef_c.append(c)
             s = L - 1 - t
-            hb, c = _gru_step(p, "eb_", X[:, s : s + 1], hb, gi=gi_eb[:, s])
+            hb, cb, c = _lstm_step(p, "eb_", X[:, s : s + 1], hb, cb, gi=gi_eb[:, s])
             eb_h.append(hb)
             eb_c.append(c)
         # latent: mean over positions of concat(fw_t, bw_t); the concat
@@ -196,15 +196,16 @@ class DenoisingAE:
         lat = np.concatenate(
             [np.mean(ef_h, axis=0), np.mean(eb_h, axis=0)], axis=1
         )  # (n, 2E)
-        gi_df = lat @ p["df_Wi"].T + p["df_bi"]  # step-constant, (n, 3D)
+        gi_df = lat @ p["df_Wi"].T + p["df_bi"]  # step-constant, (n, 4D)
         gi_db = lat @ p["db_Wi"].T + p["db_bi"]
         gf, gb = np.zeros((n, D)), np.zeros((n, D))
+        sf, sb = np.zeros((n, D)), np.zeros((n, D))
         df_h, db_h, df_c, db_c = [], [], [], []
         for t in range(L):
-            gf, c = _gru_step(p, "df_", lat, gf, gi=gi_df)
+            gf, sf, c = _lstm_step(p, "df_", lat, gf, sf, gi=gi_df)
             df_h.append(gf)
             df_c.append(c)
-            gb, c = _gru_step(p, "db_", lat, gb, gi=gi_db)
+            gb, sb, c = _lstm_step(p, "db_", lat, gb, sb, gi=gi_db)
             db_h.append(gb)
             db_c.append(c)
         # head over all positions in one matmul: out[t] pairs the forward
@@ -255,59 +256,61 @@ class DenoisingAE:
         # t; bw step s is position L-1-s
         d_df = dcats[:, :, :D]
         d_db = dcats[:, ::-1, D:]
-        # decoder BPTT. Weight grads batch across steps after the loop:
-        # the input is step-constant, so Σ_t dgi_t.T @ x_t = (Σ dgi).T @ lat,
-        # and the h-side pairs stack into one (L·n) matmul.
-        carry_f = np.zeros((n, D))
-        carry_b = np.zeros((n, D))
-        dgi_f_sum = np.zeros((n, 3 * D))
-        dgi_b_sum = np.zeros((n, 3 * D))
-        dgh_f, dgh_b = [None] * L, [None] * L
+        # decoder BPTT. LSTM pre-activations enter additively from both
+        # sides, so one ds per step serves Wi, Wh, bi, bh; weight grads
+        # batch across steps after the loop (the input is step-constant:
+        # Σ_t ds_t.T @ x_t = (Σ ds).T @ lat).
+        carry_f, carry_fc = np.zeros((n, D)), np.zeros((n, D))
+        carry_b, carry_bc = np.zeros((n, D)), np.zeros((n, D))
+        ds_f_sum = np.zeros((n, 4 * D))
+        ds_b_sum = np.zeros((n, 4 * D))
+        ds_f, ds_b = [None] * L, [None] * L
         for t in range(L - 1, -1, -1):
-            dgi, dgh, carry_f = _gru_back_parts(p, "df_", d_df[:, t] + carry_f, df_c[t])
-            dgi_f_sum += dgi
-            dgh_f[t] = dgh
-            dgi, dgh, carry_b = _gru_back_parts(p, "db_", d_db[:, t] + carry_b, db_c[t])
-            dgi_b_sum += dgi
-            dgh_b[t] = dgh
-        for pre, dgi_sum, dgh_l, caches in (
-            ("df_", dgi_f_sum, dgh_f, df_c),
-            ("db_", dgi_b_sum, dgh_b, db_c),
+            ds, carry_f, carry_fc = _lstm_back_parts(
+                p, "df_", d_df[:, t] + carry_f, carry_fc, df_c[t]
+            )
+            ds_f_sum += ds
+            ds_f[t] = ds
+            ds, carry_b, carry_bc = _lstm_back_parts(
+                p, "db_", d_db[:, t] + carry_b, carry_bc, db_c[t]
+            )
+            ds_b_sum += ds
+            ds_b[t] = ds
+        for pre, ds_sum, ds_l, caches in (
+            ("df_", ds_f_sum, ds_f, df_c),
+            ("db_", ds_b_sum, ds_b, db_c),
         ):
-            g[pre + "Wi"] = dgi_sum.T @ lat
-            g[pre + "bi"] = dgi_sum.sum(axis=0)
-            dgh_all = np.concatenate(dgh_l, axis=0)  # (L·n, 3D)
+            g[pre + "Wi"] = ds_sum.T @ lat
+            g[pre + "bi"] = ds_sum.sum(axis=0)
+            ds_all = np.concatenate(ds_l, axis=0)  # (L·n, 4D)
             h_all = np.concatenate([c[1] for c in caches], axis=0)
-            g[pre + "Wh"] = dgh_all.T @ h_all
-            g[pre + "bh"] = dgh_all.sum(axis=0)
-        d_lat = dgi_f_sum @ p["df_Wi"] + dgi_b_sum @ p["db_Wi"]
+            g[pre + "Wh"] = ds_all.T @ h_all
+            g[pre + "bh"] = ds_all.sum(axis=0)
+        d_lat = ds_f_sum @ p["df_Wi"] + ds_b_sum @ p["db_Wi"]
         # encoder BPTT: each position contributes 1/L of the latent mean;
-        # dx is never needed (inputs are data), so only dgi/dgh are kept
+        # dx is never needed (inputs are data), so only ds is kept
         d_ef = d_lat[:, :E] / L
         d_eb = d_lat[:, E:] / L
-        carry_f = np.zeros((n, E))
-        carry_b = np.zeros((n, E))
-        dgi_ef, dgh_ef = [None] * L, [None] * L
-        dgi_eb, dgh_eb = [None] * L, [None] * L
+        carry_f, carry_fc = np.zeros((n, E)), np.zeros((n, E))
+        carry_b, carry_bc = np.zeros((n, E)), np.zeros((n, E))
+        ds_ef, ds_eb = [None] * L, [None] * L
         for t in range(L - 1, -1, -1):
-            dgi, dgh, carry_f = _gru_back_parts(p, "ef_", d_ef + carry_f, ef_c[t])
-            dgi_ef[t] = dgi
-            dgh_ef[t] = dgh
-            dgi, dgh, carry_b = _gru_back_parts(p, "eb_", d_eb + carry_b, eb_c[t])
-            dgi_eb[t] = dgi
-            dgh_eb[t] = dgh
-        for pre, dgi_l, dgh_l, caches in (
-            ("ef_", dgi_ef, dgh_ef, ef_c),
-            ("eb_", dgi_eb, dgh_eb, eb_c),
-        ):
-            dgi_all = np.concatenate(dgi_l, axis=0)  # (L·n, 3E)
-            dgh_all = np.concatenate(dgh_l, axis=0)
+            ds, carry_f, carry_fc = _lstm_back_parts(
+                p, "ef_", d_ef + carry_f, carry_fc, ef_c[t]
+            )
+            ds_ef[t] = ds
+            ds, carry_b, carry_bc = _lstm_back_parts(
+                p, "eb_", d_eb + carry_b, carry_bc, eb_c[t]
+            )
+            ds_eb[t] = ds
+        for pre, ds_l, caches in (("ef_", ds_ef, ef_c), ("eb_", ds_eb, eb_c)):
+            ds_all = np.concatenate(ds_l, axis=0)  # (L·n, 4E)
             x_all = np.concatenate([c[0] for c in caches], axis=0)  # (L·n, 1)
             h_all = np.concatenate([c[1] for c in caches], axis=0)
-            g[pre + "Wi"] = dgi_all.T @ x_all
-            g[pre + "bi"] = dgi_all.sum(axis=0)
-            g[pre + "Wh"] = dgh_all.T @ h_all
-            g[pre + "bh"] = dgh_all.sum(axis=0)
+            g[pre + "Wi"] = ds_all.T @ x_all
+            g[pre + "bi"] = ds_all.sum(axis=0)
+            g[pre + "Wh"] = ds_all.T @ h_all
+            g[pre + "bh"] = ds_all.sum(axis=0)
         return loss, g
 
     def fit(
@@ -432,6 +435,61 @@ def _gru_back_parts(p: dict, prefix: str, dh_new: np.ndarray, cache):
     dgh = np.concatenate([dr_pre, dz_pre, dq], axis=1)
     dh_prev = dh_prev + dgh @ p[prefix + "Wh"]
     return dgi, dgh, dh_prev
+
+
+def _lstm_init(rs: np.random.RandomState, in_dim: int, h: int) -> dict[str, np.ndarray]:
+    k = 1.0 / np.sqrt(h)
+    return {
+        "Wi": rs.uniform(-k, k, (4 * h, in_dim)),
+        "Wh": rs.uniform(-k, k, (4 * h, h)),
+        "bi": np.zeros(4 * h),
+        "bh": np.zeros(4 * h),
+    }
+
+
+def _lstm_step(
+    p: dict,
+    prefix: str,
+    x: np.ndarray,
+    h: np.ndarray,
+    c: np.ndarray,
+    gi: np.ndarray | None = None,
+):
+    """torch-convention LSTM cell (gate order i|f|g|o); returns
+    (h', c', cache). ``gi`` lets callers pass the input-side projection
+    precomputed, exactly like _gru_step."""
+    H = h.shape[1]
+    if gi is None:
+        gi = x @ p[prefix + "Wi"].T + p[prefix + "bi"]
+    s = gi + h @ p[prefix + "Wh"].T + p[prefix + "bh"]
+    i = _sigmoid(s[:, :H])
+    f = _sigmoid(s[:, H : 2 * H])
+    g_ = np.tanh(s[:, 2 * H : 3 * H])
+    o = _sigmoid(s[:, 3 * H :])
+    c_new = f * c + i * g_
+    h_new = o * np.tanh(c_new)
+    return h_new, c_new, (x, h, c, i, f, g_, o, c_new)
+
+
+def _lstm_back_parts(p: dict, prefix: str, dh_new: np.ndarray, dc_in: np.ndarray, cache):
+    """One LSTM step of backprop without weight-grad accumulation: returns
+    (ds, dh_prev, dc_prev). The input- and hidden-side pre-activations enter
+    additively, so dgi == dgh == ds — callers batch ``ds.T @ x`` and
+    ``ds.T @ h`` across timesteps into single matmuls."""
+    x, h, c_prev, i, f, g_, o, c_new = cache
+    tc = np.tanh(c_new)
+    do = dh_new * tc
+    dc = dc_in + dh_new * o * (1.0 - tc * tc)
+    di = dc * g_
+    df = dc * c_prev
+    dg = dc * i
+    dc_prev = dc * f
+    ds = np.concatenate(
+        [di * i * (1 - i), df * f * (1 - f), dg * (1.0 - g_ * g_), do * o * (1 - o)],
+        axis=1,
+    )
+    dh_prev = ds @ p[prefix + "Wh"]
+    return ds, dh_prev, dc_prev
 
 
 def _gru_back(p: dict, prefix: str, dh_new: np.ndarray, cache, g: dict):
