@@ -85,12 +85,72 @@ def _channel_features(points: np.ndarray, cfg: SoftPatchConfig) -> np.ndarray:
 
 
 def _projection(cfg: SoftPatchConfig) -> np.ndarray:
-    """Seeded dense projection standing in for the frozen backbone (M8).
-    Deterministic: same matrix on every executor, no broadcast needed beyond
-    the closure."""
+    """Seeded dense projection — the original M8 stand-in, now a test
+    fixture for the backbone plug point (the default backbone is the
+    fixed-weight CNN below). Deterministic: same matrix on every executor,
+    no broadcast needed beyond the closure."""
     rs = np.random.RandomState(cfg.seed)
     in_dim = 3 * cfg.patch_size
     return rs.standard_normal((in_dim, cfg.embed_dim)).astype(np.float64) / np.sqrt(in_dim)
+
+
+def _adaptive_avg_pool(x: np.ndarray, out: int) -> np.ndarray:
+    """torch F.adaptive_avg_pool1d semantics over the last axis: output bin
+    i averages input[⌊i·L/out⌋ : ⌈(i+1)·L/out⌉]."""
+    L = x.shape[-1]
+    idx = np.arange(out)
+    starts = (idx * L) // out
+    ends = -(-((idx + 1) * L) // out)
+    return np.stack(
+        [x[..., s:e].mean(axis=-1) for s, e in zip(starts, ends)], axis=-1
+    )
+
+
+def _conv1d_same(x: np.ndarray, W: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """'same' 1-D convolution with replicate padding, einsum-evaluated so the
+    bits are batch-shape-independent. x: (b, Cin, L), W: (Cout, Cin, k)."""
+    k = W.shape[2]
+    pad = k // 2
+    xp = np.concatenate(
+        [np.repeat(x[..., :1], pad, axis=-1), x, np.repeat(x[..., -1:], pad, axis=-1)],
+        axis=-1,
+    )
+    win = np.stack([xp[..., i : i + x.shape[-1]] for i in range(k)], axis=-1)
+    return np.einsum("bclk,ock->bol", win, W) + b[None, :, None]
+
+
+def default_backbone(cfg: SoftPatchConfig, c1: int = 8, c2: int = 16):
+    """M8 default: a small fixed-weight (frozen, seeded) numpy CNN with the
+    reference's multi-layer extract-and-merge shape
+    (softpatch.py:120-180, common.py:140-252):
+
+        conv(k=3)→ReLU                         — 'layer1' feature map
+        avg-pool /2 → conv(k=3)→ReLU           — 'layer2' feature map
+        per-layer MeanMapper: flatten → adaptive_avg_pool1d → embed_dim
+        Aggregator: stack layers → flatten → adaptive_avg_pool1d → embed_dim
+
+    Frozen weights stand in for the pretrained ResNet the reference loads
+    (torch/timm absent here); a real forward plugs into the same ``backbone``
+    argument. Every op is einsum/elementwise with fixed-span reductions, so
+    executor batches and the mirror's full-matrix pass agree bit-for-bit."""
+    rs = np.random.RandomState(cfg.seed + 1)
+    p_sz, E = cfg.patch_size, cfg.embed_dim
+    W1 = rs.standard_normal((c1, 3, 3)) / np.sqrt(3.0 * 3.0)
+    b1 = np.zeros(c1)
+    W2 = rs.standard_normal((c2, c1, 3)) / np.sqrt(c1 * 3.0)
+    b2 = np.zeros(c2)
+
+    def forward(flat: np.ndarray) -> np.ndarray:
+        b = len(flat)
+        x = flat.reshape(b, 3, p_sz)
+        f1 = np.maximum(_conv1d_same(x, W1, b1), 0.0)
+        f2 = np.maximum(_conv1d_same(_adaptive_avg_pool(f1, p_sz // 2), W2, b2), 0.0)
+        m1 = _adaptive_avg_pool(f1.reshape(b, -1), E)  # MeanMapper, layer1
+        m2 = _adaptive_avg_pool(f2.reshape(b, -1), E)  # MeanMapper, layer2
+        stacked = np.stack([m1, m2], axis=1).reshape(b, -1)
+        return _adaptive_avg_pool(stacked, E)  # Aggregator
+
+    return forward
 
 
 def embed_windows(
@@ -106,11 +166,8 @@ def embed_windows(
     any numpy model, see tests/test_ml_softpatch.py::test_backbone_plug_point)
     slots in without touching the Spark plumbing — the island ships whatever
     weights the closure captures."""
-    proj = _projection(cfg)
     if backbone is None:
-        # einsum (BLAS-free, fixed loop order) so batched executor calls and
-        # the mirror's one full-matrix call agree bit-for-bit at any shape
-        backbone = lambda flat: np.einsum("ij,jk->ik", flat, proj)  # noqa: E731
+        backbone = default_backbone(cfg)  # frozen seeded CNN (M8 default)
     n_p, p_sz = cfg.n_patches, cfg.patch_size
 
     schema = T.StructType(

@@ -28,7 +28,7 @@ from .softpatch import (
     STRIDE_SALT,
     SoftPatchConfig,
     _lof_weights,
-    _projection,
+    default_backbone,
     greedy_coreset,
 )
 
@@ -60,8 +60,10 @@ def day_windows_pd(points: pd.DataFrame, day_size: int = 24) -> pd.DataFrame:
 
 def embed_pd(windows: pd.DataFrame, cfg: SoftPatchConfig) -> pd.DataFrame:
     """Mirror of softpatch.embed_windows' vectorized island: one long row per
-    (window, patch) with the projected feature vector."""
-    proj = _projection(cfg)
+    (window, patch) with the backbone feature vector (the SHARED frozen CNN
+    — batch-shape-independent, so one full-matrix pass here equals the
+    island's Arrow-batched passes bit-for-bit)."""
+    backbone = default_backbone(cfg)
     n_p, p_sz, alpha = cfg.n_patches, cfg.patch_size, cfg.ewma_alpha
     pts = np.stack(windows["points"].to_numpy())
     b = len(pts)
@@ -75,7 +77,7 @@ def embed_pd(windows: pd.DataFrame, cfg: SoftPatchConfig) -> pd.DataFrame:
     ch = np.stack([pts, ps, ew], axis=1)
     frames = []
     for p in range(n_p):
-        feats = np.einsum("ij,jk->ik", ch[:, :, p * p_sz : (p + 1) * p_sz].reshape(b, -1), proj)
+        feats = backbone(ch[:, :, p * p_sz : (p + 1) * p_sz].reshape(b, -1))
         frames.append(
             pd.DataFrame(
                 {
