@@ -57,6 +57,36 @@ def stream_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "stream_dedup_hours",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS series_id,
+           count(DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS n_unique_hours
+    FROM events GROUP BY 1
+    """,
+    tags=("STREAM", "P2"),
+    doc="Streaming form of P2 dedup: dropDuplicatesWithinWatermark on "
+    "(user, hour) over the watermarked event stream — exactly one row per "
+    "key survives state (which duplicate wins is arrival-order-defined, so "
+    "the query aggregates to the per-user survivor COUNT, which is "
+    "micro-batch-slicing-independent and equals the batch DISTINCT count). "
+    "State is bounded by the watermark: keys older than 1 day are evicted, "
+    "the streaming analog of P2's keep-first row_number.",
+)
+def stream_dedup_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.score_stream import run_available_now, stream_events
+
+    s = stream_events(spark, sf_dir).withWatermark("ts", "1 day")
+    dd = s.withColumn("h", F.date_trunc("hour", F.col("ts"))).dropDuplicatesWithinWatermark(
+        ["user_id", "h"]
+    )
+    agg = dd.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_unique_hours"))
+    name = run_available_now(agg, "stream_dedup", output_mode="complete")
+    return spark.table(name).select(
+        F.col("user_id").cast("string").alias("series_id"), "n_unique_hours"
+    )
+
+
 def _docs_pd():
     """Oracle-side fetch of (doc_id, text) at the pinned oracle SF."""
     from .queries_neural import _oracle_sf_dir
