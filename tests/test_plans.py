@@ -97,3 +97,61 @@ def test_whole_stage_codegen_covers_relational(spark, sf_dir):
     # partial and final aggregates must carry the marker
     assert re.search(r"\*\(\d+\) HashAggregate.*functions=\[partial_sum", plan), plan[:500]
     assert re.search(r"\*\(\d+\) HashAggregate.*functions=\[sum", plan)
+
+
+def test_lof_cap_is_two_phase_bucketed(spark, sf_dir):
+    """The LOF engine-side cap must not funnel the corpus through an
+    n_patches-task global sort (the r3 shape): phase 1 ranks within
+    (patch_idx × hash bucket), and only bounded survivors reach the final
+    per-patch rank. The bucketed window spec and the phase-1 rank filter
+    must both be visible in the plan."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.ml.softpatch import (
+        SoftPatchConfig,
+        _lof_patch_weights,
+        embed_windows,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.ml.windows import (
+        day_windows,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        anomaly as AN,
+    )
+
+    pts = AN.inject_anomalies(AN.prepared_series(load_table(spark, sf_dir, "events")))
+    emb = embed_windows(day_windows(pts), SoftPatchConfig())
+    plan = _plan(_lof_patch_weights(emb, SoftPatchConfig()))
+    assert "_bkt" in plan, "phase-1 bucketed window missing — cap reverted to a global sort"
+    assert re.search(r"Filter .*_rn1.* <= 2048", plan), "phase-1 rank filter missing"
+
+
+def test_two_speed_ann_prunes_before_decimal(spark, sf_dir):
+    """The ANN scale mode must gate every BigDecimal distance fold behind a
+    plain-double pre-filter: a Filter on the fast distance must exist, and
+    no decimal fold may be computed in the same or an earlier node than that
+    filter's input (textually: the plan's first decimal fold appears only
+    above a fdist filter). Also: no CartesianProduct — the only nested-loop
+    join allowed is the broadcast against the tiny cell dim."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.ml.mllib_modes import (
+        det_ann_scores,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.ml.softpatch import (
+        SoftPatchConfig,
+        embed_windows,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.ml.windows import (
+        day_windows,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        anomaly as AN,
+    )
+
+    pts = AN.inject_anomalies(AN.prepared_series(load_table(spark, sf_dir, "events")))
+    emb = embed_windows(day_windows(pts), SoftPatchConfig())
+    plan = _plan(det_ann_scores(emb))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Filter .*fdist", plan), "fast-distance prune filter missing"
+    # the probe side must filter on fdist before any decimal candidate fold
+    n_decimal = plan.count("decimal(27,6)")  # the element-quantize cast of the exact fold
+    n_fast_filters = len(re.findall(r"Filter .*(fdist|fd2)", plan))
+    assert n_fast_filters >= 2, f"expected probe+candidate fast filters, got {n_fast_filters}"
+    assert n_decimal > 0, "decimal exact path disappeared entirely"
