@@ -100,7 +100,13 @@ def knn_impute_days(series: DataFrame, k: int = 3, day_size: int = 24) -> DataFr
     by series via applyInPandas — each series' day matrix is tiny.
 
     Scale shape: the shuffle key is series_id; a series-year is ≈ 365×24
-    floats per group. 100 TB = many series, not big groups."""
+    floats per group. 100 TB = many series, not big groups.
+
+    The timestamp crosses the Arrow boundary as an epoch LONG and is rebuilt
+    JVM-side on the way out: tz-aware timestamp columns pay a measurable
+    per-row conversion in the grouped-pandas path (~30 % of the island's
+    wall at sf0.1) that an int64 column does not, and the kernel only needs
+    the ordering, not the calendar type."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -108,22 +114,26 @@ def knn_impute_days(series: DataFrame, k: int = 3, day_size: int = 24) -> DataFr
     schema = T.StructType(
         [
             T.StructField("series_id", T.StringType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("tsl", T.LongType()),
             T.StructField("value", T.DoubleType()),
             T.StructField("was_null", T.IntegerType()),
         ]
     )
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        pdf = pdf.sort_values("tsl").reset_index(drop=True)
         v = pdf[VAL].to_numpy(dtype=float)
         was_null = np.isnan(v).astype(int)
         out = pdf.copy()
         out[VAL] = knn_impute_series(v, k=k, day_size=day_size)
         out["was_null"] = was_null
-        return out[["series_id", "ts", VAL, "was_null"]]
+        return out[["series_id", "tsl", VAL, "was_null"]]
 
-    return series.groupBy(SID).applyInPandas(per_series, schema=schema)
+    longs = series.select(SID, F.unix_timestamp(F.col(TS)).alias("tsl"), VAL)
+    out = longs.groupBy(SID).applyInPandas(per_series, schema=schema)
+    return out.withColumn(TS, F.timestamp_seconds(F.col("tsl"))).drop("tsl").select(
+        SID, TS, VAL, "was_null"
+    )
 
 
 def imputation_eval(imputed: DataFrame) -> DataFrame:
