@@ -126,11 +126,10 @@ def test_lof_cap_is_two_phase_bucketed(spark, sf_dir):
 
 def test_two_speed_ann_prunes_before_decimal(spark, sf_dir):
     """The ANN scale mode must gate every BigDecimal distance fold behind a
-    plain-double pre-filter: a Filter on the fast distance must exist, and
-    no decimal fold may be computed in the same or an earlier node than that
-    filter's input (textually: the plan's first decimal fold appears only
-    above a fdist filter). Also: no CartesianProduct — the only nested-loop
-    join allowed is the broadcast against the tiny cell dim."""
+    plain-double prune, and both the probe-cell selection and the posting
+    scan must run IN-ROW (array HOFs over the broadcast cell/posting
+    arrays) — no Window keyed on the corpus, no CartesianProduct, nothing
+    wide shuffled after the embed."""
     from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.ml.mllib_modes import (
         det_ann_scores,
     )
@@ -149,9 +148,11 @@ def test_two_speed_ann_prunes_before_decimal(spark, sf_dir):
     emb = embed_windows(day_windows(pts), SoftPatchConfig())
     plan = _plan(det_ann_scores(emb))
     assert "CartesianProduct" not in plan
-    assert re.search(r"Filter .*fdist", plan), "fast-distance prune filter missing"
-    # the probe side must filter on fdist before any decimal candidate fold
-    n_decimal = plan.count("decimal(27,6)")  # the element-quantize cast of the exact fold
-    n_fast_filters = len(re.findall(r"Filter .*(fdist|fd2)", plan))
-    assert n_fast_filters >= 2, f"expected probe+candidate fast filters, got {n_fast_filters}"
-    assert n_decimal > 0, "decimal exact path disappeared entirely"
+    assert "fdist" in plan and "fd2" in plan, "fast-distance prunes missing"
+    assert plan.count("decimal(27,6)") > 0, "decimal exact path disappeared entirely"
+    # the probe/candidate-keyed Window of the r3/r4.0 shapes must be gone
+    # (the upstream injection legitimately windows on (series, day); only a
+    # window on the full probe key would mean the selection regressed)
+    assert not re.search(r"windowspecdefinition\(series_id#\d+, window_start#\d+, patch_idx", plan), (
+        "probe/candidate selection regressed to a corpus-keyed Window"
+    )

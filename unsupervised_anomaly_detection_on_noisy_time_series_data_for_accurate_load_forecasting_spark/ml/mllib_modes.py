@@ -119,46 +119,80 @@ def det_ann_scores(
         .filter(F.col("crk") == 1)
         .select("cell", "bank_id", "bfeat")
     )
-    # Two-speed probe selection: the plain-double fold ranks all n_lists
-    # cells; only cells within the error margin of the n_probe-th fast value
-    # (almost always exactly n_probe of them) pay the BigDecimal fold, which
-    # then decides the final ranking exactly. Any cell outside the margin has
-    # decimal cdist strictly above the decimal n_probe-th (|fast − decimal|
-    # ≤ margin/2 per fold), so the pruned ranking is identical to ranking
-    # all cells in decimal — same rows, ~n_probe/n_lists of the decimal cost.
-    pkey = W.partitionBy("series_id", "window_start", "patch_idx")
-    pw_fast = pkey.orderBy(F.col("fdist").asc(), F.col("cell").asc())
-    kth_fast = F.max(F.when(F.col("frk") == n_probe, F.col("fdist"))).over(pkey)
-    probe_surv = (
-        embedded.crossJoin(F.broadcast(cells))
-        .withColumn("fdist", F.expr(_F2.format(a="feature", b="centroid")))
-        .withColumn("frk", F.row_number().over(pw_fast))
-        .withColumn("_kth", F.coalesce(kth_fast, F.lit(float("inf"))))
-        .filter(F.col("fdist") <= F.col("_kth") + _d2_margin("_kth"))
+    # Two-speed probe selection, entirely IN-ROW: the cell dim is tiny by
+    # construction, so it rides along as a broadcast 1-row array and the
+    # whole fast-rank → margin-filter → decimal-rank pipeline runs as array
+    # HOFs inside whole-stage codegen — NO shuffle, NO row explosion for
+    # probe assignment (the r3 shape windowed an n_lists× exploded corpus).
+    # Semantics are identical to the windowed form: fast fold ranks all
+    # n_lists cells (struct sort = (fdist, cell) lexicographic), only cells
+    # within the error margin of the n_probe-th fast value pay the
+    # BigDecimal fold, and any cell outside the margin has decimal cdist
+    # strictly above the decimal n_probe-th (|fast − decimal| ≤ margin/2
+    # per fold), so the pruned decimal ranking selects the same cells as
+    # ranking everything in decimal.
+    cells_arr = cells.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("_cs")
+    )
+    f2_cell = _F2.format(a="feature", b="cc.centroid")
+    scored = (
+        f"transform(_cs, cc -> struct({f2_cell} AS fdist, cc.cell AS cell, "
+        "cc.centroid AS centroid))"
+    )
+    kth = (
+        "element_at(array_sort(transform(_scored, s -> "
+        "struct(s.fdist AS fdist, s.cell AS cell))), "
+        f"{n_probe}).fdist"
+    )
+    d2q_cell = (
+        "cast(aggregate(zip_with(feature, s.centroid, (x2, c2) -> (x2 - c2) * (x2 - c2)), "
+        "cast(0 as decimal(38,6)), (acc2, v2) -> acc2 + "
+        "cast(floor(v2 * 1000000.0 + 0.5) / 1000000.0 as decimal(27,6))) as double)"
+    )
+    sel = (
+        "slice(array_sort(transform(filter(_scored, s -> "
+        "s.fdist <= _kth + (0.001D + 0.000000001D * greatest(_kth, 0D))), "
+        f"s -> struct({d2q_cell} AS cdist, s.cell AS cell))), 1, {n_probe})"
     )
     probes = (
-        probe_surv.withColumn("cdist", F.expr(_D2Q.format(a="feature", b="centroid")))
-        .withColumn(
-            "crk",
-            F.row_number().over(pkey.orderBy(F.col("cdist").asc(), F.col("cell").asc())),
-        )
-        .filter(F.col("crk") <= n_probe)
-        .select("series_id", "window_start", "patch_idx", "feature", "cell")
+        embedded.crossJoin(F.broadcast(cells_arr))
+        .withColumn("_scored", F.expr(scored))
+        .withColumn("_kth", F.expr(kth))
+        .withColumn("_pc", F.explode(F.expr(sel)))
+        .select("series_id", "window_start", "patch_idx", "feature", F.col("_pc.cell").alias("cell"))
     )
-    # candidate join shuffles on cell id (no broadcast: inverted lists scale
-    # with the bank; AQE may still broadcast at test SFs where it's tiny).
-    # Same two-speed shape for the 1-NN: fast min prunes to the margin
-    # survivors (≈1 per patch), decimal decides the winner and its value.
-    cands = probes.join(bcell, "cell").withColumn(
-        "fd2", F.expr(_F2.format(a="feature", b="bfeat"))
+    # Inverted lists as per-cell POSTING ARRAYS (the FAISS layout): each
+    # cell's bank rows aggregate into one array row, the probe side joins it
+    # (plain join — AQE broadcasts while lists are small, co-shuffles if a
+    # bank outgrows the threshold), and the whole two-speed 1-NN scan runs
+    # IN-ROW: fast fold per posting, array_min, margin filter, decimal fold
+    # on the ≈1 survivor. Nothing wide ever shuffles after the embed — the
+    # only post-join movement is skinny (key, pd2) rows into two partial
+    # aggregations. A posting list is bank/n_lists rows by construction, so
+    # the array row is bounded by the bank config, not the corpus.
+    plists = bcell.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("bank_id", "bfeat"))).alias("_bl")
     )
-    fmin = F.min("fd2").over(W.partitionBy("series_id", "window_start", "patch_idx"))
-    cand_surv = cands.withColumn("_fmin", fmin).filter(
-        F.col("fd2") <= F.col("_fmin") + _d2_margin("_fmin")
+    f2_post = _F2.format(a="feature", b="bb.bfeat")
+    sc2 = f"transform(_bl, bb -> struct({f2_post} AS fd2, bb.bfeat AS bfeat))"
+    d2q_post = (
+        "cast(aggregate(zip_with(feature, s.bfeat, (x2, c2) -> (x2 - c2) * (x2 - c2)), "
+        "cast(0 as decimal(38,6)), (acc2, v2) -> acc2 + "
+        "cast(floor(v2 * 1000000.0 + 0.5) / 1000000.0 as decimal(27,6))) as double)"
     )
-    patch_min = cand_surv.withColumn(
-        "d2", F.expr(_D2Q.format(a="feature", b="bfeat"))
-    ).groupBy("series_id", "window_start", "patch_idx").agg(F.min("d2").alias("pd2"))
+    pd2 = (
+        "array_min(transform(filter(_sc2, s -> "
+        "s.fd2 <= _fmin + (0.001D + 0.000000001D * greatest(_fmin, 0D))), "
+        f"s -> {d2q_post}))"
+    )
+    patch_min = (
+        probes.join(plists, "cell")
+        .withColumn("_sc2", F.expr(sc2))
+        .withColumn("_fmin", F.expr("array_min(transform(_sc2, s -> s.fd2))"))
+        .withColumn("pd2", F.expr(pd2))
+        .groupBy("series_id", "window_start", "patch_idx")
+        .agg(F.min("pd2").alias("pd2"))
+    )
     return patch_min.groupBy("series_id", "window_start").agg(
         F.sqrt(F.max("pd2")).alias("score")
     )
