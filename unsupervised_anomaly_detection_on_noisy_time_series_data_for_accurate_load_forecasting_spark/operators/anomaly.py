@@ -40,9 +40,11 @@ CONTAM_RATE = 0.15
 SALT_DAY, SALT_TYPE, SALT_START, SALT_LEN, SALT_MAG = 7, 11, 13, 17, 19
 
 
-def prepared_series(events: DataFrame) -> DataFrame:
-    """Regularized hourly grid, gaps filled (lag 24h/168h, lead 24h, else 0)."""
-    reg = regularize(events, "1 hour")
+def prepared_series(events: DataFrame | None, hourly: DataFrame | None = None) -> DataFrame:
+    """Regularized hourly grid, gaps filled (lag 24h/168h, lead 24h, else 0).
+    ``hourly``: optional prebuilt (persisted) hourly grid — see
+    plans/shared.py."""
+    reg = regularize(events, "1 hour", hourly=hourly)
     filled = fill_gaps(reg, lags=(24, 168), leads=(24,), default=0.0)
     return filled.select(SID, TS, F.col("filled").alias(VAL))
 
@@ -147,10 +149,14 @@ def impute_flagged(df: DataFrame, value_col: str = "value_contam") -> DataFrame:
     return df.withColumn("cleaned", cleaned).drop("_mean")
 
 
-def cleaned_series(events: DataFrame, rate: float = CONTAM_RATE) -> DataFrame:
+def cleaned_series(
+    events: DataFrame | None, rate: float = CONTAM_RATE, prepared: DataFrame | None = None
+) -> DataFrame:
     """The minimum end-to-end slice (SURVEY.md §7): regularize → fill →
-    inject → detect → impute. Point-level output with gt and flags."""
-    return impute_flagged(detect_flags(inject_anomalies(prepared_series(events), rate)))
+    inject → detect → impute. Point-level output with gt and flags.
+    ``prepared``: optional prebuilt (persisted) prepared series."""
+    base = prepared if prepared is not None else prepared_series(events)
+    return impute_flagged(detect_flags(inject_anomalies(base, rate)))
 
 
 def pipeline_metrics(point_df: DataFrame) -> DataFrame:

@@ -67,13 +67,17 @@ def time_spine(df: DataFrame, step: str = "1 hour") -> DataFrame:
     )
 
 
-def regularize(events: DataFrame, step: str = "1 hour") -> DataFrame:
+def regularize(
+    events: DataFrame | None, step: str = "1 hour", hourly: DataFrame | None = None
+) -> DataFrame:
     """P3/J1: spine ⟕ observations. Missing slots surface as NULL value.
 
     Both sides are partitioned by series_id; at scale this is a co-partitioned
     sort-merge join (spine is derived from the same table, so AQE reuses the
-    shuffle)."""
-    hourly = hourly_series(events)
+    shuffle). Pass ``hourly`` (ideally persisted — see plans/shared.py) to
+    share one bucketing pass across several consumers in a session."""
+    if hourly is None:
+        hourly = hourly_series(events)
     spine = time_spine(hourly, step)
     return spine.join(hourly, [SID, TS], "left")
 

@@ -77,6 +77,14 @@ def _import_graph() -> dict[str, set[str]]:
     return graph
 
 
+# Modules that only arrange the registry presentation — they sit in every
+# query's import closure, so counting them as "code change" would flip the
+# whole registry to the changed category whenever the ordering itself is
+# touched (exactly what happened when this file was introduced), crowding
+# genuinely-changed queries out of the 50-slot window.
+_ORDERING_ONLY = {"plans", "plans.priority", "plans.registry"}
+
+
 def _closure(start: str, graph: dict[str, set[str]]) -> set[str]:
     seen, stack = set(), [start]
     while stack:
@@ -91,7 +99,7 @@ def _closure(start: str, graph: dict[str, set[str]]) -> set[str]:
             parent = d.rsplit(".", 1)[0]
             if parent != d:
                 stack.append(parent)
-    return seen
+    return seen - _ORDERING_ONLY
 
 
 def _git(*args: str) -> str:

@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from ..ml.softpatch import SoftPatchConfig, softpatch_scores
 from ..ml.windows import day_windows
 from ..operators import anomaly as AN
-from ..sources.readers import load_table
 from .registry import register
 
 
@@ -102,8 +101,9 @@ def _embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _EMB_MEMO:
         for k in list(_EMB_MEMO):
             _EMB_MEMO.pop(k).unpersist(False)
-        ev = load_table(spark, sf_dir, "events")
-        points = AN.inject_anomalies(AN.prepared_series(ev))
+        from .shared import prepared_df
+
+        points = AN.inject_anomalies(prepared_df(spark, sf_dir))
         emb = embed_windows(day_windows(points), SoftPatchConfig())
         emb.persist()
         _EMB_MEMO[sf_dir] = emb

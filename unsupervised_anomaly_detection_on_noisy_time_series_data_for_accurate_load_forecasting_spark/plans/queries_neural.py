@@ -38,7 +38,6 @@ from ..ml import imputer as IM
 from ..ml.neural_np import DenoisingAE
 from ..operators import anomaly as AN
 from ..operators.timeseries import SID, TS, VAL
-from ..sources.readers import load_table
 from .queries_timeseries import CLEAN_CTE, FILLED_CTE
 from .registry import register
 
@@ -123,7 +122,9 @@ def _fit_ae(windows_pdf: pd.DataFrame) -> DenoisingAE:
 
 
 def _ae_spark_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    series = IM.with_training_mask(AN.prepared_series(load_table(spark, sf_dir, "events")))
+    from .shared import prepared_df
+
+    series = IM.with_training_mask(prepared_df(spark, sf_dir))
     day = F.floor(F.unix_timestamp(F.col(TS)) / 86400).cast("bigint")
     h = F.hour(F.col(TS))
     return (
@@ -272,8 +273,11 @@ def forecast_ab_neural(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml import forecaster as FC
     from ..ml import softpatch as SP
 
-    ev = load_table(spark, sf_dir, "events")
-    points = AN.cleaned_series(ev).select(SID, TS, "value_contam", "cleaned")
+    from .shared import prepared_df
+
+    points = AN.cleaned_series(
+        None, prepared=prepared_df(spark, sf_dir)
+    ).select(SID, TS, "value_contam", "cleaned")
     # run_forecast_ab with a session-lifetime (sf_dir → weights) memo: the
     # 4-model fit is deterministic per sf_dir, so repeat invocations skip
     # straight to distributed scoring (single-entry memo: new sf evicts).

@@ -15,6 +15,7 @@ from ..operators.timeseries import SID, TS, VAL
 from ..sources.readers import load_table
 from .queries_timeseries import FILLED_CTE, HOURLY_CTE
 from .registry import register
+from .shared import hourly_df, prepared_df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,7 +135,7 @@ def j3_holiday_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Incomplete-last-day removal via per-series max-date anti-filter.",
 )
 def p6_drop_last_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    hourly = hourly_df(spark, sf_dir)
     day = F.date_trunc("day", F.col(TS))
     mx = hourly.groupBy(SID).agg(F.max(day).alias("last_day"))
     kept = hourly.withColumn("day", day).join(F.broadcast(mx), SID).filter(
@@ -161,7 +162,7 @@ def p6_drop_last_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-series quantile scaling (the reference's normalization contract).",
 )
 def a2_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    hourly = hourly_df(spark, sf_dir)
     q = hourly.groupBy(SID).agg(
         F.percentile(VAL, F.lit(0.01)).alias("q01"),
         F.percentile(VAL, F.lit(0.99)).alias("q99"),
@@ -205,7 +206,7 @@ def a2_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Patch extension: flagged point widens to ±2 h via a RANGE frame max.",
 )
 def w7_patch_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    hourly = hourly_df(spark, sf_dir)
     z = TSO.zscore_flags(hourly, threshold=2.0).withColumnRenamed("is_outlier", "flag")
     rng_w = (
         W.partitionBy(SID)
@@ -262,7 +263,7 @@ def u4_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantics, computed as one grouped aggregate + predicate).",
 )
 def a14_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    series = AN.prepared_series(_events(spark, sf_dir))
+    series = prepared_df(spark, sf_dir)
     zero_ratio = F.sum((F.col(VAL) == 0).cast("int")).cast("double") / F.count(F.lit(1))
     return series.groupBy(SID).agg(
         F.count(F.lit(1)).alias("n"),
@@ -293,7 +294,7 @@ def a14_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w8_heatmap_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import forecast as FC
 
-    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    hourly = hourly_df(spark, sf_dir)
     patches = FC.patch_std(hourly, patch_size=8).withColumnRenamed("patch_std", "patch_score")
     return patches.select(
         SID,
@@ -354,7 +355,7 @@ def _m6_oracle() -> str:
 def m6_knn_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.imputer import knn_impute_days
 
-    reg = TSO.regularize(_events(spark, sf_dir))
+    reg = TSO.regularize(None, hourly=hourly_df(spark, sf_dir))
     filled = knn_impute_days(reg)
     return filled.groupBy(SID).agg(
         F.count(F.lit(1)).alias("n"),
@@ -533,7 +534,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filename-encoded window identity).",
 )
 def f2_window_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    hourly = hourly_df(spark, sf_dir)
     d0 = F.date_trunc("day", F.col(TS))
     d = hourly.select(SID, d0.alias("d0")).distinct()
     key = F.concat_ws(
@@ -592,7 +593,7 @@ P8_ANOMALY_DAYS = ("2024-01-15", "2024-01-22", "2024-02-05")
     "anti-filter over the positional split).",
 )
 def p8_test_exclusions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    hourly = hourly_df(spark, sf_dir)
     day = F.date_trunc("day", F.col(TS))
     days = hourly.groupBy(SID, day.alias("day")).agg(dsum(VAL).alias("day_sum"))
     rk = F.row_number().over(W.partitionBy(SID).orderBy("day"))

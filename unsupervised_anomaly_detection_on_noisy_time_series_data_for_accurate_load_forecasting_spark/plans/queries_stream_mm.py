@@ -216,7 +216,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "→ splice → masked-point MAE/MSE (the M17 model slot is torch-gated).",
 )
 def m16_masked_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    series = AN.prepared_series(load_table(spark, sf_dir, "events"))
+    from .shared import prepared_df
+
+    series = prepared_df(spark, sf_dir)
     masked = IM.with_training_mask(series)
     imputed = IM.profile_impute(masked)
     return IM.imputation_eval(imputed)

@@ -16,6 +16,7 @@ from ..operators import timeseries as TSO
 from ..operators.timeseries import SID, TS, VAL
 from ..sources.readers import load_table
 from .registry import register
+from .shared import hourly_df, prepared_df
 
 # ---------------------------------------------------------------------------
 # Shared oracle CTEs (mirror of TSO.hourly_series / time_spine / regularize /
@@ -169,7 +170,7 @@ def p2_dedup_hour_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Spine ⟕ observations; NULL slots are the gaps.",
 )
 def p3_regularize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    reg = TSO.regularize(_events(spark, sf_dir))
+    reg = TSO.regularize(None, hourly=hourly_df(spark, sf_dir))
     return reg.groupBy(SID).agg(
         F.count(F.lit(1)).alias("n_slots"),
         F.count(VAL).alias("n_observed"),
@@ -197,7 +198,7 @@ def p3_regularize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact-lag gap fill: 24 h back, 168 h back, 24 h forward.",
 )
 def j2_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    reg = TSO.regularize(_events(spark, sf_dir))
+    reg = TSO.regularize(None, hourly=hourly_df(spark, sf_dir))
     f = TSO.fill_gaps(reg, lags=(24, 168), leads=(24,))
     return f.groupBy(SID).agg(
         F.count("filled").alias("n_filled"),
@@ -228,7 +229,7 @@ def j2_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Gaps-and-islands: maximal missing-data runs of length ≥ 3.",
 )
 def w5_missing_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    reg = TSO.regularize(_events(spark, sf_dir))
+    reg = TSO.regularize(None, hourly=hourly_df(spark, sf_dir))
     flagged = reg.withColumn("is_gap", F.col(VAL).isNull().cast("int"))
     return TSO.long_runs(flagged, "is_gap", min_len=3).select(
         SID, "run_start", "run_end", "run_len"
@@ -299,7 +300,7 @@ def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-series z-score outliers with exact-moment variance.",
 )
 def w6_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    hourly = hourly_df(spark, sf_dir)
     z = TSO.zscore_flags(hourly, threshold=2.0)
     return z.groupBy(SID).agg(
         F.sum("is_outlier").cast("bigint").alias("n_outliers"),
@@ -325,7 +326,7 @@ def w6_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Day-aligned positional train/test split.",
 )
 def w9_position_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    hourly = hourly_df(spark, sf_dir)
     s = TSO.position_split(hourly, ratio=0.8, day_size=24)
     return s.groupBy(SID, "split").agg(F.count(F.lit(1)).alias("n"), dsum(VAL).alias("sum_value"))
 
@@ -346,7 +347,7 @@ def w9_position_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sliding 2-day/1-day windows via built-in window() bucketing.",
 )
 def w1_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    hourly = hourly_df(spark, sf_dir)
     return TSO.sliding_windows(hourly, "2 days", "1 day")
 
 
@@ -371,7 +372,7 @@ def w1_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Variance-rank dedup: keep the calmest day per series.",
 )
 def w4_variance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    hourly = hourly_df(spark, sf_dir)
     return TSO.variance_rank_dedup(hourly).select(SID, "day", "day_var", "n_points")
 
 
@@ -389,7 +390,7 @@ def w4_variance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Decimal-exact running energy per series.",
 )
 def a5_running_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    hourly = hourly_df(spark, sf_dir)
     return TSO.running_energy(hourly).select(SID, TS, "cum_energy")
 
 
@@ -515,7 +516,7 @@ def a1_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Percentile threshold → flag counts (broadcast threshold join).",
 )
 def a6_threshold_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    hourly = hourly_df(spark, sf_dir)
     th = hourly.groupBy(SID).agg(F.percentile(VAL, F.lit(0.95)).alias("p95"))
     return (
         hourly.join(F.broadcast(th), SID)
@@ -543,7 +544,7 @@ def a6_threshold_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Deterministic-RNG synthetic anomaly injection, per-series rollup.",
 )
 def m4_inject_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    inj = AN.inject_anomalies(AN.prepared_series(_events(spark, sf_dir)))
+    inj = AN.inject_anomalies(prepared_df(spark, sf_dir))
     eday = F.floor(F.unix_timestamp(F.col(TS)) / 86400)
     return inj.groupBy(SID).agg(
         F.count(F.lit(1)).alias("n_points"),
@@ -571,4 +572,4 @@ def m4_inject_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Flagship end-to-end slice: regularize→fill→inject→detect→impute→score.",
 )
 def pipeline_anomaly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return AN.pipeline_metrics(AN.cleaned_series(_events(spark, sf_dir)))
+    return AN.pipeline_metrics(AN.cleaned_series(None, prepared=prepared_df(spark, sf_dir)))
