@@ -215,59 +215,48 @@ def ivf_topk(
         F.col("embedding").alias("centroid"),
     )
 
-    # nearest cells, two-speed and IN-ROW: the centroid dim is tiny by
-    # construction, so it rides along as a broadcast 1-row array and the
-    # whole fast-rank → margin-filter → decimal-rank pipeline runs as array
-    # HOFs inside codegen — no row explosion, no corpus-keyed Window. A
-    # plain-double squared-L2 ranks all n_lists cells; only cells within the
-    # error margin of the row's deepest needed rank (1 for corpus
-    # assignment, n_probe for query probing) pay the decimal-exact fold,
-    # which then decides the ranking exactly: a cell outside the margin has
-    # decimal distance strictly above the decimal rank-``need`` value
-    # (|fast − decimal| ≤ margin/2 per fold), so the pruned decimal ranking
-    # selects identical cells at ~need/n_lists of the BigDecimal cost.
-    cells_arr = centroids.agg(
-        F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("_cs")
+    # nearest cells, two-speed: a plain-double squared-L2 ranks all n_lists
+    # cells; only cells within the error margin of the row's deepest needed
+    # rank (1 for corpus assignment, n_probe for query probing) pay the
+    # decimal-exact fold, which then decides the ranking exactly. A cell
+    # outside the margin has decimal distance strictly above the decimal
+    # rank-``need`` value (|fast − decimal| ≤ margin/2 per fold), so the
+    # pruned decimal ranking selects identical rows at ~need/n_lists of the
+    # BigDecimal cost.
+    dist2 = (
+        "cast(aggregate(zip_with(embedding, centroid, "
+        "(x, c) -> (cast(x as double) - cast(c as double)) * (cast(x as double) - cast(c as double))), "
+        "cast(0 as decimal(38,6)), (acc, v) -> acc + cast(floor(v * 1000000.0 + 0.5) / 1000000.0 as decimal(27,6))) as double)"
     )
-    f2_cell = (
-        "aggregate(zip_with(embedding, cc.centroid, "
+    fdist2 = (
+        "aggregate(zip_with(embedding, centroid, "
         "(x, c) -> (cast(x as double) - cast(c as double)) * (cast(x as double) - cast(c as double))), "
         "cast(0 as double), (acc, v) -> acc + v)"
     )
-    d2q_cell = (
-        "cast(aggregate(zip_with(embedding, s.centroid, "
-        "(x2, c2) -> (cast(x2 as double) - cast(c2 as double)) * (cast(x2 as double) - cast(c2 as double))), "
-        "cast(0 as decimal(38,6)), (acc2, v2) -> acc2 + "
-        "cast(floor(v2 * 1000000.0 + 0.5) / 1000000.0 as decimal(27,6))) as double)"
-    )
-    scored = (
-        f"transform(_cs, cc -> struct({f2_cell} AS fdist, cc.cell AS cell, "
-        "cc.centroid AS centroid))"
-    )
-    kth = (
-        "element_at(array_sort(transform(_scored, s -> "
-        "struct(s.fdist AS fdist, s.cell AS cell))), _need).fdist"
-    )
-    sel = (
-        "slice(array_sort(transform(filter(_scored, s -> "
-        "s.fdist <= _kth + (0.001D + 0.000000001D * greatest(_kth, 0D))), "
-        f"s -> struct({d2q_cell} AS cdist, s.cell AS cell))), 1, _need)"
-    )
+    d2_margin = F.lit(1e-3) + F.lit(1e-9) * F.greatest(F.col("_kth"), F.lit(0.0))
+    need = F.when(F.col("vec_id") < n_queries, F.lit(n_probe)).otherwise(F.lit(1))
+    vkey = W.partitionBy("vec_id")
+    kth_fast = F.max(F.when(F.col("frk") == F.col("_need"), F.col("fdist"))).over(vkey)
     assign = (
-        e.crossJoin(F.broadcast(cells_arr))
-        .withColumn("_need", F.when(F.col("vec_id") < n_queries, F.lit(n_probe)).otherwise(F.lit(1)))
-        .withColumn("_scored", F.expr(scored))
-        .withColumn("_kth", F.expr(kth))
-        .withColumn("_sel", F.expr(sel))
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("fdist", F.expr(fdist2))
+        .withColumn("_need", need)
+        .withColumn(
+            "frk",
+            F.row_number().over(vkey.orderBy(F.col("fdist").asc(), F.col("cell").asc())),
+        )
+        .withColumn("_kth", kth_fast)
+        .filter(F.col("fdist") <= F.col("_kth") + d2_margin)
+        .withColumn("cdist", F.expr(dist2))
+        .withColumn(
+            "crk",
+            F.row_number().over(vkey.orderBy(F.col("cdist").asc(), F.col("cell").asc())),
+        )
     )
-    corpus = assign.select(
-        "vec_id", "embedding", "sq", F.expr("element_at(_sel, 1).cell").alias("cell")
-    )
-    probes = assign.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qemb"),
-        F.col("sq").alias("qsq"),
-        F.explode(F.expr("transform(_sel, s -> s.cell)")).alias("cell"),
+    corpus = assign.filter(F.col("crk") == 1).select("vec_id", "embedding", "sq", "cell")
+    probes = (
+        assign.filter((F.col("vec_id") < n_queries) & (F.col("crk") <= n_probe))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), F.col("sq").alias("qsq"), "cell")
     )
     # candidate ranking, two-speed (same shape as cosine_topk): fast cosine
     # pre-rank keeps everything within MARGIN of the fast kth — a provable
