@@ -216,3 +216,57 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str =
             + F.when(ones_hi * 2 > F.col("_n"), F.lit(1 << (2 * g + 1)).cast("bigint")).otherwise(F.lit(0))
         )
     return agg.select(id_col, code.cast("bigint").alias("simhash"))
+
+
+def connected_components(pairs: DataFrame, a: str = "d1", b: str = "d2", max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every vertex is
+    labeled with the MINIMUM vertex id reachable from it — the canonical
+    cluster representative for dedup cluster assignment.
+
+    BSP min-label propagation (the GraphX/GraphFrames CC shape): each round
+    joins the symmetric edge list with the current labels and takes the
+    per-vertex min over self ∪ neighbors; convergence (no label changed) is
+    checked with one driver-scalar count per round. Rounds needed = the
+    graph's min-label propagation radius; LSH near-dup graphs are
+    union-of-near-cliques, so this is small in practice and ``max_iter``
+    bounds the worst case. Each round is one co-partitioned join + one
+    partial-combinable aggregation on the vertex key — no global sorts, no
+    driver-side graph. Output: (vertex, cluster).
+    """
+    # localCheckpoint (not persist): persist caches RESULTS but every
+    # round's logical plan would still embed the full upstream lineage —
+    # for an LSH pair graph that's the 32×64-literal signature expression
+    # tree, re-analyzed per iteration until Catalyst time explodes. An
+    # iterative operator must TRUNCATE lineage each round; the checkpointed
+    # label set is (vertex, cluster) — tiny at any corpus scale.
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("cluster", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("vertex", "src"), "src"
+        ).select(F.col("dst").alias("vertex"), "cluster")
+        new_labels = (
+            labels.select("vertex", "cluster")
+            .union(nbr)
+            .groupBy("vertex")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster", "_old"), "vertex")
+            .filter(F.col("cluster") < F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -4,6 +4,7 @@ path)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.exact import dsum_sql
 from ..functions.rng import rng_uniform_sql
@@ -243,4 +244,51 @@ def d_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+    )
+
+
+@register(
+    "d_cc_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LONG},{_BANDED},
+    ids AS (SELECT d1 AS vec_id FROM cands UNION SELECT d2 FROM cands),
+    pl AS (SELECT * FROM long WHERE vec_id IN (SELECT vec_id FROM ids)),
+    nm2 AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM pl GROUP BY 1),
+    dots AS (
+      SELECT c.d1, c.d2, {dsum_sql('a.x * b.x')} AS dot
+      FROM cands c JOIN pl a ON a.vec_id = c.d1 JOIN pl b ON b.vec_id = c.d2 AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT d1, d2
+      FROM dots JOIN nm2 n1 ON d1 = n1.vec_id JOIN nm2 n2 ON d2 = n2.vec_id
+      WHERE dot / sqrt(n1.sq * n2.sq) >= 0.25
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM near UNION ALL SELECT d2 AS a, d1 AS b FROM near),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, lab) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+    )
+    SELECT CAST(v AS BIGINT) AS vec_id, CAST(min(lab) AS BIGINT) AS cluster
+    FROM reach GROUP BY v
+    """,
+    tags=("DEDUP-embedding", "DEDUP-cc", "J5", "U5"),
+    doc="Dedup cluster assignment: connected components over the LSH "
+    "near-dup graph via BSP min-label propagation (one co-partitioned "
+    "join + combinable min-agg per round, rounds = propagation radius, "
+    "driver sees only a changed-count scalar). Every vertex gets the min "
+    "vec_id reachable from it — the cluster representative a corpus dedup "
+    "keeps. Oracle = DuckDB recursive CTE over the identical (SQL-mirrored) "
+    "near-pair graph.",
+)
+def d_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    pairs = SIM.lsh_near_pairs(_emb(spark, sf_dir), min_cosine=0.25, bands=_bands(spark, sf_dir))
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("vertex").cast("bigint").alias("vec_id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
     )
