@@ -1,0 +1,32 @@
+"""Connected-components label propagation: unit pins beyond the oracle
+parity (which only sees the LSH graph's near-clique shape) — a path graph
+forces multi-round propagation, and a singleton-free contract check."""
+
+from __future__ import annotations
+
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+    connected_components,
+)
+
+
+def test_cc_components_and_representatives(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10)], "d1 long, d2 long"
+    )
+    got = {r["vertex"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_cc_path_graph_needs_multiple_rounds(spark):
+    # 0-1-2-...-9: min label must walk the whole path — exercises the loop,
+    # not just the first propagation step
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)], "d1 long, d2 long")
+    got = {r["vertex"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_cc_only_graph_vertices_labeled(spark):
+    # vertices come from the pair graph; isolated docs are absent by contract
+    pairs = spark.createDataFrame([(7, 3)], "d1 long, d2 long")
+    got = sorted(r["vertex"] for r in connected_components(pairs).collect())
+    assert got == [3, 7]
