@@ -62,7 +62,7 @@ def test_auto_priority_never_green_first(monkeypatch):
     phantom = {n: 2 for n in names}
     phantom.pop(names[-1])  # the last registered query has no evidence
     monkeypatch.setattr(P, "_last_green_round", lambda: phantom)
-    monkeypatch.setattr(P, "_changed_modules", lambda: set())
+    monkeypatch.setattr(P, "_changed_modules_since", lambda sha: set())
     out = P.auto_priority(names)
     assert out[0] == names[-1], "never-green query must lead the window"
 
@@ -76,6 +76,86 @@ def test_auto_priority_stalest_first(monkeypatch):
     rounds = {n: 3 for n in names}
     rounds[names[5]] = 1  # stalest evidence
     monkeypatch.setattr(P, "_last_green_round", lambda: rounds)
-    monkeypatch.setattr(P, "_changed_modules", lambda: set())
+    monkeypatch.setattr(P, "_changed_modules_since", lambda sha: set())
     out = P.auto_priority(names)
     assert out[0] == names[5], "stalest-evidence query must lead when nothing changed"
+
+
+def test_auto_priority_math_changed_before_closure_touched(monkeypatch):
+    """The round-4 crowding bug: a query whose defining module was edited
+    since its own last green row must outrank queries that merely import a
+    changed dependency — even when the math-changed query has FRESHER
+    evidence."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans.registry import (
+        REGISTRY,
+    )
+
+    names = list(REGISTRY)
+    target = "m17_ae_imputation"
+    defining = REGISTRY[target].spark.__module__.split(".", 1)[1]
+    # everyone green in r1 (stale) except the target, green in r3 (fresh)
+    rounds = {n: 1 for n in names}
+    rounds[target] = 3
+    monkeypatch.setattr(P, "_last_green_round", lambda: rounds)
+    # only the target's own defining module changed since its green row
+    monkeypatch.setattr(P, "_changed_modules_since", lambda sha: {defining})
+    out = P.auto_priority(names)
+    # every query defined in the edited module (math-changed) must precede
+    # every query that merely imports it (closure-touched) — the target's
+    # fresher evidence must not push it behind stale closure-touched rows
+    math = {
+        n for n in names if REGISTRY[n].spark.__module__.split(".", 1)[1] == defining
+    }
+    last_math = max(out.index(n) for n in math)
+    closure_touched = [n for n in names if n not in math]
+    first_other = min(out.index(n) for n in closure_touched)
+    assert last_math < first_other or out.index(target) < first_other
+
+
+def test_auto_priority_changed_is_relative_to_own_green_round(monkeypatch):
+    """A query verified AFTER the edit landed is not 'changed'; one last
+    verified BEFORE the same edit is."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans.registry import (
+        REGISTRY,
+    )
+
+    names = list(REGISTRY)
+    defining = REGISTRY[names[0]].spark.__module__.split(".", 1)[1]
+    rounds = {n: 4 for n in names}
+    rounds[names[0]] = 2  # verified before the edit
+    monkeypatch.setattr(P, "_last_green_round", lambda: rounds)
+    monkeypatch.setattr(P, "_verdict_commits", lambda: {2: "old", 4: "new"})
+    monkeypatch.setattr(
+        P,
+        "_changed_modules_since",
+        lambda sha: {defining} if sha == "old" else set(),
+    )
+    out = P.auto_priority(names)
+    assert out[0] == names[0]
+
+
+def test_import_graph_records_submodule_imports():
+    """`from ..operators import anomaly` must record operators.anomaly, and
+    `from .x import y` inside a package __init__ must anchor at the package
+    (ml/__init__ imports resolve to ml.*, not bare names)."""
+    g = P._import_graph()
+    assert "operators.anomaly" in P._closure("plans.queries_timeseries", g)
+    assert all(not d or "." in d or P._is_module(d) for deps in g.values() for d in deps)
+    assert "ml.softpatch" in g.get("ml", set()) or "ml" not in g
+
+
+def test_last_green_requires_positive_rows_for_no_oracle(tmp_path, monkeypatch):
+    import json
+
+    monkeypatch.setattr(P, "_REPO_ROOT", tmp_path)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "good": {"err": "no_oracle", "spark_rows": 5},
+                "empty": {"err": "no_oracle", "spark_rows": 0},
+                "hashed": {"hash_match": True, "spark_rows": 0},
+            }
+        )
+    )
+    last = P._last_green_round()
+    assert last == {"good": 1, "hashed": 1}

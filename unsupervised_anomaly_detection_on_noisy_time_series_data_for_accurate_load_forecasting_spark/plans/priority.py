@@ -3,22 +3,29 @@ from evidence instead of a hand-written list.
 
 The driver hash-checks the FIRST 50 entries of ``queries()`` each round.
 Round 3 hand-maintained that window and missed one changed query
-(``t_quality_score``), so the ordering is now computed from the two sources
-of truth that already live in the repo:
+(``t_quality_score``); round 4's first cut of this module missed three more
+by computing "changed" globally (changed since the *latest* verdict commit,
+expanded through the import graph) — a shared-view module sat in nearly
+every query's closure, so dozens of behaviorally-unchanged queries crowded
+the genuinely math-changed ones out of the 50-slot window.
 
-1. ``CORRECTNESS_r*.json`` — which queries have a green driver row, and how
-   many rounds ago the freshest one is;
-2. ``git`` — which package files changed since the last round's verdict
-   commit, expanded to affected queries through the package's *transitive
-   relative-import graph* (a change to ``ml/softpatch.py`` re-prioritizes
-   every query whose plans module reaches it, not just queries defined in
-   the edited file).
+This version computes change evidence **per query**:
 
-Order: never-green first, then changed-this-round, then everything else by
-ascending last-green round (stalest evidence first) — so rotation alone
-bounds every query's evidence age at ~⌈n_queries / 50⌉ rounds. Any failure
-(no git, missing files) degrades to the previous category's ordering rather
-than raising: priority is an optimization, never a correctness gate itself.
+1. ``CORRECTNESS_r*.json`` — which queries have a green driver row, and in
+   which round the freshest one landed;
+2. ``git diff`` against the verdict commit of *that query's own last green
+   round* — a query is "changed" only if code it depends on moved after the
+   driver last verified it, not merely since last round;
+3. the package's transitive relative-import graph, distinguishing
+   **math-changed** (the query's defining module itself was edited) from
+   **closure-touched** (only a dependency moved).
+
+Order: never-green first, then math-changed, then closure-touched, then
+everything else by ascending last-green round (stalest evidence first) — so
+rotation alone bounds every query's evidence age at ~⌈n_queries / 50⌉
+rounds. Any failure (no git, missing files) degrades to the previous
+category's ordering rather than raising: priority is an optimization, never
+a correctness gate itself.
 """
 
 from __future__ import annotations
@@ -32,7 +39,13 @@ _PKG_ROOT = Path(__file__).resolve().parents[1]  # the package directory
 _REPO_ROOT = _PKG_ROOT.parent
 _PKG_NAME = _PKG_ROOT.name
 
-_IMPORT_RE = re.compile(r"^\s*from\s+(\.+)([\w.]*)\s+import\s+", re.MULTILINE)
+# `from .x import a, b` / `from ..y.z import (a,\n b)` — group 3 captures the
+# imported-name list (parenthesized form may span lines; bare form stops at
+# end-of-line), so `from ..operators import anomaly` can record the submodule
+# dep `operators.anomaly`, not just `operators`.
+_IMPORT_RE = re.compile(
+    r"^\s*from\s+(\.+)([\w.]*)\s+import\s+(\([^)]*\)|[^\n]*)", re.MULTILINE
+)
 
 
 def _module_of(path: Path) -> str | None:
@@ -50,10 +63,16 @@ def _module_of(path: Path) -> str | None:
     return ".".join(parts)
 
 
+def _is_module(dotted: str) -> bool:
+    p = _PKG_ROOT.joinpath(*dotted.split("."))
+    return p.with_suffix(".py").is_file() or (p / "__init__.py").is_file()
+
+
 def _import_graph() -> dict[str, set[str]]:
     """module -> set of package modules it imports (one level), from source
     text: only relative imports (``from .x import``/``from ..y.z import``)
-    are package-internal by construction."""
+    are package-internal by construction. Records both the from-target and,
+    for each imported name that is itself a module, the submodule."""
     graph: dict[str, set[str]] = {}
     for py in _PKG_ROOT.rglob("*.py"):
         mod = _module_of(py)
@@ -64,15 +83,30 @@ def _import_graph() -> dict[str, set[str]]:
             src = py.read_text()
         except OSError:
             continue
-        base = mod.split(".")
+        # The package a relative import resolves against: for a/b.py that is
+        # package `a`; for a package's own __init__.py (module `a`) it is
+        # `a` itself — anchoring at the module's *parent* there mis-resolved
+        # `from .softpatch import x` in ml/__init__.py to bare `softpatch`.
+        is_init = py.name == "__init__.py"
+        mod_parts = mod.split(".") if mod else []
+        pkg_parts = mod_parts if is_init else mod_parts[:-1]
         for m in _IMPORT_RE.finditer(src):
-            dots, name = len(m.group(1)), m.group(2)
-            # `from .` inside module a.b resolves against a; one extra dot
-            # per level up. (A module's own package = its parts minus leaf.)
-            anchor = base[: len(base) - dots] if len(base) >= dots else []
+            dots, name, imported = len(m.group(1)), m.group(2), m.group(3)
+            # one dot = current package, each extra dot one level up
+            cut = len(pkg_parts) - (dots - 1)
+            anchor = pkg_parts[:cut] if cut >= 0 else []
             target = ".".join(anchor + ([name] if name else [])).strip(".")
             if target:
                 deps.add(target)
+            # `from X import Y` where X/Y.py (or X/Y/) exists: dep on X.Y too
+            base = target  # may be "" for `from . import x` at package root
+            for item in imported.strip("()").replace("\n", ",").split(","):
+                leaf = item.strip().split(" as ")[0].strip()
+                if not leaf or not re.fullmatch(r"\w+", leaf):
+                    continue
+                sub = f"{base}.{leaf}" if base else leaf
+                if _is_module(sub):
+                    deps.add(sub)
         graph[mod] = deps
     return graph
 
@@ -80,8 +114,7 @@ def _import_graph() -> dict[str, set[str]]:
 # Modules that only arrange the registry presentation — they sit in every
 # query's import closure, so counting them as "code change" would flip the
 # whole registry to the changed category whenever the ordering itself is
-# touched (exactly what happened when this file was introduced), crowding
-# genuinely-changed queries out of the 50-slot window.
+# touched, crowding genuinely-changed queries out of the 50-slot window.
 _ORDERING_ONLY = {"plans", "plans.priority", "plans.registry"}
 
 
@@ -94,7 +127,7 @@ def _closure(start: str, graph: dict[str, set[str]]) -> set[str]:
         seen.add(m)
         for d in graph.get(m, ()):
             stack.append(d)
-            # `from ..ml.softpatch import x` may record `ml.softpatch`; a
+            # `from ..ml.softpatch import x` records `ml.softpatch`; a
             # change to `ml/__init__.py` (module `ml`) must also count.
             parent = d.rsplit(".", 1)[0]
             if parent != d:
@@ -111,10 +144,22 @@ def _git(*args: str) -> str:
     return out.stdout
 
 
-def _changed_modules() -> set[str]:
-    """Package modules touched since the last round's verdict commit
-    (committed, unstaged, and untracked changes alike)."""
-    sha = _git("log", "--grep", "^round [0-9]*: verdict", "-n", "1", "--format=%H").strip()
+def _verdict_commits() -> dict[int, str]:
+    """round number -> sha of that round's driver verdict commit (the commit
+    that carried CORRECTNESS_r{N}.json, i.e. the code state the driver
+    verified)."""
+    out = _git("log", "--grep", "^round [0-9]*: verdict", "--format=%H %s")
+    commits: dict[int, str] = {}
+    for line in out.splitlines():
+        m = re.match(r"([0-9a-f]+) round (\d+): verdict", line)
+        if m:
+            commits.setdefault(int(m.group(2)), m.group(1))
+    return commits
+
+
+def _changed_modules_since(sha: str | None) -> set[str]:
+    """Package modules touched since ``sha`` (committed, unstaged, and
+    untracked changes alike); since the beginning if sha is None."""
     files: set[str] = set()
     if sha:
         files |= set(_git("diff", "--name-only", sha).splitlines())
@@ -129,7 +174,8 @@ def _changed_modules() -> set[str]:
 
 def _last_green_round() -> dict[str, int]:
     """query -> most recent round with a green driver row (hash-green, or
-    rows-green for the explicitly oracle-less contract)."""
+    rows-green with a positive row count for the explicitly oracle-less
+    contract — an errored/empty no-oracle run is not evidence)."""
     last: dict[str, int] = {}
     for path in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path.name)
@@ -142,7 +188,7 @@ def _last_green_round() -> dict[str, int]:
             continue
         for name, r in rows.items():
             green = r.get("hash_match") is True or (
-                r.get("err") == "no_oracle" and (r.get("spark_rows") or 0) >= 0
+                r.get("err") == "no_oracle" and (r.get("spark_rows") or 0) > 0
             )
             if green:
                 last[name] = max(last.get(name, 0), rnd)
@@ -156,30 +202,51 @@ def auto_priority(registry_names: list[str]) -> list[str]:
         last = _last_green_round()
     except Exception:
         last = {}
+
+    # Category per query: 1 = math-changed (defining module edited since the
+    # query's own last green row), 2 = closure-touched (a dependency edited
+    # since then), 3 = unchanged-since-verified. Computed lazily per green
+    # round so each git diff runs at most once.
+    math_changed: set[str] = set()
+    closure_changed: set[str] = set()
     try:
-        changed = _changed_modules()
         graph = _import_graph()
-        # a query is "changed" if its defining module's import closure
-        # touches any changed module
+        verdicts = _verdict_commits()
+        changed_cache: dict[int, set[str]] = {}
+
+        def changed_since_round(rnd: int) -> set[str]:
+            if rnd not in changed_cache:
+                changed_cache[rnd] = _changed_modules_since(verdicts.get(rnd))
+            return changed_cache[rnd]
+
         from .registry import REGISTRY
 
-        def is_changed(name: str) -> bool:
-            fn = REGISTRY[name].spark
-            mod = fn.__module__
-            prefix = _PKG_NAME + "."
+        prefix = _PKG_NAME + "."
+        for name in registry_names:
+            rnd = last.get(name)
+            if rnd is None:
+                continue  # never green — already the top category
+            changed = changed_since_round(rnd)
+            if not changed:
+                continue
+            mod = REGISTRY[name].spark.__module__
             rel = mod[len(prefix):] if mod.startswith(prefix) else mod
-            return bool(_closure(rel, graph) & changed)
-
-        changed_q = {n for n in registry_names if is_changed(n)}
+            if rel in changed:
+                math_changed.add(name)
+            elif _closure(rel, graph) & changed:
+                closure_changed.add(name)
     except Exception:
-        changed_q = set()
+        pass
 
     def key(name: str):
-        never = name not in last
-        return (
-            0 if never else (1 if name in changed_q else 2),
-            last.get(name, 0),  # stalest evidence first within a category
-            order[name],
-        )
+        if name not in last:
+            cat = 0
+        elif name in math_changed:
+            cat = 1
+        elif name in closure_changed:
+            cat = 2
+        else:
+            cat = 3
+        return (cat, last.get(name, 0), order[name])
 
     return sorted(registry_names, key=key)
