@@ -28,3 +28,92 @@ def load_bank(path: str) -> tuple[np.ndarray, dict]:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     return bank, meta
+
+
+# ---------------------------------------------------------------------------
+# Keyed trained-weight store (the reference's checkpoint restore,
+# early_stop.py:41-46): a fit is deterministic in (training data, model
+# source, hyperparameters), so its weights are cached on disk under a key
+# derived from exactly those three — a math or data change rotates the key
+# and forces a refit, making stale-weight reuse impossible by construction.
+# The correctness oracle (an independent numpy mirror that always refits)
+# would catch a collision as a hash mismatch.
+# ---------------------------------------------------------------------------
+
+import hashlib
+import sys
+
+_CACHE_ENV = "SPARK_GRAFT_WEIGHTS_DIR"
+
+
+def weights_cache_dir() -> str:
+    default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".weights_cache",
+    )
+    return os.environ.get(_CACHE_ENV, default)
+
+
+def source_fingerprint(*module_names: str, extra: str = "") -> str:
+    """sha256 over the source text of the given (imported) modules plus an
+    explicit hyperparameter string — part of every weight key, so editing
+    the model math or schedules invalidates cached fits."""
+    h = hashlib.sha256()
+    for name in module_names:
+        mod = sys.modules[name]
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+        h.update(b"\x00")
+    h.update(extra.encode())
+    return h.hexdigest()
+
+
+def train_data_key(arrays: list[np.ndarray], fingerprint: str) -> str:
+    """sha256 over the training matrices (C-order float bytes) + the source
+    fingerprint. Bounded cost: training samples are driver-capped upstream."""
+    h = hashlib.sha256(fingerprint.encode())
+    for a in arrays:
+        a = np.ascontiguousarray(a)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()[:24]
+
+
+def save_weight_groups(name: str, key: str, groups: dict[str, dict[str, np.ndarray]]) -> None:
+    """Persist {group: {param: array}} as one npz + a JSON manifest (no
+    pickle; portable). Atomic via rename so a concurrent reader never sees
+    a half-written artifact."""
+    d = os.path.join(weights_cache_dir(), f"{name}-{key}")
+    tmp = d + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    manifest: list[tuple[str, str, str]] = []
+    flat: dict[str, np.ndarray] = {}
+    for gi, (g, params) in enumerate(sorted(groups.items())):
+        for pi, (p, arr) in enumerate(sorted(params.items())):
+            sk = f"a{gi}_{pi}"
+            manifest.append((g, p, sk))
+            flat[sk] = np.asarray(arr)
+    np.savez_compressed(os.path.join(tmp, "weights.npz"), **flat)
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    if os.path.isdir(d):  # another process won the race; keep theirs
+        import shutil
+
+        shutil.rmtree(tmp)
+        return
+    os.replace(tmp, d)
+
+
+def load_weight_groups(name: str, key: str) -> dict[str, dict[str, np.ndarray]] | None:
+    d = os.path.join(weights_cache_dir(), f"{name}-{key}")
+    try:
+        with open(os.path.join(d, "manifest.json")) as f:
+            manifest = json.load(f)
+        with np.load(os.path.join(d, "weights.npz")) as z:
+            out: dict[str, dict[str, np.ndarray]] = {}
+            for g, p, sk in manifest:
+                out.setdefault(g, {})[p] = z[sk]
+    except (OSError, ValueError, KeyError):
+        return None
+    return out
