@@ -96,43 +96,76 @@ def knn_impute_series(v, k: int = 3, day_size: int = 24):
 
 
 def knn_impute_days(series: DataFrame, k: int = 3, day_size: int = 24) -> DataFrame:
-    """M6: remaining NULLs filled via :func:`knn_impute_series`, partitioned
-    by series via applyInPandas — each series' day matrix is tiny.
+    """M6: remaining NULLs filled via :func:`knn_impute_series`, one packed
+    row per series through a mapInPandas island.
 
-    Scale shape: the shuffle key is series_id; a series-year is ≈ 365×24
-    floats per group. 100 TB = many series, not big groups.
-
-    The timestamp crosses the Arrow boundary as an epoch LONG and is rebuilt
-    JVM-side on the way out: tz-aware timestamp columns pay a measurable
-    per-row conversion in the grouped-pandas path (~30 % of the island's
-    wall at sf0.1) that an int64 column does not, and the kernel only needs
-    the ordering, not the calendar type."""
+    Scale shape: the only shuffle is the per-series ``collect_list`` — the
+    day matrix is assembled ENGINE-side (sorted struct collect → plain
+    arrays), so the Arrow boundary transfers one array row per series
+    instead of one row per point. The grouped-pandas per-row path was the
+    dominant cost of the previous applyInPandas shape (~60 % of the
+    island's wall at sf0.1 was row plumbing, not kernel); array columns
+    move the same bytes in three vectors. Timestamps cross as epoch longs
+    (the kernel needs ordering, not calendar types) and the imputed points
+    are exploded back to rows JVM-side. A series-year is ≈ 365×24 doubles
+    ≈ 70 KB per row — bounded by series length, not corpus size; 100 TB =
+    many series, not big groups."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    schema = T.StructType(
+    out_schema = T.StructType(
         [
             T.StructField("series_id", T.StringType()),
-            T.StructField("tsl", T.LongType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("was_null", T.IntegerType()),
+            T.StructField("tsls", T.ArrayType(T.LongType())),
+            T.StructField("vals", T.ArrayType(T.DoubleType())),
+            T.StructField("wn", T.ArrayType(T.IntegerType())),
         ]
     )
 
-    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("tsl").reset_index(drop=True)
-        v = pdf[VAL].to_numpy(dtype=float)
-        was_null = np.isnan(v).astype(int)
-        out = pdf.copy()
-        out[VAL] = knn_impute_series(v, k=k, day_size=day_size)
-        out["was_null"] = was_null
-        return out[["series_id", "tsl", VAL, "was_null"]]
+    # NULL (grid gap) → NaN so the vector survives list<double> intact; the
+    # kernel treats NaN as missing, matching the old to_numpy(dtype=float).
+    val_nan = F.when(F.col(VAL).isNull(), F.lit(float("nan"))).otherwise(F.col(VAL))
+    packed = (
+        series.select(SID, F.unix_timestamp(F.col(TS)).alias("tsl"), val_nan.alias("v"))
+        .groupBy(SID)
+        .agg(F.array_sort(F.collect_list(F.struct("tsl", "v"))).alias("pts"))
+        .select(
+            SID,
+            F.expr("transform(pts, s -> s.tsl)").alias("tsls"),
+            F.expr("transform(pts, s -> s.v)").alias("vals"),
+        )
+    )
 
-    longs = series.select(SID, F.unix_timestamp(F.col(TS)).alias("tsl"), VAL)
-    out = longs.groupBy(SID).applyInPandas(per_series, schema=schema)
-    return out.withColumn(TS, F.timestamp_seconds(F.col("tsl"))).drop("tsl").select(
-        SID, TS, VAL, "was_null"
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sids, tsls_o, vals_o, wn_o = [], [], [], []
+            for sid, tsls, vals in zip(pdf["series_id"], pdf["tsls"], pdf["vals"]):
+                v = np.asarray(vals, dtype=float)
+                wn_o.append(np.isnan(v).astype("int32"))
+                vals_o.append(knn_impute_series(v, k=k, day_size=day_size))
+                tsls_o.append(np.asarray(tsls, dtype="int64"))
+                sids.append(sid)
+            yield pd.DataFrame(
+                {"series_id": sids, "tsls": tsls_o, "vals": vals_o, "wn": wn_o}
+            )
+
+    packed_out = packed.mapInPandas(gen, schema=out_schema)
+    z = F.explode(F.arrays_zip("tsls", "vals", "wn"))
+    return (
+        packed_out.select(SID, z.alias("z"))
+        .select(
+            SID,
+            F.timestamp_seconds(F.col("z.tsls")).alias(TS),
+            # still-missing points come back as NaN in the array; restore
+            # NULL, which is what the row path produced via pandas→Arrow
+            F.when(F.isnan(F.col("z.vals")), F.lit(None).cast("double"))
+            .otherwise(F.col("z.vals"))
+            .alias(VAL),
+            F.col("z.wn").alias("was_null"),
+        )
     )
 
 
