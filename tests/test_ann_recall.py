@@ -19,3 +19,13 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     # probing half the cells should retain most true neighbors
     assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+def test_ivf_degenerate_cell_count_keeps_rows(spark, sf_dir):
+    # n_lists < n_probe: no row reaches fast-rank n_probe, so the windowed
+    # kth threshold is NULL — it must behave as +inf (keep every cell), not
+    # filter the query's candidate set to nothing (round-4 advice).
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = ivf_topk(emb, n_queries=10, k=3, n_lists=2, n_probe=4).collect()
+    qids = {r.qid for r in rows}
+    assert len(qids) == 10, f"expected all 10 queries to keep results, got {sorted(qids)}"

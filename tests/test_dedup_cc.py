@@ -30,3 +30,30 @@ def test_cc_only_graph_vertices_labeled(spark):
     pairs = spark.createDataFrame([(7, 3)], "d1 long, d2 long")
     got = sorted(r["vertex"] for r in connected_components(pairs).collect())
     assert got == [3, 7]
+
+
+def test_cc_pointer_jumping_beats_linear_radius(spark):
+    # A 40-vertex path has propagation radius 39; pointer jumping doubles
+    # label reach per round, so max_iter=8 (< 39 but > log2(40)) must still
+    # fully converge — the linear-propagation form could not.
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(39)], "d1 long, d2 long")
+    got = {
+        r["vertex"]: r["cluster"]
+        for r in connected_components(pairs, max_iter=8).collect()
+    }
+    assert got == {i: 0 for i in range(40)}
+
+
+def test_cc_warns_when_max_iter_exhausted(spark):
+    import warnings
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(39)], "d1 long, d2 long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = {
+            r["vertex"]: r["cluster"]
+            for r in connected_components(pairs, max_iter=2).collect()
+        }
+    assert any("max_iter" in str(w.message) for w in caught)
+    # partial labels are still monotone (never above the vertex id)
+    assert all(c <= v for v, c in labels.items())

@@ -75,3 +75,16 @@ def test_stateful_online_zscore(spark, sf_dir):
     assert all(r.n_seen >= 30 for r in rows)
     assert all(abs(r.z) > 3.0 for r in rows)
     _ = run_available_now  # imported for API parity
+
+
+def test_det_ann_scores_degenerate_cell_count(embedded):
+    # n_lists < n_probe: under ANSI mode element_at(..., n_probe) on the
+    # scored-cells array would throw; the clamped index must instead keep
+    # every cell and still score every window (round-4 advice).
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.ml.mllib_modes import (
+        det_ann_scores,
+    )
+
+    n_windows = embedded.select("series_id", "window_start").distinct().count()
+    out = det_ann_scores(embedded, n_bank=64, n_lists=2, n_probe=8)
+    assert out.count() == n_windows

@@ -139,10 +139,15 @@ def det_ann_scores(
         f"transform(_cs, cc -> struct({f2_cell} AS fdist, cc.cell AS cell, "
         "cc.centroid AS centroid))"
     )
+    # Index clamped to the cell count: under ANSI mode (Spark 4 default)
+    # element_at throws on out-of-range, and a bank yielding fewer than
+    # n_probe cells is legal (tiny corpora / degenerate k-means); taking the
+    # last cell's fdist then keeps every cell, which is the right semantics.
     kth = (
+        "if(size(_scored) = 0, cast(null as double), "
         "element_at(array_sort(transform(_scored, s -> "
         "struct(s.fdist AS fdist, s.cell AS cell))), "
-        f"{n_probe}).fdist"
+        f"least({n_probe}, size(_scored))).fdist)"
     )
     d2q_cell = (
         "cast(aggregate(zip_with(feature, s.centroid, (x2, c2) -> (x2 - c2) * (x2 - c2)), "

@@ -545,7 +545,9 @@ def fit_memory_bank_from_embedded(embedded: DataFrame, cfg: SoftPatchConfig) -> 
     return np.hstack([feats[idx], w_norm[:, None]])
 
 
-def nn_weighted_scores(X: np.ndarray, bank: np.ndarray, row_chunk: int = 512) -> np.ndarray:
+def nn_weighted_scores(
+    X: np.ndarray, bank: np.ndarray, row_chunk: int | None = None
+) -> np.ndarray:
     """The 1-NN scoring kernel, shared verbatim by the Spark island and the
     numpy mirror (M12/J6): per row, min squared L2 to the bank → sqrt → × the
     matched bank row's denoising weight.
@@ -560,6 +562,14 @@ def nn_weighted_scores(X: np.ndarray, bank: np.ndarray, row_chunk: int = 512) ->
     full matrix — yields identical bits. Ties: first bank index wins, same
     as a global argmin; chunking over rows cannot reorder bank indices."""
     bk, bk_w = np.ascontiguousarray(bank[:, :-1]), bank[:, -1]
+    if row_chunk is None:
+        # The broadcast (row_chunk, bank_m, dim) float64 intermediate is the
+        # peak allocation (twice: the diff and its square). Size the chunk to
+        # a fixed ~64 MB byte budget so peak memory stays flat as the bank
+        # grows — with 32 concurrent local tasks a fixed 512-row chunk was
+        # ~826 MB/task at m=12603, dim=16, an executor-OOM risk at scale.
+        budget = 64 * 1024 * 1024
+        row_chunk = min(512, max(1, budget // max(1, bk.shape[0] * bk.shape[1] * 8)))
     out = np.empty(len(X), dtype=np.float64)
     for s in range(0, len(X), row_chunk):
         xc = X[s : s + row_chunk]

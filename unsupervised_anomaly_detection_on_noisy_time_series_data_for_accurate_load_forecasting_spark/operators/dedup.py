@@ -223,16 +223,22 @@ def connected_components(pairs: DataFrame, a: str = "d1", b: str = "d2", max_ite
     labeled with the MINIMUM vertex id reachable from it — the canonical
     cluster representative for dedup cluster assignment.
 
-    BSP min-label propagation (the GraphX/GraphFrames CC shape): each round
-    joins the symmetric edge list with the current labels and takes the
-    per-vertex min over self ∪ neighbors; convergence (no label changed) is
-    checked with one driver-scalar count per round. Rounds needed = the
-    graph's min-label propagation radius; LSH near-dup graphs are
-    union-of-near-cliques, so this is small in practice and ``max_iter``
-    bounds the worst case. Each round is one co-partitioned join + one
-    partial-combinable aggregation on the vertex key — no global sorts, no
-    driver-side graph. Output: (vertex, cluster).
+    BSP min-label propagation (the GraphX/GraphFrames CC shape) with
+    POINTER JUMPING: each round (1) takes the per-vertex min over
+    self ∪ neighbors via one co-partitioned join + one partial-combinable
+    aggregation, then (2) shortcuts label ← label(label) with a second join
+    on the label key — doubling every label's reach per round, so rounds
+    needed are O(log diameter) rather than the propagation radius.
+    Convergence (no label changed) is checked with one driver-scalar count
+    every OTHER round — halving blocking actions vs per-round checks; LSH
+    near-dup graphs are union-of-near-cliques, so 2-3 rounds is typical and
+    ``max_iter`` bounds the worst case at components of diameter ~2^max_iter.
+    If the bound is ever exhausted mid-propagation the function WARNS rather
+    than silently returning partial labels (a downstream exact oracle would
+    hash-catch them). No global sorts, no driver-side graph.
+    Output: (vertex, cluster).
     """
+    import warnings
     # localCheckpoint (not persist): persist caches RESULTS but every
     # round's logical plan would still embed the full upstream lineage —
     # for an LSH pair graph that's the 32×64-literal signature expression
@@ -250,23 +256,53 @@ def connected_components(pairs: DataFrame, a: str = "d1", b: str = "d2", max_ite
         .withColumn("cluster", F.col("vertex"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("vertex", "src"), "src"
         ).select(F.col("dst").alias("vertex"), "cluster")
-        new_labels = (
+        prop = (
             labels.select("vertex", "cluster")
             .union(nbr)
             .groupBy("vertex")
             .agg(F.min("cluster").alias("cluster"))
+        )
+        # pointer jump: cluster ids are themselves vertex ids, so joining
+        # the label set against itself on the label key yields label(label);
+        # labels only decrease, so least() is the shortcutted label.
+        jump = prop.select(
+            F.col("vertex").alias("cluster"), F.col("cluster").alias("_jc")
+        )
+        new_labels = (
+            prop.join(jump, "cluster", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("_jc"), F.col("cluster"))
+                ).alias("cluster"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster", "_old"), "vertex")
-            .filter(F.col("cluster") < F.col("_old"))
-            .count()
-        )
+        # check every other round (and on the last): a no-change window of a
+        # full propagate+jump round is a fixed point, and skipping alternate
+        # checks halves the blocking count() actions without extra rounds.
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                new_labels.join(labels.withColumnRenamed("cluster", "_old"), "vertex")
+                .filter(F.col("cluster") < F.col("_old"))
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                converged = True
+                break
         labels = new_labels
-        if changed == 0:
-            break
+    if not converged:
+        warnings.warn(
+            f"connected_components exhausted max_iter={max_iter} before the "
+            "labels reached a fixed point; returned labels may be partially "
+            "propagated on components of diameter > ~2^max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

@@ -245,7 +245,10 @@ def ivf_topk(
             "frk",
             F.row_number().over(vkey.orderBy(F.col("fdist").asc(), F.col("cell").asc())),
         )
-        .withColumn("_kth", kth_fast)
+        # When fewer cells exist than the deepest needed rank (n_lists <
+        # n_probe), no row carries frk == _need and the windowed max is
+        # NULL; a NULL threshold must keep every cell, not filter them all.
+        .withColumn("_kth", F.coalesce(kth_fast, F.lit(float("inf"))))
         .filter(F.col("fdist") <= F.col("_kth") + d2_margin)
         .withColumn("cdist", F.expr(dist2))
         .withColumn(
