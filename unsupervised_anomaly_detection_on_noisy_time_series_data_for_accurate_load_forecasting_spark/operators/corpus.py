@@ -1,0 +1,155 @@
+"""Corpus-preparation operators for LLM training-data pipelines: TF-IDF
+term ranking, token-budget sequence packing, and deterministic stratified
+sampling.
+
+These extend the reference's data-processing surface (it stops at series
+CSVs — src/data_processing/ has no corpus stage) with the operations a
+large-scale pretraining pipeline runs between raw documents and training
+batches. Each is expressed Spark-first and paired with an exact DuckDB
+oracle in plans/queries_llmdata.py.
+
+Scale notes per operator are inline; the common discipline:
+- token counts use the same single-space split as operators/textops.py
+  (established cross-engine parity);
+- every nondeterministic-looking choice (shard assignment, sample ranking)
+  is keyed by functions/rng.rng_draw so the oracle replays it exactly;
+- nothing collects to the driver: packing is shard-parallel applyInPandas,
+  sampling and TF-IDF are pure DataFrame plans.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.exact import qround
+from ..functions.rng import rng_draw
+
+PACK_SALT = 71
+SAMPLE_SALT = 83
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    tf = term frequency within the doc (single-space tokens), idf =
+    ln(N / df) with df = number of docs containing the term. The score is
+    quantized (qround, 6 digits) BEFORE ranking so Spark and the oracle
+    rank identical values; ties break on term ascending (pure-ASCII corpus
+    ⇒ identical binary collation in both engines).
+
+    Scale shape: explode shuffles once on (doc_id, term) with map-side
+    combine; document frequency is a second partial-combinable agg over the
+    (already distinct) tf pairs; N rides along as a broadcast 1-row cross
+    join (no driver action); the per-doc top-k is a WindowGroupLimit —
+    bounded state per doc, no global sort.
+    """
+    term = F.explode(F.split(F.col("text"), " ")).alias("term")
+    tf = (
+        docs.select("doc_id", term)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            qround(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", F.col("rnk").cast("int").alias("rnk"), "score")
+    )
+
+
+_PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("bin_id", T.IntegerType()),
+    ]
+)
+
+
+def pack_documents(docs: DataFrame, budget: int = 256, n_shards: int = 8) -> DataFrame:
+    """Greedy token-budget sequence packing: assign each document to a bin
+    so consecutive docs share a context window of ``budget`` tokens — the
+    packing pass an LLM pretraining pipeline runs before batching.
+
+    Documents are sharded by a deterministic RNG draw of doc_id, ordered by
+    doc_id within the shard, and packed greedily: a doc joins the current
+    bin if it fits, else opens the next bin (an oversized doc gets a bin of
+    its own). Greedy-sequential is the production choice — globally optimal
+    bin packing is NP-hard and order-destroying, while sequential packing
+    preserves corpus order within a shard and streams in one pass.
+
+    Scale shape: packing is inherently sequential *within* a chain, so the
+    operator makes the chain the unit of parallelism: ``n_shards`` controls
+    how many independent chains run (set it ~ cluster cores at scale). Each
+    shard's group ships one skinny (doc_id, n_tok) pair per doc through
+    Arrow — O(docs/shard) integers, no text. The only shuffle is the
+    groupBy(shard) hash exchange.
+    """
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
+        F.pmod(rng_draw(F.col("doc_id"), salt=PACK_SALT), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, fill = 0, 0
+        for i, t in enumerate(pdf["n_tok"].astype(int)):
+            if i == 0:
+                fill = t
+            elif fill + t <= budget:
+                fill += t
+            else:
+                bin_id += 1
+                fill = t
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int32")
+        return pdf[["doc_id", "shard", "n_tok", "bin_id"]]
+
+    return d.groupBy("shard").applyInPandas(
+        lambda _key, pdf: pack(pdf), schema=_PACK_SCHEMA
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, strata_col: str = "lang", quota: int = 30, salt: int = SAMPLE_SALT
+) -> DataFrame:
+    """Deterministic stratified sampling: keep (up to) ``quota`` documents
+    per stratum, ranked by the cross-engine RNG draw of doc_id — exact
+    per-class quotas for training-mix construction, reproducible across
+    engines and runs (unlike ``DataFrame.sampleBy``, which is seeded but
+    gives binomial, not exact, stratum sizes).
+
+    Scale shape: one hash shuffle on the stratum key; the per-stratum
+    row_number is a WindowGroupLimit (top-``quota`` per group, partial
+    per-partition pruning under AQE) — skew-safe for any realistic number
+    of strata because state per stratum is bounded by ``quota``."""
+    draw = rng_draw(F.col("doc_id"), salt=salt)
+    w = Window.partitionBy(strata_col).orderBy("draw", "doc_id")
+    return (
+        docs.select("doc_id", strata_col, draw.alias("draw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .select("doc_id", strata_col, "draw")
+    )

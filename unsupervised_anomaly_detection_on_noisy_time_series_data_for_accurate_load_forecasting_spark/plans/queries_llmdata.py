@@ -1,0 +1,120 @@
+"""LLM training-data pipeline query specs over `documents`: TF-IDF term
+ranking, token-budget sequence packing, stratified sampling.
+
+Each pairs the Spark plan in operators/corpus.py with an exact DuckDB
+oracle; the packing oracle replays the greedy sequential fold with a
+recursive CTE, so even the inherently order-dependent operator is
+hash-verified, not rows-only."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.rng import rng_draw_sql
+from ..operators import corpus as CO
+from ..sources.readers import load_table
+from .registry import register
+
+_TOKS = "string_split(text, ' ')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "t_tfidf_top_terms",
+    oracle=f"""
+    WITH tfc AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS dfreq FROM tfc GROUP BY term
+    ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf,
+             floor(CAST(t.tf AS DOUBLE)
+                   * ln(CAST(nd.n_docs AS DOUBLE) / CAST(d.dfreq AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0 AS score
+      FROM tfc t JOIN dfreq d USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, CAST(rnk AS INTEGER) AS rnk, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("TXT-tfidf",),
+    doc="Top-3 TF-IDF terms per document: one explode shuffle with map-side "
+    "combine, broadcast N, WindowGroupLimit top-k; score quantized before "
+    "ranking so both engines rank identical values.",
+)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CO.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 8
+_PACK_DRAW = rng_draw_sql("doc_id", salt=CO.PACK_SALT)
+
+
+@register(
+    "d_pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tok,
+             CAST(({_PACK_DRAW}) % {_PACK_SHARDS} AS INTEGER) AS shard,
+             row_number() OVER (
+               PARTITION BY CAST(({_PACK_DRAW}) % {_PACK_SHARDS} AS INTEGER)
+               ORDER BY doc_id) AS rn
+      FROM documents
+    ), pack AS (
+      SELECT shard, rn, doc_id, n_tok, 0 AS bin_id, n_tok AS fill
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.n_tok,
+             CASE WHEN p.fill + s.n_tok <= {_PACK_BUDGET}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + s.n_tok <= {_PACK_BUDGET}
+                  THEN p.fill + s.n_tok ELSE s.n_tok END
+      FROM seq s JOIN pack p ON s.shard = p.shard AND s.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tok, CAST(bin_id AS INTEGER) AS bin_id FROM pack
+    """,
+    tags=("TXT-packing",),
+    doc="Token-budget sequence packing (greedy, 256-token bins, 8 shards): "
+    "the pretraining packing pass. Sequential fold per shard via "
+    "applyInPandas over skinny (doc_id, n_tok) rows; the oracle replays the "
+    "fold with a recursive CTE, so bin assignment is hash-verified.",
+)
+def d_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CO.pack_documents(
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
+_SAMPLE_QUOTA = 30
+_SAMPLE_DRAW = rng_draw_sql("doc_id", salt=CO.SAMPLE_SALT)
+
+
+@register(
+    "s_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, draw FROM (
+      SELECT doc_id, lang, ({_SAMPLE_DRAW}) AS draw,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY ({_SAMPLE_DRAW}), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {_SAMPLE_QUOTA}
+    """,
+    tags=("TXT-sampling", "U4"),
+    doc="Deterministic stratified sampling: exactly min(quota, stratum size) "
+    "docs per language, ranked by the cross-engine RNG draw — exact quotas "
+    "(unlike sampleBy's binomial), reproducible in both engines.",
+)
+def s_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CO.stratified_sample(
+        _docs(spark, sf_dir), strata_col="lang", quota=_SAMPLE_QUOTA
+    )
