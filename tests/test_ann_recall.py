@@ -29,3 +29,17 @@ def test_ivf_degenerate_cell_count_keeps_rows(spark, sf_dir):
     rows = ivf_topk(emb, n_queries=10, k=3, n_lists=2, n_probe=4).collect()
     qids = {r.qid for r in rows}
     assert len(qids) == 10, f"expected all 10 queries to keep results, got {sorted(qids)}"
+
+
+def test_sq8_recall_vs_bruteforce(spark, sf_dir):
+    # int8 quantization perturbs each cosine by O(1/127) per component; the
+    # quantized top-5 must still largely agree with the exact float top-5.
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.similarity import (
+        sq8_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.qid, r.nid) for r in cosine_topk(emb, n_queries=30, k=5).collect()}
+    quant = {(r.qid, r.nid) for r in sq8_topk(emb, n_queries=30, k=5).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"sq8 recall {recall:.2f}"

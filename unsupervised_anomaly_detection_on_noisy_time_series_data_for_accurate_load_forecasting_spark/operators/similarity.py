@@ -351,3 +351,66 @@ def lsh_band_stats(
         F.max("c").cast("bigint").alias("max_bucket"),
         F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("n_cand_pairs"),
     )
+
+
+_IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as bigint) * cast(y as bigint)), "
+    "cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+
+def sq8_quantize(df: DataFrame) -> DataFrame:
+    """SQ8 symmetric scalar quantization of the embedding column: per vector,
+    q_i = floor(x_i · 127 / max|x| + 0.5) stored as tinyint — 8× smaller than
+    the float64 the folds widen to, 4× smaller at rest than float32. Cosine
+    is scale-invariant, so the per-vector scale cancels and never needs to be
+    carried: cos_q = dot(qa, qb) / √(‖qa‖²·‖qb‖²) on pure integers.
+
+    The tie-free floor(+0.5) quantizer and the integer dot products make the
+    whole pipeline bit-exact across engines with NO decimal machinery —
+    integer sums are exact, the final sqrt/division are single correctly-
+    rounded IEEE ops. Zero vectors (max|x| = 0) are excluded, mirroring the
+    zero-norm exclusion of the float path."""
+    mx = F.expr("array_max(transform(embedding, v -> abs(cast(v as double))))")
+    return (
+        df.select("vec_id", "embedding")
+        .withColumn("_mx", mx)
+        .filter(F.col("_mx") > 0)
+        .withColumn(
+            "q8",
+            F.expr(
+                "transform(embedding, v -> "
+                "cast(floor(cast(v as double) * 127.0D / _mx + 0.5D) as tinyint))"
+            ),
+        )
+        .withColumn("n8", F.expr(_IDOT.format(a="q8", b="q8")))
+        .select("vec_id", "q8", "n8")
+    )
+
+
+def sq8_topk(df: DataFrame, n_queries: int = 100, k: int = 5) -> DataFrame:
+    """Quantized brute-force cosine top-k — the memory/bandwidth scale mode
+    of :func:`cosine_topk`. At 100 TB the embedding shuffle is the cost;
+    int8 vectors cut it 4× (vs float32 at rest) while the integer dot
+    product fold stays inside whole-stage codegen with no BigDecimal at all
+    (the float path needs decimal folds for cross-engine exactness; integer
+    arithmetic is exact by construction). Ranking: cos_q DESC, nid ASC."""
+    e = sq8_quantize(df)
+    q = e.select(
+        F.col("vec_id").alias("qid"), F.col("q8").alias("qq8"), F.col("n8").alias("qn8")
+    ).filter(F.col("qid") < n_queries)
+    pairs = (
+        e.select(F.col("vec_id").alias("nid"), "q8", "n8")
+        .join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .withColumn(
+            "cosine_sq8",
+            F.expr(_IDOT.format(a="qq8", b="q8")).cast("double")
+            / F.sqrt(F.col("qn8").cast("double") * F.col("n8").cast("double")),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine_sq8").desc(), F.col("nid").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "cosine_sq8", F.col("rk").cast("int").alias("rk"))
+    )

@@ -182,3 +182,57 @@ def running_energy(df: DataFrame) -> DataFrame:
     prefix sums are partition-independent)."""
     w = W.partitionBy(SID).orderBy(TS).rowsBetween(W.unboundedPreceding, 0)
     return df.withColumn("cum_energy", F.sum(dec(VAL)).over(w).cast("double"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = SID,
+    left_ts: str = TS,
+    right_ts: str = TS,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-time (as-of) join: attach to each left row the value columns
+    of the LATEST right row with ``right.right_ts <= left.left_ts`` per
+    ``by`` key — the feature-store correctness join (no look-ahead). Ties at
+    equal timestamps include the right row.
+
+    Spark has no native ASOF JOIN; the usual range-join encoding explodes to
+    |left|·|right| pairs per key before filtering. This implementation is the
+    union-and-carry form instead: tag right rows as state rows, union both
+    streams, and carry each value column forward with
+    ``last(col, ignorenulls=True)`` over (key, ts, state-first) — ONE hash
+    shuffle on the key, a linear windowed scan, zero pair explosion, state
+    bounded by the window frame. Left rows before any right row keep NULLs
+    (left-join semantics). Verified against DuckDB's native ASOF LEFT JOIN
+    (plans/queries_asof.py).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (by, right_ts)]
+    left_cols = list(left.columns)
+    l = left
+    for c in value_cols:
+        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    l = l.withColumn("_src", F.lit(1))
+    r = right.select(
+        F.col(by), F.col(right_ts).alias(left_ts), *[F.col(c) for c in value_cols]
+    )
+    for c in left_cols:
+        if c not in (by, left_ts):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r = r.withColumn("_src", F.lit(0))
+    cols = [by, left_ts, *[c for c in left_cols if c not in (by, left_ts)], *value_cols, "_src"]
+    u = l.select(*cols).unionByName(r.select(*cols))
+    # state rows (_src=0) sort before left rows at the same ts, so an
+    # equal-timestamp right row is visible to that left row (<= semantics)
+    w = (
+        W.partitionBy(by)
+        .orderBy(F.col(left_ts).asc(), F.col("_src").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols]
+    return (
+        u.select(*[F.col(c) for c in left_cols], F.col("_src"), *carried)
+        .filter(F.col("_src") == 1)
+        .drop("_src")
+    )

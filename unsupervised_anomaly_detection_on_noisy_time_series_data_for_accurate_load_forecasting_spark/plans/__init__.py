@@ -11,6 +11,7 @@ from . import queries_stream_mm  # noqa: E402,F401
 from . import queries_relational2  # noqa: E402,F401
 from . import queries_neural  # noqa: E402,F401
 from . import queries_llmdata  # noqa: E402,F401
+from . import queries_asof  # noqa: E402,F401
 
 # The driver's correctness gate checks the FIRST 50 entries of queries().
 # The ordering is DERIVED each import (plans/priority.py): never-driver-green

@@ -292,3 +292,47 @@ def d_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vertex").cast("bigint").alias("vec_id"),
         F.col("cluster").cast("bigint").alias("cluster"),
     )
+
+
+@register(
+    "s_sq8_topk",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+      FROM embeddings
+    ),
+    qlong AS (
+      SELECT vec_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT) AS qx
+      FROM base, (SELECT unnest(range(1, 65)) AS i)
+      WHERE mx > 0
+    ),
+    nm AS (SELECT vec_id, SUM(qx * qx) AS n8 FROM qlong GROUP BY 1),
+    dots AS (
+      SELECT q.vec_id AS qid, t.vec_id AS nid, SUM(q.qx * t.qx) AS dot
+      FROM qlong q JOIN qlong t ON q.i = t.i AND q.vec_id < 100 AND q.vec_id != t.vec_id
+      GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT qid, nid,
+             CAST(dot AS DOUBLE) / sqrt(CAST(qn.n8 AS DOUBLE) * CAST(tn.n8 AS DOUBLE))
+               AS cosine_sq8
+      FROM dots JOIN nm qn ON qid = qn.vec_id JOIN nm tn ON nid = tn.vec_id
+    )
+    SELECT qid, nid, cosine_sq8, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT qid, nid, cosine_sq8,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine_sq8 DESC, nid ASC) AS rk
+          FROM cos)
+    WHERE rk <= 5
+    """,
+    tags=("SIM-sq8", "J5", "O3"),
+    doc="SQ8 scalar-quantized cosine top-5: int8 vectors (4x smaller at "
+    "rest/shuffle than float32 — the bandwidth scale mode of the "
+    "brute-force baseline) with integer dot-product folds; bit-exact "
+    "across engines with no decimal machinery because every sum is an "
+    "exact integer and only the final sqrt/divide touch floating point.",
+)
+def s_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.sq8_topk(_emb(spark, sf_dir), n_queries=100, k=5)

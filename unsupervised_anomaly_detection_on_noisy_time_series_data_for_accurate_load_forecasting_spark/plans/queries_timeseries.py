@@ -409,10 +409,16 @@ def a1_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.exact import qround
 
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        qround(F.percentile("l_extendedprice", F.lit(0.01)), 6).alias("q01"),
-        qround(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("q50"),
-        qround(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("q99"),
+    # One array-percentile aggregate, not three scalar ones: exact
+    # percentile buffers the whole column per aggregate, so a single
+    # shared buffer serves all three ranks (3× less agg memory and sort).
+    qs = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.01), F.lit(0.5), F.lit(0.99))
+    )
+    return li.agg(qs.alias("_qs")).select(
+        qround(F.element_at("_qs", 1), 6).alias("q01"),
+        qround(F.element_at("_qs", 2), 6).alias("q50"),
+        qround(F.element_at("_qs", 3), 6).alias("q99"),
     )
 
 
