@@ -1,5 +1,6 @@
 """LLM training-data pipeline query specs over `documents`: TF-IDF term
-ranking, token-budget sequence packing, stratified sampling.
+ranking, token-budget sequence packing, stratified sampling, and sketch-based
+approximate distinct counting.
 
 Each pairs the Spark plan in operators/corpus.py with an exact DuckDB
 oracle; the packing oracle replays the greedy sequential fold with a
@@ -117,4 +118,77 @@ _SAMPLE_DRAW = rng_draw_sql("doc_id", salt=CO.SAMPLE_SALT)
 def s_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.stratified_sample(
         _docs(spark, sf_dir), strata_col="lang", quota=_SAMPLE_QUOTA
+    )
+
+
+_HLL_RSD = 0.05
+_HLL_TOL = 0.2  # 4× rsd — deterministic for fixed data+implementation
+
+
+def _hll_oracle() -> str:
+    """Invariant oracle for the HLL sketch (same adjudication pattern as
+    a1_price_quantiles_approx): the engine contributes ONLY its sketch
+    estimates (HLL++ internals are not reproducible outside Spark); DuckDB
+    independently computes the exact per-language distinct counts from the
+    same parquet and adjudicates the relative-error bound itself."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from ..session import get_spark
+    from ..sources.readers import load_table as _lt
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    docs = _lt(get_spark(), sf_dir, "documents")
+    ests = (
+        docs.select("lang", SF.explode(SF.split("text", " ")).alias("tok"))
+        .groupBy("lang")
+        .agg(SF.approx_count_distinct("tok", _HLL_RSD).alias("est"))
+        .collect()
+    )
+    vals = ", ".join(f"('{r['lang']}', {float(r['est'])!r})" for r in ests)
+    return f"""
+    WITH est(lang, est) AS (VALUES {vals}),
+    ex AS (
+      SELECT lang, COUNT(DISTINCT tok) AS n_exact
+      FROM (SELECT lang, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY lang
+    )
+    SELECT ex.lang, CAST(ex.n_exact AS BIGINT) AS n_exact,
+           (abs(est.est / CAST(ex.n_exact AS DOUBLE) - 1.0) <= {_HLL_TOL}) AS hll_ok
+    FROM ex JOIN est USING (lang)
+    """
+
+
+@register(
+    "t_distinct_tokens_approx",
+    oracle=_hll_oracle,
+    tags=("TXT-tokens", "A-sketch"),
+    doc="Vocabulary size per language, exact + HLL++ sketch: the exact "
+    "count_distinct is the full-shuffle baseline the driver hash-verifies; "
+    "the sketch is the 100 TB shape (mergeable partials, one pass, no "
+    "distinct shuffle) and is adjudicated by an invariant — its relative "
+    "error vs DuckDB's own exact count must stay within 4x the configured "
+    "rsd (deterministic for fixed data + implementation).",
+)
+def t_distinct_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    per = toks.groupBy("lang").agg(
+        F.count_distinct("tok").alias("n_exact"),
+        F.approx_count_distinct("tok", _HLL_RSD).alias("est"),
+    )
+    return per.select(
+        "lang",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(
+                F.col("est").cast("double") / F.col("n_exact").cast("double")
+                - F.lit(1.0)
+            )
+            <= F.lit(_HLL_TOL)
+        ).alias("hll_ok"),
     )
