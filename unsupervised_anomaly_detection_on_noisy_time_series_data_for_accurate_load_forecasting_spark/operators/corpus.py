@@ -97,11 +97,14 @@ def pack_documents(docs: DataFrame, budget: int = 256, n_shards: int = 8) -> Dat
     preserves corpus order within a shard and streams in one pass.
 
     Scale shape: packing is inherently sequential *within* a chain, so the
-    operator makes the chain the unit of parallelism: ``n_shards`` controls
-    how many independent chains run (set it ~ cluster cores at scale). Each
-    shard's group ships one skinny (doc_id, n_tok) pair per doc through
-    Arrow — O(docs/shard) integers, no text. The only shuffle is the
-    groupBy(shard) hash exchange.
+    operator makes the chain the unit of parallelism (``n_shards``
+    independent chains) — but a chain is NOT the unit of memory. Shards are
+    hash-repartitioned and sorted within partitions, and the fold runs as a
+    STREAMING ``mapInPandas``: Arrow batches of skinny (doc_id, n_tok) ints
+    arrive in (shard, doc_id) order and the fold carries (shard, bin, fill)
+    across batch boundaries — O(one Arrow batch) memory per task no matter
+    how many documents a shard holds (an ``applyInPandas`` group would
+    materialize the whole shard). One shuffle; no text ever moves.
     """
     d = docs.select(
         "doc_id",
@@ -111,24 +114,34 @@ def pack_documents(docs: DataFrame, budget: int = 256, n_shards: int = 8) -> Dat
         .alias("shard"),
     )
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins = []
-        bin_id, fill = 0, 0
-        for i, t in enumerate(pdf["n_tok"].astype(int)):
-            if i == 0:
-                fill = t
-            elif fill + t <= budget:
-                fill += t
-            else:
-                bin_id += 1
-                fill = t
-            bins.append(bin_id)
-        pdf["bin_id"] = pd.Series(bins, dtype="int32")
-        return pdf[["doc_id", "shard", "n_tok", "bin_id"]]
+    def pack_stream(batches):
+        # fold state survives across Arrow batches within the partition;
+        # sortWithinPartitions guarantees (shard, doc_id) arrival order and
+        # the state resets whenever the shard id changes
+        cur_shard, bin_id, fill, first = None, 0, 0, True
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bins = []
+            for s, t in zip(pdf["shard"].astype(int), pdf["n_tok"].astype(int)):
+                if s != cur_shard:
+                    cur_shard, bin_id, fill, first = s, 0, 0, True
+                if first:
+                    fill, first = t, False
+                elif fill + t <= budget:
+                    fill += t
+                else:
+                    bin_id += 1
+                    fill = t
+                bins.append(bin_id)
+            out = pdf[["doc_id", "shard", "n_tok"]].copy()
+            out["bin_id"] = pd.Series(bins, dtype="int32", index=pdf.index)
+            yield out
 
-    return d.groupBy("shard").applyInPandas(
-        lambda _key, pdf: pack(pdf), schema=_PACK_SCHEMA
+    return (
+        d.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .mapInPandas(pack_stream, schema=_PACK_SCHEMA)
     )
 
 
