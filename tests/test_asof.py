@@ -46,3 +46,43 @@ def test_asof_preserves_left_rowcount(spark):
     )
     out = asof_join(left, right, left_ts="ts", right_ts="eff_ts", value_cols=["thr"])
     assert out.count() == 10
+
+
+def test_asof_matches_bruteforce_on_random_frames(spark):
+    # randomized cross-check: the union-and-carry plan must agree with a
+    # brute-force per-row "latest right row <= ts" scan on arbitrary frames
+    # (duplicate left timestamps, interleaved keys, sparse state rows)
+    import random
+
+    rnd = random.Random(7)
+    for trial in range(3):
+        left_rows = [
+            (k, _ts(rnd.randrange(24)), float(i))
+            for i, k in enumerate(rnd.choices("abc", k=40))
+        ]
+        right_rows = [
+            (k, _ts(rnd.randrange(24)), float(100 + i))
+            for i, k in enumerate(rnd.choices("abc", k=8))
+        ]
+        # right keys must be unique per (key, ts): keep first
+        seen, rr = set(), []
+        for k, t, v in right_rows:
+            if (k, t) not in seen:
+                seen.add((k, t))
+                rr.append((k, t, v))
+        left = spark.createDataFrame(
+            left_rows, "series_id string, ts timestamp, value double"
+        )
+        right = spark.createDataFrame(
+            rr, "series_id string, eff_ts timestamp, thr double"
+        )
+        got = {
+            (r.series_id, r.ts, r.value): r.thr
+            for r in asof_join(
+                left, right, left_ts="ts", right_ts="eff_ts", value_cols=["thr"]
+            ).collect()
+        }
+        for k, t, v in left_rows:
+            cand = [(rt, rv) for rk, rt, rv in rr if rk == k and rt <= t]
+            want = max(cand)[1] if cand else None
+            assert got[(k, t, v)] == want, (trial, k, t, v, got[(k, t, v)], want)
