@@ -117,3 +117,28 @@ def load_weight_groups(name: str, key: str) -> dict[str, dict[str, np.ndarray]] 
     except (OSError, ValueError, KeyError):
         return None
     return out
+
+
+def save_bank_keyed(name: str, key: str, bank: np.ndarray, meta: dict | None = None) -> None:
+    """Keyed, atomic variant of save_bank for checkpoint-restore use (same
+    race discipline as save_weight_groups: write to a tmp dir, rename)."""
+    d = os.path.join(weights_cache_dir(), f"{name}-{key}")
+    tmp = d + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    np.savez_compressed(os.path.join(tmp, "bank.npz"), bank=np.asarray(bank))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta or {}, f, sort_keys=True)
+    if os.path.isdir(d):
+        import shutil
+
+        shutil.rmtree(tmp)
+        return
+    os.replace(tmp, d)
+
+
+def load_bank_keyed(name: str, key: str) -> np.ndarray | None:
+    d = os.path.join(weights_cache_dir(), f"{name}-{key}")
+    try:
+        return np.load(os.path.join(d, "bank.npz"))["bank"]
+    except (OSError, ValueError, KeyError):
+        return None

@@ -511,6 +511,34 @@ def fit_memory_bank_from_embedded(embedded: DataFrame, cfg: SoftPatchConfig) -> 
     candidate pool, not the scores."""
     from ..functions.rng import rng_draw
 
+    # Checkpoint restore (the reference pickles its fitted bank + index,
+    # softpatch.py:403-449): the fit is deterministic in (embedded corpus,
+    # config, fit source), so the bank caches under a key derived from
+    # exactly those three. The corpus enters the key as a commutative
+    # xor-of-row-hashes signature — one cheap agg over the (persisted)
+    # embedding, partitioning-independent by construction — so a data or
+    # math change rotates the key and restoring a stale bank is impossible;
+    # the independent numpy-mirror oracle (which always refits) would
+    # hash-catch a signature collision anyway.
+    import hashlib as _hl
+    import os as _os
+
+    from . import artifacts as AR
+
+    sig_row = embedded.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(
+            F.xxhash64("series_id", "window_start", "patch_idx", "feature")
+        ).alias("sig"),
+    ).collect()[0]
+    fp = AR.source_fingerprint(__name__, extra=repr(cfg))
+    key = _hl.sha256(
+        f"{fp}|{sig_row['n']}|{sig_row['sig']}".encode()
+    ).hexdigest()[:24]
+    cached = AR.load_bank_keyed("spbank", key)
+    if cached is not None:
+        return cached
+
     weighted = patch_weights(embedded, cfg)
     weighted.persist()  # two actions below (cut/count + collect) share lineage
     # one job for both driver scalars: the quantile cut and the kept-count
@@ -542,7 +570,9 @@ def fit_memory_bank_from_embedded(embedded: DataFrame, cfg: SoftPatchConfig) -> 
     # row's weight so matches to noisy bank points score lower confidence.
     w = w_all[idx]
     w_norm = w / w.max() if w.max() > 0 else np.ones_like(w)
-    return np.hstack([feats[idx], w_norm[:, None]])
+    bank = np.hstack([feats[idx], w_norm[:, None]])
+    AR.save_bank_keyed("spbank", key, bank, {"n": int(sig_row["n"])})
+    return bank
 
 
 def nn_weighted_scores(
