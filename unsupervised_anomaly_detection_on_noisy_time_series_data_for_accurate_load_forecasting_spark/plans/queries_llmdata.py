@@ -192,3 +192,79 @@ def t_distinct_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(_HLL_TOL)
         ).alias("hll_ok"),
     )
+
+
+def _quality_raw_sql() -> str:
+    """Raw (unrounded) quality formula, the exact double-op mirror of
+    operators/textops.quality_score — both engines evaluate the identical
+    expression tree, so a threshold comparison agrees bit-for-bit (same
+    precedent as pipeline_corpus_filter's 0.5 gate)."""
+    from ..operators.textops import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    nt = f"CAST(len({_TOKS}) AS DOUBLE)"
+    return (
+        f"(0.4 * (CAST(len(list_filter({_TOKS}, x -> x IN ({stop}))) AS DOUBLE) / {nt})"
+        f" + 0.3 * least({nt} / 100.0, 1.0)"
+        f" + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / {nt}))"
+    )
+
+
+_PREP_CUT = 0.3
+
+
+def _pipeline_pack_oracle() -> str:
+    return f"""
+    WITH RECURSIVE fq AS (
+      SELECT doc_id, text FROM documents WHERE {_quality_raw_sql()} >= {_PREP_CUT}
+    ),
+    kept AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+        FROM fq
+      ) WHERE rk = 1
+    ),
+    seq AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tok,
+             CAST(({_PACK_DRAW}) % {_PACK_SHARDS} AS INTEGER) AS shard,
+             row_number() OVER (
+               PARTITION BY CAST(({_PACK_DRAW}) % {_PACK_SHARDS} AS INTEGER)
+               ORDER BY doc_id) AS rn
+      FROM kept
+    ), pack AS (
+      SELECT shard, rn, doc_id, n_tok, 0 AS bin_id, n_tok AS fill
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.n_tok,
+             CASE WHEN p.fill + s.n_tok <= {_PACK_BUDGET}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + s.n_tok <= {_PACK_BUDGET}
+                  THEN p.fill + s.n_tok ELSE s.n_tok END
+      FROM seq s JOIN pack p ON s.shard = p.shard AND s.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tok, CAST(bin_id AS INTEGER) AS bin_id FROM pack
+    """
+
+
+@register(
+    "pipeline_corpus_pack",
+    oracle=_pipeline_pack_oracle,
+    tags=("TXT-quality", "DEDUP-exact", "TXT-packing", "U5", "A13"),
+    doc="The corpus-prep pipeline end to end as ONE plan: quality gate "
+    "(q >= 0.3) -> exact dedup (keep-lowest-id per text) -> token-budget "
+    "sequence packing of the survivors — filter and dedup prune before any "
+    "fold state exists, the pack stage streams. The oracle chains the same "
+    "three stages (filter CTE, window dedup, recursive packing fold).",
+)
+def pipeline_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as DD
+    from ..operators import textops as TX
+
+    d = _docs(spark, sf_dir)
+    q = d.filter(TX.quality_score() >= F.lit(_PREP_CUT))
+    kept = DD.exact_dedup(q).select("doc_id", "text")
+    return CO.pack_documents(kept, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
