@@ -156,3 +156,42 @@ def test_two_speed_ann_prunes_before_decimal(spark, sf_dir):
     assert not re.search(r"windowspecdefinition\(series_id#\d+, window_start#\d+, patch_idx", plan), (
         "probe/candidate selection regressed to a corpus-keyed Window"
     )
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the bucketized encoding must compile to a hash/sort-merge EQUI-join;
+    # a naive BETWEEN join would show BroadcastNestedLoopJoin or Cartesian
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans import (
+        queries,
+    )
+
+    df = queries()["j_range_gap_context"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    # every (key, salt) pair of the fact side must appear; the dim side
+    # replicates n_salts times — assert the contract on a skewed frame
+    from pyspark.sql import functions as F
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.skew import (
+        salted_join,
+    )
+
+    fact = spark.range(1000).select(
+        F.lit(1).alias("k"), F.col("id").alias("payload")
+    )  # one hot key
+    dim = spark.createDataFrame([(1, "x")], "k int, attr string")
+    out = salted_join(fact, dim, key="k", n_salts=8)
+    assert out.count() == 1000  # join result identical to the plain join
+    salts = (
+        fact.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("k"), F.col("payload")), F.lit(8))
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts == 8  # the hot key really spreads over all reducers

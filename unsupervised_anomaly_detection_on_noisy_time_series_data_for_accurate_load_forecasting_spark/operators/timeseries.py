@@ -236,3 +236,43 @@ def asof_join(
         .filter(F.col("_src") == 1)
         .drop("_src")
     )
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    by: str = SID,
+    ts_col: str = TS,
+    bucket_hours: int = 24,
+) -> DataFrame:
+    """Interval (range) join as an EQUI-join: match each point to every
+    interval of its key containing it, without the inequality-join plan
+    (Catalyst turns `p.ts BETWEEN i.start AND i.end` into a nested-loop or
+    per-key cartesian — quadratic in points×intervals per key).
+
+    Both sides map to fixed time buckets — points to the one bucket holding
+    their timestamp, intervals EXPLODED to every bucket they overlap — and
+    the join becomes a hash equi-join on (key, bucket) followed by the exact
+    BETWEEN filter. Replication factor = ⌈interval span / bucket⌉ + 1, so
+    ``bucket_hours`` trades shuffle volume (smaller buckets → more interval
+    copies) against join selectivity (larger buckets → more filtered pairs);
+    size it near the typical interval length. A point lives in exactly one
+    bucket, so no output dedup is needed."""
+    step = F.lit(bucket_hours * 3600)
+    pb = points.withColumn("_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / step))
+    ib = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / step),
+                F.floor(F.unix_timestamp(F.col(end_col)) / step),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, [by, "_bkt"])
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("_bkt")
+    )

@@ -644,3 +644,37 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
     )
+
+
+@register(
+    "j_salted_skew_revenue",
+    oracle=f"""
+    SELECT s.s_nationkey AS nationkey,
+           count(*) AS n_items,
+           {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+    tags=("J1", "SKEW-salt"),
+    doc="Explicit hot-key salting (operators/skew.py): fact rows take a "
+    "deterministic hash salt, the dim side replicates x8, and the join key "
+    "becomes (suppkey, salt) — each hot key spreads over 8 reducers. "
+    "Salting is plan-only by contract: the oracle is the PLAIN join, so "
+    "the driver hash-verifies that spreading never changes a value. "
+    "(AQE skew-split handles sort-merge skew automatically; salting is "
+    "the explicit fix when replication must be chosen up front.)",
+)
+def j_salted_skew_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, sup, key="suppkey", n_salts=8)
+    return j.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
+    )

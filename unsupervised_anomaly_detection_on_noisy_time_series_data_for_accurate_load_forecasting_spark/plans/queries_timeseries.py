@@ -579,3 +579,59 @@ def m4_inject_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_anomaly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.pipeline_metrics(AN.cleaned_series(None, prepared=prepared_df(spark, sf_dir)))
+
+
+@register(
+    "j_range_gap_context",
+    oracle=f"""
+    WITH {REG_CTE},
+    fl AS (SELECT series_id, ts, value,
+                  CASE WHEN value IS NULL THEN 1 ELSE 0 END AS is_gap FROM reg),
+    ch AS (
+      SELECT *, CASE WHEN is_gap != lag(is_gap, 1) OVER w OR lag(is_gap, 1) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS chg
+      FROM fl WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+    ),
+    runs AS (
+      SELECT *, sum(chg) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ch
+    ),
+    mruns AS (
+      SELECT series_id, min(ts) AS run_start, max(ts) AS run_end
+      FROM runs GROUP BY series_id, run_id
+      HAVING min(is_gap) = 1 AND count(*) >= 3
+    )
+    SELECT r.series_id, r.run_start,
+           count(*) AS n_ctx_points,
+           {dsum_sql('p.value')} AS ctx_sum
+    FROM mruns r JOIN fl p
+      ON p.series_id = r.series_id
+     AND p.ts >= r.run_start - INTERVAL 2 HOUR
+     AND p.ts <= r.run_end + INTERVAL 2 HOUR
+     AND p.value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("J-range", "W5", "J1"),
+    doc="Bucketized range join (operators/timeseries.range_join_buckets): "
+    "present points falling in the ±2h context window of each missing run. "
+    "Both sides bucket to days and join as a hash EQUI-join + exact BETWEEN "
+    "filter — no inequality-join nested loop; interval replication bounded "
+    "by span/bucket. The oracle is the plain inequality join.",
+)
+def j_range_gap_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .shared import hourly_df as _hdf
+
+    reg = TSO.regularize(None, hourly=_hdf(spark, sf_dir))
+    flagged = reg.withColumn("is_gap", F.col(VAL).isNull().cast("int"))
+    runs = TSO.long_runs(flagged, "is_gap", min_len=3).select(
+        SID,
+        "run_start",
+        (F.col("run_start") - F.expr("INTERVAL 2 HOURS")).alias("ctx_start"),
+        (F.col("run_end") + F.expr("INTERVAL 2 HOURS")).alias("ctx_end"),
+    )
+    present = reg.filter(F.col(VAL).isNotNull())
+    j = TSO.range_join_buckets(present, runs, "ctx_start", "ctx_end")
+    return j.groupBy(SID, "run_start").agg(
+        F.count(F.lit(1)).alias("n_ctx_points"),
+        dsum(VAL).alias("ctx_sum"),
+    )
