@@ -62,7 +62,7 @@ def test_auto_priority_never_green_first(monkeypatch):
     phantom = {n: 2 for n in names}
     phantom.pop(names[-1])  # the last registered query has no evidence
     monkeypatch.setattr(P, "_last_green_round", lambda: phantom)
-    monkeypatch.setattr(P, "_changed_modules_since", lambda sha: set())
+    monkeypatch.setattr(P, "_changed_map_since", lambda sha: {})
     out = P.auto_priority(names)
     assert out[0] == names[-1], "never-green query must lead the window"
 
@@ -76,7 +76,7 @@ def test_auto_priority_stalest_first(monkeypatch):
     rounds = {n: 3 for n in names}
     rounds[names[5]] = 1  # stalest evidence
     monkeypatch.setattr(P, "_last_green_round", lambda: rounds)
-    monkeypatch.setattr(P, "_changed_modules_since", lambda sha: set())
+    monkeypatch.setattr(P, "_changed_map_since", lambda sha: {})
     out = P.auto_priority(names)
     assert out[0] == names[5], "stalest-evidence query must lead when nothing changed"
 
@@ -97,8 +97,9 @@ def test_auto_priority_math_changed_before_closure_touched(monkeypatch):
     rounds = {n: 1 for n in names}
     rounds[target] = 3
     monkeypatch.setattr(P, "_last_green_round", lambda: rounds)
-    # only the target's own defining module changed since its green row
-    monkeypatch.setattr(P, "_changed_modules_since", lambda sha: {defining})
+    # only the target's OWN registered function changed since its green row
+    own_fn = REGISTRY[target].spark.__name__
+    monkeypatch.setattr(P, "_changed_map_since", lambda sha: {defining: {own_fn}})
     out = P.auto_priority(names)
     # every query defined in the edited module (math-changed) must precede
     # every query that merely imports it (closure-touched) — the target's
@@ -125,10 +126,11 @@ def test_auto_priority_changed_is_relative_to_own_green_round(monkeypatch):
     rounds[names[0]] = 2  # verified before the edit
     monkeypatch.setattr(P, "_last_green_round", lambda: rounds)
     monkeypatch.setattr(P, "_verdict_commits", lambda: {2: "old", 4: "new"})
+    own_fn = REGISTRY[names[0]].spark.__name__
     monkeypatch.setattr(
         P,
-        "_changed_modules_since",
-        lambda sha: {defining} if sha == "old" else set(),
+        "_changed_map_since",
+        lambda sha: {defining: {own_fn}} if sha == "old" else {},
     )
     out = P.auto_priority(names)
     assert out[0] == names[0]
@@ -159,3 +161,28 @@ def test_last_green_requires_positive_rows_for_no_oracle(tmp_path, monkeypatch):
     )
     last = P._last_green_round()
     assert last == {"good": 1, "hashed": 1}
+
+
+def test_changed_names_ignores_pure_appends():
+    """Appending a NEW operator to a module is a no-op for its existing
+    consumers — it must not flip every query in the import closure to the
+    changed category (the round-5 crowding mode)."""
+    old = "def f(x):\n    return x + 1\n\nCONST = 3\n"
+    new = old + "\n\ndef g(y):\n    return y * 2\n"
+    assert P._changed_names(old, new) == set()
+
+
+def test_changed_names_detects_edited_function_and_module_level():
+    old = "def f(x):\n    return x + 1\n\nCONST = 3\n"
+    edited_fn = "def f(x):\n    return x + 2\n\nCONST = 3\n"
+    edited_const = "def f(x):\n    return x + 1\n\nCONST = 4\n"
+    assert P._changed_names(old, edited_fn) == {"f"}
+    assert P._changed_names(old, edited_const) == {"<module-level>"}
+    # removal counts too
+    assert "f" in P._changed_names(old, "CONST = 3\n")
+
+
+def test_changed_names_includes_decorators():
+    old = '@reg("a", oracle="SELECT 1")\ndef q():\n    pass\n'
+    new = '@reg("a", oracle="SELECT 2")\ndef q():\n    pass\n'
+    assert P._changed_names(old, new) == {"q"}
