@@ -67,7 +67,11 @@ def main() -> None:
     # analyzed plans, so identical sub-plans across queries legitimately reuse
     # the cache (the same behavior a resident engine gives repeated queries).
     timings: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
+    # Fixed alphabetical EXECUTION order: queries() is priority-ordered and
+    # reshuffles every round, which moves cache-warming position effects
+    # between queries and makes per-query deltas across rounds noisy. The
+    # correctness gate keeps the priority order; the bench wants stability.
+    for name, fn in sorted(entry_mod.queries().items()):
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
