@@ -103,7 +103,94 @@ def test_s3_file_quality_gate(spark):
     assert set(r._file for r in kept.select("_file").distinct().collect()) == {"good"}
     assert kept.count() == 100
 
-    import pytest as _pytest
+    _ = read_excel_series  # full ingest covered by test_s3_xlsx_roundtrip
 
-    with _pytest.raises(NotImplementedError, match="openpyxl"):
-        read_excel_series(spark, "/nonexistent/*.xlsx", "Time", "Power (kW)")
+
+def _write_minimal_xlsx(path, header, rows):
+    """Hand-rolled spec-minimal XLSX (zip of XML): inline strings for text,
+    plain number cells otherwise — independent of the reader under test."""
+    import zipfile
+
+    def cell(ref, v):
+        if isinstance(v, str):
+            return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+        return f'<c r="{ref}"><v>{v!r}</v></c>'
+
+    def col_letter(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(ord("A") + r) + s
+        return s
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    body = []
+    for ri, row in enumerate([header, *rows], start=1):
+        cells = "".join(cell(f"{col_letter(ci)}{ri}", v) for ci, v in enumerate(row))
+        body.append(f'<row r="{ri}">{cells}</row>')
+    sheet = f'<?xml version="1.0"?><worksheet {ns}><sheetData>{"".join(body)}</sheetData></worksheet>'
+    workbook = (
+        f'<?xml version="1.0"?><workbook {ns} '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0"?><Relationships '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    types = (
+        '<?xml version="1.0"?><Types '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" '
+        'ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", types)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_s3_xlsx_roundtrip(spark, tmp_path):
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        read_excel_series,
+        read_xlsx,
+    )
+
+    # 2024-01-01 00:00 is Excel serial 45292 against the 1899-12-30 epoch
+    base = 45292.0
+    good = [[base + h / 24.0, float(h % 5 + 1)] for h in range(48)]
+    bad = [[base + h / 24.0, 0.0 if h < 10 else 2.0] for h in range(48)]  # >5% zeros
+    _write_minimal_xlsx(tmp_path / "b1.xlsx", ["Time", "Power (kW)"], good)
+    _write_minimal_xlsx(tmp_path / "b2.xlsx", ["Time", "Power (kW)"], bad)
+
+    pdf = read_xlsx(str(tmp_path / "b1.xlsx"))
+    assert list(pdf.columns) == ["Time", "Power (kW)"]
+    assert len(pdf) == 48
+
+    out = read_excel_series(
+        spark, str(tmp_path / "*.xlsx"), "Time", "Power (kW)", max_zero_ratio=0.05
+    )
+    rows = out.collect()
+    # the zero-heavy file is rejected by the quality gate; the good one stays
+    assert {r.series_id.rsplit("/", 1)[-1] for r in rows} == {"b1.xlsx"}
+    assert len(rows) == 48
+    first = min(rows, key=lambda r: r.ts)
+    assert (first.ts.year, first.ts.month, first.ts.day, first.ts.hour) == (2024, 1, 1, 0)

@@ -118,6 +118,75 @@ def file_quality_gate(
     return df.join(F.broadcast(passing), file_col, "left_semi")
 
 
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_EXCEL_EPOCH = "1899-12-30"  # serial 1 = 1900-01-01, with the Lotus leap bug baked in
+
+
+def _xlsx_col_index(ref: str) -> int:
+    """A1-style column letters -> 0-based index (A=0, Z=25, AA=26)."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return n - 1
+
+
+def read_xlsx(path: str):
+    """Minimal pure-stdlib XLSX reader (zipfile + ElementTree): first
+    worksheet, row 1 = header; supports number cells, shared strings,
+    inline strings, and formula-cached values. XLSX is a zip of XML by
+    spec, so no third-party Excel library is required — this replaces the
+    previous openpyxl gate for the S3 ingest path. Returns a pandas frame
+    with string column names; date cells arrive as Excel serial floats
+    (see read_excel_series for the epoch conversion)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    import pandas as pd
+
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_XLSX_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+        sheet = "xl/worksheets/sheet1.xml"
+        if sheet not in z.namelist():
+            sheets = sorted(n for n in z.namelist() if n.startswith("xl/worksheets/"))
+            if not sheets:
+                return pd.DataFrame()
+            sheet = sheets[0]
+        root = ET.fromstring(z.read(sheet))
+        rows: list[dict[int, object]] = []
+        for row in root.iter(f"{_XLSX_NS}row"):
+            cells: dict[int, object] = {}
+            for c in row.findall(f"{_XLSX_NS}c"):
+                idx = _xlsx_col_index(c.get("r", ""))
+                t = c.get("t", "n")
+                v = c.find(f"{_XLSX_NS}v")
+                val: object = None
+                if t == "s" and v is not None and v.text is not None:
+                    val = shared[int(v.text)]
+                elif t == "inlineStr":
+                    is_el = c.find(f"{_XLSX_NS}is")
+                    if is_el is not None:
+                        val = "".join(tt.text or "" for tt in is_el.iter(f"{_XLSX_NS}t"))
+                elif v is not None and v.text is not None:
+                    try:
+                        val = float(v.text)
+                    except ValueError:
+                        val = v.text
+                if idx >= 0:
+                    cells[idx] = val
+            rows.append(cells)
+    if not rows:
+        return pd.DataFrame()
+    header = rows[0]
+    cols = sorted(header)
+    names = [str(header[c]) for c in cols]
+    return pd.DataFrame([[r.get(c) for c in cols] for r in rows[1:]], columns=names)
+
+
 def read_excel_series(
     spark: SparkSession,
     path_glob: str,
@@ -128,24 +197,33 @@ def read_excel_series(
     """S3: per-building XLSX ingest with the quality gate
     (process_park.py:17-53). XLSX is not a splittable columnar format, so the
     scale pattern is driver/one-task-per-file pandas staging into the long
-    contract, then the engine-side gate. Requires openpyxl (absent in this
-    container — the gate itself is tested via file_quality_gate)."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "read_excel_series requires openpyxl; stage XLSX to CSV/parquet "
-            "out-of-band or install openpyxl. The quality gate "
-            "(file_quality_gate) is format-independent."
-        ) from e
+    contract, then the engine-side gate. Uses pandas/openpyxl when present,
+    else the pure-stdlib :func:`read_xlsx` parser — no library gate.
+    Timestamps may arrive as Excel serial numbers (converted against the
+    1899-12-30 epoch) or as parseable strings."""
     import glob as _glob
 
     import pandas as pd
 
+    def _load(p: str):
+        try:
+            import openpyxl  # noqa: F401
+
+            return pd.read_excel(p)
+        except ImportError:
+            return read_xlsx(p)
+
     frames = []
     for p in sorted(_glob.glob(path_glob)):
-        pdf = pd.read_excel(p)[[ts_col, value_col]]
+        pdf = _load(p)[[ts_col, value_col]]
         pdf.columns = ["ts", "value"]
+        if pd.api.types.is_numeric_dtype(pdf["ts"]):
+            pdf["ts"] = pd.Timestamp(_EXCEL_EPOCH) + pd.to_timedelta(
+                pdf["ts"].astype(float), unit="D"
+            )
+        else:
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf["value"] = pd.to_numeric(pdf["value"], errors="coerce")
         pdf["_file"] = p
         frames.append(pdf)
     staged = spark.createDataFrame(pd.concat(frames, ignore_index=True))
