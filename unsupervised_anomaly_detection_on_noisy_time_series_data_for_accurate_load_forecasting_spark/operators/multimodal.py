@@ -2,14 +2,15 @@
 decode / feature-extract / resize / frame-sample as Arrow-batched
 mapInPandas islands.
 
-The image/audio/video codec libraries are NOT available in this environment,
-so the decode kernels are STUBS behind ``use_real_codecs``:
-- ``use_real_codecs=True``  → NotImplementedError naming the required libs
-  (PIL/torchvision/librosa/av) — this is the plug point.
-- default                   → deterministic fake decode (seeded from the
-  payload bytes) with the REAL Spark plumbing: binary column + metadata
-  struct schema, Arrow batch shape, partition-preserving mapInPandas, fixed
-  feature dimension.
+No third-party codec libraries exist in this environment, but two formats
+need none: PNG is zlib + chunked XML-free structs and WAV is a stdlib
+module — so ``use_real_codecs=True`` REALLY decodes those via
+operators/codecs.py (feature extraction and 2-D resize on true pixels /
+samples). Video has no stdlib codec; its frame decode raises with the
+av/ffmpeg plug point. Default remains the deterministic fake decode
+(seeded from the payload bytes) with the identical Spark plumbing: binary
+column + metadata struct schema, Arrow batch shape, partition-preserving
+mapInPandas, fixed feature dimension — the oracle-checkable registry path.
 
 At 100 TB the pattern is: payloads stay in parquet binary columns (or
 pointers to object storage), metadata is columnar for pruning, and the
@@ -72,16 +73,48 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return v
 
 
+def _real_decode(payload: bytes, mime: str, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real stdlib decode for the supported formats (operators/codecs.py):
+    PNG → per-channel mean/std pooled + shape; WAV → amplitude/energy stats.
+    Video (and other mimes) raise — there is no stdlib video codec; that
+    plug point stays gated on av/ffmpeg."""
+    from . import codecs as CX
+
+    if mime == "image/png":
+        img = CX.decode_png(payload).astype(np.float64) / 255.0
+        h, w, ch = img.shape
+        means = np.pad(img.mean(axis=(0, 1)), (0, 3 - ch if ch < 3 else 0), mode="edge")[:3]
+        stds = np.pad(img.std(axis=(0, 1)), (0, 3 - ch if ch < 3 else 0), mode="edge")[:3]
+        return np.concatenate([means, stds, [h / 1000.0, w / 1000.0]])[:dim]
+    if mime == "audio/wav":
+        samples, rate = CX.decode_wav(payload)
+        s = samples.astype(np.float64).ravel() / 32768.0
+        zc = float(np.mean(np.abs(np.diff(np.signbit(s).astype(np.int8))))) if len(s) > 1 else 0.0
+        return np.array(
+            [
+                s.mean(),
+                s.std(),
+                float(np.sqrt(np.mean(s * s))),
+                zc,
+                s.min(),
+                s.max(),
+                len(s) / float(rate),
+                rate / 48000.0,
+            ]
+        )[:dim]
+    raise NotImplementedError(
+        f"no stdlib codec for mime {mime!r} (video frame decode requires av/ffmpeg)"
+    )
+
+
 def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     """Decode + feature-extract island. Output:
-    (media_id, n_bytes, feature ARRAY<DOUBLE>[FEATURE_DIM])."""
-    if use_real_codecs:
-        raise NotImplementedError(
-            "Real decode requires PIL/torchvision (image), librosa (audio), av "
-            "(video) — not installed in this environment. The Spark plumbing "
-            "below is identical; plug the codec into _fake_decode's slot."
-        )
+    (media_id, n_bytes, feature ARRAY<DOUBLE>[FEATURE_DIM]).
 
+    ``use_real_codecs=True`` decodes PNG and WAV payloads for real via the
+    pure-stdlib codecs (operators/codecs.py) and raises only for formats
+    with no stdlib codec (video). Default: deterministic fake decode with
+    the identical Spark plumbing."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -94,7 +127,13 @@ def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFra
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = [_fake_decode(bytes(p)).tolist() for p in pdf["payload"]]
+            if use_real_codecs:
+                feats = [
+                    _real_decode(bytes(p), m).tolist()
+                    for p, m in zip(pdf["payload"], pdf["mime"])
+                ]
+            else:
+                feats = [_fake_decode(bytes(p)).tolist() for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -103,17 +142,20 @@ def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFra
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(gen, schema=schema)
+    cols = ["media_id", "payload"] + (
+        [F.col("meta.mime").alias("mime")] if use_real_codecs else []
+    )
+    return media.select(*cols).mapInPandas(gen, schema=schema)
 
 
 def resize(media: DataFrame, out_w: int = 32, out_h: int = 32, use_real_codecs: bool = False) -> DataFrame:
     """Resize contract: payload → fixed (out_h × out_w) grid, returned as a
     flattened ARRAY<DOUBLE> plus updated metadata. Stub decoder maps payload
     bytes onto a deterministic grid; a real codec slots into the same
-    mapInPandas signature and batch shape."""
-    if use_real_codecs:
-        raise NotImplementedError("real image resize requires PIL/torchvision — not installed")
-
+    mapInPandas signature and batch shape. ``use_real_codecs=True`` decodes
+    PNG payloads (pure-stdlib, operators/codecs.py), nearest-neighbor
+    resamples the true 2-D pixel grid, and returns channel-mean grayscale;
+    non-image mimes raise."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -124,6 +166,17 @@ def resize(media: DataFrame, out_w: int = 32, out_h: int = 32, use_real_codecs: 
     )
     n_px = out_w * out_h
 
+    def _grid_real(payload: bytes, mime: str) -> list[float]:
+        from . import codecs as CX
+
+        if mime != "image/png":
+            raise NotImplementedError(f"no stdlib image codec for mime {mime!r}")
+        img = CX.decode_png(payload).astype(np.float64) / 255.0
+        h, w = img.shape[:2]
+        ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+        xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+        return img[np.ix_(ys, xs)].mean(axis=2).ravel().tolist()
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # zip over raw columns, not iterrows (iterrows builds a Series per
         # row — ~50× slower than direct column iteration for byte payloads)
@@ -131,12 +184,16 @@ def resize(media: DataFrame, out_w: int = 32, out_h: int = 32, use_real_codecs: 
             if pdf.empty:
                 continue
             pixels = []
-            for payload in pdf["payload"]:
-                payload = bytes(payload) or b"\0"
-                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) / 255.0
-                # nearest-neighbor 'resample' of the byte stream onto the grid
-                idx = np.linspace(0, len(arr) - 1, n_px).astype(int)
-                pixels.append(arr[idx].tolist())
+            if use_real_codecs:
+                for payload, mime in zip(pdf["payload"], pdf["mime"]):
+                    pixels.append(_grid_real(bytes(payload), mime))
+            else:
+                for payload in pdf["payload"]:
+                    payload = bytes(payload) or b"\0"
+                    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) / 255.0
+                    # nearest-neighbor 'resample' of the byte stream onto the grid
+                    idx = np.linspace(0, len(arr) - 1, n_px).astype(int)
+                    pixels.append(arr[idx].tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
@@ -146,7 +203,10 @@ def resize(media: DataFrame, out_w: int = 32, out_h: int = 32, use_real_codecs: 
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(gen, schema=schema)
+    cols = ["media_id", "payload"] + (
+        [F.col("meta.mime").alias("mime")] if use_real_codecs else []
+    )
+    return media.select(*cols).mapInPandas(gen, schema=schema)
 
 
 def frame_sample(media: DataFrame, every_n: int = 4, use_real_codecs: bool = False) -> DataFrame:
