@@ -261,3 +261,88 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("int").alias("height"),
         qround(F.expr("aggregate(pixels, 0D, (a, x) -> a + x)"), 9).alias("pix_sum"),
     )
+
+
+def _doc_pixels(text: str):
+    """Deterministic doc→image spec shared by the engine island and the
+    oracle mirror: UTF-8 bytes, truncated to 64 rows of 16×3, zero-padded to
+    whole rows, reshaped (h, 16, 3) uint8."""
+    import numpy as np
+
+    b = text.encode("utf-8")[: 64 * 48]
+    b = b + b"\0" * ((-len(b)) % 48)
+    if not b:
+        b = b"\0" * 48
+    return np.frombuffer(b, dtype=np.uint8).reshape(len(b) // 48, 16, 3)
+
+
+def _mm_png_oracle() -> str:
+    """Mirror that never touches PNG: builds the same pixel array directly
+    and computes the same channel statistics — so the engine's
+    encode→decode round trip through the stdlib codec is what's on trial."""
+    import numpy as np
+
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        img = _doc_pixels(r.text).astype(np.float64) / 255.0
+        h, w, _ = img.shape
+        means, stds = img.mean(axis=(0, 1)), img.std(axis=(0, 1))
+        f = [*means, *stds, h / 1000.0, w / 1000.0]
+        rows.append(
+            f"({int(r.doc_id)}::BIGINT,"
+            + ",".join(f"{qround_py(float(x), 9)!r}::DOUBLE" for x in f)
+            + ")"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, f0, f1, f2, f3, f4, f5, f6, f7)"
+    )
+
+
+@register(
+    "mm_png_real_features",
+    oracle=lambda: _mm_png_oracle(),
+    tags=("MM-decode", "MM-codec"),
+    doc="REAL codec path, driver-verified: per doc, build a deterministic "
+    "pixel grid from the text bytes, encode it to PNG in one Arrow island "
+    "(pure-stdlib zlib encoder), decode it back through the real-codec "
+    "feature island, and emit the channel statistics. The oracle constructs "
+    "the same array WITHOUT any PNG — a codec defect anywhere in the "
+    "encode→decode round trip hash-mismatches.",
+)
+def mm_png_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        from ..operators import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                img = _doc_pixels(text)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "payload": bytearray(CX.encode_png(img)),
+                        "meta": {
+                            "mime": "image/png",
+                            "width": 16,
+                            "height": int(img.shape[0]),
+                            "n_frames": 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, schema=MM.MEDIA_SCHEMA)
+    feats = MM.extract_features(media, use_real_codecs=True)
+    return feats.select(
+        "media_id",
+        *[qround(F.col("feature")[i], 9).alias(f"f{i}") for i in range(8)],
+    )
