@@ -118,13 +118,24 @@ def _import_graph() -> dict[str, set[str]]:
 _ORDERING_ONLY = {"plans", "plans.priority", "plans.registry"}
 
 
-def _import_edges() -> dict[str, dict[str, tuple[set[str] | None, set[str]]]]:
-    """Name-aware import graph: module -> {dep module -> (imported names or
-    None for whole-module/star, local binding tokens)}. The names let taint
-    propagation skip constants-only imports from a function-edited module;
-    the binding tokens (post-``as`` aliases) let the per-query refinement
-    search a query's own source block for references to tainted imports."""
-    edges: dict[str, dict[str, tuple[set[str] | None, set[str]]]] = {}
+class _Edge:
+    """One import relationship M -> dep: per-imported-name local bindings
+    (so taint maps a changed def to exactly the token a consumer would
+    write), module-alias bindings for whole-module imports (any attribute
+    access can observe any tainted name), and a star flag (untrackable —
+    consumers degrade to whole-module taint)."""
+
+    __slots__ = ("bindings", "aliases", "star")
+
+    def __init__(self) -> None:
+        self.bindings: dict[str, set[str]] = {}  # imported name -> local tokens
+        self.aliases: set[str] = set()  # module-alias tokens
+        self.star = False
+
+
+def _import_edges() -> dict[str, dict[str, _Edge]]:
+    """Name-aware import graph: module -> {dep module -> _Edge}."""
+    edges: dict[str, dict[str, _Edge]] = {}
     for py in _PKG_ROOT.rglob("*.py"):
         mod = _module_of(py)
         if mod is None:
@@ -138,13 +149,8 @@ def _import_edges() -> dict[str, dict[str, tuple[set[str] | None, set[str]]]]:
         pkg_parts = mod_parts if is_init else mod_parts[:-1]
         deps = edges.setdefault(mod, {})
 
-        def _add(dep: str, names: set[str] | None, toks: set[str]) -> None:
-            if dep in deps:
-                old_names, old_toks = deps[dep]
-                merged = None if (old_names is None or names is None) else old_names | names
-                deps[dep] = (merged, old_toks | toks)
-            else:
-                deps[dep] = (names, set(toks))
+        def _edge(dep: str) -> _Edge:
+            return deps.setdefault(dep, _Edge())
 
         for m in _IMPORT_RE.finditer(src):
             dots, name, imported = len(m.group(1)), m.group(2), m.group(3)
@@ -155,23 +161,26 @@ def _import_edges() -> dict[str, dict[str, tuple[set[str] | None, set[str]]]]:
             star = False
             for item in imported.strip("()").replace("\n", ",").split(","):
                 parts = [p.strip() for p in item.strip().split(" as ")]
-                leaf = parts[0]
-                binding = parts[-1]
+                leaf, binding = parts[0], parts[-1]
                 if leaf == "*":
                     star = True
                 elif leaf and re.fullmatch(r"\w+", leaf) and re.fullmatch(r"\w+", binding):
                     leaves[leaf] = binding
             if target:
-                _add(
-                    target,
-                    None if star else set(leaves),
-                    set(leaves.values()),
-                )
-            base = target
-            for leaf, binding in leaves.items():
-                sub = f"{base}.{leaf}" if base else leaf
-                if _is_module(sub):
-                    _add(sub, None, {binding})
+                e = _edge(target)
+                if star:
+                    e.star = True
+                for leaf, binding in leaves.items():
+                    sub = f"{target}.{leaf}"
+                    if _is_module(sub):
+                        # `from X import submod [as t]`: a whole-module alias
+                        _edge(sub).aliases.add(binding)
+                    else:
+                        e.bindings.setdefault(leaf, set()).add(binding)
+            else:
+                for leaf, binding in leaves.items():
+                    if _is_module(leaf):
+                        _edge(leaf).aliases.add(binding)
     return edges
 
 
@@ -191,53 +200,25 @@ def _module_def_names(mod: str) -> set[str]:
     return set(spans)
 
 
-def _edge_tainted(
-    dep: str,
-    names: set[str] | None,
-    changed: dict[str, set[str]],
-    affected: set[str],
-) -> bool:
-    """Can an import edge observe a change? Direct change in the dep:
-    module-level change or whole-module/star import → yes; named imports →
-    only if some imported name is a def/class of the dep (an unchanged def
-    can still call the changed one internally, but an imported CONSTANT was
-    evaluated from unchanged module-level code, so constants-only imports
-    escape). Transitively affected dep → yes unconditionally (its constants
-    may re-evaluate; no name info survives propagation)."""
-    if dep in _ORDERING_ONLY:
-        return False
-    if dep in changed:
-        ch = changed[dep]
-        if "<module-level>" in ch or "<parse-error>" in ch or names is None:
-            return True
-        defs = _module_def_names(dep)
-        return (not defs and bool(names)) or bool(names & defs)
-    return dep in affected
+_ALL = "<all>"
 
 
-def _affected_modules(
-    changed: dict[str, set[str]],
-    edges: dict[str, dict[str, tuple[set[str] | None, set[str]]]],
-) -> set[str]:
-    """Fixpoint taint propagation over the name-aware import graph — the
-    module-granularity pass (see :func:`_tainted_defs` for the per-query
-    refinement inside a module). Keeps one edited query function in a hub
-    module (shared-CTE constants) from flipping every consumer of the
-    constants to the changed category."""
-    direct = set(changed) - _ORDERING_ONLY
-    trans: set[str] = set()
-    while True:
-        grew = False
-        for m, deps in edges.items():
-            if m in trans:
-                continue
-            for dep, (names, _toks) in deps.items():
-                if dep in trans or _edge_tainted(dep, names, changed, set()):
-                    trans.add(m)
-                    grew = True
-                    break
-        if not grew:
-            return trans | direct
+def _nonimport_module_level(src: str) -> str:
+    """Source text of the top-level statements that are neither imports nor
+    def/class — the code that evaluates module constants at import time."""
+    import ast
+
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return src
+    lines = src.splitlines(keepends=True)
+    keep = []
+    skip = (ast.Import, ast.ImportFrom, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+    for node in tree.body:
+        if not isinstance(node, skip):
+            keep.append("".join(lines[node.lineno - 1 : node.end_lineno]))
+    return "".join(keep)
 
 
 def _module_src(mod: str) -> str | None:
@@ -251,65 +232,109 @@ def _module_src(mod: str) -> str | None:
         return None
 
 
-def _tainted_defs(
-    mod: str,
+def _taint_fixpoint(
     changed: dict[str, set[str]],
-    affected: set[str],
     edges: dict[str, dict[str, tuple[set[str] | None, set[str]]]],
-) -> set[str] | None:
-    """Per-query refinement: which top-level defs of ``mod`` can observe a
-    change — i.e. their source block references a tainted import binding, a
-    changed sibling def, or (transitively) a tainted local helper. Returns
-    None when precision is impossible (unreadable source, or non-import
-    module-level code itself references a tainted binding — then constants
-    may have re-evaluated and every def is suspect)."""
-    import ast
+) -> dict[str, set[str]]:
+    """NAME-level taint propagation to a global fixpoint: module -> set of
+    top-level def names whose behavior can observe a change ({_ALL} marks a
+    whole module, constants included).
 
-    src = _module_src(mod)
-    if src is None:
-        return None
-    spans = _func_spans(src)
-    spans.pop("<parse-error>", None)
-    tokens: set[str] = set(changed.get(mod, set()))
-    tokens.discard("<module-level>")
-    for dep, (names, toks) in edges.get(mod, {}).items():
-        if _edge_tainted(dep, names, changed, affected):
-            tokens |= toks
-    if not tokens:
-        return set()
+    Seeds: the directly-edited defs per module (module-level/parse-error
+    edits seed _ALL). Propagation per module: an import edge contributes its
+    local binding tokens when the dep exposes any tainted name the edge can
+    see (whole-module import, or imported-name ∩ dep's tainted defs); a def
+    is tainted when its own source block mentions a contributing token, a
+    changed/tainted sibling, or a tainted local helper (iterated within the
+    module). If NON-IMPORT module-level code mentions a token, import-time
+    constants may differ and the module degrades to _ALL.
 
-    def pat() -> "re.Pattern[str]":
-        return re.compile(r"\b(" + "|".join(map(re.escape, sorted(tokens))) + r")\b")
-
-    # non-import module-level statements referencing a tainted binding mean
-    # import-time constants may differ — give up per-def precision
-    try:
-        tree = ast.parse(src)
-    except SyntaxError:
-        return None
-    lines = src.splitlines(keepends=True)
-    p = pat()
-    for node in tree.body:
-        if isinstance(
-            node, (ast.Import, ast.ImportFrom, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
-        ):
+    This is what keeps a hub-module edit surgical: editing one reader
+    function taints only the queries whose blocks (transitively) reference
+    it — not every consumer of the hub's other exports."""
+    tainted: dict[str, set[str]] = {}
+    for m, names in changed.items():
+        if m in _ORDERING_ONLY:
             continue
-        if p.search("".join(lines[node.lineno - 1 : node.end_lineno])):
-            return None
+        s = set(names)
+        if "<module-level>" in s or "<parse-error>" in s:
+            tainted[m] = {_ALL}
+        else:
+            tainted[m] = s
 
-    tainted: set[str] = set()
-    grew = True
-    while grew:
+    spans_cache: dict[str, dict[str, str] | None] = {}
+    ml_cache: dict[str, str] = {}
+
+    def spans(m: str) -> dict[str, str] | None:
+        if m not in spans_cache:
+            src = _module_src(m)
+            if src is None:
+                spans_cache[m] = None
+                ml_cache[m] = ""
+            else:
+                spans_cache[m] = _func_spans(src)
+                ml_cache[m] = _nonimport_module_level(src)
+        return spans_cache[m]
+
+    while True:
         grew = False
-        p = pat()
-        for name, seg in spans.items():
-            if name in tainted or name == "<module-level>":
+        for m, deps in edges.items():
+            if m in _ORDERING_ONLY:
                 continue
-            if p.search(seg):
-                tainted.add(name)
-                tokens.add(name)
+            cur = tainted.get(m, set())
+            if _ALL in cur:
+                continue
+            tokens: set[str] = set(cur)  # changed sibling defs are tokens too
+            star_tainted = False
+            for dep, edge in deps.items():
+                if dep in _ORDERING_ONLY:
+                    continue
+                dt = tainted.get(dep, set())
+                if not dt:
+                    continue
+                if edge.star:
+                    star_tainted = True  # untrackable re-export — whole module
+                if edge.aliases:
+                    tokens |= edge.aliases  # alias.attr can reach any name
+                if _ALL in dt:
+                    tokens |= {t for toks in edge.bindings.values() for t in toks}
+                else:
+                    for imported, toks in edge.bindings.items():
+                        if imported in dt:
+                            tokens |= toks
+            if star_tainted:
+                if cur != {_ALL}:
+                    tainted[m] = {_ALL}
+                    grew = True
+                continue
+            if not tokens:
+                continue
+            sp = spans(m)
+            if sp is None:
+                new = {_ALL}
+            else:
+                new = set(cur)
+                local_grew = True
+                while local_grew:
+                    local_grew = False
+                    pat = re.compile(
+                        r"\b(" + "|".join(map(re.escape, sorted(tokens))) + r")\b"
+                    )
+                    if pat.search(ml_cache[m]):
+                        new = {_ALL}
+                        break
+                    for name, seg in sp.items():
+                        if name == "<module-level>" or name in new:
+                            continue
+                        if pat.search(seg):
+                            new.add(name)
+                            tokens.add(name)
+                            local_grew = True
+            if new != cur:
+                tainted[m] = new
                 grew = True
-    return tainted
+        if not grew:
+            return tainted
 
 
 def _closure(start: str, graph: dict[str, set[str]]) -> set[str]:
@@ -351,11 +376,38 @@ def _verdict_commits() -> dict[int, str]:
     return commits
 
 
+def _module_level_stmts(src: str) -> list[str] | None:
+    """Texts of the top-level statements with import-time BEHAVIOR: not
+    imports (tracked as graph edges), not def/class (tracked by name), not
+    bare string expressions (docstrings). None on parse failure."""
+    import ast
+
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    lines = src.splitlines(keepends=True)
+    out: list[str] = []
+    for node in tree.body:
+        if isinstance(
+            node,
+            (ast.Import, ast.ImportFrom, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+        ):
+            continue
+        if isinstance(node, ast.Expr) and isinstance(node.value, ast.Constant) and isinstance(
+            node.value.value, str
+        ):
+            continue  # docstring / block comment string
+        out.append("".join(lines[node.lineno - 1 : node.end_lineno]))
+    return out
+
+
 def _func_spans(src: str) -> dict[str, str]:
     """Top-level def/class name -> its source segment (decorators included),
-    plus '<module-level>' covering every non-def statement (constants,
-    registrations run at import). Parse failure degrades to one whole-file
-    span so any textual change still counts."""
+    plus '<module-level>' covering the behavioral non-def statements
+    (constants, registrations run at import — imports and docstrings
+    excluded; see _module_level_stmts). Parse failure degrades to one
+    whole-file span so any textual change still counts."""
     import ast
 
     try:
@@ -364,30 +416,47 @@ def _func_spans(src: str) -> dict[str, str]:
         return {"<parse-error>": src}
     lines = src.splitlines(keepends=True)
     out: dict[str, str] = {}
-    other: list[str] = []
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             start = min([d.lineno for d in node.decorator_list] + [node.lineno]) - 1
             out[node.name] = "".join(lines[start : node.end_lineno])
-        else:
-            other.append("".join(lines[node.lineno - 1 : node.end_lineno]))
-    out["<module-level>"] = "".join(other)
+    out["<module-level>"] = "".join(_module_level_stmts(src) or [])
     return out
 
 
 def _changed_names(old_src: str | None, new_src: str | None) -> set[str]:
     """Names whose top-level source changed or disappeared between the two
-    versions, plus '<module-level>' when non-def module code moved. Purely
-    ADDED names are deliberately excluded: appending a new operator to a
-    module is a no-op for the module's existing consumers, so it must not
-    flip every query in its import closure to the changed category (the
-    round-5 crowding mode — round 4's was the same bug one level up)."""
+    versions, plus '<module-level>' when a pre-existing behavioral
+    module-level statement was edited or removed. Purely ADDED code — new
+    defs, new constants, new imports, docstring edits — is deliberately a
+    no-op: existing consumers cannot reference names that did not exist,
+    so additions must not flip every query in the import closure to the
+    changed category (the round-5 crowding mode — round 4's was the same
+    bug one level up)."""
     if new_src is None:  # file deleted: every old name is gone
         return set(_func_spans(old_src or ""))
     if old_src is None:  # new file: only new queries (never-green) use it
         return {"<module-level>"} if _func_spans(new_src)["<module-level>"] else set()
     old, new = _func_spans(old_src), _func_spans(new_src)
-    return {name for name, seg in old.items() if new.get(name) != seg}
+    changed = {
+        name
+        for name, seg in old.items()
+        if name != "<module-level>" and new.get(name) != seg
+    }
+    # module-level: multiset containment — every old behavioral statement
+    # must survive verbatim (anywhere in the file); insertions are free
+    old_ml = _module_level_stmts(old_src)
+    new_ml = _module_level_stmts(new_src)
+    if old_ml is None or new_ml is None:
+        if old.get("<module-level>") != new.get("<module-level>"):
+            changed.add("<module-level>")
+    else:
+        from collections import Counter
+
+        missing = Counter(old_ml) - Counter(new_ml)
+        if missing:
+            changed.add("<module-level>")
+    return changed
 
 
 def _changed_map_since(sha: str | None) -> dict[str, set[str]]:
@@ -468,20 +537,12 @@ def auto_priority(registry_names: list[str]) -> list[str]:
                 changed_cache[rnd] = _changed_map_since(verdicts.get(rnd))
             return changed_cache[rnd]
 
-        def affected_since_round(rnd: int) -> set[str]:
-            if rnd not in affected_cache:
-                affected_cache[rnd] = _affected_modules(changed_since_round(rnd), edges)
-            return affected_cache[rnd]
+        taint_cache: dict[int, dict[str, set[str]]] = {}
 
-        tainted_cache: dict[tuple[int, str], set[str] | None] = {}
-
-        def tainted_defs(rnd: int, rel: str) -> set[str] | None:
-            k = (rnd, rel)
-            if k not in tainted_cache:
-                tainted_cache[k] = _tainted_defs(
-                    rel, changed_since_round(rnd), affected_since_round(rnd), edges
-                )
-            return tainted_cache[k]
+        def taint_since_round(rnd: int) -> dict[str, set[str]]:
+            if rnd not in taint_cache:
+                taint_cache[rnd] = _taint_fixpoint(changed_since_round(rnd), edges)
+            return taint_cache[rnd]
 
         from .registry import REGISTRY
 
@@ -502,12 +563,11 @@ def auto_priority(registry_names: list[str]) -> list[str]:
             fn = REGISTRY[name].spark.__name__
             if fn in own or "<module-level>" in own or "<parse-error>" in own:
                 math_changed.add(name)
-            elif own or rel in affected_since_round(rnd):
-                # per-def refinement: inside an affected module, only the
-                # queries whose own block references a tainted binding (or
-                # a tainted local helper / changed sibling) are suspect
-                tq = tainted_defs(rnd, rel)
-                if tq is None or fn in tq:
+            else:
+                # name-level taint: only queries whose block (transitively)
+                # references something that actually changed are suspect
+                t = taint_since_round(rnd).get(rel, set())
+                if _ALL in t or fn in t:
                     closure_changed.add(name)
     except Exception:
         pass
