@@ -184,23 +184,6 @@ def _import_edges() -> dict[str, dict[str, _Edge]]:
     return edges
 
 
-def _module_def_names(mod: str) -> set[str]:
-    """Current top-level def/class names of a package module (empty if the
-    file is gone or unreadable — callers then treat every name as a def)."""
-    p = _PKG_ROOT.joinpath(*mod.split("."))
-    f = p.with_suffix(".py")
-    if not f.is_file():
-        f = p / "__init__.py"
-    try:
-        src = f.read_text()
-    except OSError:
-        return set()
-    spans = _func_spans(src)
-    spans.pop("<module-level>", None)
-    return set(spans)
-
-
-_ALL = "<all>"
 
 
 def _nonimport_module_level(src: str) -> str:
