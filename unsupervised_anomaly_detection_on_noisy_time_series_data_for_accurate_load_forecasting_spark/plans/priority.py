@@ -186,6 +186,9 @@ def _import_edges() -> dict[str, dict[str, _Edge]]:
 
 
 
+_ALL = "<all>"  # whole-module taint marker in _taint_fixpoint results
+
+
 def _nonimport_module_level(src: str) -> str:
     """Source text of the top-level statements that are neither imports nor
     def/class — the code that evaluates module constants at import time."""
