@@ -88,3 +88,86 @@ def test_tfidf_topk_shape_and_ranking(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_decontaminate_flags_match_direct_ngram_overlap(spark, sf_dir):
+    # independent recomputation: string 4-grams via pandas, same RNG split
+    import pandas as pd
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.functions.rng import (
+        rng_draw_np,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.corpus import (
+        DECON_MOD,
+        DECON_SALT,
+        decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id: (r.n_hits, r.contaminated) for r in decontaminate(docs, n=4).collect()}
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    draws = rng_draw_np([pdf.doc_id.to_numpy()], salt=DECON_SALT) % DECON_MOD
+    pdf["is_bench"] = draws == 0
+
+    def grams(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 4]) for i in range(len(t) - 3)}
+
+    bench = set()
+    for _, r in pdf[pdf.is_bench].iterrows():
+        bench |= grams(r.text)
+    expected = {}
+    for _, r in pdf[~pdf.is_bench].iterrows():
+        n = len(grams(r.text) & bench)
+        expected[r.doc_id] = (n, n > 0)
+    assert got == expected
+
+
+def test_decontaminate_excludes_benchmark_docs(spark, sf_dir):
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.functions.rng import (
+        rng_draw_np,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.corpus import (
+        DECON_MOD,
+        DECON_SALT,
+        decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_ids = {r.doc_id for r in decontaminate(docs, n=4).select("doc_id").collect()}
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    bench = {i for i in ids if rng_draw_np([i], salt=DECON_SALT) % DECON_MOD == 0}
+    assert out_ids == set(ids) - bench
+    assert bench  # split is non-degenerate at test SF
+
+
+def test_pii_scrub_redacts_known_spans(spark, sf_dir):
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.textops import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.do-e@sub.example-x.org now"),
+            (2, "visit https://a.example.org/x_y-z/3 or http://b.io/q"),
+            (3, "host 192.168.0.1 dialed +1-555-0042 twice +12-123-123"),
+            (4, "plain text with no pii at all"),
+        ],
+        "doc_id int, t string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *pii_counts("t"), scrub_pii("t").alias("s")
+        ).collect()
+    }
+    assert rows[1].n_email == 1 and rows[1].s == "mail me at <EMAIL> now"
+    assert rows[2].n_url == 2 and rows[2].s == "visit <URL> or <URL>"
+    assert rows[3].n_ip == 1 and rows[3].n_phone == 2
+    assert rows[3].s == "host <IP> dialed <PHONE> twice <PHONE>"
+    assert rows[4].s == "plain text with no pii at all"
+    assert all(
+        rows[4][c] == 0 for c in ("n_url", "n_email", "n_ip", "n_phone")
+    )

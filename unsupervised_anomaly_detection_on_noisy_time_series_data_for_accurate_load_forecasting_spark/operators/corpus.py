@@ -29,6 +29,48 @@ from ..functions.rng import rng_draw
 
 PACK_SALT = 71
 SAMPLE_SALT = 83
+DECON_SALT = 97
+DECON_MOD = 20  # 1-in-20 docs form the held-out benchmark split
+
+
+def decontaminate(docs: DataFrame, n: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word-``n``-gram with a held-out benchmark split.
+
+    The canonical pretraining hygiene pass (the reference has no corpus
+    stage; this extends §2.12). The benchmark membership is the deterministic
+    cross-engine draw ``rng_draw(doc_id, DECON_SALT) % DECON_MOD == 0`` so
+    the oracle replays the split exactly.
+
+    Scale shape: a real benchmark set (MMLU/GSM8K/…) is tiny relative to a
+    100 TB corpus — at most ~1e6 distinct n-grams — so its hashed n-gram set
+    is **broadcast** and the training side pays one explode + per-doc lead
+    window + broadcast hash join + one groupBy(doc) shuffle. No sort, no
+    self-join, no driver collect; the n-gram ids are 64-bit integers via the
+    broadcast vocabulary dim (operators/dedup.py), so the hot path never
+    re-touches characters.
+    """
+    from .dedup import ngram_hashes
+
+    is_bench = F.pmod(rng_draw(id_col, salt=DECON_SALT), F.lit(DECON_MOD)) == 0
+    bench = docs.filter(is_bench)
+    train = docs.filter(~is_bench)
+    bench_ng = ngram_hashes(bench, n=n, id_col=id_col).select("shingle").distinct()
+    train_ng = ngram_hashes(train, n=n, id_col=id_col)
+    hits = (
+        train_ng.join(F.broadcast(bench_ng), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
 
 
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:

@@ -91,6 +91,30 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return hashed.select(F.col(id_col), sh.alias("shingle")).distinct()
 
 
+def ngram_hashes(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct hashed word-``n``-gram ids per doc — :func:`shingle_hashes`
+    generalized to any n (n=3 reproduces it exactly: the fold applies the
+    same ``pmod`` after every multiply-add).
+
+    Same scale shape: broadcast vocabulary dim, per-doc ``lead`` window
+    (partition = doc, never global), pure 64-bit integer combine."""
+    tl = token_long(df, text_col, id_col)
+    dim = token_hash_dim(tl)
+    w = W.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("h", i).over(w).alias(f"h{i}") for i in range(1, n)]
+    hashed = (
+        tl.join(F.broadcast(dim), "tok")
+        .select(id_col, "pos", F.col("h").alias("h0"), *leads)
+        .filter(F.col(f"h{n - 1}").isNotNull())
+    )
+    acc = F.col("h0")
+    for i in range(1, n):
+        acc = F.pmod(acc * SHINGLE_MULT + F.col(f"h{i}"), F.lit(M))
+    return hashed.select(F.col(id_col), acc.alias("shingle")).distinct()
+
+
 def jaccard_pairs(sh: DataFrame, min_jaccard: float, id_col: str = "doc_id") -> DataFrame:
     """Exact Jaccard over the (integer) inverted shingle index.
 

@@ -112,3 +112,37 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("pred_lang", predicted_lang(col))
         .withColumn("fingerprint", fingerprint(col))
     )
+
+
+# --- PII redaction -------------------------------------------------------
+# Patterns are deliberately simple and portable (identical semantics under
+# Java regex and RE2): lowercase character classes only, so the uppercase
+# replacement tokens can never re-match a later pattern in the chain.
+# Order matters: URL before EMAIL/IP (a URL may contain dots and digits that
+# substrings of later patterns would otherwise claim).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("n_url", r"https?://[a-z0-9./_-]+", "<URL>"),
+    ("n_email", r"[a-z0-9._-]+@[a-z0-9-]+(\.[a-z0-9-]+)+", "<EMAIL>"),
+    ("n_ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("n_phone", r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}", "<PHONE>"),
+)
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Sequentially redact every PII pattern (replace-all per step — the
+    matched spans become inert uppercase tokens, so later patterns in the
+    chain cannot partially re-match an earlier replacement)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Per-pattern match counts over the ORIGINAL text (aliased n_url,
+    n_email, n_ip, n_phone) — the audit numbers a scrubbing pass reports."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("bigint").alias(name)
+        for name, pat, _ in PII_PATTERNS
+    ]

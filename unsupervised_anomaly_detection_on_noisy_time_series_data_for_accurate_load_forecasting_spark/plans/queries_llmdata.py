@@ -96,6 +96,76 @@ def d_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_ctes(n: int) -> str:
+    """DuckDB CTE chain producing distinct hashed word-n-gram ids per doc
+    from a `pool(doc_id, text)` CTE — mirror of operators/dedup.ngram_hashes
+    (broadcast vocab dim → lead-window n-gram integer fold)."""
+    from ..operators.dedup import SHINGLE_MULT
+    from ..operators.textops import poly_hash_duck_expr
+    from ..functions.rng import M
+
+    leads = ", ".join(f"lead(h, {i}) OVER w AS h{i}" for i in range(1, n))
+    acc = "h0"
+    for i in range(1, n):
+        acc = f"(({acc}) * {SHINGLE_MULT} + h{i}) % {M}"
+    return f"""
+    base AS (SELECT doc_id, {_TOKS} AS toks FROM pool),
+    tok_long AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok FROM base
+    ),
+    dimh AS (
+      SELECT tok, {poly_hash_duck_expr('tok')} AS h FROM (SELECT DISTINCT tok FROM tok_long)
+    ),
+    tl AS (SELECT doc_id, pos, h FROM tok_long JOIN dimh USING (tok)),
+    grams AS (
+      SELECT doc_id, h AS h0, {leads}
+      FROM tl WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    ng AS (
+      SELECT DISTINCT doc_id, {acc} AS shingle FROM grams WHERE h{n - 1} IS NOT NULL
+    )"""
+
+
+_DECON_DRAW = rng_draw_sql("doc_id", salt=CO.DECON_SALT)
+_DECON_N = 4
+
+
+@register(
+    "d_decontaminate",
+    oracle=f"""
+    WITH pool AS (SELECT doc_id, text FROM documents),
+    {_ngram_ctes(_DECON_N)},
+    bench_ids AS (
+      SELECT doc_id FROM documents WHERE ({_DECON_DRAW}) % {CO.DECON_MOD} = 0
+    ),
+    bench_ng AS (
+      SELECT DISTINCT shingle FROM ng WHERE doc_id IN (SELECT doc_id FROM bench_ids)
+    ),
+    hits AS (
+      SELECT doc_id, count(DISTINCT shingle) AS n_hits
+      FROM ng
+      WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)
+        AND shingle IN (SELECT shingle FROM bench_ng)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           (coalesce(h.n_hits, 0) > 0) AS contaminated
+    FROM documents d
+    LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM bench_ids)
+    """,
+    tags=("DEDUP-ngram", "TXT-decontaminate", "J3"),
+    doc="Benchmark decontamination: training docs sharing any word-4-gram "
+    "with the held-out benchmark split (deterministic 1-in-20 RNG draw) are "
+    "flagged with their overlap count. Benchmark n-gram set is broadcast "
+    "(tiny vs the corpus at any scale); training side pays one explode + "
+    "per-doc lead window + broadcast join + one groupBy(doc) shuffle.",
+)
+def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CO.decontaminate(_docs(spark, sf_dir), n=_DECON_N)
+
+
 _SAMPLE_QUOTA = 30
 _SAMPLE_DRAW = rng_draw_sql("doc_id", salt=CO.SAMPLE_SALT)
 

@@ -377,3 +377,58 @@ def pipeline_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(dsum("quality") / F.count(F.lit(1)), 6).alias("avg_quality"),
         )
     )
+
+
+# --- PII scrub -----------------------------------------------------------
+# The synthetic corpus carries no PII, so the query deterministically
+# injects PII spans derived from doc fields — the identical concat
+# expression in both engines — then redacts them. What is verified is the
+# actual regex chain (operators/textops.PII_PATTERNS), not the injection.
+_PII_FULL_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' contact ', source, doc_id, '@mail.example.org') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' from 10.', CAST(doc_id % 256 AS STRING), '.0.', CAST((doc_id * 7) % 256 AS STRING)) ELSE '' END,"
+    " CASE WHEN doc_id % 2 = 0 THEN concat(' see https://docs.example.org/', source) ELSE '' END)"
+)
+_PII_FULL_DUCK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' contact ', source, doc_id, '@mail.example.org') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.', CAST((doc_id * 7) % 256 AS VARCHAR)) ELSE '' END,"
+    " CASE WHEN doc_id % 2 = 0 THEN concat(' see https://docs.example.org/', source) ELSE '' END)"
+)
+
+
+def _pii_scrub_oracle() -> str:
+    scrub = "ftext"
+    counts = []
+    for name, pat, token in TX.PII_PATTERNS:
+        p = pat.replace("'", "''")
+        counts.append(f"CAST(len(regexp_extract_all(ftext, '{p}')) AS BIGINT) AS {name}")
+        scrub = f"regexp_replace({scrub}, '{p}', '{token}', 'g')"
+    return f"""
+    WITH f AS (SELECT doc_id, {_PII_FULL_DUCK} AS ftext FROM documents)
+    SELECT doc_id, {', '.join(counts)}, md5({scrub}) AS scrubbed_md5
+    FROM f
+    """
+
+
+@register(
+    "t_pii_scrub",
+    oracle=_pii_scrub_oracle,
+    tags=("TXT-pii", "TXT-quality"),
+    doc="PII redaction: URL -> EMAIL -> IP -> PHONE regexp_replace chain "
+    "with per-pattern audit counts and an md5 over the scrubbed text. Pure "
+    "JVM-side regex (no UDF); one narrow map stage, embarrassingly parallel "
+    "at any scale. Patterns are portable Java-regex/RE2 subset; replacement "
+    "tokens are uppercase so later patterns cannot re-match them.",
+)
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    full = d.select("doc_id", F.expr(_PII_FULL_SPARK).alias("full"))
+    return full.select(
+        "doc_id",
+        *[c for c in TX.pii_counts("full")],
+        F.md5(F.encode(TX.scrub_pii("full"), "UTF-8")).alias("scrubbed_md5"),
+    )
