@@ -171,3 +171,36 @@ def test_pii_scrub_redacts_known_spans(spark, sf_dir):
     assert all(
         rows[4][c] == 0 for c in ("n_url", "n_email", "n_ip", "n_phone")
     )
+
+
+def test_misra_gries_guarantee_small():
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.corpus import (
+        misra_gries,
+    )
+
+    stream = ["a"] * 50 + ["b"] * 30 + ["c"] * 10 + list("defghij")
+    k = 3
+    got = misra_gries(stream, k)
+    n = len(stream)
+    exact = {t: stream.count(t) for t in set(stream)}
+    for tok, est in got.items():
+        assert est <= exact[tok]
+        assert exact[tok] - est <= n // (k + 1)
+    # every token with true count > n/(k+1) must survive the pass
+    for tok, c in exact.items():
+        if c > n // (k + 1):
+            assert tok in got
+
+
+def test_heavy_hitters_bounds_and_completeness(spark, sf_dir):
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.corpus import (
+        heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = heavy_hitters(docs, k=8, n_shards=4).collect()
+    assert rows
+    for r in rows:
+        assert r.mg_ok, (r.tok, r.est, r.n_exact)
+        assert r.complete
+        assert 0 < r.est <= r.n_exact

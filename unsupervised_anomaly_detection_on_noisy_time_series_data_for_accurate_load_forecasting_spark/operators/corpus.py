@@ -73,6 +73,159 @@ def decontaminate(docs: DataFrame, n: int = 4, id_col: str = "doc_id") -> DataFr
     )
 
 
+HH_SALT = 103
+
+
+def misra_gries(token_stream, k: int) -> dict[str, int]:
+    """Textbook Misra-Gries frequent-items pass with ``k`` counters: est is
+    an undercount, max error n/(k+1) over a stream of n tokens. Pure-Python
+    so the oracle mirror can run the identical routine off-Spark."""
+    counters: dict[str, int] = {}
+    for tok in token_stream:
+        if tok in counters:
+            counters[tok] += 1
+        elif len(counters) < k:
+            counters[tok] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+def heavy_hitters(
+    docs: DataFrame, k: int = 8, n_shards: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frequent tokens via mergeable Misra-Gries summaries — the bounded-
+    memory sketch complement to exact groupBy counting (HLL covers distincts,
+    GK covers quantiles; this covers heavy hitters).
+
+    Shape: documents shard deterministically (rng_draw % n_shards), each
+    shard streams its token sequence through a k-counter MG pass inside a
+    mapInPandas fold (state = one dict of ≤ k counters, O(k) memory per task
+    regardless of shard size), and the ≤ k·n_shards partial counters merge
+    with the standard reduce: sum per token, subtract the (k+1)-th largest
+    merged weight, keep positives. Per Agarwal et al.'s mergeable-summaries
+    result the merged estimate keeps the one-pass guarantee:
+    est ≤ true and true − est ≤ n/(k+1).
+
+    Output: each surviving candidate with its merged estimate, the exact
+    count (second exact pass — cheap, and lets both engines adjudicate), the
+    per-row error-bound check, and a global completeness flag (every token
+    with true count > n/(k+1) must be in the candidate set). The global
+    window in the reduce step orders ≤ k·n_shards rows — bounded by
+    construction, never corpus-sized.
+    """
+    toks = docs.select(
+        F.pmod(rng_draw(F.col(id_col), salt=HH_SALT), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(id_col),
+        F.split(F.col("text"), " ").alias("toks"),
+    )
+
+    def mg_stream(batches):
+        cur_shard: int | None = None
+        counters: dict[str, int] = {}
+
+        def flush():
+            nonlocal counters
+            if cur_shard is None:
+                return None
+            out = pd.DataFrame(
+                {
+                    "shard": [cur_shard] * len(counters),
+                    "tok": list(counters.keys()),
+                    "est": list(counters.values()),
+                }
+            )
+            counters = {}
+            return out
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for s, tl in zip(pdf["shard"].astype(int), pdf["toks"]):
+                if s != cur_shard:
+                    done = flush()
+                    if done is not None and len(done):
+                        yield done
+                    cur_shard = s
+                for tok in tl:
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k:
+                        counters[tok] = 1
+                    else:
+                        dead = [key for key in counters if counters[key] == 1]
+                        for key in counters:
+                            counters[key] -= 1
+                        for key in dead:
+                            del counters[key]
+            # state carries across Arrow batches within the partition
+        tail = flush()
+        if tail is not None and len(tail):
+            yield tail
+
+    partials = (
+        toks.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .mapInPandas(mg_stream, schema="shard int, tok string, est long")
+    )
+    merged = partials.groupBy("tok").agg(F.sum("est").alias("est"))
+
+    # MG merge-reduce over the tiny candidate union (≤ k·n_shards rows)
+    wins = Window.orderBy(F.desc("est"), F.asc("tok"))
+    ranked = merged.withColumn("_rn", F.row_number().over(wins))
+    cut_row = merged.agg(
+        F.coalesce(
+            F.element_at(F.sort_array(F.collect_list("est"), asc=False), k + 1),
+            F.lit(0).cast("bigint"),
+        ).alias("_cut")
+    )
+    cand = (
+        ranked.crossJoin(F.broadcast(cut_row))
+        .withColumn("est", F.col("est") - F.col("_cut"))
+        .filter(F.col("est") > 0)
+        .select("tok", "est")
+    )
+
+    exact = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    totals = docs.agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("_n_tot")
+    )
+    bound = F.expr(f"_n_tot div {k + 1}")
+    missing = (
+        exact.crossJoin(F.broadcast(totals))
+        .filter(F.col("n_exact") > bound)
+        .join(F.broadcast(cand.select("tok")), "tok", "left_anti")
+        .agg(F.count(F.lit(1)).alias("_n_missing"))
+    )
+    return (
+        exact.join(F.broadcast(cand), "tok")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(missing))
+        .select(
+            "tok",
+            F.col("est").cast("bigint").alias("est"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (
+                (F.col("est") <= F.col("n_exact"))
+                & ((F.col("n_exact") - F.col("est")) <= bound)
+            ).alias("mg_ok"),
+            (F.col("_n_missing") == 0).alias("complete"),
+        )
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-``k`` TF-IDF terms per document.
 

@@ -166,6 +166,78 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.decontaminate(_docs(spark, sf_dir), n=_DECON_N)
 
 
+_HH_K = 8
+_HH_SHARDS = 4
+
+
+def _heavy_hitters_oracle() -> str:
+    """Mirror oracle for the Misra-Gries sketch: an independent pure-Python
+    replica (duckdb read + the same shard split + the same MG routine + the
+    same merge-reduce) produces the candidate estimates; DuckDB then
+    adjudicates everything checkable from first principles — exact counts,
+    the est ≤ true ≤ est + n/(k+1) bound, and candidate-set completeness."""
+    import os
+
+    import duckdb as _dd
+
+    from ..functions.rng import rng_draw_np
+    from ..operators.corpus import misra_gries
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = _dd.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        " ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    shards: dict[int, list[str]] = {}
+    for doc_id, text in rows:
+        s = int(rng_draw_np([doc_id], salt=CO.HH_SALT) % _HH_SHARDS)
+        shards.setdefault(s, []).extend(text.split(" "))
+    merged: dict[str, int] = {}
+    for s in sorted(shards):
+        for tok, est in misra_gries(shards[s], _HH_K).items():
+            merged[tok] = merged.get(tok, 0) + est
+    weights = sorted(merged.values(), reverse=True)
+    cut = weights[_HH_K] if len(weights) > _HH_K else 0
+    cand = {t: e - cut for t, e in merged.items() if e - cut > 0}
+    vals = ", ".join(f"('{t}', {e})" for t, e in sorted(cand.items()))
+    return f"""
+    WITH cand(tok, est) AS (VALUES {vals}),
+    ex AS (
+      SELECT tok, count(*) AS n_exact
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    tot AS (SELECT count(*) AS n_tot FROM (SELECT unnest({_TOKS}) FROM documents)),
+    miss AS (
+      SELECT count(*) AS n_missing
+      FROM ex CROSS JOIN tot
+      WHERE n_exact > n_tot // {_HH_K + 1}
+        AND tok NOT IN (SELECT tok FROM cand)
+    )
+    SELECT c.tok, CAST(c.est AS BIGINT) AS est, CAST(e.n_exact AS BIGINT) AS n_exact,
+           (c.est <= e.n_exact AND e.n_exact - c.est <= t.n_tot // {_HH_K + 1}) AS mg_ok,
+           (m.n_missing = 0) AS complete
+    FROM cand c JOIN ex e USING (tok) CROSS JOIN tot t CROSS JOIN miss m
+    """
+
+
+@register(
+    "t_heavy_hitters",
+    oracle=_heavy_hitters_oracle,
+    tags=("TXT-tokens", "A-sketch"),
+    doc="Frequent tokens via mergeable Misra-Gries summaries: k-counter "
+    "one-pass sketch per shard (O(k) state in a streaming mapInPandas "
+    "fold), merged with the standard sum-and-subtract reduce. The oracle "
+    "is an independent pure-Python replica of the sketch plus DuckDB "
+    "adjudication of the est <= true <= est + n/(k+1) bound and "
+    "candidate-set completeness against its own exact counts.",
+)
+def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CO.heavy_hitters(_docs(spark, sf_dir), k=_HH_K, n_shards=_HH_SHARDS)
+
+
 _SAMPLE_QUOTA = 30
 _SAMPLE_DRAW = rng_draw_sql("doc_id", salt=CO.SAMPLE_SALT)
 
