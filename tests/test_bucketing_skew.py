@@ -43,3 +43,51 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert sorted((r.p_brand, round(r.q, 6)) for r in a) == sorted(
         (r.p_brand, round(r.q, 6)) for r in b
     )
+
+
+def test_bloom_bitmap_prunes_without_false_negatives(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.relational import (
+        bloom_filter_bitmap,
+        bloom_might_contain,
+        bloom_pruned_segment_revenue,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = bloom_filter_bitmap(seg, "c_custkey")
+
+    pruned = orders.crossJoin(F.broadcast(bloom)).filter(
+        bloom_might_contain("o_custkey")
+    )
+    n_all, n_pruned = orders.count(), pruned.count()
+    true_keys = {r.c_custkey for r in seg.collect()}
+    n_true = orders.filter(F.col("o_custkey").isin(true_keys)).count()
+    # no false negatives: every truly-joining order survives the filter
+    assert n_pruned >= n_true
+    # and the filter genuinely prunes (BUILDING is ~1/5 of customers)
+    assert n_pruned < n_all
+
+    got = {
+        r.o_orderpriority: (r.n_orders, r.revenue)
+        for r in bloom_pruned_segment_revenue(customer, orders).collect()
+    }
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.functions.exact import (
+        dsum,
+    )
+
+    plain = (
+        orders.join(
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("rev"))
+    )
+    expected = {r.o_orderpriority: (r.n, r.rev) for r in plain.collect()}
+    assert got == expected

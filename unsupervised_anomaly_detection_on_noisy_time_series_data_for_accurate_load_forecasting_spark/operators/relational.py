@@ -118,3 +118,79 @@ def market_share_by_segment(customer: DataFrame, orders: DataFrame) -> DataFrame
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+def bloom_filter_bitmap(
+    keys: DataFrame, key_col: str, m_bits: int = 1024, n_hashes: int = 3
+) -> DataFrame:
+    """One-row DataFrame holding a bloom filter over ``keys[key_col]`` as an
+    ``array<bigint>`` bitmap (``m_bits``/64 words).
+
+    The scale rationale: a semi-join reducer. At 100 TB the fact side
+    dominates; shipping a kilobyte-scale bitmap to every task and dropping
+    non-joining rows BEFORE the join's shuffle removes most of the exchange
+    volume. Spark's own runtime bloom (spark.sql.optimizer.runtime.
+    bloomFilter) does this opportunistically; the explicit operator makes
+    the reduction part of the plan contract, works across stages/queries,
+    and its bitmap is mergeable (bit-OR) across builds.
+
+    All JVM-side: positions via xxhash64 with per-hash seeds, bitmap via an
+    ``aggregate`` HOF over the collected distinct positions (collect_set is
+    bounded by m_bits — driver-safe by construction)."""
+    pos = [F.expr(_bloom_pos(key_col, i, m_bits)) for i in range(n_hashes)]
+    n_words = m_bits // 64
+    positions = keys.select(F.explode(F.array(*pos)).alias("p")).distinct()
+    return positions.agg(
+        F.expr(
+            f"aggregate(collect_set(p), array_repeat(0L, {n_words}), "
+            "(acc, p) -> transform(acc, (w, i) -> "
+            "IF(i = CAST(p div 64 AS INT), w | shiftleft(1L, CAST(p % 64 AS INT)), w)))"
+        ).alias("bloom")
+    )
+
+
+def _bloom_pos(key_col: str, i: int, m_bits: int) -> str:
+    """SQL text for hash-``i``'s bit position of ``key_col`` — one shared
+    builder so the bitmap build and the membership probe can never use
+    different hash constructions."""
+    return f"pmod(xxhash64({key_col}, CAST({i * 2654435761} AS BIGINT)), {m_bits})"
+
+
+def bloom_might_contain(key_col: str, m_bits: int = 1024, n_hashes: int = 3):
+    """Predicate Column: all ``n_hashes`` bit positions of ``key_col`` are
+    set in the broadcast ``bloom`` bitmap column (no false negatives — safe
+    as a pre-join pruning filter)."""
+    conds = []
+    for i in range(n_hashes):
+        p = _bloom_pos(key_col, i, m_bits)
+        conds.append(
+            f"((element_at(bloom, CAST(({p}) div 64 AS INT) + 1)"
+            f" >> CAST(({p}) % 64 AS INT)) & 1) = 1"
+        )
+    return F.expr(" AND ".join(conds))
+
+
+def bloom_pruned_segment_revenue(
+    customer: DataFrame, orders: DataFrame, segment: str = "BUILDING"
+) -> DataFrame:
+    """Order-priority revenue for one customer segment, with the fact side
+    bloom-pruned before the join: build the bitmap over the segment's
+    custkeys, broadcast it, drop non-candidate orders pre-shuffle, then run
+    the exact broadcast join (bloom false positives are eliminated by the
+    join itself — result is bit-identical to the plain join, which is what
+    the oracle checks)."""
+    seg = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    bloom = bloom_filter_bitmap(seg, "c_custkey")
+    pruned = orders.crossJoin(F.broadcast(bloom)).filter(
+        bloom_might_contain("o_custkey")
+    )
+    return (
+        pruned.join(
+            F.broadcast(seg), F.col("o_custkey") == F.col("c_custkey"), "inner"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

@@ -120,3 +120,26 @@ def j_semi_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a10_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.market_share_by_segment(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+
+@register(
+    "j_bloom_prune",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    """,
+    tags=("J3", "J1", "SKEW-salt"),
+    doc="Explicit bloom-filter semi-join reduction: a 1 KiB bitmap over the "
+    "BUILDING custkeys is broadcast and non-candidate orders drop BEFORE "
+    "the join — at 100 TB this removes most of the exchange volume (the "
+    "runtime-filter technique, made a plan contract). Bloom has no false "
+    "negatives and the exact join removes false positives, so the result "
+    "is bit-identical to the plain join the oracle runs.",
+)
+def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.bloom_pruned_segment_revenue(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
