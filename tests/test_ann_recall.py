@@ -43,3 +43,28 @@ def test_sq8_recall_vs_bruteforce(spark, sf_dir):
     quant = {(r.qid, r.nid) for r in sq8_topk(emb, n_queries=30, k=5).collect()}
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, f"sq8 recall {recall:.2f}"
+
+
+def test_kmeans_lloyd_matches_mirror_and_partitions(spark, sf_dir):
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.similarity import (
+        kmeans_lloyd,
+        kmeans_mirror,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r.vec_id: (r.cluster, r.d2) for r in kmeans_lloyd(emb, k=4, iters=2).collect()}
+
+    rows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding]) for r in emb.collect()
+    )
+    ids = [r[0] for r in rows]
+    X = [r[1] for r in rows]
+    _, expected = kmeans_mirror(ids, X, k=4, iters=2)
+    assert got == expected
+    # every vector assigned, clusters within range, >1 cluster used
+    assert set(got) == set(ids)
+    used = {c for c, _ in got.values()}
+    assert used <= set(range(1, 5)) and len(used) > 1

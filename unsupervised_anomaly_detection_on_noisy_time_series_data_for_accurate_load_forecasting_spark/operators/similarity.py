@@ -414,3 +414,180 @@ def sq8_topk(df: DataFrame, n_queries: int = 100, k: int = 5) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("qid", "nid", "cosine_sq8", F.col("rk").cast("int").alias("rk"))
     )
+
+
+# --- distributed k-means (Lloyd) ----------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def d2i_expr(vec: str, cent: str) -> str:
+    """Integer-quantized squared L2 distance: each per-coordinate squared
+    difference is quantized to an exact integer (floor(v*1e6 + 0.5) — exact
+    in double below 2^53), then summed as BIGINT. Order-independent and
+    reproducible bit-for-bit in DuckDB/numpy with no decimal machinery —
+    the softpatch-mirror integer discipline applied to clustering."""
+    return (
+        f"aggregate(zip_with({vec}, {cent}, "
+        "(x, c) -> CAST(floor((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c) * 1000000.0 + 0.5) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+
+
+def _cents_literal(cents: list[tuple[int, list[float]]]) -> str:
+    """SQL array-of-structs literal for the centroid set. repr() emits the
+    shortest round-trip decimal string, so Java parses back the identical
+    double."""
+    items = ", ".join(
+        f"named_struct('cell', {cell}, 'c', array("
+        + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec)
+        + "))"
+        for cell, vec in cents
+    )
+    return f"array({items})"
+
+
+def kmeans_assign_expr(cents: list[tuple[int, list[float]]], vec: str = "embedding") -> str:
+    """Per-row argmin over the centroid literals: transform to
+    (d2i, cell) structs, array_min picks lexicographically — smallest
+    distance, ties to the lowest cell id. Pure map-side: no join, no
+    shuffle; the centroid array is a plan literal."""
+    return (
+        f"array_min(transform({_cents_literal(cents)}, "
+        f"ce -> struct({d2i_expr(vec, 'ce.c')} AS d2i, ce.cell AS cell)))"
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column, bit-stable
+    across engines.
+
+    Per round: assignment is a pure map stage (argmin over broadcast-
+    literal centroids, integer-quantized distances); the update is ONE
+    map-side-combinable shuffle (posexplode to (cell, dim) → exact integer
+    coordinate sums + counts), k·dim rows back to the driver — the same
+    driver-loop shape MLlib's KMeans uses, with deterministic arithmetic
+    replacing its run-dependent float reductions. Init = the k lowest-id
+    vectors (deterministic, cross-engine).
+
+    New centroid coordinate: c = floor(S/n + 0.5)/1e6 where S is the exact
+    integer micro-unit sum — double division + floor, identical in Spark,
+    DuckDB, and numpy. An emptied cell keeps its previous centroid.
+
+    Scale: driver traffic is k·dim integers per round; everything else is
+    two narrow stages per round. At 100 TB the integer sums stay exact
+    below 2^53 micro-units per (cell, dim) — ~9e9 unit-scale mass, beyond
+    which the sum would need one extra split (two-level aggregation)."""
+    e = df.select(F.col(id_col), F.col(vec_col).alias("embedding"))
+    init = [
+        (i + 1, [float(x) for x in r.embedding])
+        for i, r in enumerate(e.orderBy(id_col).limit(k).collect())
+    ]
+    cents = [(cell, [_q6(v) for v in vec]) for cell, vec in init]
+
+    for _ in range(iters):
+        assigned = e.withColumn("_a", F.expr(kmeans_assign_expr(cents))).select(
+            id_col, "embedding", F.col("_a.cell").alias("cell")
+        )
+        stats = (
+            assigned.select("cell", F.posexplode("embedding").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(
+                F.sum(
+                    F.expr("CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cell.setdefault(r.cell, {})[r.i] = (int(r.s), int(r.n))
+        new_cents = []
+        for cell, vec in cents:
+            dims = by_cell.get(cell)
+            if not dims:
+                new_cents.append((cell, vec))  # emptied cell keeps centroid
+                continue
+            new_vec = [
+                _mean_q6(dims[i][0], dims[i][1]) for i in range(len(vec))
+            ]
+            new_cents.append((cell, new_vec))
+        cents = new_cents
+
+    out = e.withColumn("_a", F.expr(kmeans_assign_expr(cents)))
+    return out.select(
+        F.col(id_col),
+        F.col("_a.cell").alias("cluster"),
+        (F.col("_a.d2i").cast("double") / F.lit(1e6)).alias("d2"),
+    )
+
+
+def _q6(v: float) -> float:
+    """Quantize a double to micro-units the way both engines do."""
+    import math
+
+    return math.floor(float(v) * 1e6 + 0.5) / 1e6
+
+
+def _mean_q6(s_int: int, n: int) -> float:
+    """Centroid coordinate from the exact micro-unit sum: double division,
+    floor(+0.5), back to units — deterministic IEEE ops in every engine."""
+    import math
+
+    return math.floor(s_int / n + 0.5) / 1e6
+
+
+def kmeans_mirror(ids, X, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Independent numpy replica of :func:`kmeans_lloyd` (oracle side).
+    Returns (centroids list, assignments dict id -> (cluster, d2))."""
+    import numpy as np
+
+    order = np.argsort(ids, kind="stable")
+    Xd = np.asarray(X, dtype=np.float64)
+    cents = [
+        (i + 1, [_q6(v) for v in Xd[order[i]]]) for i in range(k)
+    ]
+    qX = np.floor(Xd * 1e6 + 0.5).astype(np.int64)  # micro-unit coords
+
+    def d2i_row(x, c):
+        d = x - np.asarray(c, dtype=np.float64)
+        return int(np.floor(d * d * 1e6 + 0.5).astype(np.int64).sum())
+
+    for _ in range(iters):
+        assign = []
+        for ridx in range(len(Xd)):
+            best = None
+            for cell, c in cents:
+                d2 = d2i_row(Xd[ridx], c)
+                if best is None or (d2, cell) < best:
+                    best = (d2, cell)
+            assign.append(best[1])
+        assign = np.asarray(assign)
+        new_cents = []
+        for cell, c in cents:
+            mask = assign == cell
+            n = int(mask.sum())
+            if n == 0:
+                new_cents.append((cell, c))
+                continue
+            sums = qX[mask].sum(axis=0)  # exact int64 sums
+            new_cents.append((cell, [_mean_q6(int(s), n) for s in sums]))
+        cents = new_cents
+
+    result = {}
+    for ridx in range(len(Xd)):
+        best = None
+        for cell, c in cents:
+            d2 = d2i_row(Xd[ridx], c)
+            if best is None or (d2, cell) < best:
+                best = (d2, cell)
+        result[int(ids[ridx])] = (best[1], best[0] / 1e6)
+    return cents, result

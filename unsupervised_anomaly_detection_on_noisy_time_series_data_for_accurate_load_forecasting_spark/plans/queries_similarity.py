@@ -336,3 +336,65 @@ def d_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.sq8_topk(_emb(spark, sf_dir), n_queries=100, k=5)
+
+
+def _kmeans_oracle() -> str:
+    """The Lloyd iterations are replayed by an independent numpy mirror
+    (operators/similarity.kmeans_mirror — exact integer micro-unit
+    arithmetic, so no float reduction order can diverge); only the FINAL
+    centroids enter the SQL as literals, and DuckDB itself recomputes every
+    row's integer-quantized argmin assignment from them."""
+    import os
+
+    import duckdb as _dd
+
+    from ..operators.similarity import KMEANS_ITERS, KMEANS_K, kmeans_mirror
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = _dd.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = [r[0] for r in rows]
+    X = [r[1] for r in rows]
+    cents, _ = kmeans_mirror(ids, X, k=KMEANS_K, iters=KMEANS_ITERS)
+    vals = ", ".join(
+        f"({cell}, [" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + "])"
+        for cell, vec in cents
+    )
+    return f"""
+    WITH cents(cell, c) AS (VALUES {vals}),
+    d AS (
+      SELECT vec_id, cell,
+             list_sum(list_transform(range(1, len(embedding) + 1),
+               i -> CAST(floor((CAST(embedding[i] AS DOUBLE) - c[i])
+                               * (CAST(embedding[i] AS DOUBLE) - c[i])
+                               * 1000000.0 + 0.5) AS BIGINT))) AS d2i
+      FROM embeddings CROSS JOIN cents
+    ),
+    best AS (
+      SELECT vec_id, cell, d2i,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2i, cell) AS rn
+      FROM d
+    )
+    SELECT vec_id, CAST(cell AS INTEGER) AS cluster,
+           CAST(d2i AS DOUBLE) / 1000000.0 AS d2
+    FROM best WHERE rn = 1
+    """
+
+
+@register(
+    "s_kmeans_embed",
+    oracle=_kmeans_oracle,
+    tags=("SIM-kmeans", "J5", "O4"),
+    doc="Distributed Lloyd's k-means over the embedding corpus, bit-stable "
+    "across engines: assignment is a pure map stage (argmin over broadcast-"
+    "literal centroids with integer-quantized distances), the update one "
+    "map-side-combinable (cell, dim) shuffle with k*dim rows to the driver "
+    "per round. The oracle mirror replays training in exact integer "
+    "arithmetic; DuckDB recomputes the final assignment itself.",
+)
+def s_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.kmeans_lloyd(_emb(spark, sf_dir))
