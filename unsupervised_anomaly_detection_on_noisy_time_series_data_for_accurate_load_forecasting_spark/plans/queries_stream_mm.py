@@ -346,3 +346,28 @@ def mm_png_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         *[qround(F.col("feature")[i], 9).alias(f"f{i}") for i in range(8)],
     )
+
+
+@register(
+    "stream_join_attrib",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS user_id,
+           CAST(floor(date_diff('second', v.ts, p.ts) / 60.0) AS BIGINT) AS gap_min
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 2 HOUR AND v.ts <= p.ts
+    """,
+    tags=("STREAM", "J-range"),
+    doc="Stream-stream interval join (attribution): purchases join the same "
+    "user's views from the preceding 2 h. Watermarks on both sides plus the "
+    "two-sided time bound give bounded state; AvailableNow replay of the "
+    "identical plan must reproduce the batch interval join bit-for-bit.",
+)
+def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.score_stream import run_available_now, stream_attribution_join
+
+    result = stream_attribution_join(spark, sf_dir)
+    name = run_available_now(result, "stream_attrib", output_mode="append")
+    return spark.table(name)

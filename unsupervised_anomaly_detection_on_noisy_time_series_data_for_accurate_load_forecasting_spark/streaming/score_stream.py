@@ -115,3 +115,58 @@ def run_available_now(result: DataFrame, table_name: str, output_mode: str = "co
     )
     q.awaitTermination()
     return name
+
+
+def stream_attribution_join(
+    spark: SparkSession, sf_dir: str, horizon: str = "2 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase event joins the same
+    user's view events from the preceding ``horizon`` — the attribution
+    pattern, and the missing stream-stream member of the join family
+    (stream-static and batch interval joins already ship).
+
+    State discipline: BOTH sides carry a watermark and the join condition
+    bounds event time in both directions, so Spark can evict view state
+    older than horizon + watermark and purchase state older than the
+    watermark — bounded state at any corpus size, the non-negotiable
+    requirement for a 100 TB feed. Inner join + append mode = incremental
+    emission; AvailableNow replay of the same plan is what the oracle
+    compares against.
+    """
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            f"p_user = v_user AND v_ts >= p_ts - INTERVAL {horizon}"
+            " AND v_ts <= p_ts"
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        (
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")) / F.lit(60)
+        )
+        .cast("bigint")
+        .alias("gap_min"),
+    )
