@@ -204,3 +204,49 @@ def test_heavy_hitters_bounds_and_completeness(spark, sf_dir):
         assert r.mg_ok, (r.tok, r.est, r.n_exact)
         assert r.complete
         assert 0 < r.est <= r.n_exact
+
+
+def test_domain_mix_quotas_follow_sqrt_weights(spark, sf_dir):
+    import math
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.corpus import (
+        domain_mix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 120
+    out = domain_mix(docs, budget=budget)
+    rows = out.collect()
+    avail = {
+        r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    q = {s: math.floor(math.sqrt(n) * 1e6 + 0.5) for s, n in avail.items()}
+    S = sum(q.values())
+    expected_quota = {s: max(1, (budget * qi) // S) for s, qi in q.items()}
+    got_quota = {}
+    per_source: dict[str, int] = {}
+    for r in rows:
+        got_quota[r.source] = r.quota
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert got_quota == {s: expected_quota[s] for s in got_quota}
+    for s, n_kept in per_source.items():
+        assert n_kept == min(expected_quota[s], avail[s])
+
+
+def test_repetition_stats_on_known_docs(spark, sf_dir):
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.textops import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab ba ab ba ab -> 2 distinct of 5
+            (2, "x y z w"),           # all bigrams distinct
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].n_bigrams == 5 and rows[1].n_distinct_bigrams == 2
+    assert abs(rows[1].rep_ratio - 0.6) < 1e-9
+    assert abs(rows[1].top_tok_share - 0.5) < 1e-9
+    assert rows[2].rep_ratio == 0.0 and rows[2].top_tok_share == 0.25

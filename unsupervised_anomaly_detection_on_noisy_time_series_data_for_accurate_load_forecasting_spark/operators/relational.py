@@ -194,3 +194,19 @@ def bloom_pruned_segment_revenue(
             dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+def rollup_region_revenue(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total): Catalyst's
+    Expand produces every prefix level inside ONE shuffle, partial-aggregated
+    map-side like any groupBy — the hierarchy report shape at any scale."""
+    j = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue")
+    )

@@ -146,3 +146,37 @@ def pii_counts(col: Column | str) -> list[Column]:
         F.regexp_count(c, F.lit(pat)).cast("bigint").alias(name)
         for name, pat, _ in PII_PATTERNS
     ]
+
+
+def repetition_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition: duplicated-bigram ratio and the most
+    frequent token's share — the scrape-artifact signals (boilerplate,
+    stutter loops) a corpus quality gate thresholds on.
+
+    All JVM-side array HOFs, embarrassingly parallel: bigrams via
+    zip_with over shifted slices, per-token counts via a transform over the
+    distinct set (O(distinct x len) per doc — bounded by document length,
+    never corpus-sized). Ratios quantized at 1e-6 for cross-engine equality.
+    """
+    toks = f"split({col}, ' ')"
+    n = f"size({toks})"
+    bi = (
+        f"zip_with(slice({toks}, 1, {n} - 1), slice({toks}, 2, {n} - 1), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    top = (
+        f"array_max(transform(array_distinct({toks}), "
+        f"t -> size(filter({toks}, x -> x = t))))"
+    )
+    q6 = "CAST(floor(({expr}) * 1000000.0D + 0.5D) AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    rep = q6.format(
+        expr=f"1.0 - CAST(size(array_distinct({bi})) AS DOUBLE) / CAST(size({bi}) AS DOUBLE)"
+    )
+    share = q6.format(expr=f"CAST({top} AS DOUBLE) / CAST({n} AS DOUBLE)")
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({bi})").cast("bigint").alias("n_bigrams"),
+        F.expr(f"size(array_distinct({bi}))").cast("bigint").alias("n_distinct_bigrams"),
+        F.expr(rep).alias("rep_ratio"),
+        F.expr(share).alias("top_tok_share"),
+    )

@@ -410,3 +410,71 @@ def pipeline_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = d.filter(TX.quality_score() >= F.lit(_PREP_CUT))
     kept = DD.exact_dedup(q).select("doc_id", "text")
     return CO.pack_documents(kept, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+_MIX_BUDGET = 200
+_MIX_DRAW = rng_draw_sql("doc_id", salt=CO.MIX_SALT)
+
+
+@register(
+    "s_domain_mix",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source, count(*) AS n_avail,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(q) AS S FROM stats),
+    quotas AS (
+      SELECT source, greatest(CAST(1 AS BIGINT), ({_MIX_BUDGET} * q) // S) AS quota
+      FROM stats CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ({_MIX_DRAW}), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, quota
+    FROM ranked JOIN quotas USING (source)
+    WHERE rn <= quota
+    """,
+    tags=("TXT-sampling", "U4"),
+    doc="Sqrt-proportional domain mixing: per-domain quotas follow "
+    "sqrt(domain size) over a fixed budget (sublinear rebalancing that "
+    "upweights small domains). Quota arithmetic is integer-exact (micro-"
+    "unit sqrt weights, BIGINT sums and division); selection is the "
+    "cross-engine RNG ranking per domain, one WindowGroupLimit.",
+)
+def s_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CO.domain_mix(_docs(spark, sf_dir), budget=_MIX_BUDGET)
+
+
+@register(
+    "t_repetition_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bi
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(bi) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bi)) AS BIGINT) AS n_distinct_bigrams,
+           floor((1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / CAST(len(bi) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS rep_ratio,
+           floor((CAST(list_max(list_transform(list_distinct(toks),
+                       tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS top_tok_share
+    FROM b
+    """,
+    tags=("TXT-quality",),
+    doc="Intra-document repetition: duplicated-bigram ratio and most-"
+    "frequent-token share — scrape-artifact quality signals, pure JVM array "
+    "HOFs (bounded by document length, embarrassingly parallel).",
+)
+def t_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))

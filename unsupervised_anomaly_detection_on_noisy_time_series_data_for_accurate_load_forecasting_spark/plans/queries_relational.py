@@ -143,3 +143,29 @@ def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.bloom_pruned_segment_revenue(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
+
+
+@register(
+    "rollup_region_revenue",
+    oracle=f"""
+    SELECT r_name, n_name, count(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("CUBE", "A10", "J1"),
+    doc="ROLLUP hierarchy totals (region -> nation -> grand total): one "
+    "shuffle producing every prefix level via Expand, partial-aggregated "
+    "map-side like any groupBy — completes the grouping-sets family next "
+    "to cube_order_stats.",
+)
+def rollup_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.rollup_region_revenue(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
