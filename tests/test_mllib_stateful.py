@@ -88,3 +88,46 @@ def test_det_ann_scores_degenerate_cell_count(embedded):
     n_windows = embedded.select("series_id", "window_start").distinct().count()
     out = det_ann_scores(embedded, n_bank=64, n_lists=2, n_probe=8)
     assert out.count() == n_windows
+
+
+def test_stream_sessions_matches_batch_gaps_and_islands(spark, sf_dir):
+    """AvailableNow replay of session_window == batch sessionization with
+    half-open gap semantics (>= gap opens a new session)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.functions.exact import (
+        dsum,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.streaming.score_stream import (
+        run_available_now,
+        stream_sessions,
+    )
+
+    name = run_available_now(
+        stream_sessions(spark, sf_dir), "t_sessions", output_mode="complete"
+    )
+    got = {
+        (r.series_id, r.session_start): (r.n_events, r.session_value)
+        for r in spark.table(name).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    ow = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(ow))
+    new_sess = F.when(F.lag("ts", 1).over(ow).isNull() | (gap >= 1800), 1).otherwise(0)
+    run_w = ow.rowsBetween(W.unboundedPreceding, 0)
+    s = ev.withColumn("_ns", new_sess).withColumn("sn", F.sum("_ns").over(run_w))
+    batch = s.groupBy(F.col("user_id").cast("string").alias("series_id"), "sn").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("session_value"),
+    )
+    expected = {
+        (r.series_id, r.session_start): (r.n_events, r.session_value)
+        for r in batch.collect()
+    }
+    assert got == expected

@@ -334,3 +334,45 @@ def connected_components(pairs: DataFrame, a: str = "d1", b: str = "d2", max_ite
             stacklevel=2,
         )
     return labels
+
+
+def fuzzy_edit_pairs(
+    df: DataFrame,
+    max_rel_edit: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocked fuzzy matching: LSH band buckets generate candidate pairs,
+    Levenshtein edit distance verifies them — the character-level near-dup
+    join (catches small in-place edits that token-set Jaccard treats as
+    whole-token substitutions).
+
+    Scale shape: edit distance is O(len^2) per pair, so it NEVER runs
+    all-pairs — only on the banded-MinHash candidate set, whose size the
+    per-bucket structure bounds. The pair join re-reads only (id, text) for
+    candidate ids (semi-pruned before the text join). rel_edit =
+    lev / max(len_1, len_2), quantized at 1e-6 for cross-engine equality.
+    """
+    sh = shingle_hashes(df, text_col, id_col)
+    bands = minhash_bands(sh, id_col)
+    cands = lsh_candidate_pairs(bands, id_col)
+    ids = cands.select(F.col("d1").alias(id_col)).union(cands.select("d2")).distinct()
+    texts = df.join(F.broadcast(ids), id_col, "left_semi").select(
+        F.col(id_col), F.col(text_col)
+    )
+    t1 = texts.select(F.col(id_col).alias("d1"), F.col(text_col).alias("_t1"))
+    t2 = texts.select(F.col(id_col).alias("d2"), F.col(text_col).alias("_t2"))
+    paired = cands.join(F.broadcast(t1), "d1").join(F.broadcast(t2), "d2")
+    lev = F.levenshtein(F.col("_t1"), F.col("_t2"))
+    mx = F.greatest(F.length("_t1"), F.length("_t2"))
+    rel = F.expr(
+        "CAST(floor((CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE)) * 1000000.0D + 0.5D) AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE)"
+    )
+    return (
+        paired.withColumn("lev", lev.cast("bigint"))
+        .withColumn("mx", mx.cast("bigint"))
+        .withColumn("rel_edit", rel)
+        .filter(F.col("rel_edit") <= max_rel_edit)
+        .select("d1", "d2", "lev", "rel_edit")
+    )

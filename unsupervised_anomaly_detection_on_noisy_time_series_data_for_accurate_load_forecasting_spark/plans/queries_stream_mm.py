@@ -371,3 +371,40 @@ def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = stream_attribution_join(spark, sf_dir)
     name = run_available_now(result, "stream_attrib", output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "stream_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts, 1) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) >= 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM e
+    )
+    SELECT CAST(user_id AS VARCHAR) AS series_id,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6))) AS DOUBLE)
+             AS session_value
+    FROM s GROUP BY user_id, session_no
+    """,
+    tags=("STREAM", "W5"),
+    doc="Streaming sessionization (session_window + watermark): per-user "
+    "30-min-gap sessions merged incrementally, state evicted at watermark "
+    "close. Oracle is the batch gaps-and-islands with the same half-open "
+    "gap semantics (>= gap starts a new session, matching session_window).",
+)
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.score_stream import run_available_now, stream_sessions as ss
+
+    result = ss(spark, sf_dir)
+    name = run_available_now(result, "stream_sessions", output_mode="complete")
+    return spark.table(name)

@@ -432,3 +432,40 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c for c in TX.pii_counts("full")],
         F.md5(F.encode(TX.scrub_pii("full"), "UTF-8")).alias("scrubbed_md5"),
     )
+
+
+@register(
+    "d_fuzzy_edit_pairs",
+    oracle=f"""
+    WITH {_SH_CTES},
+    sig AS (SELECT doc_id, {_sig_cols()} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, CAST(b AS INTEGER) AS b, {_band_case()} AS band_key
+      FROM sig, (SELECT unnest(range(0, {DD.N_BANDS})) AS b)
+    ),
+    cands AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT d1, d2,
+             CAST(levenshtein(t1.text, t2.text) AS BIGINT) AS lev,
+             floor((CAST(levenshtein(t1.text, t2.text) AS DOUBLE)
+                    / CAST(greatest(length(t1.text), length(t2.text)) AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0 AS rel_edit
+      FROM cands JOIN documents t1 ON d1 = t1.doc_id
+                 JOIN documents t2 ON d2 = t2.doc_id
+    )
+    SELECT d1, d2, lev, rel_edit FROM verified WHERE rel_edit <= 0.4
+    """,
+    tags=("DEDUP-fuzzy", "DEDUP-minhash", "J5"),
+    doc="Blocked fuzzy matching: banded-MinHash buckets generate candidate "
+    "pairs, Levenshtein verifies (catches character-level edits token-set "
+    "Jaccard over-penalizes). Edit distance is O(len^2) per pair so it "
+    "never runs all-pairs — only the bucket-bounded candidate set; both "
+    "engines' levenshtein use identical unit-cost semantics.",
+)
+def d_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.fuzzy_edit_pairs(_docs(spark, sf_dir), max_rel_edit=0.4)

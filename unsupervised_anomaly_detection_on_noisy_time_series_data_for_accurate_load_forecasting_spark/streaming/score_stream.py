@@ -170,3 +170,33 @@ def stream_attribution_join(
         .cast("bigint")
         .alias("gap_min"),
     )
+
+
+def stream_sessions(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming sessionization via ``session_window``: per-user dynamic-gap
+    sessions maintained incrementally as events arrive — the streaming twin
+    of the batch gaps-and-islands w5_sessionize.
+
+    session_window state is merged per key as micro-batches land and evicted
+    once the watermark passes a session's close — bounded state per active
+    user, the property a gaps-and-islands Window (whole-history sort) can't
+    give a live feed. Session value uses the same decimal-exact sum as the
+    batch twin, so the AvailableNow replay is hash-comparable."""
+    from ..functions.exact import dsum
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            F.col("user_id").cast("string").alias("series_id"),
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
