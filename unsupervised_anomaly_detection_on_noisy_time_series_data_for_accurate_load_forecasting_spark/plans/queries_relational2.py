@@ -678,3 +678,67 @@ def j_salted_skew_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
     )
+
+
+@register(
+    "u_upsert_latest",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n
+      FROM events
+    )
+    SELECT user_id, event_type, value AS latest_value, ts AS latest_ts,
+           CAST(n AS BIGINT) AS n_versions
+    FROM r WHERE rn = 1
+    """,
+    tags=("P2", "O2"),
+    doc="Upsert compaction (keep-latest-version per key): max_by with a "
+    "deterministic (ts, event_id) version tiebreak — ONE map-side-"
+    "combinable aggregation, the compaction shape for CDC/merge-on-read at "
+    "scale (a row_number window would shuffle whole history per key; "
+    "max_by carries one candidate per key per partition).",
+)
+def u_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.expr("max_by(value, struct(ts, event_id))").alias("latest_value"),
+        F.max("ts").alias("latest_ts"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+
+
+@register(
+    "f_unpivot_stats",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, n
+    FROM wide UNPIVOT (n FOR metric IN (views, clicks, purchases))
+    WHERE n > 0
+    """,
+    tags=("PIVOT",),
+    doc="UNPIVOT (wide -> long) via stack(): the inverse of the pivot "
+    "query, a pure Generate stage after one aggregation — no shuffle "
+    "beyond the groupBy, rows with zero counts dropped to match sparse "
+    "long form.",
+)
+def f_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).cast("bigint").alias("views"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("bigint").alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("bigint").alias("purchases"),
+    )
+    long = wide.select(
+        "user_id",
+        F.expr("stack(3, 'views', views, 'clicks', clicks, 'purchases', purchases) AS (metric, n)"),
+    )
+    return long.filter(F.col("n") > 0)
