@@ -53,3 +53,60 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
                 assert abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b)), f"{name} row {i} col {c}: {a} vs {b}"
             else:
                 assert a == b, f"{name} row {i} col {c}: {a!r} vs {b!r}"
+
+
+def test_holt_winters_matches_python_replica(spark, sf_dir):
+    """The fixed-point HW fold is integer-exact: a direct Python replay of
+    the recurrence over the same quantized series must agree bit-for-bit."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.forecast import (
+        holt_winters_fixed_point,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.timeseries import (
+        hourly_series,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+
+    hourly = hourly_series(load_table(spark, sf_dir, "events"))
+    got = {
+        r.series_id: (r.level_q, r.trend_q, r.forecast_q, r.n_points)
+        for r in holt_winters_fixed_point(hourly, period=24).collect()
+    }
+
+    pts = (
+        hourly.select("series_id", "ts", "value")
+        .orderBy("series_id", "ts")
+        .collect()
+    )
+    series: dict[str, list[float]] = {}
+    for r in pts:
+        series.setdefault(r.series_id, []).append(r.value)
+
+    def fd(a, d):
+        # pmod-reduced floor division (Python % is already nonneg for d > 0)
+        return (a - (a % d)) // d
+
+    m = 24
+    expected = {}
+    for sid, vals in series.items():
+        if len(vals) <= m:
+            continue
+        qs = [math.floor(v * 1e6 + 0.5) for v in vals]
+        l = fd(sum(qs[:m]), m)
+        b = 0
+        s = [v - l for v in qs[:m]]
+        t = m
+        for x in qs[m:]:
+            slot = t % m
+            sm = s[slot]
+            l_new = fd(2 * (x - sm) + 8 * (l + b), 10)
+            b_new = fd((l_new - l) + 9 * b, 10)
+            s[slot] = fd(3 * (x - l_new) + 7 * sm, 10)
+            l, b, t = l_new, b_new, t + 1
+        expected[sid] = (l, b, l + b + s[t % m], len(vals))
+    assert got == expected

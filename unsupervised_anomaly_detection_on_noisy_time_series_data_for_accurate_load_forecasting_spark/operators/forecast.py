@@ -153,3 +153,65 @@ def auroc(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
         F.sum("_pos").cast("bigint").alias("n_pos"),
         (F.sum("_cnt") - F.sum("_pos")).cast("bigint").alias("n_neg"),
     )
+
+
+def _fd(e: str, d: int) -> str:
+    """Floor-division on BIGINT expressions, negatives-safe and identical in
+    both engines: Spark `div` and DuckDB `//` truncate toward zero, so the
+    dividend is first reduced by its nonnegative pmod — making the division
+    exact (and therefore truncation-mode-independent)."""
+    return f"((({e}) - pmod(({e}), {d})) div {d})"
+
+
+def holt_winters_fixed_point(df: DataFrame, period: int = 24) -> DataFrame:
+    """Additive Holt-Winters (level + trend + seasonal) per series on a
+    1e-6 fixed-point lattice — the triple-smoothing big brother of the W3
+    EWMA fold, with the same bit-exact-recurrence discipline:
+    alpha=0.2, beta=0.1, gamma=0.3 as exact rational steps, every divide a
+    pmod-reduced floor division, so the whole recurrence is integer-exact
+    and reproducible in any engine.
+
+    Init: level = floor-mean of the first ``period`` values, trend = 0,
+    seasonal[i] = x_i - level. Each later step updates (l, b, s[slot])
+    in one aggregate-HOF fold over the collected series (per-series
+    parallel; sequential within a series is inherent to the recurrence —
+    the same boundedness argument as the EWMA fold: a year of hours is
+    ~8.8k values per executor task).
+
+    Output: final level/trend and the one-step-ahead forecast
+    f = l + b + s[next slot], micro-units and doubles."""
+    m = period
+    arr = F.array_sort(F.collect_list(F.struct(TS, VAL)))
+    g = df.groupBy(SID).agg(arr.alias("pts")).filter(F.size("pts") > m)
+    q = f"transform(pts, s -> cast(floor(s.{VAL} * 1000000.0D + 0.5D) as bigint))"
+    l0 = _fd(f"aggregate(slice({q}, 1, {m}), 0L, (a, v) -> a + v)", m)
+    s0 = f"transform(slice({q}, 1, {m}), v -> v - ({l0}))"
+    # one step: x joins the season slot pmod(t, m); l_new is inlined where
+    # needed (no let-binding in SQL lambdas; Catalyst CSEs the repeats)
+    sm = f"element_at(acc.s, pmod(acc.t, {m}) + 1)"
+    l_new = _fd(f"2 * (x - {sm}) + 8 * (acc.l + acc.b)", 10)
+    b_new = _fd(f"(({l_new}) - acc.l) + 9 * acc.b", 10)
+    s_new = _fd(f"3 * (x - ({l_new})) + 7 * {sm}", 10)
+    step = (
+        "named_struct("
+        f"'l', {l_new}, "
+        f"'b', {b_new}, "
+        f"'s', transform(acc.s, (v, i) -> IF(i = pmod(acc.t, {m}), {s_new}, v)), "
+        "'t', acc.t + 1)"
+    )
+    fold = (
+        f"aggregate(slice({q}, {m + 1}, size({q}) - {m}), "
+        f"named_struct('l', {l0}, 'b', 0L, 's', {s0}, 't', {m}), "
+        f"(acc, x) -> {step})"
+    )
+    out = g.select(SID, F.expr(fold).alias("hw"), F.size("pts").alias("n_points"))
+    fc = F.expr(f"hw.l + hw.b + element_at(hw.s, pmod(hw.t, {m}) + 1)")
+    return out.select(
+        SID,
+        F.col("hw.l").alias("level_q"),
+        F.col("hw.b").alias("trend_q"),
+        fc.alias("forecast_q"),
+        (F.col("hw.l").cast("double") / F.lit(1e6)).alias("level"),
+        (fc.cast("double") / F.lit(1e6)).alias("forecast"),
+        F.col("n_points").cast("bigint").alias("n_points"),
+    )

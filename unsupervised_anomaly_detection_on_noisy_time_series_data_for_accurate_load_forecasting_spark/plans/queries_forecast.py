@@ -147,3 +147,66 @@ def a11_auroc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "error").cast("int").alias("label"),
     )
     return FC.auroc(scored, "score", "label")
+
+
+
+def _hw_duck_fd(e: str, d: int) -> str:
+    return f"((({e}) - ((({e}) % {d} + {d}) % {d})) // {d})"
+
+
+def _hw_oracle() -> str:
+    """Recursive-CTE replay of the fixed-point Holt-Winters recurrence (same
+    pattern as the packing oracle: DuckDB steps the fold itself, one row per
+    (series, step), so the triple smoothing is hash-verified end to end)."""
+    m = 24
+    fd = _hw_duck_fd
+    l0 = fd("CAST(list_sum(qs[1:24]) AS BIGINT)", m)
+    sm = f"s[(t % {m}) + 1]"
+    x = "qs[t + 1]"
+    l_new = fd(f"2 * ({x} - {sm}) + 8 * (l + b)", 10)
+    b_new = fd(f"({l_new}) - l + 9 * b", 10)
+    s_new = fd(f"3 * ({x} - ({l_new})) + 7 * {sm}", 10)
+    return f"""
+    WITH RECURSIVE {{HOURLY}},
+    arr AS (
+      SELECT series_id,
+             list(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) ORDER BY ts) AS qs
+      FROM hourly GROUP BY 1
+    ),
+    base AS (SELECT series_id, qs, len(qs) AS n FROM arr WHERE len(qs) > {m}),
+    step AS (
+      SELECT series_id, qs, n,
+             {l0} AS l, CAST(0 AS BIGINT) AS b,
+             list_transform(qs[1:{m}], v -> v - ({l0})) AS s,
+             {m} AS t
+      FROM base
+      UNION ALL
+      SELECT series_id, qs, n,
+             {l_new}, {b_new},
+             list_transform(s, (v, i) -> CASE WHEN i = (t % {m}) + 1
+                                              THEN {s_new} ELSE v END),
+             t + 1
+      FROM step WHERE t < n
+    )
+    SELECT series_id, l AS level_q, b AS trend_q,
+           l + b + s[(t % {m}) + 1] AS forecast_q,
+           CAST(l AS DOUBLE) / 1000000.0 AS level,
+           CAST(l + b + s[(t % {m}) + 1] AS DOUBLE) / 1000000.0 AS forecast,
+           CAST(n AS BIGINT) AS n_points
+    FROM step WHERE t = n
+    """.replace("{HOURLY}", HOURLY_CTE)
+
+
+@register(
+    "w_holt_winters",
+    oracle=_hw_oracle,
+    tags=("W3", "M20", "M22"),
+    doc="Additive Holt-Winters (level/trend/seasonal, period 24) on the "
+    "1e-6 fixed-point lattice: every smoothing step an exact rational "
+    "update with pmod-reduced floor division, bit-exact in any engine. "
+    "One aggregate-HOF fold per series (per-series parallel); the oracle "
+    "replays the recurrence with a recursive CTE.",
+)
+def w_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    return FC.holt_winters_fixed_point(hourly, period=24)
