@@ -215,3 +215,46 @@ def holt_winters_fixed_point(df: DataFrame, period: int = 24) -> DataFrame:
         (fc.cast("double") / F.lit(1e6)).alias("forecast"),
         F.col("n_points").cast("bigint").alias("n_points"),
     )
+
+
+def cusum_flags_fixed_point(
+    df: DataFrame, k_milli: int = 500, h_units: int = 4
+) -> DataFrame:
+    """One-sided CUSUM changepoint statistics per series on the 1e-6
+    lattice: S+_t = max(0, S+_{t-1} + (z_t - k)), S-_t = max(0, S-_{t-1}
+    - (z_t + k)), alarm when either exceeds h — the classic sequential
+    drift detector, integer-exact like the EWMA/Holt-Winters folds.
+
+    z_t is the micro-unit deviation from the series' exact-moment mean
+    (decimal sums, one pass); k (allowance) and h (threshold) are in
+    std-free micro-units scaled by the series' own mean magnitude — the
+    cross-engine-deterministic normalization (an exact integer, unlike a
+    std which would need a sqrt). Outputs final S+, S- and the alarm
+    counts over the series; fold is one aggregate HOF per series."""
+    arr = F.array_sort(F.collect_list(F.struct(TS, VAL)))
+    g = df.groupBy(SID).agg(arr.alias("pts")).filter(F.size("pts") > 1)
+    q = f"transform(pts, s -> cast(floor(s.{VAL} * 1000000.0D + 0.5D) as bigint))"
+    # exact integer mean (floor) of the quantized series
+    mean_q = f"((aggregate({q}, 0L, (a, v) -> a + v) - pmod(aggregate({q}, 0L, (a, v) -> a + v), size({q}))) div size({q}))"
+    kq = f"(({k_milli}) * greatest(abs({mean_q}), 1000L) div 1000)"
+    hq = f"(({h_units}) * greatest(abs({mean_q}), 1000L))"
+    step = (
+        "named_struct("
+        f"'sp', greatest(0L, acc.sp + (x - ({mean_q})) - {kq}), "
+        f"'sn', greatest(0L, acc.sn - (x - ({mean_q})) - {kq}), "
+        f"'ap', acc.ap + IF(greatest(0L, acc.sp + (x - ({mean_q})) - {kq}) > {hq}, 1, 0), "
+        f"'an', acc.an + IF(greatest(0L, acc.sn - (x - ({mean_q})) - {kq}) > {hq}, 1, 0))"
+    )
+    fold = (
+        f"aggregate({q}, named_struct('sp', 0L, 'sn', 0L, 'ap', 0, 'an', 0), "
+        f"(acc, x) -> {step})"
+    )
+    out = g.select(SID, F.expr(fold).alias("c"), F.size("pts").alias("n_points"))
+    return out.select(
+        SID,
+        F.col("c.sp").alias("cusum_pos_q"),
+        F.col("c.sn").alias("cusum_neg_q"),
+        F.col("c.ap").cast("bigint").alias("n_pos_alarms"),
+        F.col("c.an").cast("bigint").alias("n_neg_alarms"),
+        F.col("n_points").cast("bigint").alias("n_points"),
+    )

@@ -210,3 +210,147 @@ def _hw_oracle() -> str:
 def w_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = TSO.hourly_series(_events(spark, sf_dir))
     return FC.holt_winters_fixed_point(hourly, period=24)
+
+
+
+def _cusum_oracle() -> str:
+    """Recursive-CTE replay of the integer CUSUM fold (same discipline as
+    the Holt-Winters oracle)."""
+    fd = _hw_duck_fd
+    mean_q = fd("CAST(list_sum(qs) AS BIGINT)", "len(qs)")
+    return f"""
+    WITH RECURSIVE {{HOURLY}},
+    arr AS (
+      SELECT series_id,
+             list(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) ORDER BY ts) AS qs
+      FROM hourly GROUP BY 1
+    ),
+    base AS (
+      SELECT series_id, qs, len(qs) AS n,
+             {mean_q} AS mean_q,
+             (500 * greatest(abs({mean_q}), 1000)) // 1000 AS kq,
+             4 * greatest(abs({mean_q}), 1000) AS hq
+      FROM arr WHERE len(qs) > 1
+    ),
+    step AS (
+      SELECT series_id, n, qs, mean_q, kq, hq, 0 AS t,
+             CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+             CAST(0 AS BIGINT) AS ap, CAST(0 AS BIGINT) AS an
+      FROM base
+      UNION ALL
+      SELECT series_id, n, qs, mean_q, kq, hq, t + 1,
+             greatest(CAST(0 AS BIGINT), sp + (qs[t + 1] - mean_q) - kq),
+             greatest(CAST(0 AS BIGINT), sn - (qs[t + 1] - mean_q) - kq),
+             ap + CASE WHEN greatest(CAST(0 AS BIGINT), sp + (qs[t + 1] - mean_q) - kq) > hq THEN 1 ELSE 0 END,
+             an + CASE WHEN greatest(CAST(0 AS BIGINT), sn - (qs[t + 1] - mean_q) - kq) > hq THEN 1 ELSE 0 END
+      FROM step WHERE t < n
+    )
+    SELECT series_id, sp AS cusum_pos_q, sn AS cusum_neg_q,
+           ap AS n_pos_alarms, an AS n_neg_alarms, CAST(n AS BIGINT) AS n_points
+    FROM step WHERE t = n
+    """.replace("{HOURLY}", HOURLY_CTE)
+
+
+@register(
+    "w_cusum_flags",
+    oracle=_cusum_oracle,
+    tags=("W6", "M14"),
+    doc="One-sided CUSUM drift detection per series on the 1e-6 lattice: "
+    "integer-exact sequential fold (allowance and threshold scaled by the "
+    "series' exact integer mean), alarm counts both directions. Same "
+    "aggregate-HOF shape as the EWMA/Holt-Winters recurrences; oracle "
+    "replays via recursive CTE.",
+)
+def w_cusum_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    return FC.cusum_flags_fixed_point(hourly)
+
+
+@register(
+    "a_lag_autocorr",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    p AS (
+      SELECT series_id, value AS x, lag(value, 24) OVER w AS y
+      FROM hourly WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+    ),
+    u AS (SELECT * FROM p WHERE y IS NOT NULL)
+    SELECT series_id, count(*) AS n_pairs,
+           ({dsum_sql('x * y')} - {dsum_sql('x')} * {dsum_sql('y')} / CAST(count(*) AS DOUBLE))
+           / NULLIF(sqrt(greatest({dsum_sql('x * x')} - {dsum_sql('x')} * {dsum_sql('x')} / CAST(count(*) AS DOUBLE), 0.0))
+                    * sqrt(greatest({dsum_sql('y * y')} - {dsum_sql('y')} * {dsum_sql('y')} / CAST(count(*) AS DOUBLE), 0.0)), 0.0)
+             AS acf24
+    FROM u GROUP BY series_id
+    """,
+    tags=("A12", "W2", "A3"),
+    doc="Daily-seasonality strength: Pearson autocorrelation at lag 24h per "
+    "series from decimal-exact moments (one lag window + one agg — the "
+    "diagnostic a forecasting pipeline runs before choosing seasonal "
+    "models).",
+)
+def a_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import dsum
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    ow = W.partitionBy("series_id").orderBy("ts")
+    p = hourly.select(
+        "series_id",
+        F.col("value").alias("x"),
+        F.lag("value", 24).over(ow).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = dsum("x"), dsum("y")
+    sxx, syy, sxy = dsum(F.col("x") * F.col("x")), dsum(F.col("y") * F.col("y")), dsum(
+        F.col("x") * F.col("y")
+    )
+    cov = sxy - sx * sy / n
+    vx = F.sqrt(F.greatest(sxx - sx * sx / n, F.lit(0.0)))
+    vy = F.sqrt(F.greatest(syy - sy * sy / n, F.lit(0.0)))
+    return p.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.try_divide(cov, F.nullif(vx * vy, F.lit(0.0))).alias("acf24"),
+    )
+
+
+@register(
+    "f_funnel_conversion",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      count(*) AS n_users,
+      CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+      CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM f
+    """,
+    tags=("A10", "U5"),
+    doc="Ordered funnel (view -> click -> purchase): first-touch timestamps "
+    "per stage via conditional min — ONE aggregation, no joins, no window "
+    "over event history; the funnel ordering is pure column comparison "
+    "(NULL-safe: a missing stage fails the > test).",
+)
+def f_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    has_view = F.col("t_view").isNotNull()
+    vc = has_view & (F.col("t_click") > F.col("t_view"))
+    full = vc & (F.col("t_purchase") > F.col("t_click"))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(has_view.cast("int")).cast("bigint").alias("n_view"),
+        F.sum(vc.cast("int")).cast("bigint").alias("n_view_click"),
+        F.sum(full.cast("int")).cast("bigint").alias("n_full_funnel"),
+    )
