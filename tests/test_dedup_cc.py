@@ -57,3 +57,25 @@ def test_cc_warns_when_max_iter_exhausted(spark):
     assert any("max_iter" in str(w.message) for w in caught)
     # partial labels are still monotone (never above the vertex id)
     assert all(c <= v for v, c in labels.items())
+
+
+def test_pagerank_fixed_point_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        pagerank_fixed_point,
+    )
+
+    # star graph: hub connected to 4 leaves (both directions)
+    pairs = [("h", x) for x in "abcd"]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs], "src string, dst string"
+    )
+    out = {r.node: r.rank_q for r in pagerank_fixed_point(edges, iters=5).collect()}
+    assert set(out) == {"h", "a", "b", "c", "d"}
+    # hub dominates; leaves are symmetric and identical by determinism
+    assert out["h"] > out["a"]
+    assert len({out[x] for x in "abcd"}) == 1
+    # every rank positive; total bounded by the initial mass (floor losses only shrink it)
+    assert all(v > 0 for v in out.values())
+    assert sum(out.values()) <= 10**9

@@ -376,3 +376,48 @@ def fuzzy_edit_pairs(
         .filter(F.col("rel_edit") <= max_rel_edit)
         .select("d1", "d2", "lev", "rel_edit")
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame, iters: int = 5, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Fixed-point PageRank (damping 0.85) over a directed edge list — the
+    second iterative-graph operator next to :func:`connected_components`,
+    and the canonical join+aggregate-per-round Spark shape.
+
+    Rank lives on a 1e-9 integer lattice: contribution = r div deg and the
+    damped update r' = base + (85·S) div 100 are exact BIGINT ops (all
+    values nonnegative, so truncating and flooring division agree in every
+    engine) — no float reduction anywhere, so the result is independent of
+    partitioning and bit-reproducible in the SQL oracle's unrolled
+    iteration CTEs.
+
+    Scale shape per round: one hash join ranks⋈edges on the source key and
+    one map-side-combinable groupBy(dst) sum — the GraphX/Pregel step as
+    plain DataFrames. The degree-annotated edge list is computed once and
+    persisted; ranks are k·1 skinny rows. Every node here has ≥1 edge
+    (isolated nodes would need the standard dangling-mass correction).
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.join(deg, src).persist()
+    nodes = edges.select(F.col(src).alias("node")).distinct()
+    n_nodes = nodes.count()
+    init = (10**9) // n_nodes
+    base = (15 * 10**7) // n_nodes
+    ranks = nodes.select("node", F.lit(init).cast("bigint").alias("r"))
+    for _ in range(iters):
+        contrib = e.join(ranks, F.col(src) == F.col("node")).select(
+            F.col(dst).alias("node_to"), F.expr("r div deg").alias("c")
+        )
+        s = contrib.groupBy("node_to").agg(F.sum("c").alias("S"))
+        ranks = s.select(
+            F.col("node_to").alias("node"),
+            (F.lit(base).cast("bigint") + F.expr("(85 * S) div 100")).alias("r"),
+        )
+    # e stays persisted until the plan is consumed (the whole chain is lazy;
+    # an eager unpersist here would drop the cache before the first action)
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_q"),
+        (F.col("r").cast("double") / F.lit(1e9)).alias("rank"),
+    )

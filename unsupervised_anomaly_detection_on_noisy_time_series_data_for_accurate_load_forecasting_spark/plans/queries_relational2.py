@@ -742,3 +742,65 @@ def f_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("stack(3, 'views', views, 'clicks', clicks, 'purchases', purchases) AS (metric, n)"),
     )
     return long.filter(F.col("n") > 0)
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled-iteration replay of the fixed-point PageRank (every value
+    nonnegative, so integer // floors identically in both engines)."""
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )""",
+        "edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        "ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src))",
+        "nn AS (SELECT count(DISTINCT src) AS n_nodes FROM edges)",
+        "r0 AS (SELECT DISTINCT src AS node, CAST((SELECT 1000000000 // n_nodes FROM nn) AS BIGINT) AS r FROM edges)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT e.dst AS node,
+             CAST((SELECT 150000000 // n_nodes FROM nn)
+                  + (85 * sum(r.r // e.deg)) // 100 AS BIGINT) AS r
+      FROM ed e JOIN r{i - 1} r ON e.src = r.node
+      GROUP BY e.dst
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT node, r AS rank_q, CAST(r AS DOUBLE) / 1000000000.0 AS rank
+    FROM r{iters}
+    """
+    )
+
+
+@register(
+    "g_pagerank",
+    oracle=_pagerank_oracle,
+    tags=("DEDUP-cc", "J1"),
+    doc="Fixed-point PageRank (damping 0.85, 5 rounds) over the customer-"
+    "supplier bipartite graph: per round one ranks-by-source hash join + "
+    "one map-side-combinable groupBy(dst) sum, ranks on a 1e-9 integer "
+    "lattice so no float reduction exists anywhere — partition-independent "
+    "and replayed exactly by the oracle's unrolled iteration CTEs.",
+)
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import pagerank_fixed_point
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank_fixed_point(edges, iters=5)
