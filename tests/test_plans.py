@@ -241,3 +241,13 @@ def test_heavy_hitter_merge_stays_bounded(spark, sf_dir):
     rows = df.collect()
     # candidates can never exceed the k counters surviving the merge reduce
     assert len(rows) <= 8
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir):
+    """A lang filter on the hive-partitioned table must show up as a
+    PartitionFilters entry (directory pruning), not a data Filter over all
+    files."""
+    df = REGISTRY["sink_partition_prune"].spark(spark, sf_dir)
+    plan = _formatted(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan[:1500]

@@ -478,3 +478,32 @@ def t_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textops import repetition_stats
 
     return repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "sink_partition_prune",
+    oracle=f"""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM documents WHERE lang = 'en'
+    GROUP BY source
+    """,
+    tags=("S6", "P1"),
+    doc="Partition-pruned scan: documents written hive-partitioned by lang, "
+    "read back with lang='en' — the filter becomes directory pruning "
+    "(PartitionFilters in the scan; other partitions' files are never "
+    "opened). The oracle checks the values; tests/test_plans.py asserts "
+    "the pruning is in the plan.",
+)
+def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.bucketing import write_partitioned
+
+    docs = _docs(spark, sf_dir)
+    write_partitioned(docs, "p_documents", "lang")
+    back = spark.table("p_documents").filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("total_tokens"),
+    )

@@ -40,3 +40,20 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, left_k
     # MERGE hint: at real scale neither fact side broadcasts; the hint keeps
     # the test-SF plan on the same (shuffle-free, bucket-aligned) strategy.
     return lt.hint("merge").join(rt, lt[left_key] == rt[right_key])
+
+
+def write_partitioned(df: DataFrame, table: str, partition_col: str) -> None:
+    """Persist hive-partitioned by ``partition_col`` — the layout contract
+    that turns partition-column predicates into directory pruning: a filter
+    on the column never reads the other partitions' files at all (visible
+    as PartitionFilters in the scan node). The 100 TB discipline: partition
+    by the always-filtered low-cardinality column (date, source, lang),
+    bucket by the high-cardinality join key."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    df.write.mode("overwrite").partitionBy(partition_col).saveAsTable(table)
