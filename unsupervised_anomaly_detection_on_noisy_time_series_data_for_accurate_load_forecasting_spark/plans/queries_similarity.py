@@ -39,6 +39,27 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _BANDS_MEMO[sf_dir]
 
 
+_BF_SQL = f"""
+    WITH {_LONG},
+    nm AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM long GROUP BY 1),
+    dots AS (
+      SELECT q.vec_id AS qid, t.vec_id AS nid, {dsum_sql('q.x * t.x')} AS dot
+      FROM long q JOIN long t ON q.i = t.i AND q.vec_id < 100 AND q.vec_id != t.vec_id
+      GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT qid, nid, dot / sqrt(qn.sq * tn.sq) AS cosine
+      FROM dots JOIN nm qn ON qid = qn.vec_id JOIN nm tn ON nid = tn.vec_id
+    ),
+    rk AS (
+      SELECT qid, nid, cosine,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS INTEGER) AS rk
+      FROM cos
+    )
+    SELECT qid, nid, cosine, rk FROM rk WHERE rk <= 5
+    """
+
+
 @register(
     "s_ann_bruteforce_topk",
     oracle=f"""
@@ -398,3 +419,37 @@ def _kmeans_oracle() -> str:
 )
 def s_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_lloyd(_emb(spark, sf_dir))
+
+
+@register(
+    "s_ann_recall_eval",
+    oracle=lambda: f"""
+    SELECT b.qid,
+           CAST(count(v.nid) AS BIGINT) AS n_match,
+           CAST(count(v.nid) AS DOUBLE) / 5.0 AS recall
+    FROM ({_BF_SQL}) b
+    LEFT JOIN ({_ivf_oracle()}) v ON b.qid = v.qid AND b.nid = v.nid
+    GROUP BY b.qid
+    """,
+    tags=("SIM-ivf", "SIM-bruteforce", "M24"),
+    doc="ANN quality as a first-class query: per-query recall@5 of the IVF "
+    "index against the exact brute-force baseline — the evaluation an "
+    "index deployment runs continuously. Both sides are deterministic, so "
+    "recall itself is hash-verified (the oracle composes the two existing "
+    "oracle programs and joins them).",
+)
+def s_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    bf = SIM.cosine_topk(emb, n_queries=100, k=5).select("qid", "nid")
+    ivf = SIM.ivf_topk(emb, n_queries=100, k=5).select(
+        F.col("qid").alias("v_qid"), F.col("nid").alias("v_nid")
+    )
+    j = bf.join(
+        ivf,
+        (F.col("qid") == F.col("v_qid")) & (F.col("nid") == F.col("v_nid")),
+        "left",
+    )
+    return j.groupBy("qid").agg(
+        F.count("v_nid").cast("bigint").alias("n_match"),
+        (F.count("v_nid").cast("double") / F.lit(5.0)).alias("recall"),
+    )
