@@ -507,3 +507,83 @@ def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("total_tokens"),
     )
+
+
+def _pipeline_full_oracle() -> str:
+    """Chained-CTE replay of the full prep pipeline: quality gate ->
+    benchmark decontamination -> exact dedup -> token-budget packing."""
+    return f"""
+    WITH RECURSIVE fq AS (
+      SELECT doc_id, text FROM documents WHERE {_quality_raw_sql()} >= 0.3
+    ),
+    pool AS (SELECT doc_id, text FROM fq),
+    {_ngram_ctes(_DECON_N)},
+    bench_ids AS (
+      SELECT doc_id FROM fq WHERE ({_DECON_DRAW}) % {CO.DECON_MOD} = 0
+    ),
+    bench_ng AS (
+      SELECT DISTINCT shingle FROM ng WHERE doc_id IN (SELECT doc_id FROM bench_ids)
+    ),
+    contam AS (
+      SELECT DISTINCT doc_id FROM ng WHERE shingle IN (SELECT shingle FROM bench_ng)
+    ),
+    clean AS (
+      SELECT f.doc_id, f.text FROM fq f
+      WHERE f.doc_id NOT IN (SELECT doc_id FROM bench_ids)
+        AND f.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    kept AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+        FROM clean
+      ) WHERE rk = 1
+    ),
+    seq AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tok,
+             CAST(({_PACK_DRAW}) % {_PACK_SHARDS} AS INTEGER) AS shard,
+             row_number() OVER (
+               PARTITION BY CAST(({_PACK_DRAW}) % {_PACK_SHARDS} AS INTEGER)
+               ORDER BY doc_id) AS rn
+      FROM kept
+    ), pack AS (
+      SELECT shard, rn, doc_id, n_tok, 0 AS bin_id, n_tok AS fill
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.n_tok,
+             CASE WHEN p.fill + s.n_tok <= {_PACK_BUDGET}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + s.n_tok <= {_PACK_BUDGET}
+                  THEN p.fill + s.n_tok ELSE s.n_tok END
+      FROM seq s JOIN pack p ON s.shard = p.shard AND s.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tok, CAST(bin_id AS INTEGER) AS bin_id FROM pack
+    """
+
+
+@register(
+    "pipeline_train_corpus",
+    oracle=_pipeline_full_oracle,
+    tags=("TXT-quality", "TXT-decontaminate", "DEDUP-exact", "TXT-packing", "U5", "A13"),
+    doc="The COMPLETE pretraining corpus-prep pipeline as one plan: quality "
+    "gate (q >= 0.3) -> benchmark decontamination (drop the held-out split "
+    "AND every doc sharing a 4-gram with it) -> exact dedup (keep-lowest-"
+    "id) -> token-budget sequence packing. Filters and the broadcast "
+    "decontamination join prune before any fold state exists; the pack "
+    "stage streams. Oracle chains all four stages ending in the recursive "
+    "packing fold.",
+)
+def pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as DD
+    from ..operators import textops as TX
+
+    d = _docs(spark, sf_dir)
+    q = d.filter(TX.quality_score() >= F.lit(0.3)).select("doc_id", "text")
+    dec = CO.decontaminate(q, n=_DECON_N)
+    clean_ids = dec.filter(~F.col("contaminated")).select("doc_id")
+    clean = q.join(clean_ids, "doc_id", "left_semi")
+    kept = DD.exact_dedup(clean).select("doc_id", "text")
+    return CO.pack_documents(kept, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
