@@ -379,8 +379,8 @@ def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts, 1) OVER w IS NULL
-                       OR CAST(floor(epoch(ts)) AS BIGINT)
-                          - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) >= 1800
+                       OR date_diff('microsecond', lag(ts, 1) OVER w, ts)
+                          >= 1800 * 1000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
@@ -400,7 +400,10 @@ def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Streaming sessionization (session_window + watermark): per-user "
     "30-min-gap sessions merged incrementally, state evicted at watermark "
     "close. Oracle is the batch gaps-and-islands with the same half-open "
-    "gap semantics (>= gap starts a new session, matching session_window).",
+    "gap semantics (gap >= 30 min starts a new session, in exact "
+    "MICROSECOND arithmetic — session_window merges [ts, ts+gap) intervals, "
+    "so a floored-epoch-seconds oracle splits one session session_window "
+    "merges whenever sub-second parts straddle the boundary).",
 )
 def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.score_stream import run_available_now, stream_sessions as ss
