@@ -233,20 +233,30 @@ def cusum_flags_fixed_point(
     counts over the series; fold is one aggregate HOF per series."""
     arr = F.array_sort(F.collect_list(F.struct(TS, VAL)))
     g = df.groupBy(SID).agg(arr.alias("pts")).filter(F.size("pts") > 1)
-    q = f"transform(pts, s -> cast(floor(s.{VAL} * 1000000.0D + 0.5D) as bigint))"
-    # exact integer mean (floor) of the quantized series
-    mean_q = f"((aggregate({q}, 0L, (a, v) -> a + v) - pmod(aggregate({q}, 0L, (a, v) -> a + v), size({q}))) div size({q}))"
-    kq = f"(({k_milli}) * greatest(abs({mean_q}), 1000L) div 1000)"
-    hq = f"(({h_units}) * greatest(abs({mean_q}), 1000L))"
+    # Hoist the quantized array and the per-series constants (exact integer
+    # mean, allowance kq, threshold hq) into columns BEFORE the fold: the
+    # lambda references them as outer row attributes. Inlining mean_q's own
+    # aggregate() inside the per-element step re-scanned the whole array for
+    # every element — an O(n^2) fold that cost 22.7 s at sf0.1 for what is a
+    # linear recurrence (1500 series x ~640 points).
+    g = (
+        g.withColumn(
+            "qs", F.expr(f"transform(pts, s -> cast(floor(s.{VAL} * 1000000.0D + 0.5D) as bigint))")
+        )
+        .withColumn("_sum_q", F.expr("aggregate(qs, 0L, (a, v) -> a + v)"))
+        .withColumn("mean_q", F.expr("(_sum_q - pmod(_sum_q, size(qs))) div size(qs)"))
+        .withColumn("kq", F.expr(f"({k_milli}) * greatest(abs(mean_q), 1000L) div 1000"))
+        .withColumn("hq", F.expr(f"({h_units}) * greatest(abs(mean_q), 1000L)"))
+    )
     step = (
         "named_struct("
-        f"'sp', greatest(0L, acc.sp + (x - ({mean_q})) - {kq}), "
-        f"'sn', greatest(0L, acc.sn - (x - ({mean_q})) - {kq}), "
-        f"'ap', acc.ap + IF(greatest(0L, acc.sp + (x - ({mean_q})) - {kq}) > {hq}, 1, 0), "
-        f"'an', acc.an + IF(greatest(0L, acc.sn - (x - ({mean_q})) - {kq}) > {hq}, 1, 0))"
+        "'sp', greatest(0L, acc.sp + (x - mean_q) - kq), "
+        "'sn', greatest(0L, acc.sn - (x - mean_q) - kq), "
+        "'ap', acc.ap + IF(greatest(0L, acc.sp + (x - mean_q) - kq) > hq, 1, 0), "
+        "'an', acc.an + IF(greatest(0L, acc.sn - (x - mean_q) - kq) > hq, 1, 0))"
     )
     fold = (
-        f"aggregate({q}, named_struct('sp', 0L, 'sn', 0L, 'ap', 0, 'an', 0), "
+        f"aggregate(qs, named_struct('sp', 0L, 'sn', 0L, 'ap', 0, 'an', 0), "
         f"(acc, x) -> {step})"
     )
     out = g.select(SID, F.expr(fold).alias("c"), F.size("pts").alias("n_points"))
