@@ -91,6 +91,40 @@ PICKS = [
         "scan); training's per-round update is one partial-aggregated "
         "(cell, dim) shuffle, k*dim rows to the driver.",
     ),
+    (
+        "j_range_gap_context",
+        "Bucketized range join: both sides bucket to days and meet in a hash "
+        "EQUI-join (SortMergeJoin/ShuffledHashJoin on the bucket key) with "
+        "the exact BETWEEN as a post-filter — no BroadcastNestedLoopJoin, "
+        "interval replication bounded by span/bucket.",
+    ),
+    (
+        "j_salted_skew_revenue",
+        "Skew salting: the hot build keys are replicated across N salt "
+        "values so the probe shuffle spreads a skewed key over N tasks; the "
+        "plan shows the salted join key feeding one Exchange, no single-task "
+        "straggler partition.",
+    ),
+    (
+        "sink_partition_prune",
+        "Hive-partitioned sink readback: the partition predicate prunes at "
+        "the file index (PartitionFilters on the scan node) — a 100 TB "
+        "table read touches only the selected partition directories.",
+    ),
+    (
+        "g_pagerank",
+        "Iterative join+agg (Pregel step as DataFrames): per round one hash "
+        "join of skinny ranks against the persisted degree-annotated edges "
+        "(InMemoryTableScan) and one map-side-combinable groupBy(dst) sum; "
+        "rank arithmetic on a 1e-9 integer lattice, no float reduction.",
+    ),
+    (
+        "w_cusum_flags",
+        "Sequential recurrence as an aggregate HOF: one shuffle to "
+        "collect_list per series, then the CUSUM fold runs inside codegen "
+        "with the per-series constants (mean/allowance/threshold) hoisted "
+        "to row columns — the lambda is O(1) per element, the fold O(n).",
+    ),
 ]
 
 
