@@ -251,3 +251,17 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir):
     plan = _formatted(df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "lang" in m.group(1), plan[:1500]
+
+
+def test_triangle_join_is_equi_and_skew_bounded(spark, sf_dir):
+    """Degree orientation keeps every join an equi-join (no nested loop /
+    cartesian), and the orientation really caps out-degree: each triangle
+    is rooted once, so total participation = 3x the triangle count."""
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["g_triangles"].spark(spark, sf_dir)
+    plan = _formatted(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    total = df.agg(F.sum("n_triangles")).collect()[0][0]
+    assert total % 3 == 0 and total > 0

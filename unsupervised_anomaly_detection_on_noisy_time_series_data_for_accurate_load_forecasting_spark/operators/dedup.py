@@ -421,3 +421,63 @@ def pagerank_fixed_point(
         F.col("r").alias("rank_q"),
         (F.col("r").cast("double") / F.lit(1e9)).alias("rank"),
     )
+
+
+def triangle_counts(edges: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
+    """Per-node triangle participation counts via DEGREE ORIENTATION — the
+    third iterative/graph operator beside :func:`connected_components` and
+    :func:`pagerank_fixed_point`, and the canonical skew-bounded self-join.
+
+    The naive wedge join (edges ⋈ edges on a shared endpoint) explodes on
+    hub nodes: a degree-d vertex generates d² wedges, so one celebrity key
+    produces a straggler task at 100 TB. Orienting every undirected edge
+    from its lower-(degree, id) endpoint to the higher one caps every
+    vertex's OUT-degree at O(√m) (a classical bound: a node of out-degree
+    k has k neighbors of degree ≥ its own, and Σdeg = 2m), so the wedge
+    join is O(m^1.5) total with no skewed build key — each triangle is
+    counted exactly once, rooted at its lowest-(deg, id) vertex.
+
+    Plan shape: one distinct (canonical-edge shuffle), one count per
+    endpoint (map-side combinable), two broadcast joins of the skinny
+    degree table onto the edge list, one self-join of the oriented edges
+    on src, and one hash join back against the canonical edge set to close
+    each wedge. Everything equi-join — no cross product anywhere.
+    """
+    u, v = F.col(a), F.col(b)
+    und = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und.persist()  # consumed twice: orientation source + wedge-closing probe
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ann = und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ann.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(e2, "src").filter(F.col("e1.dst") < F.col("e2.dst")).select(
+        "src", F.col("e1.dst").alias("d1"), F.col("e2.dst").alias("d2")
+    )
+    # close the wedge against the canonical edge set (d1 < d2 already)
+    tri = wedges.join(
+        und, (und["u"] == F.col("d1")) & (und["v"] == F.col("d2"))
+    ).select("src", "d1", "d2")
+    nodes = (
+        tri.select(F.col("src").alias("node"))
+        .unionAll(tri.select(F.col("d1").alias("node")))
+        .unionAll(tri.select(F.col("d2").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

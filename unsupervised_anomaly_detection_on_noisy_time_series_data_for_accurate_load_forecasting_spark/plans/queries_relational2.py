@@ -804,3 +804,54 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return pagerank_fixed_point(edges, iters=5)
+
+
+@register(
+    "g_triangles",
+    oracle="""
+    WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk),
+    deg AS (SELECT node, count(*) AS deg
+            FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY 1),
+    o AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                      THEN u ELSE v END AS src,
+                 CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                      THEN v ELSE u END AS dst
+          FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v),
+    w AS (SELECT e1.src, e1.dst AS d1, e2.dst AS d2
+          FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+    tri AS (SELECT w.src, w.d1, w.d2
+            FROM w JOIN und ON und.u = w.d1 AND und.v = w.d2),
+    nodes AS (SELECT src AS node FROM tri
+              UNION ALL SELECT d1 FROM tri
+              UNION ALL SELECT d2 FROM tri)
+    SELECT CAST(node AS BIGINT) AS part_id, count(*) AS n_triangles
+    FROM nodes GROUP BY 1
+    """,
+    tags=("DEDUP-cc", "J1", "J5"),
+    doc="Degree-oriented triangle counting over the co-purchase graph "
+    "(parts sharing an order): every undirected edge is oriented from its "
+    "lower-(degree, id) endpoint, capping per-vertex out-degree at O(sqrt "
+    "m) so the wedge self-join is skew-bounded O(m^1.5) — the scale-correct "
+    "triangle algorithm, all equi-joins. Output: per-part triangle "
+    "participation counts.",
+)
+def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+    )
+    out = triangle_counts(pairs)
+    return out.select(
+        F.col("node").cast("bigint").alias("part_id"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+    )
