@@ -711,6 +711,53 @@ def u_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u_scd2_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ch AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM o WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER w AS valid_to,
+           CASE WHEN lead(valid_from) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version_no
+    FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+    tags=("W5", "O2"),
+    doc="Slowly-changing-dimension type 2: the per-user event_type "
+    "changelog collapsed to attribute-change rows (consecutive duplicates "
+    "merge into one version), then validity intervals via lead() — "
+    "valid_from/valid_to/is_current/version_no. One shuffle on the "
+    "dimension key; equal-timestamp ties broken by event_id so the "
+    "version history is deterministic in any engine.",
+)
+def u_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        ev.withColumn("prev_type", F.lag("event_type").over(ow))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    vw = W.partitionBy("user_id").orderBy("valid_from")
+    return ch.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(vw).alias("valid_to"),
+        F.when(F.lead("valid_from").over(vw).isNull(), 1).otherwise(0).alias("is_current"),
+        F.row_number().over(vw).cast("bigint").alias("version_no"),
+    )
+
+
+@register(
     "f_unpivot_stats",
     oracle="""
     WITH wide AS (
