@@ -79,3 +79,19 @@ def test_pagerank_fixed_point_invariants(spark):
     # every rank positive; total bounded by the initial mass (floor losses only shrink it)
     assert all(v > 0 for v in out.values())
     assert sum(out.values()) <= 10**9
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant vertex: K4 has 4 triangles, each K4 vertex sits in
+    3 of them, the pendant in none; duplicate/reversed input edges must not
+    change anything (canonicalized + distinct)."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5)] + [(b, a) for a, b in k4], "u long, v long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
