@@ -119,6 +119,14 @@ PICKS = [
         "rank arithmetic on a 1e-9 integer lattice, no float reduction.",
     ),
     (
+        "g_triangles",
+        "Degree-oriented triangle count: canonical-edge distinct, degree "
+        "annotation via two broadcast joins, oriented-edge self-join on src "
+        "(out-degree capped at O(sqrt m) by the orientation — no hot build "
+        "key), wedge closed by one hash join against the canonical edge "
+        "set. Every join an equi-join; no nested loop anywhere.",
+    ),
+    (
         "w_cusum_flags",
         "Sequential recurrence as an aggregate HOF: one shuffle to "
         "collect_list per series, then the CUSUM fold runs inside codegen "

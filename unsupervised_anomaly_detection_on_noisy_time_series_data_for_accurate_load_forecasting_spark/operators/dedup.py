@@ -471,9 +471,13 @@ def triangle_counts(edges: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
     wedges = e1.join(e2, "src").filter(F.col("e1.dst") < F.col("e2.dst")).select(
         "src", F.col("e1.dst").alias("d1"), F.col("e2.dst").alias("d2")
     )
-    # close the wedge against the canonical edge set (d1 < d2 already)
+    # close the wedge against the canonical edge set (d1 < d2 already).
+    # SHUFFLE_HASH: the wedge side is ~Σdeg² rows (34x the edge list here) —
+    # a sort-merge join would SORT it; hashing the small edge side instead
+    # turns the probe into a streaming pass over the wedges.
     tri = wedges.join(
-        und, (und["u"] == F.col("d1")) & (und["v"] == F.col("d2"))
+        und.hint("shuffle_hash"),
+        (und["u"] == F.col("d1")) & (und["v"] == F.col("d2")),
     ).select("src", "d1", "d2")
     nodes = (
         tri.select(F.col("src").alias("node"))
