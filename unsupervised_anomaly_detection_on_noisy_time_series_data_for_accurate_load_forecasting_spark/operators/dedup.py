@@ -479,9 +479,9 @@ def triangle_counts(edges: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
         und.hint("shuffle_hash"),
         (und["u"] == F.col("d1")) & (und["v"] == F.col("d2")),
     ).select("src", "d1", "d2")
-    nodes = (
-        tri.select(F.col("src").alias("node"))
-        .unionAll(tri.select(F.col("d1").alias("node")))
-        .unionAll(tri.select(F.col("d2").alias("node")))
+    # one Generate over each triangle's three corners (a 3-way union would
+    # repeat the whole wedge subtree per branch and lean on exchange reuse)
+    nodes = tri.select(
+        F.explode(F.array(F.col("src"), F.col("d1"), F.col("d2"))).alias("node")
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
