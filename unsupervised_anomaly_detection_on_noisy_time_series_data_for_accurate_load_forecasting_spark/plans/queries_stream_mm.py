@@ -348,6 +348,93 @@ def mm_png_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_samples(text: str):
+    """Deterministic doc→audio spec shared by the engine island and the
+    oracle mirror: UTF-8 bytes (capped at 2048, padded to ≥2) recentred to
+    int16 mono samples at 8 kHz."""
+    import numpy as np
+
+    b = text.encode("utf-8")[:2048]
+    if len(b) < 2:
+        b = b + b"\0" * (2 - len(b))
+    return ((np.frombuffer(b, dtype=np.uint8).astype(np.int32) - 128) * 256).astype(
+        np.int16
+    )
+
+
+def _mm_wav_oracle() -> str:
+    """Mirror that never touches WAV: builds the same int16 samples directly
+    and computes the same amplitude statistics — the engine's encode→decode
+    round trip through the stdlib wave codec is what's on trial."""
+    import numpy as np
+
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        s = _doc_samples(r.text).astype(np.float64) / 32768.0
+        zc = float(np.mean(np.abs(np.diff(np.signbit(s).astype(np.int8)))))
+        f = [s.mean(), s.std(), float(np.sqrt(np.mean(s * s))), zc,
+             s.min(), s.max(), len(s) / 8000.0, 8000.0 / 48000.0]
+        rows.append(
+            f"({int(r.doc_id)}::BIGINT,"
+            + ",".join(f"{qround_py(float(x), 9)!r}::DOUBLE" for x in f)
+            + ")"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, f0, f1, f2, f3, f4, f5, f6, f7)"
+    )
+
+
+@register(
+    "mm_wav_real_features",
+    oracle=lambda: _mm_wav_oracle(),
+    tags=("MM-decode", "MM-codec", "MM-audio"),
+    doc="REAL audio codec path, driver-verified (the WAV twin of "
+    "mm_png_real_features): per doc, build deterministic int16 samples from "
+    "the text bytes, encode to WAV in one Arrow island (stdlib wave), decode "
+    "back through the real-codec feature island, and emit amplitude/energy/"
+    "zero-crossing/duration statistics. The oracle constructs the same "
+    "samples WITHOUT any WAV — a codec defect anywhere in the round trip "
+    "hash-mismatches.",
+)
+def mm_wav_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        from ..operators import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                samples = _doc_samples(text)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "payload": bytearray(CX.encode_wav(samples, rate=8000)),
+                        "meta": {
+                            "mime": "audio/wav",
+                            "width": 0,
+                            "height": 0,
+                            "n_frames": int(len(samples)),
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, schema=MM.MEDIA_SCHEMA)
+    feats = MM.extract_features(media, use_real_codecs=True)
+    return feats.select(
+        "media_id",
+        *[qround(F.col("feature")[i], 9).alias(f"f{i}") for i in range(8)],
+    )
+
+
 @register(
     "stream_join_attrib",
     oracle="""
