@@ -179,8 +179,6 @@ def heavy_hitters(
     merged = partials.groupBy("tok").agg(F.sum("est").alias("est"))
 
     # MG merge-reduce over the tiny candidate union (≤ k·n_shards rows)
-    wins = Window.orderBy(F.desc("est"), F.asc("tok"))
-    ranked = merged.withColumn("_rn", F.row_number().over(wins))
     cut_row = merged.agg(
         F.coalesce(
             F.element_at(F.sort_array(F.collect_list("est"), asc=False), k + 1),
@@ -188,7 +186,7 @@ def heavy_hitters(
         ).alias("_cut")
     )
     cand = (
-        ranked.crossJoin(F.broadcast(cut_row))
+        merged.crossJoin(F.broadcast(cut_row))
         .withColumn("est", F.col("est") - F.col("_cut"))
         .filter(F.col("est") > 0)
         .select("tok", "est")

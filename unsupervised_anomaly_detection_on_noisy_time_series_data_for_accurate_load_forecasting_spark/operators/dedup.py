@@ -379,7 +379,11 @@ def fuzzy_edit_pairs(
 
 
 def pagerank_fixed_point(
-    edges: DataFrame, iters: int = 5, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Fixed-point PageRank (damping 0.85) over a directed edge list — the
     second iterative-graph operator next to :func:`connected_components`,
@@ -392,30 +396,45 @@ def pagerank_fixed_point(
     partitioning and bit-reproducible in the SQL oracle's unrolled
     iteration CTEs.
 
-    Scale shape per round: one hash join ranks⋈edges on the source key and
-    one map-side-combinable groupBy(dst) sum — the GraphX/Pregel step as
-    plain DataFrames. The degree-annotated edge list is computed once and
-    persisted; ranks are k·1 skinny rows. Every node here has ≥1 edge
-    (isolated nodes would need the standard dangling-mass correction).
+    Scale shape per round: one hash join ranks⋈edges on the source key,
+    one map-side-combinable groupBy(dst) sum, and one left join of the sums
+    back onto the FULL node set (src ∪ dst) with missing sums coalesced to
+    0 — so source-only nodes (out-edges but no in-edges) keep rank = base
+    and never drop out of the rank vector (they would silently disappear
+    after round 1 in a rebuild-from-sums formulation). The degree-annotated
+    edge list and node set are localCheckpointed once up front, and the
+    rank vector re-checkpoints every ``checkpoint_every`` rounds — the same
+    lineage-truncation discipline as :func:`connected_components`, keeping
+    the per-round plan size flat however many iterations run. Dangling
+    nodes (in-edges but no out-edges) keep their rank but their mass is not
+    redistributed (the standard dangling correction is out of scope).
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-    e = edges.join(deg, src).persist()
-    nodes = edges.select(F.col(src).alias("node")).distinct()
+    e = edges.join(deg, src).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_nodes = nodes.count()
     init = (10**9) // n_nodes
     base = (15 * 10**7) // n_nodes
     ranks = nodes.select("node", F.lit(init).cast("bigint").alias("r"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = e.join(ranks, F.col(src) == F.col("node")).select(
             F.col(dst).alias("node_to"), F.expr("r div deg").alias("c")
         )
         s = contrib.groupBy("node_to").agg(F.sum("c").alias("S"))
-        ranks = s.select(
-            F.col("node_to").alias("node"),
-            (F.lit(base).cast("bigint") + F.expr("(85 * S) div 100")).alias("r"),
+        ranks = nodes.join(s, nodes["node"] == s["node_to"], "left").select(
+            "node",
+            (
+                F.lit(base).cast("bigint")
+                + F.expr("(85 * coalesce(S, CAST(0 AS BIGINT))) div 100")
+            ).alias("r"),
         )
-    # e stays persisted until the plan is consumed (the whole chain is lazy;
-    # an eager unpersist here would drop the cache before the first action)
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "node",
         F.col("r").alias("rank_q"),
@@ -423,7 +442,9 @@ def pagerank_fixed_point(
     )
 
 
-def triangle_counts(edges: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, a: str = "u", b: str = "v", pre_canonical: bool = False
+) -> DataFrame:
     """Per-node triangle participation counts via DEGREE ORIENTATION — the
     third iterative/graph operator beside :func:`connected_components` and
     :func:`pagerank_fixed_point`, and the canonical skew-bounded self-join.
@@ -442,14 +463,22 @@ def triangle_counts(edges: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
     degree table onto the edge list, one self-join of the oriented edges
     on src, and one hash join back against the canonical edge set to close
     each wedge. Everything equi-join — no cross product anywhere.
+
+    ``pre_canonical``: pass True when ``edges`` is already the canonical
+    undirected edge set (u < v, distinct, ideally persisted — e.g. the
+    session-lifetime co-purchase view in plans/shared.py) to skip the
+    least/greatest + distinct shuffle and the internal persist.
     """
     u, v = F.col(a), F.col(b)
-    und = (
-        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    und.persist()  # consumed twice: orientation source + wedge-closing probe
+    if pre_canonical:
+        und = edges.select(u.alias("u"), v.alias("v"))
+    else:
+        und = (
+            edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        und.persist()  # consumed twice: orientation source + wedge-closing probe
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))

@@ -37,7 +37,7 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
     import time
 
     from . import queries_ml, queries_similarity
-    from .shared import hourly_df, prepared_df
+    from .shared import bipartite_edges_df, copurchase_edges_df, hourly_df, prepared_df
 
     out: dict[str, float] = {}
     for name, build in (
@@ -45,6 +45,8 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
         ("prepared", prepared_df),
         ("lsh_bands", queries_similarity._bands),
         ("ml_embedded", queries_ml._embedded),
+        ("copurchase_edges", copurchase_edges_df),
+        ("bipartite_edges", bipartite_edges_df),
     ):
         t0 = time.time()
         build(spark, sf_dir).count()  # force the persist to materialize

@@ -160,7 +160,7 @@ def _hw_oracle() -> str:
     (series, step), so the triple smoothing is hash-verified end to end)."""
     m = 24
     fd = _hw_duck_fd
-    l0 = fd("CAST(list_sum(qs[1:24]) AS BIGINT)", m)
+    l0 = fd(f"CAST(list_sum(qs[1:{m}]) AS BIGINT)", m)
     sm = f"s[(t % {m}) + 1]"
     x = "qs[t + 1]"
     l_new = fd(f"2 * ({x} - {sm}) + 8 * (l + b)", 10)

@@ -424,9 +424,10 @@ _MIX_DRAW = rng_draw_sql("doc_id", salt=CO.MIX_SALT)
              CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q
       FROM documents GROUP BY source
     ),
-    tot AS (SELECT sum(q) AS S FROM stats),
+    tot AS (SELECT CAST(sum(q) AS BIGINT) AS S FROM stats),
     quotas AS (
-      SELECT source, greatest(CAST(1 AS BIGINT), ({_MIX_BUDGET} * q) // S) AS quota
+      SELECT source,
+             CAST(greatest(CAST(1 AS BIGINT), ({_MIX_BUDGET} * q) // S) AS BIGINT) AS quota
       FROM stats CROSS JOIN tot
     ),
     ranked AS (

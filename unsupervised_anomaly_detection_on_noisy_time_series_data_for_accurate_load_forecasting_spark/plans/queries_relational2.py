@@ -803,17 +803,22 @@ def _pagerank_oracle(iters: int = 5) -> str:
         "edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs)",
         "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
         "ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src))",
-        "nn AS (SELECT count(DISTINCT src) AS n_nodes FROM edges)",
-        "r0 AS (SELECT DISTINCT src AS node, CAST((SELECT 1000000000 // n_nodes FROM nn) AS BIGINT) AS r FROM edges)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n_nodes FROM nodes)",
+        "r0 AS (SELECT node, CAST((SELECT 1000000000 // n_nodes FROM nn) AS BIGINT) AS r FROM nodes)",
     ]
     for i in range(1, iters + 1):
         ctes.append(
-            f"""r{i} AS (
-      SELECT e.dst AS node,
-             CAST((SELECT 150000000 // n_nodes FROM nn)
-                  + (85 * sum(r.r // e.deg)) // 100 AS BIGINT) AS r
+            f"""s{i} AS (
+      SELECT e.dst AS node, sum(r.r // e.deg) AS S
       FROM ed e JOIN r{i - 1} r ON e.src = r.node
       GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST((SELECT 150000000 // n_nodes FROM nn)
+                  + (85 * coalesce(s.S, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN s{i} s ON n.node = s.node
     )"""
         )
     return (
@@ -836,21 +841,9 @@ def _pagerank_oracle(iters: int = 5) -> str:
 )
 def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import pagerank_fixed_point
+    from .shared import bipartite_edges_df
 
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    return pagerank_fixed_point(edges, iters=5)
+    return pagerank_fixed_point(bipartite_edges_df(spark, sf_dir), iters=5)
 
 
 @register(
@@ -887,17 +880,9 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import triangle_counts
+    from .shared import copurchase_edges_df
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    pairs = (
-        li.alias("a")
-        .join(li.alias("b"), "ok")
-        .filter(F.col("a.pk") < F.col("b.pk"))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-    )
-    out = triangle_counts(pairs)
+    out = triangle_counts(copurchase_edges_df(spark, sf_dir), pre_canonical=True)
     return out.select(
         F.col("node").cast("bigint").alias("part_id"),
         F.col("n_triangles").cast("bigint").alias("n_triangles"),

@@ -55,3 +55,59 @@ def prepared_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.persist()
         _PREPARED_MEMO[sf_dir] = p
     return _PREPARED_MEMO[sf_dir]
+
+
+_COPURCHASE_MEMO: dict[str, DataFrame] = {}
+_BIPARTITE_MEMO: dict[str, DataFrame] = {}
+
+
+def copurchase_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted canonical co-purchase edge set: distinct (u < v) part pairs
+    sharing an order. The lineitem self-join + dedup shuffle is the dominant
+    cost of the triangle query and a natural session-lifetime view — the
+    graph is a property of the data, not of any one query."""
+    from pyspark.sql import functions as F
+
+    if sf_dir not in _COPURCHASE_MEMO:
+        for k in list(_COPURCHASE_MEMO):
+            _COPURCHASE_MEMO.pop(k).unpersist(False)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        e = (
+            li.alias("a")
+            .join(li.alias("b"), "ok")
+            .filter(F.col("a.pk") < F.col("b.pk"))
+            .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+            .distinct()
+        )
+        e.persist()
+        _COPURCHASE_MEMO[sf_dir] = e
+    return _COPURCHASE_MEMO[sf_dir]
+
+
+def bipartite_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted symmetric customer–supplier bipartite edge list (both
+    directions of each distinct (custkey, suppkey) trading pair) — the
+    orders⋈lineitem join + distinct that PageRank iterates over."""
+    from pyspark.sql import functions as F
+
+    if sf_dir not in _BIPARTITE_MEMO:
+        for k in list(_BIPARTITE_MEMO):
+            _BIPARTITE_MEMO.pop(k).unpersist(False)
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        pairs = (
+            o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            )
+            .distinct()
+        )
+        e = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+            pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        e.persist()
+        _BIPARTITE_MEMO[sf_dir] = e
+    return _BIPARTITE_MEMO[sf_dir]

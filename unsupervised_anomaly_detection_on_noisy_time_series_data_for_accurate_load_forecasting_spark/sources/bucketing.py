@@ -5,31 +5,73 @@ both tables bucketed by the join key (same bucket count) lets Catalyst plan a
 sort-merge join with **zero Exchange** — each bucket pair joins locally.
 This is the storage-side contract; `tests/test_bucketing.py` asserts the
 shuffle-free plan.
+
+Writes are IDEMPOTENT: each sink stamps a plan-fingerprint table property
+(`graft.plan_key`, a hash of the analyzed input plan plus the layout spec)
+and skips the rewrite when an identical table already exists — so building
+the `sink_partition_prune` / `bucketed_join_revenue` plans repeatedly (tests,
+explains, bench warm runs) does not rewrite warehouse state each time.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _plan_key(df: DataFrame, *layout: object) -> str:
+    """Fingerprint of the analyzed input plan + layout spec. The analyzed
+    plan string embeds the source paths, so the same table name fed from a
+    different SF directory (or a changed upstream query) re-triggers the
+    write; byte-identical inputs skip it."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return hashlib.sha256((plan + "|" + repr(layout)).encode()).hexdigest()[:16]
+
+
+def _existing_plan_key(spark: SparkSession, table: str) -> str | None:
+    if not spark.catalog.tableExists(table):
+        return None
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    return {r["key"]: r["value"] for r in rows}.get("graft.plan_key")
+
+
+def _clear_stale(spark: SparkSession, table: str) -> None:
+    """Drop the catalog entry and its storage. Prefer the catalog-reported
+    location; fall back to the default managed-table path only when the
+    in-memory catalog has forgotten the table but its files survive."""
+    import shutil
+    from urllib.parse import urlparse
+
+    loc = None
+    if spark.catalog.tableExists(table):
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+            if r["col_name"].strip() == "Location":
+                loc = urlparse(r["data_type"].strip()).path
+                break
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if loc is None:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = f"{wh}/{table}"
+    shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8, sort_col: str | None = None
 ) -> None:
     """Persist as a bucketed (+sorted) managed table. Bucket count is the
-    scale knob: pick so each bucket ≈ one task's worth of data."""
+    scale knob: pick so each bucket ≈ one task's worth of data. No-op when
+    the identical table (same input plan + layout) already exists."""
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # in-memory catalogs forget tables across sessions but the warehouse
-    # files survive — clear the stale location too
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    key = _plan_key(df, "bucket", bucket_col, n_buckets, sort_col)
+    if _existing_plan_key(spark, table) == key:
+        return
+    _clear_stale(spark, table)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('graft.plan_key'='{key}')")
 
 
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str, left_key: str, right_key: str) -> DataFrame:
@@ -48,12 +90,12 @@ def write_partitioned(df: DataFrame, table: str, partition_col: str) -> None:
     on the column never reads the other partitions' files at all (visible
     as PartitionFilters in the scan node). The 100 TB discipline: partition
     by the always-filtered low-cardinality column (date, source, lang),
-    bucket by the high-cardinality join key."""
+    bucket by the high-cardinality join key. No-op when the identical table
+    (same input plan + layout) already exists."""
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    key = _plan_key(df, "partition", partition_col)
+    if _existing_plan_key(spark, table) == key:
+        return
+    _clear_stale(spark, table)
     df.write.mode("overwrite").partitionBy(partition_col).saveAsTable(table)
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('graft.plan_key'='{key}')")
