@@ -91,19 +91,25 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "registry_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "prepare_sec": prepare_sec,
-                "prepare": prepare_timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "registry_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "prepare_sec": prepare_sec,
+        "prepare": prepare_timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    line = json.dumps(payload)
+    print(line)
+    # Self-written compact artifact: the driver's stdout capture has clipped
+    # the head of this line in past rounds (BENCH_r05 "parsed": null), losing
+    # per-query comparability. bench_last.json is the authoritative full map.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"# could not write bench_last.json: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -42,14 +42,14 @@ def test_features_deterministic(spark, sf_dir):
 
 
 def test_real_codecs_gate_unsupported_mimes(spark, sf_dir):
-    # PNG/WAV decode for real (stdlib codecs); anything else — like the
+    # PNG/WAV/GIF decode for real (stdlib codecs); anything else — like the
     # fixture's application/x-fake payloads or video — must raise with the
     # plug-point message, lazily at action time inside the island
     media = MM.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     with pytest.raises(Exception, match="no stdlib codec"):
         MM.extract_features(media, use_real_codecs=True).collect()
-    with pytest.raises(NotImplementedError):
-        MM.frame_sample(media, use_real_codecs=True)
+    with pytest.raises(Exception, match="no stdlib multi-frame codec"):
+        MM.frame_sample(media, use_real_codecs=True).collect()
 
 
 def test_frame_sample_counts(spark, sf_dir):
@@ -216,3 +216,120 @@ def test_real_codec_islands_over_spark(spark):
     xs = (np.arange(4) * 6) // 4
     want = grid[np.ix_(ys, xs)].mean(axis=2).ravel()
     assert np.allclose(px[1], want, atol=1e-12)
+
+
+def test_gif_roundtrip_shapes_and_frames():
+    """Single- and multi-frame GIF round trips, including table-reset-sized
+    images and runs that exercise every LZW code-width step."""
+    import numpy as np
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        codecs as CX,
+    )
+
+    rng = np.random.RandomState(3)
+    for shape in [(1, 1), (5, 7), (64, 16), (200, 300)]:
+        img = rng.randint(0, 256, size=shape).astype("uint8")
+        out = CX.decode_gif(CX.encode_gif(img))
+        assert out.shape == shape + (3,)
+        assert (out[:, :, 0] == img).all() and (out[:, :, 2] == img).all()
+    flat = np.tile(np.arange(256, dtype="uint8"), (50, 4))  # long runs
+    assert (CX.decode_gif(CX.encode_gif(flat))[:, :, 1] == flat).all()
+    frames = [rng.randint(0, 256, size=(9, 13)).astype("uint8") for _ in range(5)]
+    dec = CX.decode_gif_frames(CX.encode_gif(frames))
+    assert dec.shape == (5, 9, 13, 3)
+    for f, d in zip(frames, dec):
+        assert (d[:, :, 0] == f).all()
+
+
+def test_gif_decoder_reads_independent_uncompressed_stream():
+    """Cross-check the decoder against a hand-built GIF that does NOT use
+    our encoder: every pixel emitted as a root code with a clear code before
+    each one (the classic 'uncompressed GIF' construction), plus an
+    extension block to skip and an interlaced variant."""
+    import struct
+
+    import numpy as np
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        codecs as CX,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(4, 6)).astype("uint8")
+    h, w = img.shape
+
+    def pack_codes(codes, width):
+        cur = nbits = 0
+        out = bytearray()
+        for c in codes:
+            cur |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(cur & 0xFF)
+                cur >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(cur & 0xFF)
+        return bytes(out)
+
+    codes = []
+    for px in img.ravel():
+        codes += [256, int(px)]  # clear before every pixel: table never grows
+    codes.append(257)  # EOI
+    comp = pack_codes(codes, 9)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    gif += bytes(v for i in range(256) for v in (i, i, i))
+    gif += b"\x21\xfe\x05hello\x00"  # comment extension: must be skipped
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([8])
+    for i in range(0, len(comp), 255):
+        block = comp[i : i + 255]
+        gif += bytes([len(block)]) + block
+    gif += b"\x00\x3b"
+    out = CX.decode_gif(bytes(gif))
+    assert (out[:, :, 0] == img).all()
+
+    # interlaced: rows stored in the 8/8/4/2 pass order
+    order = [*range(0, h, 8), *range(4, h, 8), *range(2, h, 4), *range(1, h, 2)]
+    inter = img[order]
+    codes = []
+    for px in inter.ravel():
+        codes += [256, int(px)]
+    codes.append(257)
+    comp = pack_codes(codes, 9)
+    gif2 = bytearray(b"GIF89a")
+    gif2 += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    gif2 += bytes(v for i in range(256) for v in (i, i, i))
+    gif2 += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40) + bytes([8])
+    for i in range(0, len(comp), 255):
+        block = comp[i : i + 255]
+        gif2 += bytes([len(block)]) + block
+    gif2 += b"\x00\x3b"
+    assert (CX.decode_gif(bytes(gif2))[:, :, 1] == img).all()
+
+
+def test_gif_frame_sample_island_over_spark(spark):
+    """Animated GIF through the real frame_sample island: row explosion plus
+    per-frame grayscale stats match a local recomputation."""
+    import numpy as np
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        codecs as CX,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, size=(6, 5, 8)).astype("uint8")
+    media = spark.createDataFrame(
+        [(9, bytearray(CX.encode_gif(list(frames))), ("image/gif", 8, 5, 6))],
+        "media_id long, payload binary, "
+        "meta struct<mime:string, width:int, height:int, n_frames:int>",
+    )
+    rows = {r.frame_idx: r.feature for r in frame_sample(media, every_n=2, use_real_codecs=True).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    g = frames[2].astype(np.float64) / 255.0
+    assert abs(rows[2][0] - g.mean()) < 1e-12
+    assert abs(rows[2][3] - g.max()) < 1e-12

@@ -148,3 +148,211 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("only 16-bit PCM WAV supported")
         arr = np.frombuffer(f.readframes(n), dtype=np.int16)
     return (arr.reshape(-1, ch) if ch > 1 else arr), rate
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): pure-stdlib LZW — the third real codec next to PNG/WAV,
+# and the only stdlib-expressible MULTI-FRAME format (animation = repeated
+# image descriptors), so the frame-sampling contract can be real too.
+# ---------------------------------------------------------------------------
+
+_GIF_MAX_CODE = 4096  # 12-bit LZW ceiling (GIF spec)
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable-width codes (LSB-first bit packing),
+    clear/EOI codes, table reset at the 12-bit ceiling."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    cur = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    def fresh_table() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    s = b""
+    for byte in data:
+        t = s + bytes([byte])
+        if t in table:
+            s = t
+            continue
+        emit(table[s], width)
+        if next_code < _GIF_MAX_CODE:
+            table[t] = next_code
+            next_code += 1
+            # The decoder adds NO entry for the first code after a clear, so
+            # its table trails this counter by one — bump the code width one
+            # entry later than next_code == 2^width to stay in lockstep.
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: reset both sides
+            emit(clear, width)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        s = bytes([byte])
+    if s:
+        emit(table[s], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_lzw_encode`; also accepts deferred-clear streams
+    (codes after a full table without a reset)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    cur = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # missing EOI: tolerate truncation at end
+            cur |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = cur & ((1 << width) - 1)
+        cur >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code after clear out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"GIF LZW: code {code} beyond table size {len(table)}")
+        out += entry
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+_GIF_GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
+
+
+def encode_gif(frames: np.ndarray | list[np.ndarray]) -> bytes:
+    """(h, w) uint8 grayscale frame — or a list/stack of same-shape frames
+    (animation) — -> GIF89a bytes: one 256-entry grayscale global color
+    table, one LZW-compressed image block per frame, no interlace."""
+    fs = [np.asarray(f, dtype=np.uint8) for f in (
+        frames if isinstance(frames, (list, tuple)) else [frames]
+    )]
+    if not fs or any(f.ndim != 2 for f in fs):
+        raise ValueError("encode_gif expects one or more (h, w) uint8 frames")
+    h, w = fs[0].shape
+    if any(f.shape != (h, w) for f in fs):
+        raise ValueError("all GIF frames must share one shape")
+    out = bytearray(b"GIF89a")
+    # logical screen: global color table flag, 8-bit color res, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += _GIF_GRAY_PALETTE
+    for f in fs:
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+        out.append(8)  # LZW minimum code size
+        comp = _lzw_encode(f.tobytes(), 8)
+        for i in range(0, len(comp), 255):
+            block = comp[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> np.ndarray:
+    """GIF bytes -> uint8 array (n_frames, h, w, 3). Full-frame images on
+    the logical screen (no partial-frame composition), global and per-image
+    local color tables, interlace supported; extensions skipped."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        global_pal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    frames: list[np.ndarray] = []
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        pal = global_pal
+        if ipacked & 0x80:
+            n = 2 ** ((ipacked & 0x07) + 1)
+            pal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without any color table")
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise ValueError("partial-frame GIF composition not supported")
+        min_code = data[pos]
+        pos += 1
+        comp = bytearray()
+        while data[pos]:
+            n = data[pos]
+            comp += data[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        idx = np.frombuffer(_lzw_decode(bytes(comp), min_code), dtype=np.uint8)
+        if len(idx) < w * h:
+            raise ValueError("GIF frame pixel data truncated")
+        idx = idx[: w * h].reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows written in 4 passes
+            order = [*range(0, h, 8), *range(4, h, 8), *range(2, h, 4), *range(1, h, 2)]
+            de = np.empty_like(idx)
+            de[order] = idx[: len(order)]
+            idx = de
+        frames.append(pal[idx])
+    if not frames:
+        raise ValueError("GIF contains no image blocks")
+    return np.stack(frames)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes -> first frame as uint8 (h, w, 3)."""
+    return decode_gif_frames(data)[0]

@@ -2,12 +2,12 @@
 decode / feature-extract / resize / frame-sample as Arrow-batched
 mapInPandas islands.
 
-No third-party codec libraries exist in this environment, but two formats
-need none: PNG is zlib + chunked XML-free structs and WAV is a stdlib
-module — so ``use_real_codecs=True`` REALLY decodes those via
-operators/codecs.py (feature extraction and 2-D resize on true pixels /
-samples). Video has no stdlib codec; its frame decode raises with the
-av/ffmpeg plug point. Default remains the deterministic fake decode
+No third-party codec libraries exist in this environment, but three formats
+need none: PNG is zlib + chunked structs, WAV is a stdlib module, and GIF
+is a self-contained LZW — so ``use_real_codecs=True`` REALLY decodes those
+via operators/codecs.py (feature extraction and 2-D resize on true pixels /
+samples, and REAL multi-frame sampling for animated GIF). Video has no
+stdlib codec; its frame decode raises with the av/ffmpeg plug point. Default remains the deterministic fake decode
 (seeded from the payload bytes) with the identical Spark plumbing: binary
 column + metadata struct schema, Arrow batch shape, partition-preserving
 mapInPandas, fixed feature dimension — the oracle-checkable registry path.
@@ -80,8 +80,10 @@ def _real_decode(payload: bytes, mime: str, dim: int = FEATURE_DIM) -> np.ndarra
     plug point stays gated on av/ffmpeg."""
     from . import codecs as CX
 
-    if mime == "image/png":
-        img = CX.decode_png(payload).astype(np.float64) / 255.0
+    if mime in ("image/png", "image/gif"):
+        img = (
+            CX.decode_png(payload) if mime == "image/png" else CX.decode_gif(payload)
+        ).astype(np.float64) / 255.0
         h, w, ch = img.shape
         means = np.pad(img.mean(axis=(0, 1)), (0, 3 - ch if ch < 3 else 0), mode="edge")[:3]
         stds = np.pad(img.std(axis=(0, 1)), (0, 3 - ch if ch < 3 else 0), mode="edge")[:3]
@@ -210,12 +212,14 @@ def resize(media: DataFrame, out_w: int = 32, out_h: int = 32, use_real_codecs: 
 
 
 def frame_sample(media: DataFrame, every_n: int = 4, use_real_codecs: bool = False) -> DataFrame:
-    """Frame sampling for 'video' payloads: emit every n-th frame's feature.
-    Frames here are byte-stride slices of the payload (stub); the row-explosion
-    shape (media → frames long table) is the real contract."""
-    if use_real_codecs:
-        raise NotImplementedError("real frame decode requires av/ffmpeg — not installed")
+    """Frame sampling for multi-frame payloads: emit every n-th frame's
+    feature as one row (the media → frames row explosion is the contract).
 
+    ``use_real_codecs=True`` REALLY decodes animated GIF payloads (the one
+    multi-frame format with a pure-stdlib codec — operators/codecs.py LZW)
+    and emits per-frame grayscale statistics; other mimes raise (video
+    frame decode still requires av/ffmpeg). Default: byte-stride stub
+    frames with the identical Spark plumbing."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -224,6 +228,36 @@ def frame_sample(media: DataFrame, every_n: int = 4, use_real_codecs: bool = Fal
         ]
     )
 
+    def _real_frame_rows(mid: int, payload: bytes, mime: str) -> list[tuple]:
+        from . import codecs as CX
+
+        if mime != "image/gif":
+            raise NotImplementedError(
+                f"no stdlib multi-frame codec for mime {mime!r} (video requires av/ffmpeg)"
+            )
+        frames = CX.decode_gif_frames(payload).astype(np.float64) / 255.0
+        n, h, w, _ = frames.shape
+        rows = []
+        for fi in range(0, n, every_n):
+            g = frames[fi].mean(axis=2)  # grayscale plane
+            rows.append(
+                (
+                    mid,
+                    fi,
+                    [
+                        float(g.mean()),
+                        float(g.std()),
+                        float(g.min()),
+                        float(g.max()),
+                        h / 1000.0,
+                        w / 1000.0,
+                        fi / 1000.0,
+                        n / 1000.0,
+                    ],
+                )
+            )
+        return rows
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
@@ -231,14 +265,25 @@ def frame_sample(media: DataFrame, every_n: int = 4, use_real_codecs: bool = Fal
             out: list[tuple] = []
             # column zip, not iterrows — the per-frame codec call is the only
             # unavoidable per-payload Python here (it IS the decode kernel)
-            for mid, payload, n_frames in zip(
-                pdf["media_id"].to_numpy(), pdf["payload"], pdf["n_frames"].to_numpy()
-            ):
-                payload = bytes(payload)
-                for fi in range(0, int(n_frames), every_n):
-                    chunk = payload[fi::n_frames] or b"\0"
-                    out.append((mid, fi, _fake_decode(chunk).tolist()))
+            if use_real_codecs:
+                for mid, payload, mime in zip(
+                    pdf["media_id"].to_numpy(), pdf["payload"], pdf["mime"]
+                ):
+                    out.extend(_real_frame_rows(int(mid), bytes(payload), mime))
+            else:
+                for mid, payload, n_frames in zip(
+                    pdf["media_id"].to_numpy(), pdf["payload"], pdf["n_frames"].to_numpy()
+                ):
+                    payload = bytes(payload)
+                    for fi in range(0, int(n_frames), every_n):
+                        chunk = payload[fi::n_frames] or b"\0"
+                        out.append((mid, fi, _fake_decode(chunk).tolist()))
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "feature"])
 
-    flat = media.select("media_id", "payload", F.col("meta.n_frames").alias("n_frames"))
+    extra = (
+        [F.col("meta.mime").alias("mime")]
+        if use_real_codecs
+        else [F.col("meta.n_frames").alias("n_frames")]
+    )
+    flat = media.select("media_id", "payload", *extra)
     return flat.mapInPandas(gen, schema=schema)

@@ -435,6 +435,192 @@ def mm_wav_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_gray(text: str):
+    """Deterministic doc→grayscale spec shared by the engine island and the
+    oracle mirror: UTF-8 bytes, truncated to 48 rows of width 24, zero-padded
+    to whole rows, reshaped (h, 24) uint8."""
+    import numpy as np
+
+    b = text.encode("utf-8")[: 48 * 24]
+    b = b + b"\0" * ((-len(b)) % 24)
+    if not b:
+        b = b"\0" * 24
+    return np.frombuffer(b, dtype=np.uint8).reshape(len(b) // 24, 24)
+
+
+def _mm_gif_oracle() -> str:
+    """Mirror that never touches GIF: builds the same grayscale array
+    directly and computes the same channel statistics (the three decoded RGB
+    channels are identical under the grayscale palette) — the engine's
+    encode→decode round trip through the pure-stdlib LZW codec is on trial."""
+    import numpy as np
+
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        g = _doc_gray(r.text).astype(np.float64) / 255.0
+        h, w = g.shape
+        m, s = float(g.mean()), float(g.std())
+        f = [m, m, m, s, s, s, h / 1000.0, w / 1000.0]
+        rows.append(
+            f"({int(r.doc_id)}::BIGINT,"
+            + ",".join(f"{qround_py(float(x), 9)!r}::DOUBLE" for x in f)
+            + ")"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, f0, f1, f2, f3, f4, f5, f6, f7)"
+    )
+
+
+@register(
+    "mm_gif_real_features",
+    oracle=lambda: _mm_gif_oracle(),
+    tags=("MM-decode", "MM-codec"),
+    doc="REAL GIF codec path, driver-verified (the LZW sibling of "
+    "mm_png_real_features): per doc, build a deterministic grayscale grid "
+    "from the text bytes, encode it to GIF89a in one Arrow island "
+    "(pure-stdlib variable-width LZW, operators/codecs.py), decode it back "
+    "through the real-codec feature island, and emit the channel "
+    "statistics. The oracle constructs the same array WITHOUT any GIF — a "
+    "defect anywhere in the LZW round trip hash-mismatches.",
+)
+def mm_gif_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        from ..operators import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                g = _doc_gray(text)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "payload": bytearray(CX.encode_gif(g)),
+                        "meta": {
+                            "mime": "image/gif",
+                            "width": 24,
+                            "height": int(g.shape[0]),
+                            "n_frames": 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, schema=MM.MEDIA_SCHEMA)
+    feats = MM.extract_features(media, use_real_codecs=True)
+    return feats.select(
+        "media_id",
+        *[qround(F.col("feature")[i], 9).alias(f"f{i}") for i in range(8)],
+    )
+
+
+_GIF_N_FRAMES = 4
+_GIF_FRAME_H, _GIF_FRAME_W = 6, 16
+
+
+def _doc_gif_frames(text: str):
+    """Deterministic doc→animation spec shared by the engine island and the
+    oracle mirror: UTF-8 bytes, zero-padded to 4 frames of 6×16 uint8."""
+    import numpy as np
+
+    n_bytes = _GIF_N_FRAMES * _GIF_FRAME_H * _GIF_FRAME_W
+    b = text.encode("utf-8")[:n_bytes]
+    b = b + b"\0" * (n_bytes - len(b))
+    return np.frombuffer(b, dtype=np.uint8).reshape(
+        _GIF_N_FRAMES, _GIF_FRAME_H, _GIF_FRAME_W
+    )
+
+
+def _mm_gif_frames_oracle() -> str:
+    """Mirror for the animated-GIF frame sampler: the same frame planes
+    rebuilt without any GIF, every-2nd-frame statistics."""
+    import numpy as np
+
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        frames = _doc_gif_frames(r.text).astype(np.float64) / 255.0
+        for fi in range(0, _GIF_N_FRAMES, 2):
+            g = frames[fi]
+            f = [
+                float(g.mean()),
+                float(g.std()),
+                float(g.min()),
+                float(g.max()),
+                _GIF_FRAME_H / 1000.0,
+                _GIF_FRAME_W / 1000.0,
+                fi / 1000.0,
+                _GIF_N_FRAMES / 1000.0,
+            ]
+            rows.append(
+                f"({int(r.doc_id)}::BIGINT,{fi}::INTEGER,"
+                + ",".join(f"{qround_py(float(x), 9)!r}::DOUBLE" for x in f)
+                + ")"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, frame_idx, f0, f1, f2, f3, f4, f5, f6, f7)"
+    )
+
+
+@register(
+    "mm_gif_frame_sample",
+    oracle=lambda: _mm_gif_frames_oracle(),
+    tags=("MM-decode", "MM-codec", "MM-video"),
+    doc="REAL multi-frame decode, driver-verified: per doc, build a "
+    "deterministic 4-frame 6×16 animation, encode it as one animated GIF89a "
+    "(repeated image blocks, shared LZW table resets), then frame-sample "
+    "every 2nd frame through the real-codec island — the media→frames row "
+    "explosion with an actual container decode, as close to the video "
+    "contract as a no-ffmpeg environment permits. Oracle rebuilds the frame "
+    "planes without any GIF.",
+)
+def mm_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        from ..operators import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = _doc_gif_frames(text)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "payload": bytearray(CX.encode_gif(list(frames))),
+                        "meta": {
+                            "mime": "image/gif",
+                            "width": _GIF_FRAME_W,
+                            "height": _GIF_FRAME_H,
+                            "n_frames": _GIF_N_FRAMES,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, schema=MM.MEDIA_SCHEMA)
+    sampled = MM.frame_sample(media, every_n=2, use_real_codecs=True)
+    return sampled.select(
+        "media_id",
+        "frame_idx",
+        *[qround(F.col("feature")[i], 9).alias(f"f{i}") for i in range(8)],
+    )
+
+
 @register(
     "stream_join_attrib",
     oracle="""
