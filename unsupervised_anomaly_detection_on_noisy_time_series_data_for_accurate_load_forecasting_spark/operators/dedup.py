@@ -396,18 +396,21 @@ def pagerank_fixed_point(
     partitioning and bit-reproducible in the SQL oracle's unrolled
     iteration CTEs.
 
-    Scale shape per round: one hash join ranks⋈edges on the source key,
-    one map-side-combinable groupBy(dst) sum, and one left join of the sums
-    back onto the FULL node set (src ∪ dst) with missing sums coalesced to
-    0 — so source-only nodes (out-edges but no in-edges) keep rank = base
-    and never drop out of the rank vector (they would silently disappear
-    after round 1 in a rebuild-from-sums formulation). The degree-annotated
-    edge list and node set are localCheckpointed once up front, and the
-    rank vector re-checkpoints every ``checkpoint_every`` rounds — the same
-    lineage-truncation discipline as :func:`connected_components`, keeping
-    the per-round plan size flat however many iterations run. Dangling
-    nodes (in-edges but no out-edges) keep their rank but their mass is not
-    redistributed (the standard dangling correction is out of scope).
+    Scale shape per round: one hash join ranks⋈edges on the source key and
+    one map-side-combinable groupBy(dst) sum. Source-only nodes (out-edges
+    but no in-edges) must keep rank = base rather than silently dropping
+    out of the rank vector after round 1 (the trap of a rebuild-from-sums
+    formulation) — and because their update sum is 0 EVERY round, their
+    rank is the constant base: they are computed ONCE up front as the
+    anti-join nodes ∖ dst and unioned into each round's rank vector, which
+    costs nothing per round instead of a per-round left join against the
+    full node set. The degree-annotated edge list and the constant rows are
+    localCheckpointed once, and the rank vector re-checkpoints every
+    ``checkpoint_every`` rounds — the same lineage-truncation discipline as
+    :func:`connected_components`, keeping the per-round plan size flat
+    however many iterations run. Dangling nodes (in-edges but no out-edges)
+    keep their rank but their mass is not redistributed (the standard
+    dangling correction is out of scope).
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
     e = edges.join(deg, src).localCheckpoint(eager=True)
@@ -420,19 +423,24 @@ def pagerank_fixed_point(
     n_nodes = nodes.count()
     init = (10**9) // n_nodes
     base = (15 * 10**7) // n_nodes
+    # nodes that no edge points at: rank is base + 0.85·0 = base, forever
+    no_in = (
+        nodes.join(
+            edges.select(F.col(dst).alias("node")).distinct(), "node", "left_anti"
+        )
+        .select("node", F.lit(base).cast("bigint").alias("r"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select("node", F.lit(init).cast("bigint").alias("r"))
     for i in range(iters):
         contrib = e.join(ranks, F.col(src) == F.col("node")).select(
             F.col(dst).alias("node_to"), F.expr("r div deg").alias("c")
         )
         s = contrib.groupBy("node_to").agg(F.sum("c").alias("S"))
-        ranks = nodes.join(s, nodes["node"] == s["node_to"], "left").select(
-            "node",
-            (
-                F.lit(base).cast("bigint")
-                + F.expr("(85 * coalesce(S, CAST(0 AS BIGINT))) div 100")
-            ).alias("r"),
-        )
+        ranks = s.select(
+            F.col("node_to").alias("node"),
+            (F.lit(base).cast("bigint") + F.expr("(85 * S) div 100")).alias("r"),
+        ).unionByName(no_in)
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(

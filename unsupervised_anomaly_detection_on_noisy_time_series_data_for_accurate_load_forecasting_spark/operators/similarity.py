@@ -591,3 +591,64 @@ def kmeans_mirror(ids, X, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
                 best = (d2, cell)
         result[int(ids[ridx])] = (best[1], best[0] / 1e6)
     return cents, result
+
+
+SEMDEDUP_TAU = 0.30  # within-cluster cosine above which the higher id drops
+
+
+def semantic_dedup(
+    df: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster-then-pairwise): k-means
+    partitions the embedding space, exact cosine runs ONLY inside each
+    cluster, and of every near-duplicate pair the higher vec_id drops (the
+    same star-collapse convention as the LSH embedding dedup) — the
+    cluster-blocked analog of banded LSH for semantic (non-lexical)
+    duplicates, per the SemDeDup recipe of clustering first so the
+    quadratic verify never crosses cluster boundaries.
+
+    Scale shape: assignment is :func:`kmeans_lloyd` (map-side argmin over
+    broadcast-literal centroids, k·dim driver traffic per round), the pair
+    join shuffles on the cluster key so candidates are bounded by the
+    largest cluster (pick k ~ sqrt(n) to balance — the knob the paper
+    tunes), and the fast-double/exact-decimal two-step decides the cosine
+    boundary bit-stably. Zero-norm vectors have no cosine: they are kept
+    and never pair.
+
+    Output: per-cluster dedup accounting (cluster, n_vecs, n_kept,
+    n_dropped).
+    """
+    assigned = kmeans_lloyd(df, k=k, iters=iters).select("vec_id", "cluster")
+    v_all = df.select("vec_id", "embedding").join(assigned, "vec_id")
+    v = v_all.withColumn("sq", dnorm_sq()).filter(F.col("sq") > 0)
+    a = v.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("e1"),
+        F.col("sq").alias("sq1"),
+    )
+    b = v.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("e2"),
+        F.col("sq").alias("sq2"),
+    )
+    cands = a.join(b, "cluster").filter(F.col("d1") < F.col("d2"))
+    fast = cands.filter(
+        F.expr(fdot_expr("e1", "e2")) / F.sqrt(F.col("sq1") * F.col("sq2"))
+        >= F.lit(tau - MARGIN)
+    )
+    near = fast.filter(
+        F.expr(ddot_expr("e1", "e2")) / F.sqrt(F.col("sq1") * F.col("sq2"))
+        >= F.lit(tau)
+    )
+    dropped = near.select(F.col("d2").alias("vec_id")).distinct()
+    flagged = v_all.join(dropped.withColumn("_dup", F.lit(1)), "vec_id", "left")
+    return flagged.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+    )

@@ -359,12 +359,12 @@ def s_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.sq8_topk(_emb(spark, sf_dir), n_queries=100, k=5)
 
 
-def _kmeans_oracle() -> str:
-    """The Lloyd iterations are replayed by an independent numpy mirror
+def _cents_values_sql() -> str:
+    """VALUES literal of the FINAL mirror-trained centroids: the Lloyd
+    iterations are replayed by an independent numpy mirror
     (operators/similarity.kmeans_mirror — exact integer micro-unit
-    arithmetic, so no float reduction order can diverge); only the FINAL
-    centroids enter the SQL as literals, and DuckDB itself recomputes every
-    row's integer-quantized argmin assignment from them."""
+    arithmetic, so no float reduction order can diverge); DuckDB itself
+    recomputes every row's integer-quantized argmin assignment from them."""
     import os
 
     import duckdb as _dd
@@ -381,10 +381,14 @@ def _kmeans_oracle() -> str:
     ids = [r[0] for r in rows]
     X = [r[1] for r in rows]
     cents, _ = kmeans_mirror(ids, X, k=KMEANS_K, iters=KMEANS_ITERS)
-    vals = ", ".join(
+    return ", ".join(
         f"({cell}, [" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + "])"
         for cell, vec in cents
     )
+
+
+def _kmeans_oracle() -> str:
+    vals = _cents_values_sql()
     return f"""
     WITH cents(cell, c) AS (VALUES {vals}),
     d AS (
@@ -419,6 +423,71 @@ def _kmeans_oracle() -> str:
 )
 def s_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_lloyd(_emb(spark, sf_dir))
+
+
+def _semantic_dedup_oracle() -> str:
+    from ..operators.similarity import SEMDEDUP_TAU
+
+    vals = _cents_values_sql()
+    return f"""
+    WITH cents(cell, c) AS (VALUES {vals}),
+    d AS (
+      SELECT vec_id, cell,
+             list_sum(list_transform(range(1, len(embedding) + 1),
+               i -> CAST(floor((CAST(embedding[i] AS DOUBLE) - c[i])
+                               * (CAST(embedding[i] AS DOUBLE) - c[i])
+                               * 1000000.0 + 0.5) AS BIGINT))) AS d2i
+      FROM embeddings CROSS JOIN cents
+    ),
+    best AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2i, cell) AS rn
+      FROM d
+    ),
+    asg AS (SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM best WHERE rn = 1),
+    {_LONG},
+    nm2 AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM long GROUP BY 1),
+    prs AS (
+      SELECT g.vec_id AS d1, h.vec_id AS d2
+      FROM asg g JOIN asg h ON g.cluster = h.cluster AND g.vec_id < h.vec_id
+      JOIN nm2 n1 ON g.vec_id = n1.vec_id AND n1.sq > 0
+      JOIN nm2 n2 ON h.vec_id = n2.vec_id AND n2.sq > 0
+    ),
+    dots AS (
+      SELECT p.d1, p.d2, {dsum_sql('la.x * lb.x')} AS dot
+      FROM prs p JOIN long la ON la.vec_id = p.d1
+                 JOIN long lb ON lb.vec_id = p.d2 AND lb.i = la.i
+      GROUP BY 1, 2
+    ),
+    drp AS (
+      SELECT DISTINCT t.d2 AS vec_id
+      FROM dots t JOIN nm2 n1 ON t.d1 = n1.vec_id JOIN nm2 n2 ON t.d2 = n2.vec_id
+      WHERE t.dot / sqrt(n1.sq * n2.sq) >= {SEMDEDUP_TAU}
+    )
+    SELECT a.cluster, count(*) AS n_vecs,
+           CAST(sum(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN dr.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM asg a LEFT JOIN drp dr ON a.vec_id = dr.vec_id
+    GROUP BY 1
+    """
+
+
+@register(
+    "d_semantic_dedup",
+    oracle=_semantic_dedup_oracle,
+    tags=("DEDUP-embedding", "SIM-kmeans", "J5", "O4"),
+    doc="SemDeDup-style semantic deduplication: k-means clusters block the "
+    "candidate space (exact cosine runs only WITHIN a cluster — the "
+    "cluster-blocked analog of banded LSH, per the SemDeDup recipe), then "
+    "of each near-duplicate pair the higher vec_id drops (star collapse). "
+    "Assignment is a map-side argmin over broadcast-literal centroids; the "
+    "pair join shuffles on the cluster key so the quadratic is bounded by "
+    "the largest cluster (k ~ sqrt(n) balances it). Oracle replays the "
+    "integer-exact mirror centroids and recomputes assignment, pairing, "
+    "and the decimal-exact cosine boundary itself.",
+)
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.semantic_dedup(_emb(spark, sf_dir))
 
 
 @register(

@@ -315,7 +315,14 @@ def _mm_png_oracle() -> str:
 def mm_png_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The encode/decode islands are pure-Python CPU work: spread the docs
+    # over every core up front (the small-SF parquet is a single split; at
+    # real scale the scan is already wide and AQE coalesces the exchange).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches):
         from ..operators import codecs as CX
@@ -402,7 +409,14 @@ def _mm_wav_oracle() -> str:
 def mm_wav_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The encode/decode islands are pure-Python CPU work: spread the docs
+    # over every core up front (the small-SF parquet is a single split; at
+    # real scale the scan is already wide and AQE coalesces the exchange).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches):
         from ..operators import codecs as CX
@@ -489,7 +503,14 @@ def _mm_gif_oracle() -> str:
 def mm_gif_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The encode/decode islands are pure-Python CPU work: spread the docs
+    # over every core up front (the small-SF parquet is a single split; at
+    # real scale the scan is already wide and AQE coalesces the exchange).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches):
         from ..operators import codecs as CX
@@ -587,7 +608,14 @@ def _mm_gif_frames_oracle() -> str:
 def mm_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The encode/decode islands are pure-Python CPU work: spread the docs
+    # over every core up front (the small-SF parquet is a single split; at
+    # real scale the scan is already wide and AQE coalesces the exchange).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches):
         from ..operators import codecs as CX
