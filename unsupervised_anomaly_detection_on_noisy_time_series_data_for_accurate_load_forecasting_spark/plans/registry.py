@@ -37,17 +37,38 @@ REGISTRY: dict[str, QuerySpec] = {}
 # queries most in need of fresh driver evidence (never-checked, changed this
 # round) ahead of queries already driver-green in prior rounds. Names absent
 # from the list follow in registration order.
+#
+# The ordering is computed LAZILY on the first queries()/oracle_sql() call,
+# not at package import: deriving it runs git diffs plus a taint fixpoint
+# (~3 s), and the plans package is imported by every forked Python worker
+# whose mapInPandas closure references a plans-module helper — an import-
+# time computation would bill those 3 s to whichever codec/ML island the
+# worker first serves. Workers never call queries(), so they never pay it.
 PRIORITY: list[str] = []
+_PRIORITY_DERIVED = False
 
 
 def set_priority(names: list[str]) -> None:
+    global _PRIORITY_DERIVED
     unknown = [n for n in names if n not in REGISTRY]
     if unknown:
         raise ValueError(f"priority names not registered: {unknown}")
     PRIORITY[:] = names
+    _PRIORITY_DERIVED = True
+
+
+def _ensure_priority() -> None:
+    global _PRIORITY_DERIVED
+    if _PRIORITY_DERIVED:
+        return
+    _PRIORITY_DERIVED = True  # set first: a failure degrades to registration order
+    from .priority import auto_priority
+
+    PRIORITY[:] = auto_priority(list(REGISTRY))
 
 
 def _ordered() -> list[QuerySpec]:
+    _ensure_priority()
     prioritized = [REGISTRY[n] for n in PRIORITY]
     rest = [s for n, s in REGISTRY.items() if n not in set(PRIORITY)]
     return prioritized + rest
