@@ -95,3 +95,73 @@ def test_triangle_counts_known_graph(spark):
     )
     got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_pagerank_source_only_nodes_keep_base_rank(spark):
+    # a -> b -> c: node 'a' has out-edges but no in-edges; it must keep
+    # rank = base every round, not vanish from the rank vector
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    got = {r["node"]: r["rank_q"] for r in pagerank_fixed_point(edges, iters=3).collect()}
+    assert set(got) == {"a", "b", "c"}
+    base = (15 * 10**7) // 3
+    assert got["a"] == base  # source-only: never receives mass
+    assert got["b"] > base and got["c"] > base
+
+
+def test_rolling_char_kgram_matches_direct_fold(spark):
+    # the rolling-hash window algebra must equal a direct per-substring
+    # polynomial fold at every position, across lengths and k values
+    import random
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.functions.rng import M
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        char_kgram_hashes,
+    )
+
+    rng = random.Random(13)
+    texts = [
+        "".join(chr(rng.randrange(32, 127)) for _ in range(n)) for n in (5, 17, 64, 301)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for k in (3, 8, 32):
+        got = {
+            (r["doc_id"], r["pos"]): r["h"]
+            for r in char_kgram_hashes(df, k=k).collect()
+        }
+        want = {}
+        for did, t in enumerate(texts):
+            for i in range(len(t) - k + 1):
+                h = 0
+                for ch in t[i : i + k]:
+                    h = (h * 31 + ord(ch)) % M
+                want[(did, i + 1)] = h
+        assert got == want, f"k={k}"
+
+
+def test_duplicate_spans_known_overlap(spark):
+    # doc 1 and doc 2 share one verbatim 40-char span; doc 3 is unrelated
+    shared = "The quick brown fox jumps over the lazy".ljust(40, "!")
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " tail A"),
+            (2, "another beginning then " + shared + " end B"),
+            (3, "completely different text with no forty char overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    rows = duplicate_spans(df, k=32).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["d1"], r["d2"]) == (1, 2)
+    # the MAXIMAL span includes the space on each side of the planted text
+    # (" one_" vs "then_" and "_tail" vs "_end" share the flanking blanks):
+    # 42 chars -> 42-32+1 = 11 consecutive k-grams, one island
+    assert r["n_spans"] == 1 and r["n_kgrams"] == 11 and r["max_span_chars"] == 42

@@ -522,3 +522,134 @@ def triangle_counts(
         F.explode(F.array(F.col("src"), F.col("d1"), F.col("d2"))).alias("node")
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+DUP_SPAN_K = 32  # char window: long enough that matches are real reuse
+
+
+def char_kgram_hashes(
+    df: DataFrame,
+    k: int = DUP_SPAN_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int | None = None,
+) -> DataFrame:
+    """(id, pos, h): polynomial hash of every length-``k`` character window,
+    1-based positions — computed as a ROLLING hash in O(len) per document,
+    not O(len·k) substring refolds.
+
+    The window algebra: with P_i the classic char fold (P_i = 31·P_{i-1} +
+    c_i mod M), the window hash is H(i) = P_{i+k-1} − 31^k·P_{i-1}. Writing
+    scaled_j = c_j·31^{−j} and S_i = Σ_{j≤i} scaled_j (all mod the prime M,
+    31^{−1} by Fermat), H(i) = 31^{i+k-1}·(S_{i+k-1} − S_{i-1}) — so ONE
+    Generate (char explode), one broadcast join against a tiny powers dim,
+    one per-doc window (running sum + lead(k−1)) and a final multiply
+    produce every window hash. No per-position substring materializes.
+
+    ``max_len``: positions beyond it are ignored (the powers dim is that
+    long). Defaults to the corpus max length via one driver agg — pass it
+    explicitly at real scale to skip that scan. Intermediate products stay
+    under 2^62 < int64.
+    """
+    if max_len is None:
+        max_len = (
+            df.agg(F.max(F.length(text_col)).alias("m")).collect()[0]["m"] or 1
+        )
+    spark = df.sparkSession
+    inv31 = pow(31, M - 2, M)
+    rows, p, ip = [], 1, 1
+    for i in range(max_len + 1):
+        rows.append((i, p, ip))
+        p = (p * 31) % M
+        ip = (ip * inv31) % M
+    powers = spark.createDataFrame(rows, "i int, p31 long, ip31 long")
+    codes = F.expr(
+        f"transform(sequence(1, least(length({text_col}), {max_len})), "
+        f"j -> ascii(substring({text_col}, j, 1)))"
+    )
+    chars = df.select(
+        F.col(id_col), F.posexplode(codes).alias("pos0", "c")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "c")
+    scaled = chars.join(
+        F.broadcast(powers.withColumnRenamed("i", "pos")), "pos"
+    ).select(id_col, "pos", F.pmod(F.col("c") * F.col("ip31"), F.lit(M)).alias("sc"))
+    w = W.partitionBy(id_col).orderBy("pos")
+    pre = scaled.select(
+        id_col,
+        "pos",
+        F.sum("sc").over(w).alias("s_incl"),
+        F.col("sc"),
+    ).select(
+        id_col,
+        "pos",
+        F.pmod(F.col("s_incl"), F.lit(M)).alias("s_i"),
+        F.pmod(F.col("s_incl") - F.col("sc"), F.lit(M)).alias("s_prev"),
+    )
+    win = pre.select(
+        id_col,
+        "pos",
+        F.lead("s_i", k - 1).over(w).alias("s_end"),
+        "s_prev",
+    ).filter(F.col("s_end").isNotNull())
+    mult = powers.select((F.col("i") - k + 1).alias("pos"), F.col("p31").alias("mul"))
+    return win.join(F.broadcast(mult), "pos").select(
+        F.col(id_col),
+        F.col("pos"),
+        F.pmod(
+            F.pmod(F.col("s_end") - F.col("s_prev"), F.lit(M)) * F.col("mul"), F.lit(M)
+        ).alias("h"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = DUP_SPAN_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style cross-document duplicate span detection: find every
+    maximal run of characters (length ≥ k) shared verbatim between two
+    documents — the char-level dedup signal (Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better" suffix-array method,
+    re-expressed as Spark-native window algebra): boilerplate, licenses,
+    and templated spans that token-set Jaccard dilutes.
+
+    Shape: rolling k-gram hashes (O(len)/doc), one equi-join on the hash
+    (candidates = true matches + rare collisions), substring equality kills
+    collisions (texts fetched semi-pruned for candidate docs only), then a
+    shared span of length L appears as L−k+1 consecutive matches at one
+    positional delta — gaps-and-islands (pos − row_number) collapses each
+    to one row. Never an all-pairs doc join; candidate volume is bounded by
+    actual repetition (cap ultra-hot k-grams upstream if boilerplate
+    dominates a real corpus).
+
+    Output: (d1, d2, n_kgrams, n_spans, max_span_chars) per document pair.
+    """
+    g = char_kgram_hashes(df, k=k, text_col=text_col, id_col=id_col)
+    a = g.select(F.col(id_col).alias("d1"), F.col("pos").alias("p1"), "h")
+    b = g.select(F.col(id_col).alias("d2"), F.col("pos").alias("p2"), "h")
+    cand = a.join(b, "h").filter(F.col("d1") < F.col("d2"))
+    ids = cand.select(F.col("d1").alias(id_col)).union(cand.select("d2")).distinct()
+    texts = df.join(F.broadcast(ids), id_col, "left_semi").select(id_col, text_col)
+    t1 = texts.select(F.col(id_col).alias("d1"), F.col(text_col).alias("_t1"))
+    t2 = texts.select(F.col(id_col).alias("d2"), F.col(text_col).alias("_t2"))
+    verified = (
+        cand.join(F.broadcast(t1), "d1")
+        .join(F.broadcast(t2), "d2")
+        .filter(
+            F.expr(f"substring(_t1, p1, {k})") == F.expr(f"substring(_t2, p2, {k})")
+        )
+        .select("d1", "d2", "p1", "p2")
+    )
+    iw = W.partitionBy("d1", "d2", "delta").orderBy("p1")
+    islands = verified.withColumn("delta", F.col("p2") - F.col("p1")).withColumn(
+        "isl", F.col("p1") - F.row_number().over(iw)
+    )
+    spans = islands.groupBy("d1", "d2", "delta", "isl").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+    return spans.groupBy("d1", "d2").agg(
+        F.sum("n_matches").cast("bigint").alias("n_kgrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        (F.max("n_matches") + F.lit(k) - 1).cast("bigint").alias("max_span_chars"),
+    )

@@ -588,3 +588,48 @@ def pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = q.join(clean_ids, "doc_id", "left_semi")
     kept = DD.exact_dedup(clean).select("doc_id", "text")
     return CO.pack_documents(kept, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+_DUP_K = 32
+
+
+@register(
+    "d_dup_spans",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, i AS pos, substr(text, i, {_DUP_K}) AS s
+      FROM documents, LATERAL (SELECT unnest(range(1, length(text) - {_DUP_K} + 2)) AS i)
+    ),
+    cand AS (
+      SELECT a.doc_id AS d1, a.pos AS p1, b.doc_id AS d2, b.pos AS p2
+      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT d1, d2, p2 - p1 AS delta, p1,
+             p1 - row_number() OVER (PARTITION BY d1, d2, p2 - p1 ORDER BY p1) AS isl_id
+      FROM cand
+    ),
+    spans AS (
+      SELECT d1, d2, delta, isl_id, count(*) AS n_matches
+      FROM isl GROUP BY 1, 2, 3, 4
+    )
+    SELECT d1, d2,
+           CAST(sum(n_matches) AS BIGINT) AS n_kgrams,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(n_matches) + {_DUP_K} - 1 AS BIGINT) AS max_span_chars
+    FROM spans GROUP BY 1, 2
+    """,
+    tags=("DEDUP-exactsubstr", "DEDUP-ngram", "J5", "W5"),
+    doc="ExactSubstr-style cross-doc duplicate spans (the char-level dedup "
+    "of Lee et al.'s suffix-array method as Spark window algebra): rolling "
+    "k-gram hashes in O(len)/doc (prefix-sum + lead over a powers dim — no "
+    "per-position substring), one hash equi-join for candidates, substring "
+    "equality kills collisions, and gaps-and-islands collapses consecutive "
+    "matches at one delta into maximal shared spans. The oracle matches "
+    "SUBSTRINGS directly — it never sees the rolling hash, so any hash "
+    "algebra defect shows up as a driver mismatch.",
+)
+def d_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+
+    return DD.duplicate_spans(_docs(spark, sf_dir), k=_DUP_K)
