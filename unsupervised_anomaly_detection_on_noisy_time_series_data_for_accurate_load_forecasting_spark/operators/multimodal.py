@@ -171,9 +171,13 @@ def resize(media: DataFrame, out_w: int = 32, out_h: int = 32, use_real_codecs: 
     def _grid_real(payload: bytes, mime: str) -> list[float]:
         from . import codecs as CX
 
-        if mime != "image/png":
+        if mime == "image/png":
+            img = CX.decode_png(payload)
+        elif mime == "image/gif":
+            img = CX.decode_gif(payload)
+        else:
             raise NotImplementedError(f"no stdlib image codec for mime {mime!r}")
-        img = CX.decode_png(payload).astype(np.float64) / 255.0
+        img = img.astype(np.float64) / 255.0
         h, w = img.shape[:2]
         ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
         xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)

@@ -652,3 +652,106 @@ def semantic_dedup(
         F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
     )
+
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (PQ_M * PQ_SUBDIM = embedding dim)
+PQ_K = 16  # codes per subspace codebook
+PQ_TRAIN_CAP = 4096  # deterministic codebook training sample (lowest vec_ids)
+PQ_ITERS = 3
+
+
+def pq_codebooks(ids, X) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace PQ codebooks via the integer-exact k-means mirror
+    (deterministic: init = lowest-id subvectors, fixed iterations). Shared
+    by the engine (driver-side training on a capped sample) and the oracle
+    (identical call → identical literals)."""
+    import numpy as np
+
+    Xd = np.asarray(X, dtype=np.float64)
+    books = []
+    for j in range(PQ_M):
+        sub = Xd[:, j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
+        cents, _ = kmeans_mirror(ids, [list(r) for r in sub], k=PQ_K, iters=PQ_ITERS)
+        books.append(cents)
+    return books
+
+
+def _pq_lut_rows(q_ids, Q, books) -> list[tuple[int, int, int, int]]:
+    """(qid, sub, code, pd2i): integer-quantized partial squared distance of
+    every query subvector to every codebook centroid — the ADC lookup table.
+    Quantization matches d2i_expr exactly (floor(d²·1e6 + 0.5) per dim)."""
+    import numpy as np
+
+    rows = []
+    for qid, q in zip(q_ids, Q):
+        qd = np.asarray(q, dtype=np.float64)
+        for j, cents in enumerate(books):
+            sub = qd[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
+            for code, c in cents:
+                d = sub - np.asarray(c, dtype=np.float64)
+                pd2i = int(np.floor(d * d * 1e6 + 0.5).astype(np.int64).sum())
+                rows.append((int(qid), j, int(code), pd2i))
+    return rows
+
+
+def pq_topk(df: DataFrame, n_queries: int = 100, k: int = 5) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC) — the
+    memory-bandwidth scale mode of the ANN family: each 64-float vector
+    compresses to PQ_M 4-bit-ish codes, and a query scans codes against a
+    tiny lookup table instead of touching floats.
+
+    Scale shape: codebooks train DRIVER-SIDE on a deterministic capped
+    sample (lowest ``PQ_TRAIN_CAP`` ids — the standard PQ practice of
+    sampling the train set; cap and determinism make the oracle replayable);
+    encoding is a pure map stage (per-subspace argmin over codebook
+    LITERALS, integer-quantized distances — no join, no shuffle); the ADC
+    scan is one broadcast join of the (n_queries·PQ_M·PQ_K)-row LUT onto
+    the exploded (vec_id, sub, code) table plus one combinable sum — every
+    arithmetic step integer-exact, so Spark and DuckDB agree bit-for-bit.
+
+    Output: (qid, nid, d2_pq, rk) — top-k smallest approximate distances.
+    """
+    spark = df.sparkSession
+    sample = (
+        df.orderBy("vec_id").limit(PQ_TRAIN_CAP).select("vec_id", "embedding").collect()
+    )
+    ids = [r["vec_id"] for r in sample]
+    X = [list(r["embedding"]) for r in sample]
+    books = pq_codebooks(ids, X)
+
+    code_cols = []
+    for j, cents in enumerate(books):
+        sub = f"slice(embedding, {j * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        code_cols.append(
+            F.expr(kmeans_assign_expr(cents, vec=sub)).getField("cell").alias(f"c{j}")
+        )
+    codes = df.select("vec_id", *code_cols)
+    long = codes.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"c{j}") for j in range(PQ_M)])).alias("sub", "code"),
+    )
+
+    q_rows = df.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
+    lut_rows = _pq_lut_rows(
+        [r["vec_id"] for r in q_rows], [list(r["embedding"]) for r in q_rows], books
+    )
+    lut = spark.createDataFrame(lut_rows, "qid long, sub int, code int, pd2i long")
+
+    scored = (
+        long.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", F.col("vec_id").alias("nid"))
+        .agg(F.sum("pd2i").alias("d2i"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("d2i").asc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid",
+            "nid",
+            (F.col("d2i").cast("double") / F.lit(1e6)).alias("d2_pq"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -425,6 +425,89 @@ def s_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_lloyd(_emb(spark, sf_dir))
 
 
+def _pq_oracle() -> str:
+    """PQ-ADC mirror: codebooks and the query lookup table come from the
+    SAME deterministic driver-side training the engine uses (identical
+    literals by construction); DuckDB itself recomputes every row's
+    per-subspace argmin code and the ADC sum from them."""
+    import os
+
+    import duckdb as _dd
+
+    from ..operators.similarity import (
+        PQ_SUBDIM,
+        PQ_TRAIN_CAP,
+        _pq_lut_rows,
+        pq_codebooks,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = _dd.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        f" ORDER BY vec_id LIMIT {PQ_TRAIN_CAP}"
+    ).fetchall()
+    q_rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        " WHERE vec_id < 100 ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    books = pq_codebooks([r[0] for r in rows], [r[1] for r in rows])
+    cb_vals = ", ".join(
+        f"({j}, {code}, [" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + "])"
+        for j, cents in enumerate(books)
+        for code, c in cents
+    )
+    lut = _pq_lut_rows([r[0] for r in q_rows], [r[1] for r in q_rows], books)
+    lut_vals = ", ".join(f"({q}, {s}, {c}, {p})" for q, s, c, p in lut)
+    return f"""
+    WITH cb(sub, code, c) AS (VALUES {cb_vals}),
+    d AS (
+      SELECT e.vec_id, cb.sub, cb.code,
+             list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), i ->
+               CAST(floor((CAST(e.embedding[cb.sub * {PQ_SUBDIM} + i] AS DOUBLE) - cb.c[i])
+                          * (CAST(e.embedding[cb.sub * {PQ_SUBDIM} + i] AS DOUBLE) - cb.c[i])
+                          * 1000000.0 + 0.5) AS BIGINT))) AS d2i
+      FROM embeddings e CROSS JOIN cb
+    ),
+    best AS (
+      SELECT vec_id, sub, code,
+             row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2i, code) AS rn
+      FROM d
+    ),
+    codes AS (SELECT vec_id, sub, code FROM best WHERE rn = 1),
+    lut(qid, sub, code, pd2i) AS (VALUES {lut_vals}),
+    sc AS (
+      SELECT l.qid, c.vec_id AS nid, CAST(sum(l.pd2i) AS BIGINT) AS d2i
+      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+      WHERE l.qid != c.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT qid, nid, CAST(d2i AS DOUBLE) / 1000000.0 AS d2_pq, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT qid, nid, d2i,
+                 row_number() OVER (PARTITION BY qid ORDER BY d2i, nid) AS rk
+          FROM sc)
+    WHERE rk <= 5
+    """
+
+
+@register(
+    "s_pq_topk",
+    oracle=_pq_oracle,
+    tags=("SIM-pq", "J5", "O3"),
+    doc="Product-quantization ANN with asymmetric distance (ADC): 64-float "
+    "vectors compress to 8 per-subspace codes (codebooks = integer-exact "
+    "k-means on a deterministic capped sample, driver-side — standard PQ "
+    "training practice), encoding is a map-side argmin over codebook "
+    "literals, and the query scan is one broadcast LUT join + combinable "
+    "integer sum — the memory-bandwidth scale mode that completes the ANN "
+    "family (brute force / LSH / IVF / SQ8 / PQ). Every distance is "
+    "integer-quantized, so DuckDB replays codes, LUT, and top-k exactly.",
+)
+def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.pq_topk(_emb(spark, sf_dir), n_queries=100, k=5)
+
+
 def _semantic_dedup_oracle() -> str:
     from ..operators.similarity import SEMDEDUP_TAU
 
