@@ -315,9 +315,7 @@ def d_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "s_sq8_topk",
-    oracle="""
+_SQ8_SQL = """
     WITH base AS (
       SELECT vec_id, embedding,
              list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
@@ -347,7 +345,12 @@ def d_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ORDER BY cosine_sq8 DESC, nid ASC) AS rk
           FROM cos)
     WHERE rk <= 5
-    """,
+    """
+
+
+@register(
+    "s_sq8_topk",
+    oracle=_SQ8_SQL,
     tags=("SIM-sq8", "J5", "O3"),
     doc="SQ8 scalar-quantized cosine top-5: int8 vectors (4x smaller at "
     "rest/shuffle than float32 — the bandwidth scale mode of the "
@@ -605,3 +608,50 @@ def s_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v_nid").cast("bigint").alias("n_match"),
         (F.count("v_nid").cast("double") / F.lit(5.0)).alias("recall"),
     )
+
+
+@register(
+    "s_ann_recall_matrix",
+    oracle=lambda: f"""
+    SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(count(*) AS DOUBLE) / 500.0 AS recall_at_5
+    FROM ({_BF_SQL}) b JOIN ({_ivf_oracle()}) v ON b.qid = v.qid AND b.nid = v.nid
+    UNION ALL
+    SELECT 'sq8', CAST(count(*) AS BIGINT),
+           CAST(count(*) AS DOUBLE) / 500.0
+    FROM ({_BF_SQL}) b JOIN ({_SQ8_SQL}) v ON b.qid = v.qid AND b.nid = v.nid
+    UNION ALL
+    SELECT 'pq', CAST(count(*) AS BIGINT),
+           CAST(count(*) AS DOUBLE) / 500.0
+    FROM ({_BF_SQL}) b JOIN ({_pq_oracle()}) v ON b.qid = v.qid AND b.nid = v.nid
+    """,
+    tags=("SIM-ivf", "SIM-sq8", "SIM-pq", "SIM-bruteforce", "M24"),
+    doc="Index-quality leaderboard: recall@5 of EVERY approximate index "
+    "(IVF cell probe, SQ8 scalar quantization, PQ-ADC) against the exact "
+    "brute-force top-5, one row per method — the evaluation matrix an ANN "
+    "deployment tracks across index builds. Deterministic end to end, so "
+    "the recall numbers themselves are hash-verified (the oracle composes "
+    "four existing oracle programs).",
+)
+def s_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    bf = SIM.cosine_topk(emb, n_queries=100, k=5).select("qid", "nid")
+    methods = (
+        ("ivf", SIM.ivf_topk(emb, n_queries=100, k=5)),
+        ("sq8", SIM.sq8_topk(emb, n_queries=100, k=5)),
+        ("pq", SIM.pq_topk(emb, n_queries=100, k=5)),
+    )
+    parts = []
+    for name, df in methods:
+        m = df.select(F.col("qid").alias("v_qid"), F.col("nid").alias("v_nid"))
+        hits = bf.join(
+            m, (F.col("qid") == F.col("v_qid")) & (F.col("nid") == F.col("v_nid")), "left_semi"
+        )
+        parts.append(
+            hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_matches")).select(
+                F.lit(name).alias("method"),
+                "n_matches",
+                (F.col("n_matches").cast("double") / F.lit(500.0)).alias("recall_at_5"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
