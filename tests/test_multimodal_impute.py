@@ -333,3 +333,29 @@ def test_gif_frame_sample_island_over_spark(spark):
     g = frames[2].astype(np.float64) / 255.0
     assert abs(rows[2][0] - g.mean()) < 1e-12
     assert abs(rows[2][3] - g.max()) < 1e-12
+
+
+def test_resize_real_gif(spark):
+    import numpy as np
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        codecs as CX,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.multimodal import (
+        resize,
+    )
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, size=(10, 6)).astype("uint8")
+    media = spark.createDataFrame(
+        [(4, bytearray(CX.encode_gif(img)), ("image/gif", 6, 10, 1))],
+        "media_id long, payload binary, "
+        "meta struct<mime:string, width:int, height:int, n_frames:int>",
+    )
+    px = resize(media, 4, 4, use_real_codecs=True).collect()[0]["pixels"]
+    grid = img.astype(np.float64) / 255.0
+    ys = (np.arange(4) * 10) // 4
+    xs = (np.arange(4) * 6) // 4
+    # grayscale palette -> all 3 decoded channels equal the source plane
+    want = grid[np.ix_(ys, xs)].ravel()
+    assert np.allclose(px, want, atol=1e-12)

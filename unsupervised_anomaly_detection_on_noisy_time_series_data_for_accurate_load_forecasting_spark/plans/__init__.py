@@ -46,6 +46,7 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
         ("hourly", hourly_df),
         ("prepared", prepared_df),
         ("lsh_bands", queries_similarity._bands),
+        ("lsh_near_pairs", queries_similarity._near_pairs_02),
         ("ml_embedded", queries_ml._embedded),
         ("copurchase_edges", copurchase_edges_df),
         ("bipartite_edges", bipartite_edges_df),

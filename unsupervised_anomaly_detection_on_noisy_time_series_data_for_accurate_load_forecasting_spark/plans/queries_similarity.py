@@ -39,6 +39,26 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _BANDS_MEMO[sf_dir]
 
 
+_NEAR_PAIRS_MEMO: dict[str, DataFrame] = {}
+
+
+def _near_pairs_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted exact-cosine near-pair graph at the LOWEST threshold any
+    consumer uses (0.2). The exact cosine column is deterministic, so every
+    higher-threshold consumer (cc clustering at 0.25) is a pure filter of
+    this one materialization — candidate generation and the decimal-exact
+    verification run once per session instead of per consumer."""
+    if sf_dir not in _NEAR_PAIRS_MEMO:
+        for k in list(_NEAR_PAIRS_MEMO):
+            _NEAR_PAIRS_MEMO.pop(k).unpersist(False)
+        p = SIM.lsh_near_pairs(
+            _emb(spark, sf_dir), min_cosine=0.2, bands=_bands(spark, sf_dir)
+        )
+        p.persist()
+        _NEAR_PAIRS_MEMO[sf_dir] = p
+    return _NEAR_PAIRS_MEMO[sf_dir]
+
+
 _BF_SQL = f"""
     WITH {_LONG},
     nm AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM long GROUP BY 1),
@@ -258,7 +278,7 @@ def d_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = _emb(spark, sf_dir)
-    pairs = SIM.lsh_near_pairs(emb, min_cosine=0.2, bands=_bands(spark, sf_dir))
+    pairs = _near_pairs_02(spark, sf_dir)
     dups = pairs.select(F.col("d2").alias("vec_id")).distinct()
     flagged = emb.join(dups.withColumn("is_dup", F.lit(1)), "vec_id", "left")
     return flagged.groupBy("label").agg(
@@ -307,7 +327,7 @@ def d_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
-    pairs = SIM.lsh_near_pairs(_emb(spark, sf_dir), min_cosine=0.25, bands=_bands(spark, sf_dir))
+    pairs = _near_pairs_02(spark, sf_dir).filter(F.col("cosine") >= 0.25)
     cc = connected_components(pairs)
     return cc.select(
         F.col("vertex").cast("bigint").alias("vec_id"),
