@@ -405,3 +405,70 @@ def domain_mix(
         .filter(F.col("_rn") <= F.col("quota"))
         .select("doc_id", strata_col, F.col("quota").cast("bigint").alias("quota"))
     )
+
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # buckets per row
+
+
+def _cms_bucket(th, i: int, w: int):
+    """Row-``i`` affine bucket of a token hash (same affine family as the
+    MinHash permutations — integer-exact in both engines)."""
+    from ..functions.rng import M as _M
+
+    return F.pmod(F.pmod(th * (2 * i + 3) + (5 * i + 1), F.lit(_M)), F.lit(w))
+
+
+def count_min_estimates(
+    docs: DataFrame, d: int = CMS_D, w: int = CMS_W, probe_k: int = 20
+) -> DataFrame:
+    """Count-Min Sketch token frequencies — the mergeable point-frequency
+    sketch that completes the sketch family (HLL distincts, GK quantiles,
+    Misra-Gries heavy hitters): d·w bounded counters replace the unbounded
+    per-token groupBy, and estimates only ever OVER-count (min over d rows;
+    error ≤ n/w with probability 1−2^−d per the standard bound).
+
+    Shape: token hashing goes through the broadcast vocabulary dim (hot
+    path integer-only), the sketch build is ONE map-side-combinable
+    groupBy over (row, bucket) — d·w cells regardless of corpus size, the
+    definition of mergeable — and probing joins the tiny sketch broadcast
+    against the probe tokens' buckets. Deterministic end to end, so the
+    estimates themselves hash-verify against a full SQL replay.
+
+    Output: (tok, n_exact, n_est) for the ``probe_k`` most frequent tokens
+    (exact counts are the baseline the sketch is judged against).
+    """
+    from .textops import poly_hash_sql_expr
+
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    dim = (
+        toks.select("tok").distinct().withColumn("th", F.expr(poly_hash_sql_expr("tok")))
+    )
+    hashed = toks.join(F.broadcast(dim), "tok")
+    buckets = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), _cms_bucket(F.col("th"), i, w).alias("bucket"))
+            for i in range(d)
+        ]
+    )
+    cells = hashed.select(F.explode(buckets).alias("rb")).select(
+        F.col("rb.i").alias("i"), F.col("rb.bucket").alias("bucket")
+    )
+    cms = cells.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = exact.orderBy(F.col("n_exact").desc(), F.col("tok").asc()).limit(probe_k)
+    pb = (
+        probes.join(F.broadcast(dim), "tok")
+        .select("tok", "n_exact", F.explode(buckets).alias("rb"))
+        .select("tok", "n_exact", F.col("rb.i").alias("i"), F.col("rb.bucket").alias("bucket"))
+    )
+    return (
+        pb.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("c").alias("n_est"))
+        .select(
+            "tok",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_est").cast("bigint").alias("n_est"),
+        )
+    )

@@ -633,3 +633,50 @@ def d_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as DD
 
     return DD.duplicate_spans(_docs(spark, sf_dir), k=_DUP_K)
+
+
+def _countmin_oracle() -> str:
+    from ..functions.rng import M as _M
+    from ..operators.corpus import CMS_D, CMS_W
+    from ..operators.textops import poly_hash_duck_expr
+
+    th = poly_hash_duck_expr("tok")
+    bucket = f"(((v.th * (2 * i + 3) + (5 * i + 1)) % {_M}) % {CMS_W})"
+    return f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    vh AS (SELECT tok, {th} AS th FROM (SELECT DISTINCT tok FROM toks)),
+    cells AS (
+      SELECT i, {bucket} AS bucket
+      FROM toks t JOIN vh v USING (tok),
+           (SELECT unnest(range(0, {CMS_D})) AS i)
+    ),
+    cms AS (SELECT i, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
+    exact AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1),
+    probes AS (SELECT tok, n_exact FROM exact ORDER BY n_exact DESC, tok LIMIT 20),
+    pb AS (
+      SELECT p.tok, p.n_exact, i, {bucket} AS bucket
+      FROM probes p JOIN vh v USING (tok),
+           (SELECT unnest(range(0, {CMS_D})) AS i)
+    )
+    SELECT pb.tok, CAST(pb.n_exact AS BIGINT) AS n_exact,
+           CAST(min(c.c) AS BIGINT) AS n_est
+    FROM pb JOIN cms c ON c.i = pb.i AND c.bucket = pb.bucket
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "t_countmin_freq",
+    oracle=_countmin_oracle,
+    tags=("TXT-tokens", "A-sketch"),
+    doc="Count-Min Sketch point frequencies: d x w bounded counters replace "
+    "the unbounded per-token groupBy (the mergeable sketch family's "
+    "point-frequency member next to HLL distincts, GK quantiles, and "
+    "Misra-Gries heavy hitters); estimates only over-count, min over d "
+    "affine hash rows. Build = ONE map-side-combinable groupBy over (row, "
+    "bucket) - d x w cells regardless of corpus size. Fully deterministic, "
+    "so the sketch contents themselves are replayed and hash-verified by "
+    "the SQL oracle (probing the 20 most frequent tokens).",
+)
+def t_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CO.count_min_estimates(_docs(spark, sf_dir), probe_k=20)
