@@ -149,6 +149,27 @@ PICKS = [
         "(encode, frame-sample decode) run back to back with no shuffle "
         "between them.",
     ),
+    (
+        "s_pq_topk",
+        "PQ-ADC scan: encoding is a map-side argmin over codebook literals "
+        "(no join above the scan), the LUT broadcasts, and the per-query "
+        "distance is one partial-aggregated integer sum — the plan never "
+        "touches a float vector after encoding.",
+    ),
+    (
+        "d_dup_spans",
+        "Rolling-hash duplicate spans: one Generate (char explode), "
+        "broadcast powers dim, ONE per-doc window computing every k-gram "
+        "hash in O(len), hash equi-join for candidates, broadcast "
+        "substring verify, island window — no per-position substring "
+        "materialization anywhere in the plan.",
+    ),
+    (
+        "t_countmin_freq",
+        "Count-Min build: explode to (row, bucket) cells feeding one "
+        "map-side-combinable HashAggregate — d*w cells regardless of "
+        "corpus size; probe side joins the broadcast sketch.",
+    ),
 ]
 
 

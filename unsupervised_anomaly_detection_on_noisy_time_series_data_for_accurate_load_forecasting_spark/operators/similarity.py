@@ -695,7 +695,12 @@ def _pq_lut_rows(q_ids, Q, books) -> list[tuple[int, int, int, int]]:
     return rows
 
 
-def pq_topk(df: DataFrame, n_queries: int = 100, k: int = 5) -> DataFrame:
+def pq_topk(
+    df: DataFrame,
+    n_queries: int = 100,
+    k: int = 5,
+    books: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (ADC) — the
     memory-bandwidth scale mode of the ANN family: each 64-float vector
     compresses to PQ_M 4-bit-ish codes, and a query scans codes against a
@@ -711,14 +716,18 @@ def pq_topk(df: DataFrame, n_queries: int = 100, k: int = 5) -> DataFrame:
     arithmetic step integer-exact, so Spark and DuckDB agree bit-for-bit.
 
     Output: (qid, nid, d2_pq, rk) — top-k smallest approximate distances.
+    ``books``: pass pretrained codebooks (e.g. a session-lifetime memo) to
+    skip the training collect+fit — the PQ deployment shape, where the
+    codebook is a build-time artifact reused by every query.
     """
     spark = df.sparkSession
-    sample = (
-        df.orderBy("vec_id").limit(PQ_TRAIN_CAP).select("vec_id", "embedding").collect()
-    )
-    ids = [r["vec_id"] for r in sample]
-    X = [list(r["embedding"]) for r in sample]
-    books = pq_codebooks(ids, X)
+    if books is None:
+        sample = (
+            df.orderBy("vec_id").limit(PQ_TRAIN_CAP).select("vec_id", "embedding").collect()
+        )
+        ids = [r["vec_id"] for r in sample]
+        X = [list(r["embedding"]) for r in sample]
+        books = pq_codebooks(ids, X)
 
     code_cols = []
     for j, cents in enumerate(books):

@@ -514,6 +514,29 @@ def _pq_oracle() -> str:
     """
 
 
+_PQ_BOOKS_MEMO: dict[str, list] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    """Session-lifetime PQ codebooks per sf_dir — a PQ index's codebook is a
+    build-time artifact every query reuses, so the training collect+fit
+    (driver-side integer-exact k-means per subspace) runs once, not per
+    registry query."""
+    if sf_dir not in _PQ_BOOKS_MEMO:
+        _PQ_BOOKS_MEMO.clear()
+        sample = (
+            _emb(spark, sf_dir)
+            .orderBy("vec_id")
+            .limit(SIM.PQ_TRAIN_CAP)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        _PQ_BOOKS_MEMO[sf_dir] = SIM.pq_codebooks(
+            [r["vec_id"] for r in sample], [list(r["embedding"]) for r in sample]
+        )
+    return _PQ_BOOKS_MEMO[sf_dir]
+
+
 @register(
     "s_pq_topk",
     oracle=_pq_oracle,
@@ -528,7 +551,7 @@ def _pq_oracle() -> str:
     "integer-quantized, so DuckDB replays codes, LUT, and top-k exactly.",
 )
 def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.pq_topk(_emb(spark, sf_dir), n_queries=100, k=5)
+    return SIM.pq_topk(_emb(spark, sf_dir), n_queries=100, k=5, books=_pq_books(spark, sf_dir))
 
 
 def _semantic_dedup_oracle() -> str:
@@ -659,7 +682,7 @@ def s_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = (
         ("ivf", SIM.ivf_topk(emb, n_queries=100, k=5)),
         ("sq8", SIM.sq8_topk(emb, n_queries=100, k=5)),
-        ("pq", SIM.pq_topk(emb, n_queries=100, k=5)),
+        ("pq", SIM.pq_topk(emb, n_queries=100, k=5, books=_pq_books(spark, sf_dir))),
     )
     parts = []
     for name, df in methods:
