@@ -1,0 +1,114 @@
+"""Property tests for the pure-stdlib codecs (PNG/WAV/GIF) and the rolling
+char-k-gram hash: arbitrary payloads must round-trip bit-exactly, and the
+O(len) rolling algebra must equal the direct per-substring fold everywhere.
+No Spark session — these pin the kernels the Arrow islands and oracles share."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.functions.rng import (
+    M,
+)
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+    codecs as CX,
+)
+
+
+@st.composite
+def gray_images(draw):
+    h = draw(st.integers(1, 40))
+    w = draw(st.integers(1, 40))
+    data = draw(st.binary(min_size=h * w, max_size=h * w))
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w)
+
+
+@given(gray_images())
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_arbitrary_gray(img):
+    out = CX.decode_gif(CX.encode_gif(img))
+    assert out.shape == img.shape + (3,)
+    for ch in range(3):
+        assert (out[:, :, ch] == img).all()
+
+
+@given(st.lists(gray_images(), min_size=1, max_size=4))
+@settings(max_examples=15, deadline=None)
+def test_gif_multiframe_roundtrip(frames):
+    h, w = frames[0].shape
+    frames = [np.resize(f, (h, w)) for f in frames]  # one shared shape
+    dec = CX.decode_gif_frames(CX.encode_gif(frames))
+    assert dec.shape == (len(frames), h, w, 3)
+    for f, d in zip(frames, dec):
+        assert (d[:, :, 0] == f).all()
+
+
+@st.composite
+def rgb_images(draw):
+    h = draw(st.integers(1, 20))
+    w = draw(st.integers(1, 20))
+    ch = draw(st.sampled_from([2, 3]))  # (h,w) gray or (h,w,3) rgb
+    if ch == 2:
+        data = draw(st.binary(min_size=h * w, max_size=h * w))
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w)
+    data = draw(st.binary(min_size=h * w * 3, max_size=h * w * 3))
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+@given(rgb_images())
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_arbitrary(img):
+    dec = CX.decode_png(CX.encode_png(img))
+    want = img[:, :, None] if img.ndim == 2 else img
+    assert (dec == want).all()
+
+
+@given(st.binary(min_size=2, max_size=600))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_arbitrary(data):
+    if len(data) % 2:
+        data = data + b"\0"
+    s = np.frombuffer(data, dtype=np.int16)
+    out, rate = CX.decode_wav(CX.encode_wav(s, rate=8000))
+    assert rate == 8000 and (out == s).all()
+
+
+def _direct_kgram_hashes(text: str, k: int):
+    out = {}
+    for i in range(len(text) - k + 1):
+        h = 0
+        for ch in text[i : i + k]:
+            h = (h * 31 + ord(ch)) % M
+        out[i + 1] = h
+    return out
+
+
+@given(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=1000), min_size=0, max_size=200),
+    st.integers(2, 12),
+)
+@settings(max_examples=30, deadline=None)
+def test_rolling_hash_model_matches_direct_fold(text, k):
+    """Pure-Python replay of the rolling algebra used by char_kgram_hashes
+    (prefix sums of inverse-power-scaled codes) vs the direct fold."""
+    inv31 = pow(31, M - 2, M)
+    s_prev = 0
+    prefixes = [0]
+    ip = inv31
+    for j, ch in enumerate(text, start=1):
+        s_prev = (s_prev + ord(ch) * ip) % M
+        prefixes.append(s_prev)
+        ip = (ip * inv31) % M
+    rolled = {}
+    p = 1
+    pows = [1]
+    for _ in range(len(text) + 1):
+        p = (p * 31) % M
+        pows.append(p)
+    for i in range(1, len(text) - k + 2):
+        h = ((prefixes[i + k - 1] - prefixes[i - 1]) * pows[i + k - 1]) % M
+        rolled[i] = h
+    direct = {i: h for i, h in _direct_kgram_hashes(text, k).items()}
+    assert rolled == direct
