@@ -68,3 +68,66 @@ def test_kmeans_lloyd_matches_mirror_and_partitions(spark, sf_dir):
     assert set(got) == set(ids)
     used = {c for c, _ in got.values()}
     assert used <= set(range(1, 5)) and len(used) > 1
+
+
+def test_kmeans_mirror_vectorized_equals_scalar_reference():
+    """The vectorized mirror must be BIT-identical to the original per-row
+    scalar spec (same quantization, int64 sums, (d2, cell) tie-break)."""
+    import numpy as np
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.similarity import (
+        _mean_q6,
+        _q6,
+        kmeans_mirror,
+    )
+
+    def scalar_mirror(ids, X, k, iters):
+        order = np.argsort(ids, kind="stable")
+        Xd = np.asarray(X, dtype=np.float64)
+        cents = [(i + 1, [_q6(v) for v in Xd[order[i]]]) for i in range(k)]
+        qX = np.floor(Xd * 1e6 + 0.5).astype(np.int64)
+
+        def d2i_row(x, c):
+            d = x - np.asarray(c, dtype=np.float64)
+            return int(np.floor(d * d * 1e6 + 0.5).astype(np.int64).sum())
+
+        for _ in range(iters):
+            assign = []
+            for ridx in range(len(Xd)):
+                best = None
+                for cell, c in cents:
+                    d2 = d2i_row(Xd[ridx], c)
+                    if best is None or (d2, cell) < best:
+                        best = (d2, cell)
+                assign.append(best[1])
+            assign = np.asarray(assign)
+            new_cents = []
+            for cell, c in cents:
+                mask = assign == cell
+                n = int(mask.sum())
+                if n == 0:
+                    new_cents.append((cell, c))
+                    continue
+                sums = qX[mask].sum(axis=0)
+                new_cents.append((cell, [_mean_q6(int(s), n) for s in sums]))
+            cents = new_cents
+        result = {}
+        for ridx in range(len(Xd)):
+            best = None
+            for cell, c in cents:
+                d2 = d2i_row(Xd[ridx], c)
+                if best is None or (d2, cell) < best:
+                    best = (d2, cell)
+            result[int(ids[ridx])] = (best[1], best[0] / 1e6)
+        return cents, result
+
+    rng = np.random.RandomState(17)
+    for n, dim, k, iters in [(60, 8, 4, 3), (120, 16, 8, 2), (40, 5, 6, 4)]:
+        X = rng.randn(n, dim).round(3)
+        # duplicate rows force distance ties; equal rows force cell ties
+        X[5] = X[6]
+        ids = list(rng.permutation(n))
+        want_c, want_a = scalar_mirror(ids, [list(r) for r in X], k, iters)
+        got_c, got_a = kmeans_mirror(ids, [list(r) for r in X], k=k, iters=iters)
+        assert got_c == want_c
+        assert got_a == want_a

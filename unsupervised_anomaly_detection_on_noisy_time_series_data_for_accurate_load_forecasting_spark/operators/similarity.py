@@ -545,9 +545,44 @@ def _mean_q6(s_int: int, n: int) -> float:
     return math.floor(s_int / n + 0.5) / 1e6
 
 
+def _d2i_matrix(Xd, cents):
+    """(n, k) int64 matrix of integer-quantized squared distances: column j
+    is floor((x−c_j)²·1e6 + 0.5) summed per row — elementwise identical to
+    the scalar d2i spec, just evaluated a column (cell) at a time."""
+    import numpy as np
+
+    cols = []
+    for _cell, c in cents:
+        d = Xd - np.asarray(c, dtype=np.float64)
+        cols.append(np.floor(d * d * 1e6 + 0.5).astype(np.int64).sum(axis=1))
+    return np.stack(cols, axis=1)
+
+
+def _assign_lex(Xd, cents):
+    """Per-row argmin over (d2i, cell) — lexicographic, ties to the lowest
+    cell id. ``cents`` is in ascending cell order by construction, so a
+    strict-< scan in column order reproduces the tuple compare exactly."""
+    import numpy as np
+
+    D = _d2i_matrix(Xd, cents)
+    cells = np.asarray([cell for cell, _ in cents], dtype=np.int64)
+    best_idx = np.zeros(len(Xd), dtype=np.int64)
+    best_d2 = D[:, 0].copy()
+    for j in range(1, len(cents)):
+        better = D[:, j] < best_d2
+        best_idx[better] = j
+        best_d2[better] = D[better, j]
+    return cells[best_idx], best_d2
+
+
 def kmeans_mirror(ids, X, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     """Independent numpy replica of :func:`kmeans_lloyd` (oracle side).
-    Returns (centroids list, assignments dict id -> (cluster, d2))."""
+    Returns (centroids list, assignments dict id -> (cluster, d2)).
+
+    Vectorized per cell (not per row) — bit-identical to the scalar spec
+    (tests/test_ann_recall.py pins the equivalence against a per-row
+    reference): the elementwise quantization, int64 row sums, and the
+    (d2, cell) lexicographic tie-break are unchanged."""
     import numpy as np
 
     order = np.argsort(ids, kind="stable")
@@ -557,20 +592,8 @@ def kmeans_mirror(ids, X, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     ]
     qX = np.floor(Xd * 1e6 + 0.5).astype(np.int64)  # micro-unit coords
 
-    def d2i_row(x, c):
-        d = x - np.asarray(c, dtype=np.float64)
-        return int(np.floor(d * d * 1e6 + 0.5).astype(np.int64).sum())
-
     for _ in range(iters):
-        assign = []
-        for ridx in range(len(Xd)):
-            best = None
-            for cell, c in cents:
-                d2 = d2i_row(Xd[ridx], c)
-                if best is None or (d2, cell) < best:
-                    best = (d2, cell)
-            assign.append(best[1])
-        assign = np.asarray(assign)
+        assign, _ = _assign_lex(Xd, cents)
         new_cents = []
         for cell, c in cents:
             mask = assign == cell
@@ -582,14 +605,11 @@ def kmeans_mirror(ids, X, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
             new_cents.append((cell, [_mean_q6(int(s), n) for s in sums]))
         cents = new_cents
 
-    result = {}
-    for ridx in range(len(Xd)):
-        best = None
-        for cell, c in cents:
-            d2 = d2i_row(Xd[ridx], c)
-            if best is None or (d2, cell) < best:
-                best = (d2, cell)
-        result[int(ids[ridx])] = (best[1], best[0] / 1e6)
+    final_cells, final_d2 = _assign_lex(Xd, cents)
+    result = {
+        int(ids[ridx]): (int(final_cells[ridx]), int(final_d2[ridx]) / 1e6)
+        for ridx in range(len(Xd))
+    }
     return cents, result
 
 

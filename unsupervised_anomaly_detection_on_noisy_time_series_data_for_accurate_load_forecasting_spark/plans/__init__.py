@@ -50,9 +50,14 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
         ("ml_embedded", queries_ml._embedded),
         ("copurchase_edges", copurchase_edges_df),
         ("bipartite_edges", bipartite_edges_df),
+        ("pq_codebooks", queries_similarity._pq_books),
     ):
         t0 = time.time()
-        build(spark, sf_dir).count()  # force the persist to materialize
+        built = build(spark, sf_dir)
+        from pyspark.sql import DataFrame as _DF
+
+        if isinstance(built, _DF):
+            built.count()  # force the persist to materialize
         out[name] = round(time.time() - t0, 3)
     return out
 
