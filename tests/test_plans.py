@@ -265,3 +265,46 @@ def test_triangle_join_is_equi_and_skew_bounded(spark, sf_dir):
     assert "CartesianProduct" not in plan
     total = df.agg(F.sum("n_triangles")).collect()[0][0]
     assert total % 3 == 0 and total > 0
+
+
+def test_pq_encoding_is_map_only(spark, sf_dir):
+    """PQ encode = per-subspace argmin over codebook LITERALS: no join and
+    no exchange between the parquet scan and the code columns."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb.orderBy("vec_id").limit(SIM.PQ_TRAIN_CAP).collect()
+    books = SIM.pq_codebooks(
+        [r["vec_id"] for r in sample], [list(r["embedding"]) for r in sample]
+    )
+    code_cols = [
+        F.expr(
+            SIM.kmeans_assign_expr(c, vec=f"slice(embedding, {j * SIM.PQ_SUBDIM + 1}, {SIM.PQ_SUBDIM})")
+        ).getField("cell").alias(f"c{j}")
+        for j, c in enumerate(books)
+    ]
+    plan = _plan(emb.select("vec_id", *code_cols))
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_dup_spans_has_no_nested_loop_and_no_global_window(spark, sf_dir):
+    """The rolling-hash duplicate-span plan must stay equi-join (hash
+    candidates) with per-doc/per-pair windows — no BroadcastNestedLoopJoin,
+    no single-partition Window."""
+    plan = _plan(REGISTRY["d_dup_spans"].spark(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _GLOBAL_WINDOW.search(plan)
+
+
+def test_countmin_build_is_partial_aggregated(spark, sf_dir):
+    """The CMS build must partial-aggregate (map-side combine) under the
+    (row, bucket) exchange — the mergeable-sketch property in the plan."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.corpus import (
+        count_min_estimates,
+    )
+
+    plan = _formatted(count_min_estimates(load_table(spark, sf_dir, "documents")))
+    # two-phase aggregate: a partial HashAggregate below the final one
+    assert plan.count("HashAggregate") >= 2
