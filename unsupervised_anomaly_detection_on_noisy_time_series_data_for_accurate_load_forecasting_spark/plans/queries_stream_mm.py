@@ -543,6 +543,82 @@ def mm_gif_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_resize_real_oracle() -> str:
+    """Mirror of the REAL resize island: rebuild the grayscale plane with no
+    codec, apply the identical nearest-neighbor index math, left-fold sum."""
+    import numpy as np
+
+    docs = _docs_pd()
+    rows = []
+    out_w, out_h = 16, 8
+    for r in docs.itertuples():
+        g = _doc_gray(r.text).astype(np.float64) / 255.0
+        h, w = g.shape
+        ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+        xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+        grid = g[np.ix_(ys, xs)].ravel()
+        rows.append(
+            f"({int(r.doc_id)}::BIGINT,{qround_py(_fold_sum(grid), 9)!r}::DOUBLE)"
+        )
+    return (
+        f"SELECT media_id, {out_w} AS width, {out_h} AS height, pix_sum FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, pix_sum)"
+    )
+
+
+@register(
+    "mm_resize_real",
+    oracle=lambda: _mm_resize_real_oracle(),
+    tags=("MM-decode", "MM-codec", "MM-schema"),
+    doc="REAL-codec resize, driver-verified: doc bytes -> grayscale grid -> "
+    "GIF encode -> true 2-D nearest-neighbor resample on DECODED pixels "
+    "(channel-mean grayscale) -> 16x8 grid. The oracle rebuilds the plane "
+    "and index math with no codec, so both the LZW round trip and the "
+    "resampler's index arithmetic are on trial.",
+)
+def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from ..operators import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                g = _doc_gray(text)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "payload": bytearray(CX.encode_gif(g)),
+                        "meta": {
+                            "mime": "image/gif",
+                            "width": 24,
+                            "height": int(g.shape[0]),
+                            "n_frames": 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, schema=MM.MEDIA_SCHEMA)
+    grid = MM.resize(media, out_w=16, out_h=8, use_real_codecs=True)
+    return grid.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        qround(F.expr("aggregate(pixels, 0D, (a, x) -> a + x)"), 9).alias("pix_sum"),
+    )
+
+
 _GIF_N_FRAMES = 4
 _GIF_FRAME_H, _GIF_FRAME_W = 6, 16
 
