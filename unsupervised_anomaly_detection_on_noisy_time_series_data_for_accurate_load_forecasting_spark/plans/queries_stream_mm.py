@@ -463,19 +463,26 @@ def _doc_gray(text: str):
 
 
 def _mm_gif_oracle() -> str:
-    """Mirror that never touches GIF: builds the same grayscale array
-    directly and computes the same channel statistics (the three decoded RGB
-    channels are identical under the grayscale palette) — the engine's
-    encode→decode round trip through the pure-stdlib LZW codec is on trial."""
+    """Mirror that never touches GIF: builds the same (h, w, 3) uint8 array
+    the decoder emits (grayscale palette → three identical channels) and
+    replays the engine's EXACT numpy reductions — ``img.mean(axis=(0, 1))``
+    / ``img.std(axis=(0, 1))`` on the stacked array, not ``g.mean()`` on the
+    2-D plane. The two are mathematically equal but not bit-identical
+    (different reduction order, ~1e-15 drift), and a doc landing within an
+    ulp of a 0.5e-9 rounding boundary would hash-mismatch; replaying the
+    identical array shape and numpy call (as _mm_png_oracle does) keeps the
+    mirror bit-exact. The LZW encode→decode round trip is on trial."""
     import numpy as np
 
     docs = _docs_pd()
     rows = []
     for r in docs.itertuples():
-        g = _doc_gray(r.text).astype(np.float64) / 255.0
-        h, w = g.shape
-        m, s = float(g.mean()), float(g.std())
-        f = [m, m, m, s, s, s, h / 1000.0, w / 1000.0]
+        g8 = _doc_gray(r.text)
+        img = np.stack([g8, g8, g8], axis=2).astype(np.float64) / 255.0
+        h, w, _ = img.shape
+        means = img.mean(axis=(0, 1))
+        stds = img.std(axis=(0, 1))
+        f = [*means, *stds, h / 1000.0, w / 1000.0]
         rows.append(
             f"({int(r.doc_id)}::BIGINT,"
             + ",".join(f"{qround_py(float(x), 9)!r}::DOUBLE" for x in f)
@@ -544,19 +551,23 @@ def mm_gif_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_resize_real_oracle() -> str:
-    """Mirror of the REAL resize island: rebuild the grayscale plane with no
-    codec, apply the identical nearest-neighbor index math, left-fold sum."""
+    """Mirror of the REAL resize island: rebuild the decoder's (h, w, 3)
+    array with no codec and replay the engine's EXACT reduction — fancy-index
+    then ``.mean(axis=2)`` channel-mean on the 3-channel array, not the bare
+    2-D plane (``(x+x+x)/3`` can differ from ``x`` by an ulp) — then the same
+    left-fold sum."""
     import numpy as np
 
     docs = _docs_pd()
     rows = []
     out_w, out_h = 16, 8
     for r in docs.itertuples():
-        g = _doc_gray(r.text).astype(np.float64) / 255.0
-        h, w = g.shape
+        g8 = _doc_gray(r.text)
+        img = np.stack([g8, g8, g8], axis=2).astype(np.float64) / 255.0
+        h, w, _ = img.shape
         ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
         xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
-        grid = g[np.ix_(ys, xs)].ravel()
+        grid = img[np.ix_(ys, xs)].mean(axis=2).ravel()
         rows.append(
             f"({int(r.doc_id)}::BIGINT,{qround_py(_fold_sum(grid), 9)!r}::DOUBLE)"
         )
@@ -637,16 +648,20 @@ def _doc_gif_frames(text: str):
 
 
 def _mm_gif_frames_oracle() -> str:
-    """Mirror for the animated-GIF frame sampler: the same frame planes
-    rebuilt without any GIF, every-2nd-frame statistics."""
+    """Mirror for the animated-GIF frame sampler: rebuild the decoder's
+    (n, h, w, 3) uint8 stack without any GIF and replay the engine's EXACT
+    reductions — ``frames[fi].mean(axis=2)`` grayscale plane first, then the
+    plane statistics — so the mirror stays bit-identical to the island
+    (every-2nd-frame sampling)."""
     import numpy as np
 
     docs = _docs_pd()
     rows = []
     for r in docs.itertuples():
-        frames = _doc_gif_frames(r.text).astype(np.float64) / 255.0
+        f8 = _doc_gif_frames(r.text)
+        frames = np.stack([f8, f8, f8], axis=3).astype(np.float64) / 255.0
         for fi in range(0, _GIF_N_FRAMES, 2):
-            g = frames[fi]
+            g = frames[fi].mean(axis=2)
             f = [
                 float(g.mean()),
                 float(g.std()),

@@ -62,9 +62,15 @@ def _ensure_priority() -> None:
     if _PRIORITY_DERIVED:
         return
     _PRIORITY_DERIVED = True  # set first: a failure degrades to registration order
-    from .priority import auto_priority
+    try:
+        from .priority import auto_priority
 
-    PRIORITY[:] = auto_priority(list(REGISTRY))
+        PRIORITY[:] = auto_priority(list(REGISTRY))
+    except Exception:
+        # Degrade to registration order for the FIRST caller too, not just
+        # subsequent ones — an unreadable git tree or a taint-derivation bug
+        # must not take down queries()/oracle_sql().
+        PRIORITY[:] = []
 
 
 def _ordered() -> list[QuerySpec]:

@@ -21,12 +21,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _plan_key(df: DataFrame, *layout: object) -> str:
-    """Fingerprint of the analyzed input plan + layout spec. The analyzed
-    plan string embeds the source paths, so the same table name fed from a
-    different SF directory (or a changed upstream query) re-triggers the
-    write; byte-identical inputs skip it."""
-    plan = df._jdf.queryExecution().analyzed().toString()
-    return hashlib.sha256((plan + "|" + repr(layout)).encode()).hexdigest()[:16]
+    """Fingerprint of the analyzed input plan + layout spec + SOURCE DATA
+    identity. The analyzed plan string embeds the source paths, so the same
+    table name fed from a different SF directory (or a changed upstream
+    query) re-triggers the write. Two refinements keep the skip honest:
+
+    - exprIds (``#123``) are stripped before hashing — they are session/
+      counter dependent, so the raw plan string would make the skip fire
+      unpredictably across sessions reading identical data;
+    - the input files' (name, size, mtime) triples are folded in via
+      ``df.inputFiles()`` — regenerating the source parquet at the SAME path
+      changes the fingerprint, so a stale bucketed table can't silently keep
+      serving bucketed-join queries."""
+    import os
+    import re
+
+    plan = re.sub(r"#\d+", "#", df._jdf.queryExecution().analyzed().toString())
+    from urllib.parse import urlparse
+
+    ident = []
+    for uri in sorted(df.inputFiles()):
+        p = urlparse(uri).path
+        try:
+            st = os.stat(p)
+            ident.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            ident.append(p)  # non-local / vanished: name-only identity
+    return hashlib.sha256(
+        (plan + "|" + repr(layout) + "|" + ";".join(ident)).encode()
+    ).hexdigest()[:16]
 
 
 def _existing_plan_key(spark: SparkSession, table: str) -> str | None:
