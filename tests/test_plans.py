@@ -298,6 +298,24 @@ def test_dup_spans_has_no_nested_loop_and_no_global_window(spark, sf_dir):
     assert not _GLOBAL_WINDOW.search(plan)
 
 
+def test_dup_spans_caps_hot_kgrams_and_never_broadcasts_text(spark, sf_dir):
+    """100 TB bounds for duplicate_spans: (a) the hot-k-gram frequency cap
+    is IN the plan (a LeftAnti join against the >cap hash list — without it
+    a boilerplate k-gram shared by f docs yields O(f²) candidate pairs), and
+    (b) no BroadcastExchange carries a text column (candidate texts are
+    unbounded at corpus scale; the verify joins must stay shuffle-side)."""
+    import re
+
+    plan = _plan(REGISTRY["d_dup_spans"].spark(spark, sf_dir))
+    assert "LeftAnti" in plan, "hot-k-gram cap anti-join missing from plan"
+    for m in re.finditer(r"BroadcastExchange[^\n]*", plan):
+        assert "_t1" not in m.group(0) and "_t2" not in m.group(0)
+    # the broadcast subtrees: walk Exchange blocks — no text column may sit
+    # under a broadcast mode. Formatted plans list output attrs per node; the
+    # string check above covers the exchange line, this covers hashed modes.
+    assert not re.search(r"BroadcastHashJoin[^\n]*_t[12]", plan)
+
+
 def test_countmin_build_is_partial_aggregated(spark, sf_dir):
     """The CMS build must partial-aggregate (map-side combine) under the
     (row, bucket) exchange — the mergeable-sketch property in the plan."""

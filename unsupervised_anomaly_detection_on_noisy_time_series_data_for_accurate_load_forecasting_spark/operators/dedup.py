@@ -601,11 +601,15 @@ def char_kgram_hashes(
     )
 
 
+DUP_SPAN_HOT_CAP = 128  # max corpus-wide occurrences of a k-gram hash
+
+
 def duplicate_spans(
     df: DataFrame,
     k: int = DUP_SPAN_K,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hot_cap: int = DUP_SPAN_HOT_CAP,
 ) -> DataFrame:
     """ExactSubstr-style cross-document duplicate span detection: find every
     maximal run of characters (length ≥ k) shared verbatim between two
@@ -614,28 +618,42 @@ def duplicate_spans(
     re-expressed as Spark-native window algebra): boilerplate, licenses,
     and templated spans that token-set Jaccard dilutes.
 
-    Shape: rolling k-gram hashes (O(len)/doc), one equi-join on the hash
-    (candidates = true matches + rare collisions), substring equality kills
-    collisions (texts fetched semi-pruned for candidate docs only), then a
-    shared span of length L appears as L−k+1 consecutive matches at one
-    positional delta — gaps-and-islands (pos − row_number) collapses each
-    to one row. Never an all-pairs doc join; candidate volume is bounded by
-    actual repetition (cap ultra-hot k-grams upstream if boilerplate
-    dominates a real corpus).
+    Shape: rolling k-gram hashes (O(len)/doc); ENFORCED hot-k-gram cap
+    (k-gram hashes occurring > ``hot_cap`` times corpus-wide are dropped
+    before the candidate join — a boilerplate k-gram shared by f documents
+    would otherwise contribute O(f²) candidate pairs, the skew-quadratic
+    failure mode at 100 TB; the cap bounds any one hash's contribution at
+    hot_cap², and the hot-hash list is produced by a map-side-combinable
+    count, never by collecting occurrences); one equi-join on the hash
+    (candidates = true matches + rare collisions); substring equality kills
+    collisions — texts are fetched semi-pruned for candidate docs only and
+    joined with SHUFFLE_HASH hints, never broadcast: the candidate doc set
+    is unbounded at corpus scale, so no BroadcastExchange may carry a text
+    column (plan-asserted in tests/test_plans.py). A shared span of length
+    L then appears as L−k+1 consecutive matches at one positional delta —
+    gaps-and-islands (pos − row_number) collapses each to one row. Never an
+    all-pairs doc join; candidate volume is bounded by hot_cap × matches.
 
     Output: (d1, d2, n_kgrams, n_spans, max_span_chars) per document pair.
     """
     g = char_kgram_hashes(df, k=k, text_col=text_col, id_col=id_col)
+    # hot-hash list: partial-aggregated count per hash, then an anti join.
+    # Typically tiny (AQE broadcasts it); correct as a shuffle join even
+    # when a boilerplate-heavy corpus makes it large.
+    hot = g.groupBy("h").agg(F.count(F.lit(1)).alias("_hf")).filter(
+        F.col("_hf") > hot_cap
+    ).select("h")
+    g = g.join(hot, "h", "left_anti")
     a = g.select(F.col(id_col).alias("d1"), F.col("pos").alias("p1"), "h")
     b = g.select(F.col(id_col).alias("d2"), F.col("pos").alias("p2"), "h")
     cand = a.join(b, "h").filter(F.col("d1") < F.col("d2"))
     ids = cand.select(F.col("d1").alias(id_col)).union(cand.select("d2")).distinct()
-    texts = df.join(F.broadcast(ids), id_col, "left_semi").select(id_col, text_col)
+    texts = df.join(ids, id_col, "left_semi").select(id_col, text_col)
     t1 = texts.select(F.col(id_col).alias("d1"), F.col(text_col).alias("_t1"))
     t2 = texts.select(F.col(id_col).alias("d2"), F.col(text_col).alias("_t2"))
     verified = (
-        cand.join(F.broadcast(t1), "d1")
-        .join(F.broadcast(t2), "d2")
+        cand.join(t1.hint("shuffle_hash"), "d1")
+        .join(t2.hint("shuffle_hash"), "d2")
         .filter(
             F.expr(f"substring(_t1, p1, {k})") == F.expr(f"substring(_t2, p2, {k})")
         )

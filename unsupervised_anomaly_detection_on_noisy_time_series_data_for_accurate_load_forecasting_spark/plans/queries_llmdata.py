@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.rng import rng_draw_sql
 from ..operators import corpus as CO
+from ..operators.dedup import DUP_SPAN_HOT_CAP
 from ..sources.readers import load_table
 from .registry import register
 
@@ -596,9 +597,15 @@ _DUP_K = 32
 @register(
     "d_dup_spans",
     oracle=f"""
-    WITH g AS (
+    WITH g0 AS (
       SELECT doc_id, i AS pos, substr(text, i, {_DUP_K}) AS s
       FROM documents, LATERAL (SELECT unnest(range(1, length(text) - {_DUP_K} + 2)) AS i)
+    ),
+    g AS (
+      -- mirror of the engine's hot-k-gram cap (engine counts per HASH, the
+      -- oracle per substring — identical absent a 61-bit hash collision)
+      SELECT doc_id, pos, s FROM g0
+      QUALIFY count(*) OVER (PARTITION BY s) <= {DUP_SPAN_HOT_CAP}
     ),
     cand AS (
       SELECT a.doc_id AS d1, a.pos AS p1, b.doc_id AS d2, b.pos AS p2

@@ -554,10 +554,41 @@ def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(_emb(spark, sf_dir), n_queries=100, k=5, books=_pq_books(spark, sf_dir))
 
 
-def _semantic_dedup_oracle() -> str:
-    from ..operators.similarity import SEMDEDUP_TAU
+def _sem_cents_values_sql() -> tuple[str, int]:
+    """(VALUES literal, k) for the SEMANTIC-DEDUP centroid set: unlike
+    :func:`_cents_values_sql` (fixed k = 8, the s_kmeans_embed contract),
+    semantic dedup's k scales with corpus size via
+    :func:`~..operators.similarity.semdedup_k` — the mirror recomputes the
+    same k from the same count and replays the integer-exact Lloyd mirror
+    at that k."""
+    import os
 
-    vals = _cents_values_sql()
+    import duckdb as _dd
+
+    from ..operators.similarity import KMEANS_ITERS, kmeans_mirror, semdedup_k
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = _dd.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    k = semdedup_k(len(rows))
+    cents, _ = kmeans_mirror(
+        [r[0] for r in rows], [r[1] for r in rows], k=k, iters=KMEANS_ITERS
+    )
+    vals = ", ".join(
+        f"({cell}, [" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + "])"
+        for cell, vec in cents
+    )
+    return vals, k
+
+
+def _semantic_dedup_oracle() -> str:
+    from ..operators.similarity import SEMDEDUP_TAU, SEMDEDUP_WINDOW
+
+    vals, _k = _sem_cents_values_sql()
     return f"""
     WITH cents(cell, c) AS (VALUES {vals}),
     d AS (
@@ -569,18 +600,26 @@ def _semantic_dedup_oracle() -> str:
       FROM embeddings CROSS JOIN cents
     ),
     best AS (
-      SELECT vec_id, cell,
+      SELECT vec_id, cell, d2i,
              row_number() OVER (PARTITION BY vec_id ORDER BY d2i, cell) AS rn
       FROM d
     ),
-    asg AS (SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM best WHERE rn = 1),
+    asg AS (SELECT vec_id, CAST(cell AS INTEGER) AS cluster, d2i FROM best WHERE rn = 1),
     {_LONG},
     nm2 AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM long GROUP BY 1),
+    rkd AS (
+      -- sorted-neighborhood rank within the cluster: (centroid distance,
+      -- vec_id), zero-norm vectors excluded (they never pair). d2i ordering
+      -- == the engine's d2 double ordering (exact integer micro-units).
+      SELECT a.vec_id, a.cluster,
+             row_number() OVER (PARTITION BY a.cluster ORDER BY a.d2i, a.vec_id) AS rk
+      FROM asg a JOIN nm2 n ON a.vec_id = n.vec_id AND n.sq > 0
+    ),
     prs AS (
-      SELECT g.vec_id AS d1, h.vec_id AS d2
-      FROM asg g JOIN asg h ON g.cluster = h.cluster AND g.vec_id < h.vec_id
-      JOIN nm2 n1 ON g.vec_id = n1.vec_id AND n1.sq > 0
-      JOIN nm2 n2 ON h.vec_id = n2.vec_id AND n2.sq > 0
+      SELECT least(x.vec_id, y.vec_id) AS d1, greatest(x.vec_id, y.vec_id) AS d2
+      FROM rkd x JOIN rkd y
+        ON x.cluster = y.cluster
+       AND y.rk - x.rk BETWEEN 1 AND {SEMDEDUP_WINDOW}
     ),
     dots AS (
       SELECT p.d1, p.d2, {dsum_sql('la.x * lb.x')} AS dot
@@ -609,11 +648,14 @@ def _semantic_dedup_oracle() -> str:
     "candidate space (exact cosine runs only WITHIN a cluster — the "
     "cluster-blocked analog of banded LSH, per the SemDeDup recipe), then "
     "of each near-duplicate pair the higher vec_id drops (star collapse). "
-    "Assignment is a map-side argmin over broadcast-literal centroids; the "
-    "pair join shuffles on the cluster key so the quadratic is bounded by "
-    "the largest cluster (k ~ sqrt(n) balances it). Oracle replays the "
-    "integer-exact mirror centroids and recomputes assignment, pairing, "
-    "and the decimal-exact cosine boundary itself.",
+    "Assignment is a map-side argmin over broadcast-literal centroids. Two "
+    "enforced scale bounds: k = clamp(sqrt(n)) from one count (cluster "
+    "sizes track n/k), and candidates are the sorted-neighborhood pairs "
+    "(rank by centroid distance inside the cluster, pair only ranks within "
+    "a fixed window via a sequence-explode equi-join) — candidate volume "
+    "is window*n, LINEAR in corpus size. Oracle recomputes the same k, "
+    "replays the integer-exact mirror centroids, and mirrors assignment, "
+    "ranking, windowed pairing, and the decimal-exact cosine boundary.",
 )
 def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup(_emb(spark, sf_dir))
