@@ -98,14 +98,17 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # total_sec leads the payload: past driver captures clipped the TAIL of
+    # this line, so the headline number survives even a truncated artifact.
     payload = {
+        "total_sec": total,
         "metric": "registry_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "prepare_sec": prepare_sec,
-        "prepare": prepare_timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "queries": timings,
+        "prepare": prepare_timings,
     }
     line = json.dumps(payload)
     print(line)

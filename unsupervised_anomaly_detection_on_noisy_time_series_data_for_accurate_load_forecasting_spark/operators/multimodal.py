@@ -219,11 +219,12 @@ def frame_sample(media: DataFrame, every_n: int = 4, use_real_codecs: bool = Fal
     """Frame sampling for multi-frame payloads: emit every n-th frame's
     feature as one row (the media → frames row explosion is the contract).
 
-    ``use_real_codecs=True`` REALLY decodes animated GIF payloads (the one
-    multi-frame format with a pure-stdlib codec — operators/codecs.py LZW)
-    and emits per-frame grayscale statistics; other mimes raise (video
-    frame decode still requires av/ffmpeg). Default: byte-stride stub
-    frames with the identical Spark plumbing."""
+    ``use_real_codecs=True`` REALLY decodes the two multi-frame formats
+    with pure-stdlib codecs (operators/codecs.py): animated GIF (LZW) and
+    AVI video (RIFF container + MS-RLE8 'mrle' frames) — and emits
+    per-frame grayscale statistics; other mimes raise (general video needs
+    av/ffmpeg). Default: byte-stride stub frames with the identical Spark
+    plumbing."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -235,11 +236,15 @@ def frame_sample(media: DataFrame, every_n: int = 4, use_real_codecs: bool = Fal
     def _real_frame_rows(mid: int, payload: bytes, mime: str) -> list[tuple]:
         from . import codecs as CX
 
-        if mime != "image/gif":
+        if mime == "image/gif":
+            raw = CX.decode_gif_frames(payload)
+        elif mime == "video/x-msvideo":
+            raw = CX.decode_avi_frames(payload)
+        else:
             raise NotImplementedError(
-                f"no stdlib multi-frame codec for mime {mime!r} (video requires av/ffmpeg)"
+                f"no stdlib multi-frame codec for mime {mime!r} (general video requires av/ffmpeg)"
             )
-        frames = CX.decode_gif_frames(payload).astype(np.float64) / 255.0
+        frames = raw.astype(np.float64) / 255.0
         n, h, w, _ = frames.shape
         rows = []
         for fi in range(0, n, every_n):

@@ -27,38 +27,66 @@ from . import queries_asof  # noqa: E402,F401
 
 
 def prepare(spark, sf_dir: str) -> dict[str, float]:
-    """Warm every session-lifetime shared view memo for ``sf_dir`` and force
-    materialization, returning {view_name: seconds}.
+    """Warm every session-lifetime shared memo for ``sf_dir`` — persisted
+    views AND the disk-checkpointed neural weights — returning
+    {item: seconds} (per-item build time; wall is lower: see below).
 
-    A resident engine pays hot-view materialization once at startup, not
-    inside whichever query happens to touch the view first. The bench calls
-    this in an untimed setup step and reports the cost as its own line, so
-    per-query timings measure the query's plan rather than first-toucher
-    attribution (round-4 verdict: s_lsh_near_pairs billed 22.7 s in the
-    driver bench vs 2.8 s isolated, purely the shared signature pass)."""
+    A resident engine pays hot-view materialization and model checkpoint
+    restore once at startup, not inside whichever query happens to touch
+    them first. The bench calls this in an untimed setup step and reports
+    the cost as its own line, so per-query timings measure the query's plan
+    rather than first-toucher attribution (round-4 verdict: s_lsh_near_pairs
+    billed 22.7 s in the driver bench vs 2.8 s isolated, purely the shared
+    signature pass; round-6: m17_ae_imputation billed 16.7 s on a cold
+    .weights_cache).
+
+    Items build CONCURRENTLY as a dependency DAG (driver threads submitting
+    separate Spark jobs — local[32] has idle cores during any single
+    small-SF job): each item starts the moment its dependencies finish, so
+    prepare wall ≈ the longest dependency chain, not the sum. The two graph
+    edge views (copurchase, bipartite) are NOT warmed here anymore — only
+    one registry query consumes each, so they build lazily at first (and
+    only) touch; warming them charged every bench run ~5 s of prepare for
+    no reuse."""
     import time
+    from concurrent.futures import Future, ThreadPoolExecutor
 
-    from . import queries_ml, queries_similarity
-    from .shared import bipartite_edges_df, copurchase_edges_df, hourly_df, prepared_df
+    from pyspark.sql import DataFrame as _DF
+
+    from . import queries_ml, queries_neural, queries_similarity
+    from .shared import hourly_df, prepared_df
 
     out: dict[str, float] = {}
-    for name, build in (
-        ("hourly", hourly_df),
-        ("prepared", prepared_df),
-        ("lsh_bands", queries_similarity._bands),
-        ("lsh_near_pairs", queries_similarity._near_pairs_02),
-        ("ml_embedded", queries_ml._embedded),
-        ("copurchase_edges", copurchase_edges_df),
-        ("bipartite_edges", bipartite_edges_df),
-        ("pq_codebooks", queries_similarity._pq_books),
-    ):
+    futs: dict[str, Future] = {}
+
+    def run(name, build, deps):
+        for d in deps:
+            futs[d].result()  # propagate dep failures too
         t0 = time.time()
         built = build(spark, sf_dir)
-        from pyspark.sql import DataFrame as _DF
-
         if isinstance(built, _DF):
             built.count()  # force the persist to materialize
         out[name] = round(time.time() - t0, 3)
+
+    dag = (
+        ("hourly", hourly_df, ()),
+        ("lsh_bands", queries_similarity._bands, ()),
+        ("pq_codebooks", queries_similarity._pq_books, ()),
+        # ml_embedded is the other CPU-saturating item: staggering it behind
+        # pq_codebooks keeps it off lsh_bands' critical path (bands feeds
+        # near_pairs; embedded feeds nothing here) — measured ~2 s less wall
+        # than launching all four at once.
+        ("ml_embedded", queries_ml._embedded, ("pq_codebooks",)),
+        ("prepared", prepared_df, ("hourly",)),
+        ("lsh_near_pairs", queries_similarity._near_pairs_02, ("lsh_bands",)),
+        ("ae_weights", queries_neural.ensure_ae_weights, ("hourly", "prepared")),
+        ("fc_weights", queries_neural.ensure_fc_weights, ("prepared",)),
+    )
+    with ThreadPoolExecutor(max_workers=len(dag)) as ex:
+        for name, build, deps in dag:
+            futs[name] = ex.submit(run, name, build, deps)
+        for f in futs.values():
+            f.result()
     return out
 
 

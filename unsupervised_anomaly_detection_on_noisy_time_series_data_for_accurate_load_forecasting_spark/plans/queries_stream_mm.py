@@ -740,6 +740,114 @@ def mm_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AVI_N_FRAMES = 6
+_AVI_FRAME_H, _AVI_FRAME_W = 8, 20
+
+
+def _doc_avi_frames(text: str):
+    """Deterministic doc→video spec shared by the engine island and the
+    oracle mirror: UTF-8 bytes, zero-padded to 6 frames of 8×20 uint8."""
+    import numpy as np
+
+    n_bytes = _AVI_N_FRAMES * _AVI_FRAME_H * _AVI_FRAME_W
+    b = text.encode("utf-8")[:n_bytes]
+    b = b + b"\0" * (n_bytes - len(b))
+    return np.frombuffer(b, dtype=np.uint8).reshape(
+        _AVI_N_FRAMES, _AVI_FRAME_H, _AVI_FRAME_W
+    )
+
+
+def _mm_avi_frames_oracle() -> str:
+    """Mirror for the AVI frame sampler: rebuild the decoder's (n, h, w, 3)
+    uint8 stack without any AVI/RLE8 and replay the engine's exact
+    reductions (``frames[fi].mean(axis=2)`` plane first, then plane stats),
+    every-3rd-frame sampling."""
+    import numpy as np
+
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        f8 = _doc_avi_frames(r.text)
+        frames = np.stack([f8, f8, f8], axis=3).astype(np.float64) / 255.0
+        for fi in range(0, _AVI_N_FRAMES, 3):
+            g = frames[fi].mean(axis=2)
+            f = [
+                float(g.mean()),
+                float(g.std()),
+                float(g.min()),
+                float(g.max()),
+                _AVI_FRAME_H / 1000.0,
+                _AVI_FRAME_W / 1000.0,
+                fi / 1000.0,
+                _AVI_N_FRAMES / 1000.0,
+            ]
+            rows.append(
+                f"({int(r.doc_id)}::BIGINT,{fi}::INTEGER,"
+                + ",".join(f"{qround_py(float(x), 9)!r}::DOUBLE" for x in f)
+                + ")"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, frame_idx, f0, f1, f2, f3, f4, f5, f6, f7)"
+    )
+
+
+@register(
+    "mm_avi_frame_sample",
+    oracle=lambda: _mm_avi_frames_oracle(),
+    tags=("MM-decode", "MM-codec", "MM-video"),
+    doc="REAL VIDEO decode, driver-verified — the last multimodal stub "
+    "closed: per doc, build a deterministic 6-frame 8×20 clip, encode it as "
+    "a true AVI (RIFF hdrl/movi/idx1 container, frames compressed with the "
+    "real MS-RLE8 'mrle' video codec — runs, word-aligned absolute mode, "
+    "EOL/EOB escapes, bottom-up DIB rows; operators/codecs.py), then "
+    "frame-sample every 3rd frame through the real-codec island. The "
+    "oracle rebuilds the frame planes with no container or codec, so the "
+    "RIFF walk and the RLE8 round trip are both on trial. Reference "
+    "contract: the frame-sampling shape of mm_frame_sample.",
+)
+def mm_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from ..operators import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = _doc_avi_frames(text)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "payload": bytearray(CX.encode_avi_rle8(frames)),
+                        "meta": {
+                            "mime": "video/x-msvideo",
+                            "width": _AVI_FRAME_W,
+                            "height": _AVI_FRAME_H,
+                            "n_frames": _AVI_N_FRAMES,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, schema=MM.MEDIA_SCHEMA)
+    sampled = MM.frame_sample(media, every_n=3, use_real_codecs=True)
+    return sampled.select(
+        "media_id",
+        "frame_idx",
+        *[qround(F.col("feature")[i], 9).alias(f"f{i}") for i in range(8)],
+    )
+
+
 @register(
     "stream_join_attrib",
     oracle="""
