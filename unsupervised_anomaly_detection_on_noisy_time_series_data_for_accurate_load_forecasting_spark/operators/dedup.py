@@ -671,3 +671,51 @@ def duplicate_spans(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         (F.max("n_matches") + F.lit(k) - 1).cast("bigint").alias("max_span_chars"),
     )
+
+
+def canonical_url(url) -> "F.Column":
+    """Web-corpus URL canonicalization (the normalization every crawl dedup
+    runs before exact URL dedup — CCNet/RefinedWeb-style): lowercase scheme
+    and host, strip a default :443 port, drop the fragment, drop tracking
+    params (utm_*, sid=), SORT the surviving query params, and strip one
+    trailing slash from a non-root path. Pure JVM column program — string
+    splits, HOF filter, array_sort — no UDF; the oracle replays the same
+    steps in SQL, so both engines must normalize byte-identically.
+
+    Contract: absolute URLs (``scheme://host[:port]/path[?query][#frag]``).
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    nofrag = F.split(c, "#").getItem(0)
+    sr = F.split(nofrag, "://")
+    scheme = F.lower(sr.getItem(0))
+    rest = sr.getItem(1)
+    hostport = F.split(rest, "/").getItem(0)
+    pathq = rest.substr(F.length(hostport) + F.lit(1), F.length(rest))
+    host = F.lower(hostport)
+    host = F.when(
+        host.endswith(":443"), host.substr(F.lit(1), F.length(host) - F.lit(4))
+    ).otherwise(host)
+    pq = F.split(pathq, r"\?")
+    path = pq.getItem(0)
+    qstr = F.coalesce(F.try_element_at(pq, F.lit(2)), F.lit(""))
+    path = F.when(
+        (path != F.lit("/")) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - F.lit(1)),
+    ).otherwise(path)
+    kept = F.array_sort(
+        F.filter(
+            F.split(qstr, "&"),
+            lambda x: (F.substring(x, 1, 4) != F.lit("utm_"))
+            & (F.substring(x, 1, 4) != F.lit("sid="))
+            & (x != F.lit("")),
+        )
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ).otherwise(F.lit("")),
+    )

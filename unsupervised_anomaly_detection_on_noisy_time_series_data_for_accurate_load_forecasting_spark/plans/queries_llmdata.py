@@ -10,6 +10,7 @@ hash-verified, not rows-only."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.rng import rng_draw_sql
 from ..operators import corpus as CO
@@ -687,3 +688,110 @@ def _countmin_oracle() -> str:
 )
 def t_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.count_min_estimates(_docs(spark, sf_dir), probe_k=20)
+
+
+# URL synthesis for the canonicalization-dedup contract: deterministic messy
+# absolute URLs derived from (doc_id, source, first tokens) — scheme/host
+# case noise, a default :443 port, tracking params in varying order, session
+# ids, fragments, and trailing slashes, so every canonicalization rule has
+# live inputs at every SF. The Spark side builds the IDENTICAL string.
+_URL_SYNTH_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END
+           || '://'
+           || CASE WHEN doc_id % 3 = 0 THEN upper(source || '.Example.com')
+                   ELSE source || '.example.com' END
+           || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+           || '/' || w1 || '/' || w2
+           || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+           || '?'
+           || CASE WHEN doc_id % 2 = 0 THEN 'utm_source=' || source || '&q=' || w1
+                   WHEN doc_id % 4 = 3 THEN 'q=' || w1 || '&sid=' || CAST(doc_id % 100 AS VARCHAR) || '&ref=' || source
+                   ELSE 'q=' || w1 END
+           || CASE WHEN doc_id % 3 = 1 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END
+           AS url
+    FROM (SELECT doc_id, source,
+                 coalesce(string_split(text, ' ')[1], 'x') AS w1,
+                 coalesce(string_split(text, ' ')[2], 'x') AS w2
+          FROM documents)
+"""
+
+
+@register(
+    "d_url_dedup",
+    oracle=f"""
+    WITH u AS ({_URL_SYNTH_SQL}),
+    s1 AS (SELECT doc_id, url, string_split(url, '#')[1] AS nofrag FROM u),
+    s2 AS (SELECT *, lower(string_split(nofrag, '://')[1]) AS scheme,
+                     string_split(nofrag, '://')[2] AS rest FROM s1),
+    s3 AS (SELECT *, string_split(rest, '/')[1] AS hostport FROM s2),
+    s4 AS (SELECT *, substr(rest, length(hostport) + 1) AS pathq,
+                     lower(hostport) AS host0 FROM s3),
+    s5 AS (SELECT *,
+                  CASE WHEN host0 LIKE '%:443'
+                       THEN substr(host0, 1, length(host0) - 4) ELSE host0 END AS host,
+                  string_split(pathq, '?')[1] AS path0,
+                  coalesce(string_split(pathq, '?')[2], '') AS q FROM s4),
+    s6 AS (SELECT *,
+                  CASE WHEN path0 <> '/' AND path0 LIKE '%/'
+                       THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS path,
+                  list_sort(list_filter(string_split(q, '&'),
+                    x -> substr(x, 1, 4) <> 'utm_' AND substr(x, 1, 4) <> 'sid='
+                         AND x <> '')) AS kept FROM s5),
+    c AS (SELECT doc_id, url,
+                 scheme || '://' || host || path
+                 || CASE WHEN len(kept) > 0
+                         THEN '?' || array_to_string(kept, '&') ELSE '' END AS canon_url
+          FROM s6)
+    SELECT canon_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+           min(doc_id) AS kept_doc
+    FROM c GROUP BY 1
+    """,
+    tags=("DEDUP-url", "X-dedup"),
+    doc="URL canonicalization dedup (the normalization every web-corpus "
+    "crawl dedup runs before exact URL matching — CCNet/RefinedWeb style): "
+    "lowercase scheme and host, strip the default :443 port, drop the "
+    "fragment and tracking params (utm_*, sid=), SORT surviving query "
+    "params, strip one trailing slash from a non-root path; then group by "
+    "the canonical form keeping the lowest doc_id. Pure JVM column program "
+    "(splits + HOF filter + array_sort — no UDF), one combinable shuffle on "
+    "the canonical key. URLs are synthesized deterministically with live "
+    "case/port/param/fragment noise; the oracle rebuilds both the noise "
+    "and the normalization in SQL, so every rule must match byte-for-byte.",
+)
+def d_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    w1 = F.coalesce(F.try_element_at(toks, F.lit(1)), F.lit("x"))
+    w2 = F.coalesce(F.try_element_at(toks, F.lit(2)), F.lit("x"))
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.upper(F.concat(F.col("source"), F.lit(".Example.com"))))
+        .otherwise(F.concat(F.col("source"), F.lit(".example.com"))),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/"), w1, F.lit("/"), w2,
+        F.when(did % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(did % 2 == 0, F.concat(F.lit("utm_source="), F.col("source"), F.lit("&q="), w1))
+        .when(did % 4 == 3, F.concat(
+            F.lit("q="), w1, F.lit("&sid="), (did % 100).cast("string"),
+            F.lit("&ref="), F.col("source"),
+        ))
+        .otherwise(F.concat(F.lit("q="), w1)),
+        F.when(did % 3 == 1, F.concat(F.lit("#sec"), (did % 4).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    withc = d.select(did.alias("doc_id"), url.alias("url")).withColumn(
+        "canon_url", DD.canonical_url("url")
+    )
+    return withc.groupBy("canon_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+        F.min("doc_id").alias("kept_doc"),
+    )
