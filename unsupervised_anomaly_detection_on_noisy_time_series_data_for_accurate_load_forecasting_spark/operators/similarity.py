@@ -616,6 +616,10 @@ def kmeans_mirror(ids, X, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
 SEMDEDUP_TAU = 0.30  # within-cluster cosine above which the higher id drops
 SEMDEDUP_K_CAP = 256  # centroid-literal capacity of the map-side argmin
 SEMDEDUP_WINDOW = 32  # sorted-neighborhood candidate span within a cluster
+# SemDeDup's k-means is BLOCKING, not a fitted model — 2 Lloyd rounds place
+# near-duplicates in one cell just as well as 3 (each round is a full
+# assignment+stats pass, so rounds are the dominant cost of the query).
+SEMDEDUP_ITERS = 2
 
 
 def semdedup_k(n: int) -> int:
@@ -634,7 +638,7 @@ def semantic_dedup(
     df: DataFrame,
     tau: float = SEMDEDUP_TAU,
     k: int | None = None,
-    iters: int = KMEANS_ITERS,
+    iters: int = SEMDEDUP_ITERS,
     window: int = SEMDEDUP_WINDOW,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (cluster-then-block): k-means

@@ -565,7 +565,7 @@ def _sem_cents_values_sql() -> tuple[str, int]:
 
     import duckdb as _dd
 
-    from ..operators.similarity import KMEANS_ITERS, kmeans_mirror, semdedup_k
+    from ..operators.similarity import SEMDEDUP_ITERS, kmeans_mirror, semdedup_k
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     con = _dd.connect()
@@ -576,7 +576,7 @@ def _sem_cents_values_sql() -> tuple[str, int]:
     con.close()
     k = semdedup_k(len(rows))
     cents, _ = kmeans_mirror(
-        [r[0] for r in rows], [r[1] for r in rows], k=k, iters=KMEANS_ITERS
+        [r[0] for r in rows], [r[1] for r in rows], k=k, iters=SEMDEDUP_ITERS
     )
     vals = ", ".join(
         f"({cell}, [" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + "])"
