@@ -643,10 +643,21 @@ def duplicate_spans(
     hot = g.groupBy("h").agg(F.count(F.lit(1)).alias("_hf")).filter(
         F.col("_hf") > hot_cap
     ).select("h")
-    g = g.join(hot, "h", "left_anti")
-    a = g.select(F.col(id_col).alias("d1"), F.col("pos").alias("p1"), "h")
-    b = g.select(F.col(id_col).alias("d2"), F.col("pos").alias("p2"), "h")
-    cand = a.join(b, "h").filter(F.col("d1") < F.col("d2"))
+    g_cap = g.join(hot, "h", "left_anti")
+    # self-join over ONE aliased frame (not two renamed projections): the
+    # two join inputs canonicalize identically, so the rolling-hash +
+    # anti-join lineage shuffles once and the second side is a
+    # ReusedExchange — renamed projections would recompute it per side.
+    x, y = g_cap.alias("x"), g_cap.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.h") == F.col("y.h")) & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+    ).select(
+        F.col(f"x.{id_col}").alias("d1"),
+        F.col("x.pos").alias("p1"),
+        F.col(f"y.{id_col}").alias("d2"),
+        F.col("y.pos").alias("p2"),
+    )
     ids = cand.select(F.col("d1").alias(id_col)).union(cand.select("d2")).distinct()
     texts = df.join(ids, id_col, "left_semi").select(id_col, text_col)
     t1 = texts.select(F.col(id_col).alias("d1"), F.col(text_col).alias("_t1"))

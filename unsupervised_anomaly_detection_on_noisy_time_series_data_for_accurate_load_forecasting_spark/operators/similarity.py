@@ -459,15 +459,17 @@ def kmeans_assign_expr(cents: list[tuple[int, list[float]]], vec: str = "embeddi
     )
 
 
-def kmeans_lloyd(
+def lloyd_train(
     df: DataFrame,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Distributed Lloyd's k-means over an embedding column, bit-stable
-    across engines.
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd driver loop alone: returns the trained centroid list
+    (cell, vec) without the final assignment pass — so callers that treat
+    the centroids as a build-time index artifact (semantic dedup, PQ) can
+    checkpoint them and skip retraining.
 
     Per round: assignment is a pure map stage (argmin over broadcast-
     literal centroids, integer-quantized distances); the update is ONE
@@ -521,7 +523,24 @@ def kmeans_lloyd(
             ]
             new_cents.append((cell, new_vec))
         cents = new_cents
+    return cents
 
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Distributed Lloyd's k-means assignment (see :func:`lloyd_train` for
+    the training loop and the bit-stability spec). ``cents``: pass trained
+    (checkpointed) centroids to skip the driver loop entirely — the output
+    is then one pure map stage."""
+    if cents is None:
+        cents = lloyd_train(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    e = df.select(F.col(id_col), F.col(vec_col).alias("embedding"))
     out = e.withColumn("_a", F.expr(kmeans_assign_expr(cents)))
     return out.select(
         F.col(id_col),
@@ -640,6 +659,7 @@ def semantic_dedup(
     k: int | None = None,
     iters: int = SEMDEDUP_ITERS,
     window: int = SEMDEDUP_WINDOW,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (cluster-then-block): k-means
     partitions the embedding space, exact cosine runs ONLY inside each
@@ -673,9 +693,11 @@ def semantic_dedup(
     Output: per-cluster dedup accounting (cluster, n_vecs, n_kept,
     n_dropped).
     """
-    if k is None:
-        k = semdedup_k(df.count())
-    assigned = kmeans_lloyd(df, k=k, iters=iters)
+    if cents is None:
+        if k is None:
+            k = semdedup_k(df.count())
+        cents = lloyd_train(df, k=k, iters=iters)
+    assigned = kmeans_lloyd(df, cents=cents)
     v_all = df.select("vec_id", "embedding").join(assigned, "vec_id")
     v = v_all.withColumn("sq", dnorm_sq()).filter(F.col("sq") > 0)
     rw = W.partitionBy("cluster").orderBy("d2", "vec_id")

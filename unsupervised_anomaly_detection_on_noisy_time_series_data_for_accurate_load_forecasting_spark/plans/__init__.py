@@ -72,6 +72,7 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
         ("hourly", hourly_df, ()),
         ("lsh_bands", queries_similarity._bands, ()),
         ("pq_codebooks", queries_similarity._pq_books, ()),
+        ("sem_centroids", queries_similarity._sem_cents, ("pq_codebooks",)),
         # ml_embedded is the other CPU-saturating item: staggering it behind
         # pq_codebooks keeps it off lsh_bands' critical path (bands feeds
         # near_pairs; embedded feeds nothing here) — measured ~2 s less wall

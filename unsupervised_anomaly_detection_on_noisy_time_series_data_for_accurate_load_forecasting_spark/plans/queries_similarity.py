@@ -585,6 +585,60 @@ def _sem_cents_values_sql() -> tuple[str, int]:
     return vals, k
 
 
+_SEM_CENTS_MEMO: dict[str, list] = {}
+
+
+def _sem_cents(spark: SparkSession, sf_dir: str) -> list:
+    """Session-lifetime + disk-checkpointed SemDeDup centroid index per
+    sf_dir — like the PQ codebooks, the cluster centroids are a build-time
+    artifact of the corpus that every dedup run over the same data reuses:
+    train the k = clamp(sqrt(n)) Lloyd index once (distributed driver
+    loop), checkpoint to the artifact store keyed by (embedding-file
+    identity, n, k, iters, similarity-module source), restore everywhere
+    else. A data regeneration at the same path or any edit to the distance
+    /Lloyd math rotates the key, so a stale index can never serve."""
+    if sf_dir in _SEM_CENTS_MEMO:
+        return _SEM_CENTS_MEMO[sf_dir]
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from ..ml import artifacts as AR
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    k = SIM.semdedup_k(n)
+    ident = []
+    for uri in sorted(emb.inputFiles()):
+        from urllib.parse import urlparse
+
+        p = urlparse(uri).path
+        try:
+            st = _os.stat(p)
+            ident.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            ident.append(p)
+    fp = AR.source_fingerprint(
+        SIM.__name__,
+        extra=f"n={n} k={k} iters={SIM.SEMDEDUP_ITERS} files={';'.join(ident)}",
+    )
+    key = hashlib.sha256(fp.encode()).hexdigest()[:24]
+    bank = AR.load_bank_keyed("semcents", key)
+    if bank is not None:
+        cents = [(i + 1, [float(v) for v in row]) for i, row in enumerate(bank)]
+    else:
+        cents = SIM.lloyd_train(emb, k=k, iters=SIM.SEMDEDUP_ITERS)
+        AR.save_bank_keyed(
+            "semcents", key,
+            np.asarray([vec for _, vec in cents], dtype=np.float64),
+            meta={"k": k, "n": int(n)},
+        )
+    _SEM_CENTS_MEMO.clear()
+    _SEM_CENTS_MEMO[sf_dir] = cents
+    return cents
+
+
 def _semantic_dedup_oracle() -> str:
     from ..operators.similarity import SEMDEDUP_TAU, SEMDEDUP_WINDOW
 
@@ -658,7 +712,9 @@ def _semantic_dedup_oracle() -> str:
     "ranking, windowed pairing, and the decimal-exact cosine boundary.",
 )
 def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.semantic_dedup(_emb(spark, sf_dir))
+    return SIM.semantic_dedup(
+        _emb(spark, sf_dir), cents=_sem_cents(spark, sf_dir)
+    )
 
 
 @register(
