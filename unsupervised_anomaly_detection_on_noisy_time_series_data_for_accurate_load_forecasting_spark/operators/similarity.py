@@ -487,7 +487,9 @@ def lloyd_train(
     two narrow stages per round. At 100 TB the integer sums stay exact
     below 2^53 micro-units per (cell, dim) — ~9e9 unit-scale mass, beyond
     which the sum would need one extra split (two-level aggregation)."""
-    e = df.select(F.col(id_col), F.col(vec_col).alias("embedding"))
+    e = df.select(F.col(id_col), F.col(vec_col).alias("embedding")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     init = [
         (i + 1, [float(x) for x in r.embedding])
         for i, r in enumerate(e.orderBy(id_col).limit(k).collect())
@@ -533,14 +535,21 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: list[tuple[int, list[float]]] | None = None,
+    spread: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd's k-means assignment (see :func:`lloyd_train` for
     the training loop and the bit-stability spec). ``cents``: pass trained
     (checkpointed) centroids to skip the driver loop entirely — the output
-    is then one pure map stage."""
+    is then one pure map stage. ``spread``: repartition to all cores before
+    the argmin map — the n·k·dim fold serializes on a single-split small-SF
+    scan (at real scale the scan is already wide); leave False when the
+    shuffle-free map-only plan matters more than toy-scale parallelism
+    (k = 8 s_kmeans_embed asserts that plan shape)."""
     if cents is None:
         cents = lloyd_train(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     e = df.select(F.col(id_col), F.col(vec_col).alias("embedding"))
+    if spread:
+        e = e.repartition(df.sparkSession.sparkContext.defaultParallelism)
     out = e.withColumn("_a", F.expr(kmeans_assign_expr(cents)))
     return out.select(
         F.col(id_col),
@@ -697,7 +706,7 @@ def semantic_dedup(
         if k is None:
             k = semdedup_k(df.count())
         cents = lloyd_train(df, k=k, iters=iters)
-    assigned = kmeans_lloyd(df, cents=cents)
+    assigned = kmeans_lloyd(df, cents=cents, spread=True)
     v_all = df.select("vec_id", "embedding").join(assigned, "vec_id")
     v = v_all.withColumn("sq", dnorm_sq()).filter(F.col("sq") > 0)
     rw = W.partitionBy("cluster").orderBy("d2", "vec_id")
