@@ -31,6 +31,27 @@ def test_ivf_degenerate_cell_count_keeps_rows(spark, sf_dir):
     assert len(qids) == 10, f"expected all 10 queries to keep results, got {sorted(qids)}"
 
 
+def test_ivfpq_recall_vs_pq_and_bruteforce(spark, sf_dir):
+    # IVF-PQ loses recall two ways: code quantization (shared with plain
+    # PQ — the dominant loss at 8 subspaces × 16 codes: PQ alone measures
+    # ~0.27 here) and cell probing. Its recall must therefore track plain
+    # PQ's from below (probing may only shave a little more) and stay well
+    # above chance (5/500 = 0.01).
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.qid, r.nid) for r in cosine_topk(emb, n_queries=30, k=5).collect()}
+    pq = {(r.qid, r.nid) for r in pq_topk(emb, n_queries=30, k=5).collect()}
+    comp = {(r.qid, r.nid) for r in ivfpq_topk(emb, n_queries=30, k=5, n_lists=8, n_probe=4).collect()}
+    r_pq = len(exact & pq) / len(exact)
+    r_comp = len(exact & comp) / len(exact)
+    assert r_comp >= 0.15, f"ivfpq recall {r_comp:.2f}"
+    assert r_comp >= r_pq - 0.15, f"probing lost too much: pq {r_pq:.2f} vs ivfpq {r_comp:.2f}"
+
+
 def test_sq8_recall_vs_bruteforce(spark, sf_dir):
     # int8 quantization perturbs each cosine by O(1/127) per component; the
     # quantized top-5 must still largely agree with the exact float top-5.

@@ -289,6 +289,24 @@ def test_pq_encoding_is_map_only(spark, sf_dir):
     assert "Join" not in plan and "Exchange" not in plan
 
 
+def test_ivfpq_is_broadcast_probed_one_shuffle_agg(spark, sf_dir):
+    """IVF-PQ composite: the probe restriction and the ADC LUT must both be
+    BROADCAST joins (probe list is n_queries·n_probe rows, LUT is
+    n_queries·M·K rows — both tiny at any corpus size), the ADC sum must
+    partial-aggregate (map-side combine before the (qid, nid) exchange),
+    and the only nested loop is the deliberate 16-row centroid broadcast
+    cross of the coarse assignment."""
+    df = REGISTRY["s_ivfpq_topk"].spark(spark, sf_dir)
+    plan = _plan(df)
+    # the 16-row centroid broadcast cross appears once under the corpus
+    # branch and once under the probes branch — nothing else may nested-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, "probe + LUT joins must broadcast"
+    fplan = _formatted(df)
+    assert fplan.count("HashAggregate") >= 2, "ADC sum must map-side combine"
+
+
 def test_dup_spans_has_no_nested_loop_and_no_global_window(spark, sf_dir):
     """The rolling-hash duplicate-span plan must stay equi-join (hash
     candidates) with per-doc/per-pair windows — no BroadcastNestedLoopJoin,

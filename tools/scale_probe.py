@@ -60,6 +60,119 @@ QUERIES = [
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
+# tables whose growth sets each family's honest factor denominator
+GROWTH_TABLES = ["lineitem", "orders", "events", "documents", "embeddings"]
+
+
+def data_growth_rows() -> list[str]:
+    """Row counts per table per SF — the denominators the wall factors must
+    be read against. The driver's testdata does NOT grow every table 10×
+    per step (embeddings: 500 → 500 → 2000, i.e. ×1 then ×4), so a wall
+    factor can only be judged super-linear against ITS table's growth."""
+    import duckdb
+
+    lines = [
+        "## Data growth per SF (factor denominators)",
+        "",
+        "| table | sf0.001 | sf0.01 | sf0.1 | 0.001→0.01 | 0.01→0.1 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for t in GROWTH_TABLES:
+        ns = []
+        for sf_dir in SFS:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            ns.append(duckdb.sql(f"SELECT count(*) FROM '{p}'").fetchone()[0])
+        lines.append(
+            f"| `{t}` | {ns[0]} | {ns[1]} | {ns[2]} "
+            f"| ×{ns[1] / ns[0]:.1f} | ×{ns[2] / ns[1]:.1f} |"
+        )
+    lines += [
+        "",
+        "Query families read: `q1`/`o*`/`j*`/relational → lineitem/orders;",
+        "time-series/stream/ML → events; `t_*`/`d_*` text dedup → documents;",
+        "`s_*`/`d_embedding`/`d_semantic` → embeddings (×1, ×4 — NOT ×10).",
+        "",
+    ]
+    return lines
+
+
+def synthetic_semdedup_rows(spark) -> list[str]:
+    """Synthetic ×10 embedding-scale probe for `d_semantic_dedup`: the real
+    testdata grows embeddings only ×4 on its largest step and cluster sizes
+    (~n/√n = √n) only cross the sorted-neighborhood window (32) between
+    those SFs — so the real-data factor mixes window-saturation with data
+    growth. This probe measures the asymptotic regime directly: n = 2 000
+    vs n = 20 000 synthetic 64-dim vectors (deterministic seeded mixture,
+    5% planted near-duplicates), index trained per-n OUTSIDE the timed wall
+    (it is a build-time corpus artifact, same as the PQ codebooks), timed
+    wall = the full dedup plan, min of two runs. Candidate-pair counts are
+    measured from the same plan's candidate frame — the LINEAR bound
+    (≤ window·n) is the 100 TB claim."""
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        similarity as SIM,
+    )
+
+    def synth(n: int):
+        rng = np.random.RandomState(7)
+        n_centers = 48
+        centers = rng.standard_normal((n_centers, 64))
+        base = centers[rng.randint(0, n_centers, n)] + 0.3 * rng.standard_normal((n, 64))
+        # plant near-duplicates: last 5% copy an earlier row + tiny jitter
+        nd = n // 20
+        src = rng.randint(0, n - nd, nd)
+        base[n - nd :] = base[src] + 1e-3 * rng.standard_normal((nd, 64))
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(1, n + 1, dtype=np.int64), "embedding": [list(map(float, r)) for r in base]}
+        )
+        return spark.createDataFrame(pdf).repartition(32).cache()
+
+    out = []
+    walls, pairs, ks = {}, {}, {}
+    for n in (2_000, 20_000):
+        df = synth(n)
+        df.count()
+        k = SIM.semdedup_k(n)
+        ks[n] = k
+        cents = SIM.lloyd_train(df, k=k, iters=SIM.SEMDEDUP_ITERS)
+        assigned = SIM.kmeans_lloyd(df, cents=cents, spread=True)
+        v_all = df.join(assigned, "vec_id")
+        pairs[n] = SIM.semantic_candidates(v_all).count()
+        ws = []
+        for _ in range(2):
+            t0 = time.time()
+            SIM.semantic_dedup(df, cents=cents).collect()
+            ws.append(time.time() - t0)
+        walls[n] = round(min(ws), 2)
+        print(f"# synth n={n} k={k}: {walls[n]}s, {pairs[n]} candidate pairs", file=sys.stderr)
+        df.unpersist()
+    out += [
+        "## Synthetic ×10 embedding step — `d_semantic_dedup` asymptote",
+        "",
+        "| n vectors | k (=clamp(√n)) | candidate pairs | pairs/n | wall (s) |",
+        "|---|---|---|---|---|",
+    ]
+    for n in (2_000, 20_000):
+        out.append(f"| {n} | {ks[n]} | {pairs[n]} | {pairs[n] / n:.1f} | {walls[n]} |")
+    out += [
+        "",
+        f"×10 data → wall ×{walls[20_000] / walls[2_000]:.1f}. The linearity",
+        "evidence is the pairs/n column: it is HARD-CAPPED at window = 32",
+        f"regardless of n (measured {pairs[2_000] / 2_000:.1f} → "
+        f"{pairs[20_000] / 20_000:.1f}, asymptoting to the cap as cluster",
+        "sizes √n grow past the window), so candidate volume — and with it the",
+        "verify cost — is ≤ 32n at any corpus size. The r6 shape (fixed k = 8,",
+        "full within-cluster pairing → pairs/n ∝ n) is structurally gone.",
+        "Index training (excluded: build-time artifact, restored from the",
+        "checkpoint store in every query path) is the only n·k = n^1.5 stage,",
+        "and k caps at 256.",
+        "",
+    ]
+    return out
+
 
 def main() -> None:
     from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.session import (
@@ -101,14 +214,19 @@ def main() -> None:
     lines = [
         "# SCALING — measured wall vs scale factor (local[32])",
         "",
-        "Generated by `tools/scale_probe.py`. Data grows 10× per step; a wall",
-        "factor at or below the data factor means the plan is scan/shuffle-bound",
-        "(fixed session overhead dominates the small SFs, so factors well below",
-        "10 are expected there); a factor above it would expose a super-linear",
-        "stage. Driver-bounded model fits (softpatch coreset, neural training)",
-        "are capped by construction, so their wall is expected to FLATTEN as",
-        "data grows — the cap, not the corpus, sets the cost.",
+        "Generated by `tools/scale_probe.py`. A wall factor at or below the",
+        "DATA factor of the table the query reads (see the growth table below —",
+        "not every table grows 10× per step) means the plan is scan/shuffle-",
+        "bound (fixed session overhead dominates the small SFs, so factors well",
+        "below the data factor are expected there); a factor above it would",
+        "expose a super-linear stage. Driver-bounded model fits (softpatch",
+        "coreset, neural training) are capped by construction, so their wall is",
+        "expected to FLATTEN as data grows — the cap, not the corpus, sets the",
+        "cost.",
         "",
+    ]
+    lines += data_growth_rows()
+    lines += [
         "| query | sf0.001 | sf0.01 | sf0.1 | 0.001→0.01 | 0.01→0.1 |",
         "|---|---|---|---|---|---|",
     ]
@@ -120,8 +238,9 @@ def main() -> None:
             f"| `{q}` | {r.get('0.001', '—')} | {r.get('0.01', '—')} | {r.get('0.1', '—')} "
             f"| ×{f1:.1f} | ×{f2:.1f} |"
         )
+    lines += [""]
+    lines += synthetic_semdedup_rows(spark)
     lines += [
-        "",
         "Notes on the shapes (stable across regenerations):",
         "- `ml_softpatch_scores` restores its fitted bank from the keyed",
         "  checkpoint store when the corpus signature matches (a cold fit adds",
@@ -146,8 +265,11 @@ def main() -> None:
         "  within-cluster pairing measured ×4.1 here); the centroid index",
         "  (k = clamp(√n)) trains once and restores from the artifact store, so",
         "  the probed wall is one spread argmin map + the windowed pair join.",
-        "  Remaining step growth is the n·k argmin with k = √n (the SemDeDup",
-        "  knob) — k caps at 256, so growth is linear past n ≈ 65k vectors.",
+        "  Its real-data 0.01→0.1 factor reads against embeddings' ×4 growth",
+        "  AND the window crossing (cluster size √n passes the 32-wide",
+        "  neighborhood exactly between these SFs, so pairs/n still rises",
+        "  here); the synthetic ×10 section above isolates the saturated",
+        "  asymptote, which is the regime a 100 TB corpus lives in.",
         "- `d_dup_spans` (r7): the hot-k-gram cap adds a partial-aggregated",
         "  count + anti join ahead of the candidate equi-join, and the text",
         "  verify is shuffle-side (no broadcast of text at any scale); both",

@@ -183,11 +183,13 @@ def banded_buckets(df: DataFrame, bucket_cap: int | None = BUCKET_CAP) -> DataFr
 IVF_SALT = 53
 
 
-def ivf_topk(
-    df: DataFrame, n_queries: int = 100, k: int = 5, n_lists: int = 16, n_probe: int = 4
-) -> DataFrame:
-    """IVF (inverted-file) ANN: coarse-quantize the corpus into `n_lists`
-    cells; each query scans only its `n_probe` nearest cells.
+def ivf_cells(
+    df: DataFrame, n_queries: int = 100, n_lists: int = 16, n_probe: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """Coarse IVF cell structure shared by :func:`ivf_topk` (exact-cosine
+    refine) and :func:`ivfpq_topk` (PQ-ADC refine): assign every corpus
+    vector to its nearest cell, and every query to its ``n_probe`` nearest
+    cells.
 
     The coarse quantizer is a **deterministic seeded corpus subset** (the
     n_lists vectors minimizing the cross-engine RNG hash of their id) — the
@@ -196,12 +198,10 @@ def ivf_topk(
     KMeans‖ centroids (ml/mllib_modes.kmeans_coreset) when cell balance
     matters more than cross-engine verifiability.
 
-    Scale shape: centroids are tiny and broadcast; the corpus is bucketed
-    once (one shuffle on cell id); a query touches n_probe/n_lists of the
-    data instead of all of it. Distances are decimal-exact (same as the
-    brute-force baseline), so assignment and ranking are partition-
-    independent; recall is approximate by design (tests/test_ann_recall.py
-    pins the bound against brute force)."""
+    Returns ``(corpus, probes)``: corpus = (vec_id, embedding, sq, cell)
+    with exactly one row per vector; probes = (qid, qemb, qsq, cell) with
+    ``n_probe`` rows per query id below ``n_queries``. Distances are
+    decimal-exact, so both frames are partition-independent."""
     from ..functions.rng import rng_draw
 
     e = df.select("vec_id", "embedding").withColumn("sq", dnorm_sq())
@@ -261,6 +261,23 @@ def ivf_topk(
         assign.filter((F.col("vec_id") < n_queries) & (F.col("crk") <= n_probe))
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), F.col("sq").alias("qsq"), "cell")
     )
+    return corpus, probes
+
+
+def ivf_topk(
+    df: DataFrame, n_queries: int = 100, k: int = 5, n_lists: int = 16, n_probe: int = 4
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into `n_lists`
+    cells (:func:`ivf_cells`); each query scans only its `n_probe` nearest
+    cells with the exact two-speed cosine.
+
+    Scale shape: centroids are tiny and broadcast; the corpus is bucketed
+    once (one shuffle on cell id); a query touches n_probe/n_lists of the
+    data instead of all of it. Distances are decimal-exact (same as the
+    brute-force baseline), so assignment and ranking are partition-
+    independent; recall is approximate by design (tests/test_ann_recall.py
+    pins the bound against brute force)."""
+    corpus, probes = ivf_cells(df, n_queries=n_queries, n_lists=n_lists, n_probe=n_probe)
     # candidate ranking, two-speed (same shape as cosine_topk): fast cosine
     # pre-rank keeps everything within MARGIN of the fast kth — a provable
     # superset of the exact top-k — then the decimal path decides exactly.
@@ -662,6 +679,45 @@ def semdedup_k(n: int) -> int:
     return min(max(8, math.isqrt(max(n, 1))), SEMDEDUP_K_CAP)
 
 
+def semantic_candidates(v_all: DataFrame, window: int = SEMDEDUP_WINDOW) -> DataFrame:
+    """Sorted-neighborhood candidate pairs of an assigned embedding frame
+    (vec_id, embedding, cluster, d2): rank members by (distance-to-centroid,
+    vec_id) inside each cluster, pair each vector only with its ``window``
+    predecessors in that order. Candidate volume is ≤ window·n — LINEAR in
+    n (the probe in tools/scale_probe.py counts this frame directly as the
+    scaling evidence). Pairing is an equi-join on (cluster, rank) via a
+    sequence explode; a's join key is unique per cluster, so SHUFFLE_HASH
+    builds the small unique side and streams b."""
+    v = v_all.withColumn("sq", dnorm_sq()).filter(F.col("sq") > 0)
+    rw = W.partitionBy("cluster").orderBy("d2", "vec_id")
+    ranked = v.withColumn("rk", F.row_number().over(rw))
+    a = ranked.select(
+        F.col("cluster"),
+        F.col("rk"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("sq").alias("sqa"),
+    )
+    b = ranked.select(
+        F.col("cluster"),
+        F.col("rk").alias("rkb"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("sq").alias("sqb"),
+    )
+    b_exp = (
+        b.withColumn("_j", F.explode(F.sequence(F.lit(1), F.lit(window))))
+        .withColumn("rk", F.col("rkb") - F.col("_j"))
+        .filter(F.col("rk") >= 1)
+        .drop("_j", "rkb")
+    )
+    return a.hint("shuffle_hash").join(b_exp, ["cluster", "rk"]).select(
+        F.least("va", "vb").alias("d1"),
+        F.greatest("va", "vb").alias("d2"),
+        "ea", "eb", "sqa", "sqb",
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     tau: float = SEMDEDUP_TAU,
@@ -708,37 +764,7 @@ def semantic_dedup(
         cents = lloyd_train(df, k=k, iters=iters)
     assigned = kmeans_lloyd(df, cents=cents, spread=True)
     v_all = df.select("vec_id", "embedding").join(assigned, "vec_id")
-    v = v_all.withColumn("sq", dnorm_sq()).filter(F.col("sq") > 0)
-    rw = W.partitionBy("cluster").orderBy("d2", "vec_id")
-    ranked = v.withColumn("rk", F.row_number().over(rw))
-    a = ranked.select(
-        F.col("cluster"),
-        F.col("rk"),
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        F.col("sq").alias("sqa"),
-    )
-    b = ranked.select(
-        F.col("cluster"),
-        F.col("rk").alias("rkb"),
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        F.col("sq").alias("sqb"),
-    )
-    # each member pairs with its `window` sorted predecessors: explode the
-    # offset, equi-join on (cluster, rank). a's join key is unique per
-    # cluster — SHUFFLE_HASH builds the small unique side, streams b.
-    b_exp = (
-        b.withColumn("_j", F.explode(F.sequence(F.lit(1), F.lit(window))))
-        .withColumn("rk", F.col("rkb") - F.col("_j"))
-        .filter(F.col("rk") >= 1)
-        .drop("_j", "rkb")
-    )
-    cands = a.hint("shuffle_hash").join(b_exp, ["cluster", "rk"]).select(
-        F.least("va", "vb").alias("d1"),
-        F.greatest("va", "vb").alias("d2"),
-        "ea", "eb", "sqa", "sqb",
-    )
+    cands = semantic_candidates(v_all, window=window)
     fast = cands.filter(
         F.expr(fdot_expr("ea", "eb")) / F.sqrt(F.col("sqa") * F.col("sqb"))
         >= F.lit(tau - MARGIN)
@@ -852,6 +878,86 @@ def pq_topk(
     scored = (
         long.join(F.broadcast(lut), ["sub", "code"])
         .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", F.col("vec_id").alias("nid"))
+        .agg(F.sum("pd2i").alias("d2i"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("d2i").asc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid",
+            "nid",
+            (F.col("d2i").cast("double") / F.lit(1e6)).alias("d2_pq"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    n_queries: int = 100,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    books: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ composite ANN — the index layout a 100 TB vector corpus
+    actually deploys (the FAISS ``IVFxx,PQyy`` shape): the coarse IVF
+    quantizer (:func:`ivf_cells`) restricts each query to its ``n_probe``
+    nearest cells, and WITHIN those cells candidates are scored by the
+    PQ asymmetric-distance LUT instead of touching the raw floats.
+
+    Why the composite matters at scale: plain PQ-ADC still scans every
+    vector's codes for every query (bandwidth-bound over the whole
+    corpus); plain IVF refines with exact float dot products (compute-
+    bound inside the probed cells). IVF-PQ scans only
+    ``n_probe/n_lists`` of the corpus AND touches only 8 int codes per
+    candidate — the product of both reductions.
+
+    Plan shape: cell assignment is the shared broadcast-centroid map;
+    encoding is a pure map stage (per-subspace argmin over codebook
+    LITERALS — no join); the probed-cell restriction is a broadcast join
+    of the (n_queries·n_probe)-row probe list on the cell key; the ADC
+    scan is a broadcast LUT join plus ONE combinable integer sum — a
+    single shuffle end to end. Every arithmetic step is integer-exact, so
+    the SQL oracle replays cells, codes, LUT, and top-k bit-for-bit.
+
+    Output: (qid, nid, d2_pq, rk) — top-k smallest approximate distances
+    among probed cells. ``books`` as in :func:`pq_topk`."""
+    spark = df.sparkSession
+    if books is None:
+        sample = (
+            df.orderBy("vec_id").limit(PQ_TRAIN_CAP).select("vec_id", "embedding").collect()
+        )
+        books = pq_codebooks(
+            [r["vec_id"] for r in sample], [list(r["embedding"]) for r in sample]
+        )
+
+    corpus, probes = ivf_cells(df, n_queries=n_queries, n_lists=n_lists, n_probe=n_probe)
+    code_cols = []
+    for j, cents in enumerate(books):
+        sub = f"slice(embedding, {j * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        code_cols.append(
+            F.expr(kmeans_assign_expr(cents, vec=sub)).getField("cell").alias(f"c{j}")
+        )
+    codes = corpus.select("vec_id", "cell", *code_cols)
+    long = codes.select(
+        "vec_id",
+        "cell",
+        F.posexplode(F.array(*[F.col(f"c{j}") for j in range(PQ_M)])).alias("sub", "code"),
+    )
+
+    q_rows = df.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
+    lut_rows = _pq_lut_rows(
+        [r["vec_id"] for r in q_rows], [list(r["embedding"]) for r in q_rows], books
+    )
+    lut = spark.createDataFrame(lut_rows, "qid long, sub int, code int, pd2i long")
+
+    scored = (
+        long.join(F.broadcast(probes.select("qid", "cell")), "cell")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .join(F.broadcast(lut), ["qid", "sub", "code"])
         .groupBy("qid", F.col("vec_id").alias("nid"))
         .agg(F.sum("pd2i").alias("d2i"))
     )

@@ -185,12 +185,16 @@ def s_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle() -> str:
+def _ivf_cells_ctes() -> str:
+    """The coarse-cell CTE block shared by the IVF and IVF-PQ oracles
+    (mirrors :func:`~..operators.similarity.ivf_cells`): seeded-subset
+    centroids → decimal-exact assignment → corpus (nearest cell) and
+    probes (4 nearest cells of the first 100 ids). Expects ``long`` from
+    ``_LONG`` in scope."""
     from ..functions.rng import rng_draw_sql
 
     draw = rng_draw_sql("vec_id", salt=SIM.IVF_SALT)
     return f"""
-    WITH {_LONG},
     cents AS (
       SELECT vec_id AS cvid, CAST(row_number() OVER (ORDER BY {draw}, vec_id) AS INTEGER) AS cell
       FROM embeddings ORDER BY {draw}, vec_id LIMIT 16
@@ -205,7 +209,13 @@ def _ivf_oracle() -> str:
       FROM adist
     ),
     corpus AS (SELECT vec_id, cell FROM crk WHERE crk = 1),
-    probes AS (SELECT vec_id AS qid, cell FROM crk WHERE crk <= 4 AND vec_id < 100),
+    probes AS (SELECT vec_id AS qid, cell FROM crk WHERE crk <= 4 AND vec_id < 100)"""
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH {_LONG},
+    {_ivf_cells_ctes()},
     cands AS (
       SELECT p.qid, c.vec_id AS nid FROM probes p JOIN corpus c USING (cell)
       WHERE c.vec_id != p.qid
@@ -448,17 +458,15 @@ def s_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_lloyd(_emb(spark, sf_dir))
 
 
-def _pq_oracle() -> str:
-    """PQ-ADC mirror: codebooks and the query lookup table come from the
-    SAME deterministic driver-side training the engine uses (identical
-    literals by construction); DuckDB itself recomputes every row's
-    per-subspace argmin code and the ADC sum from them."""
+def _pq_sql_literals() -> tuple[str, str]:
+    """(codebook VALUES, LUT VALUES) for the PQ-family oracles: codebooks
+    and the query lookup table come from the SAME deterministic driver-side
+    training the engine uses (identical literals by construction)."""
     import os
 
     import duckdb as _dd
 
     from ..operators.similarity import (
-        PQ_SUBDIM,
         PQ_TRAIN_CAP,
         _pq_lut_rows,
         pq_codebooks,
@@ -483,8 +491,17 @@ def _pq_oracle() -> str:
     )
     lut = _pq_lut_rows([r[0] for r in q_rows], [r[1] for r in q_rows], books)
     lut_vals = ", ".join(f"({q}, {s}, {c}, {p})" for q, s, c, p in lut)
+    return cb_vals, lut_vals
+
+
+def _pq_codes_ctes(cb_vals: str) -> str:
+    """The PQ encode CTE block shared by the PQ and IVF-PQ oracles: DuckDB
+    recomputes every row's per-subspace argmin code from the codebook
+    literals, integer-quantized exactly like the engine's map stage."""
+    from ..operators.similarity import PQ_SUBDIM
+
     return f"""
-    WITH cb(sub, code, c) AS (VALUES {cb_vals}),
+    cb(sub, code, c) AS (VALUES {cb_vals}),
     d AS (
       SELECT e.vec_id, cb.sub, cb.code,
              list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), i ->
@@ -498,12 +515,49 @@ def _pq_oracle() -> str:
              row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2i, code) AS rn
       FROM d
     ),
-    codes AS (SELECT vec_id, sub, code FROM best WHERE rn = 1),
+    codes AS (SELECT vec_id, sub, code FROM best WHERE rn = 1)"""
+
+
+def _pq_oracle() -> str:
+    """PQ-ADC mirror: see :func:`_pq_sql_literals` — DuckDB recomputes
+    every row's per-subspace argmin code and the ADC sum from the same
+    trained literals the engine uses."""
+    cb_vals, lut_vals = _pq_sql_literals()
+    return f"""
+    WITH {_pq_codes_ctes(cb_vals)},
     lut(qid, sub, code, pd2i) AS (VALUES {lut_vals}),
     sc AS (
       SELECT l.qid, c.vec_id AS nid, CAST(sum(l.pd2i) AS BIGINT) AS d2i
       FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
       WHERE l.qid != c.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT qid, nid, CAST(d2i AS DOUBLE) / 1000000.0 AS d2_pq, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT qid, nid, d2i,
+                 row_number() OVER (PARTITION BY qid ORDER BY d2i, nid) AS rk
+          FROM sc)
+    WHERE rk <= 5
+    """
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ mirror: composes the IVF coarse-cell CTEs with the PQ encode
+    CTEs — candidates are (probe, corpus) cell matches, scored by the same
+    integer ADC sum over the same trained LUT literals, so the whole
+    composite index (probing AND quantization) is hash-verified."""
+    cb_vals, lut_vals = _pq_sql_literals()
+    return f"""
+    WITH {_LONG},
+    {_ivf_cells_ctes()},
+    {_pq_codes_ctes(cb_vals)},
+    lut(qid, sub, code, pd2i) AS (VALUES {lut_vals}),
+    sc AS (
+      SELECT p.qid, c.vec_id AS nid, CAST(sum(l.pd2i) AS BIGINT) AS d2i
+      FROM probes p
+      JOIN corpus c USING (cell)
+      JOIN codes co ON co.vec_id = c.vec_id
+      JOIN lut l ON l.qid = p.qid AND l.sub = co.sub AND l.code = co.code
+      WHERE c.vec_id != p.qid
       GROUP BY 1, 2
     )
     SELECT qid, nid, CAST(d2i AS DOUBLE) / 1000000.0 AS d2_pq, CAST(rk AS INTEGER) AS rk
@@ -552,6 +606,27 @@ def _pq_books(spark: SparkSession, sf_dir: str):
 )
 def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(_emb(spark, sf_dir), n_queries=100, k=5, books=_pq_books(spark, sf_dir))
+
+
+@register(
+    "s_ivfpq_topk",
+    oracle=_ivfpq_oracle,
+    tags=("SIM-ivf", "SIM-pq", "J5", "O3"),
+    doc="IVF-PQ composite ANN — the index layout a 100 TB vector corpus "
+    "deploys (FAISS IVFxx,PQyy shape): the coarse IVF quantizer restricts "
+    "each query to its n_probe nearest cells, and inside those cells "
+    "candidates are scored by the PQ asymmetric-distance LUT instead of "
+    "raw floats — the product of both reductions (n_probe/n_lists of the "
+    "corpus scanned × 8 int codes per candidate instead of 64 floats). "
+    "One shuffle end to end: broadcast cell assignment, map-side encode, "
+    "broadcast probe + LUT joins, combinable integer sum. Integer-exact "
+    "throughout, so the oracle replays cells, codes, LUT, and top-k "
+    "bit-for-bit.",
+)
+def s_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ivfpq_topk(
+        _emb(spark, sf_dir), n_queries=100, k=5, books=_pq_books(spark, sf_dir)
+    )
 
 
 def _sem_cents_values_sql() -> tuple[str, int]:
@@ -765,14 +840,18 @@ def s_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'pq', CAST(count(*) AS BIGINT),
            CAST(count(*) AS DOUBLE) / 500.0
     FROM ({_BF_SQL}) b JOIN ({_pq_oracle()}) v ON b.qid = v.qid AND b.nid = v.nid
+    UNION ALL
+    SELECT 'ivfpq', CAST(count(*) AS BIGINT),
+           CAST(count(*) AS DOUBLE) / 500.0
+    FROM ({_BF_SQL}) b JOIN ({_ivfpq_oracle()}) v ON b.qid = v.qid AND b.nid = v.nid
     """,
     tags=("SIM-ivf", "SIM-sq8", "SIM-pq", "SIM-bruteforce", "M24"),
     doc="Index-quality leaderboard: recall@5 of EVERY approximate index "
-    "(IVF cell probe, SQ8 scalar quantization, PQ-ADC) against the exact "
-    "brute-force top-5, one row per method — the evaluation matrix an ANN "
-    "deployment tracks across index builds. Deterministic end to end, so "
-    "the recall numbers themselves are hash-verified (the oracle composes "
-    "four existing oracle programs).",
+    "(IVF cell probe, SQ8 scalar quantization, PQ-ADC, IVF-PQ composite) "
+    "against the exact brute-force top-5, one row per method — the "
+    "evaluation matrix an ANN deployment tracks across index builds. "
+    "Deterministic end to end, so the recall numbers themselves are "
+    "hash-verified (the oracle composes five existing oracle programs).",
 )
 def s_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -781,6 +860,7 @@ def s_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", SIM.ivf_topk(emb, n_queries=100, k=5)),
         ("sq8", SIM.sq8_topk(emb, n_queries=100, k=5)),
         ("pq", SIM.pq_topk(emb, n_queries=100, k=5, books=_pq_books(spark, sf_dir))),
+        ("ivfpq", SIM.ivfpq_topk(emb, n_queries=100, k=5, books=_pq_books(spark, sf_dir))),
     )
     parts = []
     for name, df in methods:
@@ -795,4 +875,7 @@ def s_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_matches").cast("double") / F.lit(500.0)).alias("recall_at_5"),
             )
         )
-    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
