@@ -91,3 +91,60 @@ def test_bloom_bitmap_prunes_without_false_negatives(spark, sf_dir):
     )
     expected = {r.o_orderpriority: (r.n, r.rev) for r in plain.collect()}
     assert got == expected
+
+
+def test_zorder_files_cover_2d_tiles(spark, sf_dir):
+    """Z-ordered layout: files must cover compact 2-D tiles, so (a) a box
+    predicate on both dimensions intersects a minority of files, (b) EACH
+    single-dimension predicate alone also prunes — the property no 1-D
+    sort can give (the contrast layout sorts by custkey only: its date
+    predicate must touch every file)."""
+    import datetime
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.bucketing import (
+        write_zordered,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    write_zordered(od, "z_orders_test", "o_custkey", "o_orderdate", n_files=16)
+
+    def file_stats(table_df):
+        return table_df.select(
+            "o_custkey", "o_orderdate", F.input_file_name().alias("f")
+        ).groupBy("f").agg(
+            F.min("o_custkey").alias("cx0"), F.max("o_custkey").alias("cx1"),
+            F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1"),
+        ).collect()
+
+    stats = file_stats(spark.table("z_orders_test"))
+    n = len(stats)
+    assert n >= 8, f"expected a multi-file layout, got {n}"
+    lo_d, hi_d = datetime.datetime(1997, 1, 1), datetime.datetime(1998, 7, 1)
+
+    def hits(rows, ck=True, dt=True):
+        out = []
+        for s in rows:
+            if ck and (s.cx1 < 300 or s.cx0 > 600):
+                continue
+            if dt and (s.d1 < lo_d or s.d0 >= hi_d):
+                continue
+            out.append(s)
+        return len(out)
+
+    assert hits(stats) <= n // 2, "2-D box must touch a minority of z-tiles"
+    assert hits(stats, dt=False) < n, "custkey-only predicate must prune z-tiles"
+    assert hits(stats, ck=False) < n, "date-only predicate must prune z-tiles"
+
+    # contrast: 1-D custkey sort — date-only predicate cannot prune at all
+    (
+        od.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .saveAsTable("lin_orders_test")
+    )
+    lin = file_stats(spark.table("lin_orders_test"))
+    assert hits(lin, ck=False) == len(lin), "1-D layout should NOT prune on date"
+    spark.sql("DROP TABLE IF EXISTS lin_orders_test")

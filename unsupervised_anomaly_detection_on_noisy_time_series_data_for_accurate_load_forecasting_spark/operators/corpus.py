@@ -472,3 +472,129 @@ def count_min_estimates(
             F.col("n_est").cast("bigint").alias("n_est"),
         )
     )
+
+
+THETA_SALT = 127
+THETA_K = 64
+
+
+def theta_setops(
+    docs: DataFrame, lang_a: str = "en", lang_b: str = "de", k: int = THETA_K
+) -> DataFrame:
+    """Theta/KMV sketch set algebra — the set-operation sketch that rounds
+    out the mergeable family (HLL distincts, GK quantiles, Misra-Gries
+    heavy hitters, Count-Min frequencies): estimate |A|, |B|, |A∪B| and
+    |A∩B| of two token sets from two k-hash sketches, never from the full
+    sets. The exclusive-theta convention, fixed identically in both
+    engines:
+
+    - sketch(S) = the ``k`` smallest DISTINCT scrambled token hashes of S;
+    - saturated (|sketch| = k): theta = max(sketch), est = (k−1)·M/theta;
+      unsaturated: theta = M, est = |sketch| (the sketch IS the set);
+    - union: the k smallest of the two sketches' union — valid because the
+      k smallest of (k-smallest(A) ∪ k-smallest(B)) ARE the k smallest of
+      A∪B, the KMV merge property;
+    - intersection: thmin = min(theta_A, theta_B); est =
+      |{h ∈ sketch_A ∩ sketch_B : h < thmin}|·M/thmin.
+
+    Scale shape: per-set distinct hashing is one map-side-combinable
+    aggregate; each k-smallest is a distributed TakeOrdered (per-partition
+    top-k, merged at the driver — k rows of state, never the vocabulary);
+    every downstream set op runs on ≤ 2k-row frames via broadcast. Exact
+    baselines (the columns the sketch is judged against) are plain
+    distinct counts + one token equi-join. Deterministic end to end — the
+    scrambled hash is the cross-engine RNG over the polynomial token hash —
+    so even the estimates hash-verify.
+
+    Output: (op, n_exact, n_est) for op ∈ card_a/card_b/union/intersect.
+    """
+    from ..functions.rng import M as RM
+    from .textops import poly_hash_sql_expr
+
+    def tok_hashes(lang: str) -> DataFrame:
+        t = (
+            docs.filter(F.col("lang") == lang)
+            .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+            .filter(F.length("tok") > 0)
+            .select("tok")
+            .distinct()
+        )
+        return t.withColumn(
+            "th", rng_draw(F.expr(poly_hash_sql_expr("tok")), salt=THETA_SALT)
+        )
+
+    ta, tb = tok_hashes(lang_a), tok_hashes(lang_b)
+    ska = ta.select("th").distinct().orderBy("th").limit(k)
+    skb = tb.select("th").distinct().orderBy("th").limit(k)
+    sku = ska.union(skb).distinct().orderBy("th").limit(k)
+
+    def stats(sk: DataFrame, cn: str, thn: str) -> DataFrame:
+        return sk.agg(
+            F.count(F.lit(1)).cast("bigint").alias(cn),
+            # unsaturated sketch: theta = M (the sketch is the whole set)
+            F.when(F.count(F.lit(1)) < k, F.lit(RM))
+            .otherwise(F.max("th"))
+            .cast("bigint")
+            .alias(thn),
+        )
+
+    bounds = (
+        stats(ska, "ca", "tha")
+        .crossJoin(stats(skb, "cb", "thb"))
+        .crossJoin(stats(sku, "cu", "thu"))
+    )
+    thmin = F.least(F.col("tha"), F.col("thb"))
+    common = (
+        ska.join(skb, "th")
+        .crossJoin(F.broadcast(bounds.select("tha", "thb")))
+        .filter(F.col("th") < thmin)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ci"))
+    )
+
+    ea = ta.agg(F.count(F.lit(1)).cast("bigint").alias("ea"))
+    eb = tb.agg(F.count(F.lit(1)).cast("bigint").alias("eb"))
+    ei = (
+        ta.select("tok")
+        .join(tb.select("tok"), "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ei"))
+    )
+
+    def est(cnt, theta):
+        # single int64→double cast + one division: bit-exact in both engines
+        return F.when(theta == F.lit(RM), cnt.cast("double")).otherwise(
+            ((F.lit(k - 1) * F.lit(RM)).cast("double")) / theta.cast("double")
+        )
+
+    one = (
+        bounds.crossJoin(common).crossJoin(ea).crossJoin(eb).crossJoin(ei)
+    )
+    rows = [
+        one.select(
+            F.lit("card_a").alias("op"),
+            F.col("ea").alias("n_exact"),
+            est(F.col("ca"), F.col("tha")).alias("n_est"),
+        ),
+        one.select(
+            F.lit("card_b").alias("op"),
+            F.col("eb").alias("n_exact"),
+            est(F.col("cb"), F.col("thb")).alias("n_est"),
+        ),
+        one.select(
+            F.lit("union").alias("op"),
+            (F.col("ea") + F.col("eb") - F.col("ei")).alias("n_exact"),
+            est(F.col("cu"), F.col("thu")).alias("n_est"),
+        ),
+        one.select(
+            F.lit("intersect").alias("op"),
+            F.col("ei").alias("n_exact"),
+            F.when(thmin == F.lit(RM), F.col("ci").cast("double"))
+            .otherwise(
+                (F.col("ci") * F.lit(RM)).cast("double") / thmin.cast("double")
+            )
+            .alias("n_est"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -795,3 +795,81 @@ def d_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
         F.min("doc_id").alias("kept_doc"),
     )
+
+
+def _theta_oracle() -> str:
+    from ..functions.rng import M as _M
+    from ..functions.rng import rng_draw_sql
+    from ..operators.corpus import THETA_K, THETA_SALT
+    from ..operators.textops import poly_hash_duck_expr
+
+    k = THETA_K
+    draw = rng_draw_sql("th0", salt=THETA_SALT)
+    est = lambda c, th: (
+        f"CASE WHEN {th} = {_M} THEN CAST({c} AS DOUBLE) "
+        f"ELSE CAST({(k - 1) * _M} AS DOUBLE) / CAST({th} AS DOUBLE) END"
+    )
+
+    def toks(al: str, lang: str) -> str:
+        return (
+            f"{al} AS (SELECT DISTINCT tok FROM (SELECT unnest({_TOKS}) AS tok "
+            f"FROM documents WHERE lang = '{lang}') WHERE length(tok) > 0)"
+        )
+
+    def sketch(al: str, src: str) -> str:
+        return (
+            f"{al} AS (SELECT DISTINCT th FROM (SELECT {draw} AS th FROM "
+            f"(SELECT {poly_hash_duck_expr('tok')} AS th0 FROM {src})) "
+            f"ORDER BY th LIMIT {k})"
+        )
+
+    def stat(al: str, sk: str, cn: str, thn: str) -> str:
+        return (
+            f"{al} AS (SELECT CAST(count(*) AS BIGINT) AS {cn}, "
+            f"CAST(CASE WHEN count(*) < {k} THEN {_M} ELSE max(th) END AS BIGINT) AS {thn} FROM {sk})"
+        )
+
+    return f"""
+    WITH {toks('ta', 'en')}, {toks('tb', 'de')},
+    {sketch('sa', 'ta')}, {sketch('sb', 'tb')},
+    su AS (SELECT th FROM (SELECT th FROM sa UNION SELECT th FROM sb)
+           ORDER BY th LIMIT {k}),
+    {stat('sta', 'sa', 'ca', 'tha')}, {stat('stb', 'sb', 'cb', 'thb')},
+    {stat('stu', 'su', 'cu', 'thu')},
+    common AS (
+      SELECT CAST(count(*) AS BIGINT) AS ci FROM sa JOIN sb USING (th), sta, stb
+      WHERE th < least(tha, thb)
+    ),
+    ea AS (SELECT CAST(count(*) AS BIGINT) AS ea FROM ta),
+    eb AS (SELECT CAST(count(*) AS BIGINT) AS eb FROM tb),
+    ei AS (SELECT CAST(count(*) AS BIGINT) AS ei FROM ta JOIN tb USING (tok))
+    SELECT 'card_a' AS op, ea AS n_exact, {est('ca', 'tha')} AS n_est FROM ea, sta
+    UNION ALL
+    SELECT 'card_b', eb, {est('cb', 'thb')} FROM eb, stb
+    UNION ALL
+    SELECT 'union', ea + eb - ei, {est('cu', 'thu')} FROM ea, eb, ei, stu
+    UNION ALL
+    SELECT 'intersect', ei,
+           CASE WHEN least(tha, thb) = {_M} THEN CAST(ci AS DOUBLE)
+                ELSE CAST(ci * {_M} AS DOUBLE) / CAST(least(tha, thb) AS DOUBLE) END
+    FROM ei, common, sta, stb
+    """
+
+
+@register(
+    "t_theta_setops",
+    oracle=_theta_oracle,
+    tags=("TXT-tokens", "A-sketch"),
+    doc="Theta/KMV sketch set algebra: |A|, |B|, |A UNION B| and "
+    "|A INTERSECT B| of two language token sets estimated from two k-hash "
+    "sketches - the SET-OPERATION member that rounds out the mergeable "
+    "sketch family (HLL distincts, GK quantiles, Misra-Gries heavy "
+    "hitters, Count-Min frequencies). Each k-smallest is a distributed "
+    "TakeOrdered (per-partition top-k, k rows of driver state, never the "
+    "vocabulary); union exploits the KMV merge property (k smallest of "
+    "the sketch union = k smallest of the set union); every set op runs "
+    "on <= 2k-row broadcast frames. Deterministic scrambled hashing, so "
+    "exact baselines AND the estimates themselves hash-verify.",
+)
+def t_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CO.theta_setops(_docs(spark, sf_dir))

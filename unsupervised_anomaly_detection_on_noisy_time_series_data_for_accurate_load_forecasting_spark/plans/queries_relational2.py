@@ -647,6 +647,43 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_zorder_box",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_custkey BETWEEN 300 AND 600
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+    GROUP BY o_orderstatus
+    """,
+    tags=("S6", "P1", "O1"),
+    doc="Z-ordered layout + 2-D box scan: orders written Morton-interleaved "
+    "on (o_custkey, o_orderdate) via repartitionByRange + sort on the "
+    "z-value, so files cover compact 2-D tiles and a box predicate on BOTH "
+    "dimensions intersects O(perimeter) files (parquet min/max footers on "
+    "the original columns do the skipping) — the multi-dimensional data-"
+    "skipping layout hive partitioning (1-D) and hash bucketing (no "
+    "ranges) cannot provide. The oracle checks the box aggregate; "
+    "tests/test_bucketing.py asserts the file-locality property itself.",
+)
+def sink_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bucketing import write_zordered
+
+    od = load_table(spark, sf_dir, "orders")
+    write_zordered(od, "z_orders", "o_custkey", "o_orderdate")
+    back = spark.table("z_orders").filter(
+        F.col("o_custkey").between(300, 600)
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
     "j_salted_skew_revenue",
     oracle=f"""
     SELECT s.s_nationkey AS nationkey,

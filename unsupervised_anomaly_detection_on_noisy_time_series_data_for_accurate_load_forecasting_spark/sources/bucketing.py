@@ -122,3 +122,89 @@ def write_partitioned(df: DataFrame, table: str, partition_col: str) -> None:
     _clear_stale(spark, table)
     df.write.mode("overwrite").partitionBy(partition_col).saveAsTable(table)
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('graft.plan_key'='{key}')")
+
+
+def zvalue_expr(bx: str, by: str, bits: int = 10):
+    """Morton/Z-value of two ``bits``-wide non-negative int columns: bit i
+    of x lands at position 2i, bit i of y at 2i+1. Pure shift/and/or
+    arithmetic — whole-stage-codegen folds it into the projection (no UDF,
+    no shuffle)."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col(bx), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col(by), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    table: str,
+    colx: str,
+    coly: str,
+    bits: int = 10,
+    n_files: int = 16,
+) -> None:
+    """Persist Z-ORDERED on two dimensions: bucketize both columns onto a
+    2^bits grid (min/max-scaled — the two aggregates are a build-time stat
+    pass, like any stats-collecting writer), interleave the grid bits into
+    a Morton z-value, and range-partition + sort the write by it. Files
+    then cover compact 2-D tiles, so a box predicate on (colx, coly)
+    intersects O(perimeter) files instead of all of them — the multi-
+    dimensional data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER shape)
+    that hive-partitioning (1-D directories) and bucketing (hash, no
+    ranges) cannot give. Parquet min/max footers on the ORIGINAL columns
+    do the skipping at read time. Idempotent via the same plan-key stamp
+    as the other sinks."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    key = _plan_key(df, "zorder", colx, coly, bits, n_files)
+    if _existing_plan_key(spark, table) == key:
+        return
+    _clear_stale(spark, table)
+    mm = df.agg(
+        F.min(colx).alias("nx"), F.max(colx).alias("xx"),
+        F.min(coly).alias("ny"), F.max(coly).alias("xy"),
+    ).collect()[0]
+    g = (1 << bits) - 1
+
+    def as_int(v) -> int:
+        # timestamp stats arrive as datetime; the column side casts to
+        # epoch seconds, so the stat must too
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            return int(v.replace(tzinfo=datetime.timezone.utc).timestamp())
+        return int(v)
+
+    dtypes = dict(df.dtypes)
+
+    def numeric(col: str):
+        # timestamps (incl. NTZ — session tz is pinned UTC) → epoch seconds
+        if "timestamp" in dtypes[col]:
+            return F.unix_seconds(F.col(col).cast("timestamp"))
+        return F.col(col).cast("bigint")
+
+    def bucket(col: str, lo, hi):
+        span = max(as_int(hi) - as_int(lo), 1)
+        return ((numeric(col) - F.lit(as_int(lo))) * F.lit(g) / F.lit(span)).cast("bigint")
+
+    zd = (
+        df.withColumn("_bx", bucket(colx, mm["nx"], mm["xx"]))
+        .withColumn("_by", bucket(coly, mm["ny"], mm["xy"]))
+        .withColumn("_z", zvalue_expr("_bx", "_by", bits))
+        .drop("_bx", "_by")
+    )
+    (
+        zd.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .saveAsTable(table)
+    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('graft.plan_key'='{key}')")
