@@ -165,3 +165,41 @@ def test_duplicate_spans_known_overlap(spark):
     # (" one_" vs "then_" and "_tail" vs "_end" share the flanking blanks):
     # 42 chars -> 42-32+1 = 11 consecutive k-grams, one island
     assert r["n_spans"] == 1 and r["n_kgrams"] == 11 and r["max_span_chars"] == 42
+
+
+def test_remove_duplicate_spans_surgery_is_exact(spark):
+    # doc 2 (the higher id) loses exactly the 42-char maximal shared run
+    # (the planted 40 chars plus the flanking spaces); doc 1 keeps it;
+    # doc 3 passes through untouched; doc 4 duplicates doc 1 entirely and
+    # must come out empty (the empty-string hash = the bare seed 7).
+    shared = "The quick brown fox jumps over the lazy".ljust(40, "!")
+    t1 = "prefix one " + shared + " tail A"
+    t2 = "another beginning then " + shared + " end B"
+    t3 = "completely different text with no forty char overlap at all here"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3), (4, t1)], "doc_id long, text string"
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.functions.rng import (
+        M,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    def phash(s: str) -> int:
+        h = 7
+        for ch in s:
+            h = (h * 31 + ord(ch)) % M
+        return h
+
+    got = {r.doc_id: r for r in remove_duplicate_spans(df, k=32).collect()}
+    assert got[1].n_removed == 0 and got[1].cleaned_hash == phash(t1)
+    assert got[3].n_removed == 0 and got[3].cleaned_hash == phash(t3)
+    # doc 2: the maximal run " <shared> " spans 42 chars starting at the
+    # flanking space — splice the expected text manually
+    s = t2.index(" " + shared)
+    cleaned2 = t2[:s] + t2[s + 42 :]
+    assert got[2].n_removed == 42 and got[2].n_after == len(cleaned2)
+    assert got[2].cleaned_hash == phash(cleaned2)
+    # doc 4 duplicates doc 1 verbatim: everything goes
+    assert got[4].n_after == 0 and got[4].cleaned_hash == 7

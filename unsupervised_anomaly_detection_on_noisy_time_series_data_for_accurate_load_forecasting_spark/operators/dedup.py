@@ -636,6 +636,28 @@ def duplicate_spans(
 
     Output: (d1, d2, n_kgrams, n_spans, max_span_chars) per document pair.
     """
+    spans = dup_span_islands(df, k=k, text_col=text_col, id_col=id_col, hot_cap=hot_cap)
+    return spans.groupBy("d1", "d2").agg(
+        F.sum("n_matches").cast("bigint").alias("n_kgrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        (F.max("n_matches") + F.lit(k) - 1).cast("bigint").alias("max_span_chars"),
+    )
+
+
+def dup_span_islands(
+    df: DataFrame,
+    k: int = DUP_SPAN_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_cap: int = DUP_SPAN_HOT_CAP,
+) -> DataFrame:
+    """The island-level duplicate-span frame shared by
+    :func:`duplicate_spans` (pair accounting) and
+    :func:`remove_duplicate_spans` (text surgery): one row per maximal
+    shared run at one positional delta — (d1, d2, delta, p1s = the run's
+    start in d1, n_matches). See :func:`duplicate_spans` for the full
+    scale-shape discussion (rolling hashes, hot-k-gram cap, shuffle-side
+    text verify)."""
     g = char_kgram_hashes(df, k=k, text_col=text_col, id_col=id_col)
     # hot-hash list: partial-aggregated count per hash, then an anti join.
     # Typically tiny (AQE broadcasts it); correct as a shuffle join even
@@ -674,13 +696,83 @@ def duplicate_spans(
     islands = verified.withColumn("delta", F.col("p2") - F.col("p1")).withColumn(
         "isl", F.col("p1") - F.row_number().over(iw)
     )
-    spans = islands.groupBy("d1", "d2", "delta", "isl").agg(
-        F.count(F.lit(1)).alias("n_matches")
+    return islands.groupBy("d1", "d2", "delta", "isl").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("p1").alias("p1s"),
     )
-    return spans.groupBy("d1", "d2").agg(
-        F.sum("n_matches").cast("bigint").alias("n_kgrams"),
-        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-        (F.max("n_matches") + F.lit(k) - 1).cast("bigint").alias("max_span_chars"),
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = DUP_SPAN_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_cap: int = DUP_SPAN_HOT_CAP,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span REMOVAL — the "remove" half of Lee et
+    al.'s char-level dedup that :func:`duplicate_spans` only detects: of
+    every maximal cross-document shared run (length ≥ k), the occurrence in
+    the HIGHER doc_id is cut from its text (keep-first, the same star-
+    collapse convention as the embedding dedups), producing the cleaned
+    corpus a training pipeline actually feeds downstream.
+
+    Shape: intervals to remove come from the shared island frame
+    (:func:`dup_span_islands` — the d2 occurrence spans chars
+    [p1s+delta, p1s+delta+n_matches+k−1)); overlapping intervals merge via
+    the classic running-max gaps-and-islands (per-doc window, never
+    global); the surgery itself is ONE aggregate HOF per doc — a linear
+    fold over the doc's sorted merged intervals concatenating the kept
+    substrings (O(len) per doc, no per-character explode, no UDF). Docs
+    with nothing to remove pass through the left join untouched.
+
+    Output: (doc_id, n_before, n_removed, n_after, cleaned_hash) — the
+    hash is the polynomial char fold of the CLEANED text, so the oracle
+    verifies the byte-exact result of the surgery, not just the lengths.
+    """
+    from .textops import poly_hash_sql_expr
+
+    isl = dup_span_islands(df, k=k, text_col=text_col, id_col=id_col, hot_cap=hot_cap)
+    iv = isl.select(
+        F.col("d2").alias(id_col),
+        (F.col("p1s") + F.col("delta")).alias("s"),
+        (F.col("p1s") + F.col("delta") + F.col("n_matches") + F.lit(k - 1)).alias("e"),
+    )
+    ow = W.partitionBy(id_col).orderBy("s", "e")
+    run = iv.withColumn(
+        "emax", F.max("e").over(ow.rowsBetween(W.unboundedPreceding, -1))
+    )
+    grp = run.withColumn(
+        "grp",
+        F.sum(
+            F.when(F.col("emax").isNull() | (F.col("s") > F.col("emax")), 1).otherwise(0)
+        ).over(ow),
+    )
+    merged = grp.groupBy(id_col, "grp").agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    ivs = merged.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_ivs")
+    )
+    out = df.select(id_col, text_col).join(ivs, id_col, "left")
+    # linear fold over the sorted intervals: acc = kept text so far, pos =
+    # first char not yet emitted; finish by emitting the tail
+    cleaned = F.when(F.col("_ivs").isNull(), F.col(text_col)).otherwise(
+        F.expr(
+            f"aggregate(_ivs, struct(1L as pos, '' as acc), "
+            f"(st, iv) -> struct(cast(iv.e as bigint) as pos, "
+            f"concat(st.acc, substring({text_col}, cast(st.pos as int), "
+            f"greatest(cast(iv.s - st.pos as int), 0))) as acc), "
+            f"st -> concat(st.acc, substring({text_col}, cast(st.pos as int), "
+            f"greatest(cast(length({text_col}) - st.pos as int) + 1, 0))))"
+        )
+    )
+    return (
+        out.withColumn("_cleaned", cleaned)
+        .select(
+            F.col(id_col),
+            F.length(text_col).cast("bigint").alias("n_before"),
+            (F.length(text_col) - F.length("_cleaned")).cast("bigint").alias("n_removed"),
+            F.length("_cleaned").cast("bigint").alias("n_after"),
+            F.expr(poly_hash_sql_expr("_cleaned")).cast("bigint").alias("cleaned_hash"),
+        )
     )
 
 

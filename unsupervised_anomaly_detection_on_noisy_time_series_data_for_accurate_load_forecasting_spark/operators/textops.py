@@ -86,9 +86,15 @@ def fingerprint(col: str = "text") -> Column:
 
 
 def poly_hash_sql_expr(token_expr: str) -> str:
-    """Spark SQL string: polynomial char fold of a string expression."""
+    """Spark SQL string: polynomial char fold of a string expression. The
+    empty string must hash to the bare seed — Spark's sequence(1, 0) is
+    DESCENDING [1, 0] (not empty!), so without the guard an empty input
+    would fold two out-of-range (ascii = 0) positions."""
     codes = f"transform(sequence(1, length({token_expr})), i -> ascii(substring({token_expr}, i, 1)))"
-    return f"aggregate({codes}, 7L, (a, c) -> pmod(a * 31 + c, {M}L))"
+    return (
+        f"(CASE WHEN length({token_expr}) = 0 THEN 7L "
+        f"ELSE aggregate({codes}, 7L, (a, c) -> pmod(a * 31 + c, {M}L)) END)"
+    )
 
 
 def poly_hash_duck_expr(token_expr: str) -> str:

@@ -873,3 +873,91 @@ def _theta_oracle() -> str:
 )
 def t_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.theta_setops(_docs(spark, sf_dir))
+
+
+def _dup_removal_oracle() -> str:
+    from ..operators.textops import poly_hash_duck_expr
+
+    return f"""
+    WITH g0 AS (
+      SELECT doc_id, i AS pos, substr(text, i, {_DUP_K}) AS s
+      FROM documents, LATERAL (SELECT unnest(range(1, length(text) - {_DUP_K} + 2)) AS i)
+    ),
+    g AS (
+      SELECT doc_id, pos, s FROM g0
+      QUALIFY count(*) OVER (PARTITION BY s) <= {DUP_SPAN_HOT_CAP}
+    ),
+    cand AS (
+      SELECT a.doc_id AS d1, a.pos AS p1, b.doc_id AS d2, b.pos AS p2
+      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT d1, d2, p2 - p1 AS delta, p1,
+             p1 - row_number() OVER (PARTITION BY d1, d2, p2 - p1 ORDER BY p1) AS isl_id
+      FROM cand
+    ),
+    spans AS (
+      SELECT d1, d2, delta, isl_id, count(*) AS n, min(p1) AS p1s
+      FROM isl GROUP BY 1, 2, 3, 4
+    ),
+    iv AS (
+      SELECT d2 AS doc_id, p1s + delta AS s, p1s + delta + n + {_DUP_K - 1} AS e
+      FROM spans
+    ),
+    rn AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS emax
+      FROM iv
+    ),
+    grp AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN emax IS NULL OR s > emax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS gid
+      FROM rn
+    ),
+    merged AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, gid),
+    -- oracle reconstructs the cleaned text per CHARACTER (deliberately a
+    -- different program than the engine's interval fold): keep position p
+    -- iff no merged interval covers it
+    pos AS (
+      SELECT doc_id, p, substr(text, CAST(p AS INTEGER), 1) AS ch
+      FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS p)
+    ),
+    kept AS (
+      SELECT pos.doc_id, p, ch FROM pos
+      WHERE NOT EXISTS (SELECT 1 FROM merged m
+                        WHERE m.doc_id = pos.doc_id AND p >= m.s AND p < m.e)
+    ),
+    cln AS (
+      SELECT doc_id, coalesce(string_agg(ch, '' ORDER BY p), '') AS ctext
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS n_before,
+           CAST(length(d.text) - length(coalesce(c.ctext, '')) AS BIGINT) AS n_removed,
+           CAST(length(coalesce(c.ctext, '')) AS BIGINT) AS n_after,
+           CAST({poly_hash_duck_expr("coalesce(c.ctext, '')")} AS BIGINT) AS cleaned_hash
+    FROM documents d LEFT JOIN cln c USING (doc_id)
+    """
+
+
+@register(
+    "d_dup_span_removal",
+    oracle=_dup_removal_oracle,
+    tags=("DEDUP-exactsubstr", "DEDUP-ngram", "W5", "F7"),
+    doc="ExactSubstr duplicate-span REMOVAL (the 'remove' half of Lee et "
+    "al.'s char-level dedup, completing d_dup_spans' detection): every "
+    "maximal shared run >= k chars is cut from the higher doc_id's text "
+    "(keep-first star collapse), overlapping cut intervals merge via "
+    "per-doc running-max gaps-and-islands, and the surgery is one linear "
+    "aggregate-HOF fold per doc over its sorted merged intervals - O(len) "
+    "per doc, no per-character explode, no UDF. The output carries the "
+    "polynomial hash of the CLEANED text, so the oracle (which rebuilds "
+    "cleaned text per-character, a deliberately different program) "
+    "verifies the byte-exact surgery, not just the lengths.",
+)
+def d_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+
+    return DD.remove_duplicate_spans(_docs(spark, sf_dir), k=_DUP_K)
