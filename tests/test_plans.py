@@ -334,6 +334,18 @@ def test_dup_spans_caps_hot_kgrams_and_never_broadcasts_text(spark, sf_dir):
     assert not re.search(r"BroadcastHashJoin[^\n]*_t[12]", plan)
 
 
+def test_lpa_rounds_are_hash_join_plus_combinable_aggs(spark, sf_dir):
+    """Label propagation: every round must be equi-hash-join + combinable
+    aggregates — no nested loop, no per-node Window sort anywhere in the
+    unrolled 4-round plan (the argmax is a struct-min aggregate)."""
+    df = REGISTRY["g_communities"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "argmax must be a struct-min agg, not a window"
+    assert not _GLOBAL_WINDOW.search(plan)
+
+
 def test_countmin_build_is_partial_aggregated(spark, sf_dir):
     """The CMS build must partial-aggregate (map-side combine) under the
     (row, bucket) exchange — the mergeable-sketch property in the plan."""

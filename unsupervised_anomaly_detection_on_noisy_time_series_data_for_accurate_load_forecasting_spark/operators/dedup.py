@@ -450,6 +450,68 @@ def pagerank_fixed_point(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al.) — the
+    community-detection member of the graph family next to
+    :func:`connected_components` (reachability), :func:`pagerank_fixed_point`
+    (centrality) and :func:`triangle_counts` (clustering): every node starts
+    as its own label; each round it adopts the most frequent label among its
+    neighbors, ties broken to the SMALLEST label — fully deterministic, so
+    the fixed-round run is replayed exactly by the oracle's unrolled
+    iteration CTEs (the async/randomized LPA variants trade that for faster
+    convergence; a data engine wants the bit-reproducible one).
+
+    Scale shape per round: one hash join labels⋈edges on the source key,
+    one map-side-combinable count per (node, label), and one combinable
+    struct-min argmax per node (max count, then min label, as a single
+    ordered struct — no window, no per-node sort). Nodes without in-edges
+    keep their current label via the left-join coalesce. Same lineage-
+    truncation discipline as the other iterative operators.
+
+    Output: (community, n_members) — the label histogram after ``iters``
+    synchronous rounds (on bipartite graphs synchronous LPA can oscillate
+    with period 2; the fixed round count pins WHICH side of the oscillation
+    is reported, identically in both engines).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for i in range(iters):
+        cnt = (
+            edges.join(labels, F.col(src) == F.col("node"))
+            .groupBy(F.col(dst).alias("node_to"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            cnt.groupBy("node_to")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).cast("bigint").alias("nc"), F.col("lbl").alias("l"))
+                ).alias("m")
+            )
+            .select(F.col("node_to").alias("node"), F.col("m.l").alias("nlbl"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("nlbl", "lbl").alias("lbl"))
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
 def triangle_counts(
     edges: DataFrame, a: str = "u", b: str = "v", pre_canonical: bool = False
 ) -> DataFrame:

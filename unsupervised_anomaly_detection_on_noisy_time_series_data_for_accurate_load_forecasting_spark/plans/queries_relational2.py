@@ -866,6 +866,88 @@ def _pagerank_oracle(iters: int = 5) -> str:
     )
 
 
+def _lpa_oracle(iters: int = 4) -> str:
+    """Unrolled-iteration replay of synchronous label propagation: per
+    round, count labels per (node, label) over in-neighbors, argmax by
+    (count DESC, label ASC) — the deterministic tie-break — and keep the
+    previous label where no neighbor exists."""
+    ctes = [
+        # repeat-business sparsification: the raw trading graph is so dense
+        # that synchronous LPA collapses to the bipartite 2-coloring; pairs
+        # with >= 3 line items carry actual community structure
+        """pairs AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+             's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )""",
+        "edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges)",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+      SELECT e.dst AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN l{i - 1} l ON e.src = l.node
+      GROUP BY 1, 2
+    ),
+    b{i} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+        FROM c{i}) WHERE rn = 1
+    ),
+    l{i} AS (
+      SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+      FROM l{i - 1} p LEFT JOIN b{i} b USING (node)
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l{iters} GROUP BY 1
+    """
+    )
+
+
+@register(
+    "g_communities",
+    oracle=_lpa_oracle,
+    tags=("DEDUP-cc", "J1"),
+    doc="Synchronous label-propagation communities (4 rounds, ties to the "
+    "smallest label) over the customer-supplier bipartite graph — the "
+    "community-detection member of the graph family (reachability = "
+    "connected components, centrality = PageRank, clustering = triangles). "
+    "Per round: one labels-by-source hash join, one map-side-combinable "
+    "(node, label) count, one combinable struct-min argmax (max count then "
+    "min label as a single ordered struct — no window, no per-node sort). "
+    "The graph is the repeat-business sparsification (pairs with >= 3 line "
+    "items — the raw trading graph is dense enough that synchronous LPA "
+    "collapses to the bipartite 2-coloring). Fully deterministic, replayed "
+    "by unrolled iteration CTEs.",
+)
+def g_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import label_propagation
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 3)
+        .select("c", "s")
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return label_propagation(edges, iters=4)
+
+
 @register(
     "g_pagerank",
     oracle=_pagerank_oracle,
