@@ -135,11 +135,13 @@ PICKS = [
     ),
     (
         "d_semantic_dedup",
-        "SemDeDup cluster-blocked dedup: assignment is a map-side argmin "
-        "over the centroid literal, the pair self-join shuffles on the "
-        "cluster key only (quadratic bounded by the largest cluster), fast "
-        "double dot pre-filters before the decimal-exact cosine decides "
-        "the boundary.",
+        "SemDeDup cluster-blocked dedup (r7 shape): assignment is a "
+        "map-side argmin over the checkpointed sqrt(n)-centroid literal; "
+        "candidates are the SORTED-NEIGHBORHOOD pairs — rank by centroid "
+        "distance inside the cluster, sequence-explode the 32-wide window, "
+        "SHUFFLE_HASH equi-join on (cluster, rank) — volume <= 32n, LINEAR "
+        "in corpus size; fast double dot pre-filters before the "
+        "decimal-exact cosine decides the boundary.",
     ),
     (
         "mm_gif_frame_sample",
@@ -158,17 +160,56 @@ PICKS = [
     ),
     (
         "d_dup_spans",
-        "Rolling-hash duplicate spans: one Generate (char explode), "
-        "broadcast powers dim, ONE per-doc window computing every k-gram "
-        "hash in O(len), hash equi-join for candidates, broadcast "
-        "substring verify, island window — no per-position substring "
-        "materialization anywhere in the plan.",
+        "Rolling-hash duplicate spans (r7 shape): one Generate (char "
+        "explode), broadcast powers dim, ONE per-doc window computing "
+        "every k-gram hash in O(len), a partial-aggregated hot-k-gram "
+        "count + LeftAnti cap ahead of the candidate equi-join, and a "
+        "SHUFFLE-side substring verify (no BroadcastExchange ever carries "
+        "a text column) — no per-position substring materialization "
+        "anywhere in the plan.",
     ),
     (
         "t_countmin_freq",
         "Count-Min build: explode to (row, bucket) cells feeding one "
         "map-side-combinable HashAggregate — d*w cells regardless of "
         "corpus size; probe side joins the broadcast sketch.",
+    ),
+    (
+        "s_ivfpq_topk",
+        "IVF-PQ composite ANN: broadcast centroid cross for coarse cells, "
+        "map-side PQ encode over codebook literals, broadcast probe-list "
+        "and LUT joins, ONE combinable integer sum — a single shuffle end "
+        "to end; the plan never touches a float vector after encoding and "
+        "scans only the probed n_probe/n_lists of the corpus.",
+    ),
+    (
+        "d_dup_span_removal",
+        "Duplicate-span text surgery: the island frame's intervals merge "
+        "via a per-doc running-max window (never global), collect_list to "
+        "one sorted interval array per doc, and the cut is a single "
+        "aggregate-HOF fold concatenating kept substrings — O(len) per "
+        "doc, no per-character explode, no UDF.",
+    ),
+    (
+        "g_communities",
+        "Synchronous label propagation: per round one labels-by-source "
+        "hash join, one map-side-combinable (node, label) count, one "
+        "combinable struct-min argmax — NO window and no per-node sort "
+        "anywhere in the unrolled 4-round plan.",
+    ),
+    (
+        "t_theta_setops",
+        "Theta/KMV set algebra: per-set distinct hashing partial-"
+        "aggregates; each k-smallest compiles to TakeOrderedAndProject "
+        "(k rows of driver state, never the vocabulary); every set op "
+        "runs on <= 2k-row frames via broadcast.",
+    ),
+    (
+        "sink_zorder_box",
+        "Z-ordered layout readback: the 2-D box predicate reaches the "
+        "parquet scan as PushedFilters; because files cover compact "
+        "Morton tiles, the min/max footers skip most of them — the "
+        "multi-dimensional analog of partition pruning.",
     ),
 ]
 

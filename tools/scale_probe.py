@@ -54,8 +54,11 @@ QUERIES = [
     "s_domain_mix",             # sqrt-quota domain sampler
     "s_pq_topk",                # PQ-ADC broadcast-LUT scan
     "d_dup_spans",              # rolling-hash duplicate spans
+    "d_dup_span_removal",       # interval-merge text surgery (linear fold)
     "d_semantic_dedup",         # cluster-blocked semantic dedup
     "t_countmin_freq",          # Count-Min sketch build + probe
+    "s_ivfpq_topk",             # IVF-PQ composite ANN (probe × ADC)
+    "g_communities",            # synchronous label propagation (4 rounds)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
