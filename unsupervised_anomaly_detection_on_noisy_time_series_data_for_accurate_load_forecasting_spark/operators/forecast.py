@@ -268,3 +268,94 @@ def cusum_flags_fixed_point(
         F.col("c.an").cast("bigint").alias("n_neg_alarms"),
         F.col("n_points").cast("bigint").alias("n_points"),
     )
+
+
+def seasonal_decompose(df: DataFrame, half: int = 12) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite) per series on the 1e-6
+    fixed-point lattice — the load-forecasting EDA primitive behind the
+    reference's hour-of-day/weekday feature engineering
+    (src/anomaly_detection/feature_extractor.py): trend = centered
+    (2·half+1)-row moving average (ROWS-based over the hourly grid — run
+    :func:`~.timeseries.regularize_grid` first if the series has holes),
+    seasonal = per hour-of-day mean of the detrended values, residual =
+    what's left.
+
+    Every divide is a negatives-safe exact floor division (pmod-reduce
+    then div), so the whole decomposition is integer arithmetic — bit-
+    exact across engines and partitionings. Rows whose centered window is
+    clipped by the series edge (count < 2·half+1) carry no trend and are
+    excluded from the seasonal fit, the standard edge treatment.
+
+    Scale shape: one (series, ts) window scan for the trend (rows frame,
+    streaming state = 2·half+1 rows), one (series, hod) window + groupBy
+    for the seasonal/residual — the second exchange is reused by the final
+    aggregate (same keys). No collect, no UDF.
+
+    Output: (series_id, hod, n_hours, seasonal, resid_abs_mean).
+    """
+    n_win = 2 * half + 1
+    fdiv = lambda a, b: f"((({a}) - pmod(({a}), ({b}))) div ({b}))"
+    q = F.expr(f"cast(floor({VAL} * 1000000.0D + 0.5D) as bigint)")
+    tw = W.partitionBy(SID).orderBy(TS).rowsBetween(-half, half)
+    t = (
+        df.withColumn("q", q)
+        .withColumn("tsum", F.sum("q").over(tw))
+        .withColumn("tn", F.count("q").over(tw))
+    )
+    de = t.filter(F.col("tn") == n_win).select(
+        SID,
+        F.hour(TS).cast("int").alias("hod"),
+        (F.col("q") - F.expr(fdiv("tsum", "tn"))).alias("detr"),
+    )
+    sw = W.partitionBy(SID, "hod")
+    s = de.withColumn("ssum", F.sum("detr").over(sw)).withColumn(
+        "sn", F.count("detr").over(sw)
+    )
+    seas = F.expr(fdiv("ssum", "sn"))
+    return (
+        s.withColumn("seas_q", seas)
+        .withColumn("resid_abs", F.abs(F.col("detr") - F.col("seas_q")))
+        .groupBy(SID, "hod")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            (F.max("seas_q").cast("double") / F.lit(1e6)).alias("seasonal"),
+            (
+                F.expr(fdiv("sum(resid_abs)", "count(1)")).cast("double") / F.lit(1e6)
+            ).alias("resid_abs_mean"),
+        )
+    )
+
+
+def rolling_median(df: DataFrame, half: int = 12) -> DataFrame:
+    """Centered rolling-median filter per series — the robust denoiser for
+    noisy load data (a median filter rejects the point anomalies the
+    reference injects, where a moving average smears them): exact median
+    of each full (2·half+1)-row centered window on the 1e-6 integer
+    lattice (odd window → the median IS an element; no midpoint float).
+
+    Scale shape: one (series, ts) window scan; the sliding collect_list
+    state is bounded by the window width, and the sort is O(w log w) per
+    row over w = 2·half+1 integers — embarrassingly parallel across
+    series. Edge rows with clipped windows are excluded (standard filter
+    treatment).
+
+    Output, compact and fully value-sensitive: per series the window
+    count, the exact integer SUM of all medians (any single changed
+    median changes it), and the min/max median.
+    """
+    n_win = 2 * half + 1
+    q = F.expr(f"cast(floor({VAL} * 1000000.0D + 0.5D) as bigint)")
+    tw = W.partitionBy(SID).orderBy(TS).rowsBetween(-half, half)
+    rows = df.withColumn("q", q).withColumn("arr", F.collect_list("q").over(tw))
+    med = F.expr(f"element_at(array_sort(arr), {half + 1})")
+    return (
+        rows.filter(F.size("arr") == n_win)
+        .select(SID, med.alias("med_q"))
+        .groupBy(SID)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum("med_q").cast("bigint").alias("med_sum_q"),
+            (F.min("med_q").cast("double") / F.lit(1e6)).alias("med_min"),
+            (F.max("med_q").cast("double") / F.lit(1e6)).alias("med_max"),
+        )
+    )

@@ -354,3 +354,97 @@ def f_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(vc.cast("int")).cast("bigint").alias("n_view_click"),
         F.sum(full.cast("int")).cast("bigint").alias("n_full_funnel"),
     )
+
+
+_FDIV_TSUM = "((tsum - ((tsum % tn + tn) % tn)) // tn)"
+_FDIV_SSUM = "((ssum - ((ssum % sn + sn) % sn)) // sn)"
+
+
+@register(
+    "w_seasonal_decompose",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    qd AS (
+      SELECT series_id, ts, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM hourly
+    ),
+    t AS (
+      SELECT series_id, ts, q,
+             sum(q) OVER w AS tsum, count(q) OVER w AS tn
+      FROM qd
+      WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    de AS (
+      SELECT series_id, CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+             q - {_FDIV_TSUM} AS detr
+      FROM t WHERE tn = 25
+    ),
+    s AS (
+      SELECT series_id, hod, detr,
+             sum(detr) OVER (PARTITION BY series_id, hod) AS ssum,
+             count(*) OVER (PARTITION BY series_id, hod) AS sn
+      FROM de
+    ),
+    r AS (SELECT series_id, hod, sn, {_FDIV_SSUM} AS seas_q,
+                 abs(detr - {_FDIV_SSUM}) AS resid_abs
+          FROM s)
+    SELECT series_id, hod,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(max(seas_q) AS DOUBLE) / 1000000.0 AS seasonal,
+           CAST((sum(resid_abs) - ((sum(resid_abs) % count(*) + count(*)) % count(*)))
+                // count(*) AS DOUBLE) / 1000000.0 AS resid_abs_mean
+    FROM r GROUP BY 1, 2
+    """,
+    tags=("M7", "W3", "A3"),
+    doc="Additive seasonal decomposition (STL-lite) per series on the 1e-6 "
+    "integer lattice: trend = centered 25-row moving average, seasonal = "
+    "per hour-of-day mean of the detrended values, residual quality as "
+    "mean |resid| - the load-forecasting EDA primitive behind hour-of-day "
+    "feature engineering. Every divide is a negatives-safe exact floor "
+    "division, so the whole decomposition is integer arithmetic - "
+    "bit-exact across engines and partitionings; edge rows with clipped "
+    "windows are excluded from the fit (standard treatment). One rows-"
+    "frame window scan + one reused (series, hod) exchange; no collect, "
+    "no UDF.",
+)
+def w_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    return FC.seasonal_decompose(hourly)
+
+
+@register(
+    "w_rolling_median",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    qd AS (
+      SELECT series_id, ts, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM hourly
+    ),
+    m AS (
+      SELECT series_id, list(q) OVER w AS arr
+      FROM qd
+      WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    f AS (SELECT series_id, list_sort(arr)[13] AS med FROM m WHERE len(arr) = 25)
+    SELECT series_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(med) AS BIGINT) AS med_sum_q,
+           CAST(min(med) AS DOUBLE) / 1000000.0 AS med_min,
+           CAST(max(med) AS DOUBLE) / 1000000.0 AS med_max
+    FROM f GROUP BY 1
+    """,
+    tags=("W4", "M7", "P4"),
+    doc="Centered 25-row rolling-median filter per series - the robust "
+    "denoiser for noisy load series (a median filter rejects injected "
+    "point anomalies where a moving average smears them): exact median "
+    "of each full window on the 1e-6 integer lattice (odd window, the "
+    "median IS an element - no midpoint float). One window scan, sliding "
+    "state bounded by the window width; the compact output (count, exact "
+    "integer sum of all medians, min/max) is sensitive to every single "
+    "median value.",
+)
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    return FC.rolling_median(hourly)
