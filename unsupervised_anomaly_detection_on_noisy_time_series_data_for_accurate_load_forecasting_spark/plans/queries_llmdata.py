@@ -875,13 +875,13 @@ def t_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.theta_setops(_docs(spark, sf_dir))
 
 
-def _dup_removal_oracle() -> str:
-    from ..operators.textops import poly_hash_duck_expr
-
-    return f"""
-    WITH g0 AS (
+def _dup_removal_ctes(src: str = "documents") -> str:
+    """The span-removal CTE chain over relation ``src`` (doc_id, text) —
+    shared by the standalone removal oracle and the composed cleaning
+    pipeline. Ends with ``cln(doc_id, ctext)``."""
+    return f"""g0 AS (
       SELECT doc_id, i AS pos, substr(text, i, {_DUP_K}) AS s
-      FROM documents, LATERAL (SELECT unnest(range(1, length(text) - {_DUP_K} + 2)) AS i)
+      FROM {src}, LATERAL (SELECT unnest(range(1, length(text) - {_DUP_K} + 2)) AS i)
     ),
     g AS (
       SELECT doc_id, pos, s FROM g0
@@ -922,7 +922,7 @@ def _dup_removal_oracle() -> str:
     -- iff no merged interval covers it
     pos AS (
       SELECT doc_id, p, substr(text, CAST(p AS INTEGER), 1) AS ch
-      FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS p)
+      FROM {src}, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS p)
     ),
     kept AS (
       SELECT pos.doc_id, p, ch FROM pos
@@ -932,7 +932,14 @@ def _dup_removal_oracle() -> str:
     cln AS (
       SELECT doc_id, coalesce(string_agg(ch, '' ORDER BY p), '') AS ctext
       FROM kept GROUP BY doc_id
-    )
+    )"""
+
+
+def _dup_removal_oracle() -> str:
+    from ..operators.textops import poly_hash_duck_expr
+
+    return f"""
+    WITH {_dup_removal_ctes("documents")}
     SELECT d.doc_id,
            CAST(length(d.text) AS BIGINT) AS n_before,
            CAST(length(d.text) - length(coalesce(c.ctext, '')) AS BIGINT) AS n_removed,
@@ -961,3 +968,50 @@ def d_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as DD
 
     return DD.remove_duplicate_spans(_docs(spark, sf_dir), k=_DUP_K)
+
+
+def _pipeline_span_clean_oracle() -> str:
+    return f"""
+    WITH fq AS (
+      SELECT doc_id, text, lang FROM documents WHERE {_quality_raw_sql()} >= {_PREP_CUT}
+    ),
+    {_dup_removal_ctes("fq")}
+    SELECT f.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(f.text)) AS BIGINT) AS chars_before,
+           CAST(sum(length(f.text) - length(coalesce(c.ctext, ''))) AS BIGINT) AS chars_removed,
+           CAST(sum(length(coalesce(c.ctext, ''))) AS BIGINT) AS chars_after,
+           CAST(sum(CASE WHEN length(coalesce(c.ctext, '')) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_emptied
+    FROM fq f LEFT JOIN cln c USING (doc_id)
+    GROUP BY f.lang
+    """
+
+
+@register(
+    "pipeline_span_clean",
+    oracle=_pipeline_span_clean_oracle,
+    tags=("TXT-quality", "DEDUP-exactsubstr", "A13", "U5"),
+    doc="Cleaning pipeline as ONE plan: quality gate (q >= 0.3) -> "
+    "ExactSubstr span removal over the gated survivors -> per-language "
+    "contamination accounting (docs, chars before/removed/after, docs "
+    "emptied entirely). The gate prunes BEFORE the rolling-hash pass pays "
+    "anything (predicate below the explode), and the whole chain - gate, "
+    "hash join, interval merge, text surgery, rollup - is one Catalyst "
+    "plan with no materialization between stages. The oracle chains the "
+    "same gate CTE into the per-character removal replay.",
+)
+def pipeline_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+    from ..operators import textops as TX
+
+    d = _docs(spark, sf_dir)
+    q = d.filter(TX.quality_score() >= F.lit(_PREP_CUT))
+    rem = DD.remove_duplicate_spans(q.select("doc_id", "text"), k=_DUP_K)
+    out = rem.join(q.select("doc_id", "lang"), "doc_id")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_before").cast("bigint").alias("chars_before"),
+        F.sum("n_removed").cast("bigint").alias("chars_removed"),
+        F.sum("n_after").cast("bigint").alias("chars_after"),
+        F.sum(F.when(F.col("n_after") == 0, 1).otherwise(0)).cast("bigint").alias("n_emptied"),
+    )
