@@ -356,3 +356,13 @@ def test_countmin_build_is_partial_aggregated(spark, sf_dir):
     plan = _formatted(count_min_estimates(load_table(spark, sf_dir, "documents")))
     # two-phase aggregate: a partial HashAggregate below the final one
     assert plan.count("HashAggregate") >= 2
+
+
+def test_theta_sketches_compile_to_take_ordered(spark, sf_dir):
+    """Theta/KMV set algebra: each k-smallest sketch must compile to
+    TakeOrderedAndProject (per-partition top-k merged at the driver — k
+    rows of state), never a global sort or a vocabulary-sized window."""
+    df = REGISTRY["t_theta_setops"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 3, "card_a/card_b/union sketches"
+    assert not _GLOBAL_WINDOW.search(plan)
