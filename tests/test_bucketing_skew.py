@@ -148,3 +148,28 @@ def test_zorder_files_cover_2d_tiles(spark, sf_dir):
     lin = file_stats(spark.table("lin_orders_test"))
     assert hits(lin, ck=False) == len(lin), "1-D layout should NOT prune on date"
     spark.sql("DROP TABLE IF EXISTS lin_orders_test")
+
+
+def test_zorder_write_is_idempotent(spark, sf_dir):
+    """Re-invoking write_zordered with identical inputs must skip the
+    rewrite (plan-key stamp), so warm bench/test runs don't churn the
+    warehouse."""
+    import os
+    from urllib.parse import urlparse
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.bucketing import (
+        write_zordered,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    write_zordered(od, "z_orders_idem", "o_custkey", "o_orderdate", n_files=4)
+    files = sorted(
+        urlparse(u).path for u in spark.table("z_orders_idem").inputFiles()
+    )
+    mtimes = {f: os.stat(f).st_mtime_ns for f in files}
+    write_zordered(od, "z_orders_idem", "o_custkey", "o_orderdate", n_files=4)
+    assert {f: os.stat(f).st_mtime_ns for f in files} == mtimes, "rewrite happened"
+    spark.sql("DROP TABLE IF EXISTS z_orders_idem")

@@ -210,3 +210,44 @@ def rollup_region_revenue(
     return j.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue")
     )
+
+
+def nation_revenue_deciles(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, n_tiles: int = 10
+) -> DataFrame:
+    """Per-nation revenue deciles: rank each nation's customers into
+    ``n_tiles`` equal-count bands by exact revenue and aggregate the band.
+    The window partitions by NATION — bounded partitions (a nation's
+    customers), never the single-task global ntile a naive decile query
+    compiles to (the anti-pattern tests/test_plans.py hunts). The ordering
+    key (revenue, custkey) is unique per row, so tile assignment is
+    deterministic and identical in the SQL mirror.
+
+    Scale shape: the heavy lineitem⋈orders revenue aggregate is map-side
+    combinable; only the skinny (custkey, nation, revenue) frame enters
+    the window; the final per-(nation, tile) rollup is combinable again.
+    """
+    from pyspark.sql import Window as W
+
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(revenue).alias("revenue"))
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+    )
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("o_custkey").asc()
+    )
+    tiled = per_cust.withColumn("decile", F.ntile(n_tiles).over(w))
+    return tiled.groupBy(
+        F.col("c_nationkey").alias("nationkey"), "decile"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        dsum(F.col("revenue")).alias("revenue_sum"),
+    )

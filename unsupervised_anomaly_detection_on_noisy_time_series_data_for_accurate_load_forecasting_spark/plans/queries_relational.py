@@ -169,3 +169,37 @@ def rollup_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "nation"),
         _t(spark, sf_dir, "region"),
     )
+
+
+@register(
+    "a_nation_revenue_deciles",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT c.c_nationkey AS nationkey, p.revenue,
+             ntile(10) OVER (PARTITION BY c.c_nationkey
+                             ORDER BY p.revenue DESC, p.o_custkey ASC) AS decile
+      FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+    )
+    SELECT nationkey, CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           {dsum_sql('revenue')} AS revenue_sum
+    FROM tiled GROUP BY 1, 2
+    """,
+    tags=("O1", "O2", "A6"),
+    doc="Per-nation revenue deciles: ntile over NATION-bounded windows "
+    "(never the single-task global ntile a naive decile query compiles "
+    "to), deterministic tile assignment via the unique (revenue, custkey) "
+    "ordering, exact decimal revenue. Heavy join+agg is map-side "
+    "combinable; only the skinny per-customer frame enters the window.",
+)
+def a_nation_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.nation_revenue_deciles(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
