@@ -250,3 +250,40 @@ def test_repetition_stats_on_known_docs(spark, sf_dir):
     assert abs(rows[1].rep_ratio - 0.6) < 1e-9
     assert abs(rows[1].top_tok_share - 0.5) < 1e-9
     assert rows[2].rep_ratio == 0.0 and rows[2].top_tok_share == 0.25
+
+
+def test_theta_kmv_merge_property_and_estimates(spark, sf_dir):
+    """The KMV identity the union path relies on — the k smallest of
+    (k-smallest(A) ∪ k-smallest(B)) ARE the k smallest of A∪B — plus
+    estimate sanity: every theta estimate must be within 3/sqrt(k)
+    relative of its exact baseline (KMV standard error is ~1/sqrt(k-2);
+    3x is a generous deterministic-fixture bound, not a statistical one).
+    """
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.corpus import (
+        THETA_K,
+        theta_setops,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = {r.op: r for r in theta_setops(docs).collect()}
+    assert set(rows) == {"card_a", "card_b", "union", "intersect"}
+    k = THETA_K
+    for op in ("card_a", "card_b", "union"):
+        r = rows[op]
+        assert r.n_exact > 0
+        rel = abs(r.n_est - r.n_exact) / r.n_exact
+        assert rel <= 3.0 / (k ** 0.5), f"{op}: est {r.n_est} vs {r.n_exact} (rel {rel:.3f})"
+    # inclusion-exclusion coherence on the exact side
+    assert rows["union"].n_exact == rows["card_a"].n_exact + rows["card_b"].n_exact - rows["intersect"].n_exact
+
+    # pure-python KMV merge property over the same hash domain
+    import random
+
+    rng = random.Random(11)
+    A = {rng.randrange(1, 2**31 - 1) for _ in range(500)}
+    B = {rng.randrange(1, 2**31 - 1) for _ in range(400)}
+    ska, skb = sorted(A)[:k], sorted(B)[:k]
+    assert sorted(set(ska) | set(skb))[:k] == sorted(A | B)[:k]
