@@ -911,3 +911,67 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = ss(spark, sf_dir)
     name = run_available_now(result, "stream_sessions", output_mode="complete")
     return spark.table(name)
+
+
+def _stream_theta_oracle() -> str:
+    from ..functions.rng import M as _M
+    from ..functions.rng import rng_draw_sql
+    from ..streaming.stateful import STREAM_THETA_K, STREAM_THETA_SALT
+
+    k = STREAM_THETA_K
+    draw = rng_draw_sql("user_id", salt=STREAM_THETA_SALT)
+    return f"""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, user_id
+      FROM events
+    ),
+    h AS (SELECT DISTINCT window_start, {draw} AS th FROM d),
+    rk AS (
+      SELECT window_start, th,
+             row_number() OVER (PARTITION BY window_start ORDER BY th) AS rn
+      FROM h
+    ),
+    sk AS (
+      SELECT window_start, CAST(count(*) AS BIGINT) AS n_sketch,
+             max(th) AS kth
+      FROM rk WHERE rn <= {k} GROUP BY 1
+    ),
+    ev AS (SELECT window_start, CAST(count(*) AS BIGINT) AS n_events FROM d GROUP BY 1)
+    SELECT e.window_start, e.n_events, s.n_sketch,
+           CASE WHEN s.n_sketch < {k} THEN CAST(s.n_sketch AS DOUBLE)
+                ELSE CAST({(k - 1) * _M} AS DOUBLE) / CAST(s.kth AS DOUBLE) END AS n_est
+    FROM ev e JOIN sk s USING (window_start)
+    """
+
+
+@register(
+    "stream_theta_users",
+    oracle=_stream_theta_oracle,
+    tags=("STREAM", "A-sketch", "TXT-tokens"),
+    doc="Streaming KMV (theta) distinct sketch: tumbling 1-day windows of "
+    "approximate distinct users via applyInPandasWithState holding the K "
+    "smallest scrambled user hashes per window - state is O(K) per window "
+    "regardless of cardinality (collect_set grows with distinct users; "
+    "HLL is not cross-engine replayable). The KMV merge property makes "
+    "the final state identical under ANY micro-batch slicing, so even the "
+    "estimates hash-verify against the batch SQL replay. The complete row "
+    "per window (final n_events) is selected with one combinable "
+    "struct-max - no window function.",
+)
+def stream_theta_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.score_stream import run_available_now, stream_events
+    from ..streaming.stateful import stream_theta_users as stu
+
+    s = stream_events(spark, sf_dir)
+    out = stu(s)
+    name = run_available_now(out, "stream_theta", output_mode="append")
+    t = spark.table(name)
+    m = t.groupBy("window_start").agg(
+        F.max(F.struct("n_events", "n_sketch", "n_est")).alias("m")
+    )
+    return m.select(
+        "window_start",
+        F.col("m.n_events").alias("n_events"),
+        F.col("m.n_sketch").alias("n_sketch"),
+        F.col("m.n_est").alias("n_est"),
+    )

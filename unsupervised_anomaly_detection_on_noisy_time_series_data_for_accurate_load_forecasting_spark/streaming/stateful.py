@@ -131,3 +131,86 @@ def online_zscore_flags(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming KMV (theta) distinct sketch ---------------------------------
+
+STREAM_THETA_SALT = 131
+STREAM_THETA_K = 64
+
+THETA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_sketch", T.LongType()),
+        T.StructField("n_est", T.DoubleType()),
+    ]
+)
+
+THETA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _theta_users(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-day KMV state fold: keep the K smallest distinct scrambled user
+    hashes ever seen in the window. The k-smallest set of a union is the
+    k-smallest of the merged k-smallest sets (the KMV merge property), so
+    the FINAL state is identical under any micro-batch slicing — the
+    bounded-state streaming analog of approx_count_distinct, but with a
+    deterministic, SQL-replayable estimate."""
+    from ..functions.rng import M, rng_draw_np
+    from ..operators.corpus import THETA_K  # noqa: F401 (doc cross-link)
+
+    n0, hs0 = (state.get if state.exists else (0, []))
+    hs = set(int(h) for h in hs0)
+    n = int(n0)
+    for pdf in pdfs:
+        if len(pdf):
+            draws = rng_draw_np([pdf["user_id"].to_numpy(dtype=np.int64)], salt=STREAM_THETA_SALT)
+            hs.update(int(x) for x in draws)
+            n += len(pdf)
+    kept = sorted(hs)[:STREAM_THETA_K]
+    state.update((n, kept))
+    c = len(kept)
+    if c < STREAM_THETA_K:
+        est = float(c)
+    else:
+        est = float((STREAM_THETA_K - 1) * M) / float(kept[-1])
+    yield pd.DataFrame(
+        [
+            {
+                "window_start": key[0],
+                "n_events": n,
+                "n_sketch": c,
+                "n_est": est,
+            }
+        ]
+    )
+
+
+def stream_theta_users(events: DataFrame) -> DataFrame:
+    """Windowed approximate-distinct users over the event stream: tumbling
+    1-day windows, each holding a KMV sketch of ≤ K user hashes — state is
+    O(K) per window regardless of cardinality (collect_set would grow with
+    distinct users; HLL via approx_count_distinct is not cross-engine
+    replayable). Emissions are per-(batch, window); the complete row per
+    window is the one with the final (maximal) n_events — selected by the
+    caller with one combinable struct-max."""
+    from pyspark.sql import functions as F
+
+    keyed = events.withColumn(
+        "window_start", F.date_trunc("day", F.col("ts"))
+    ).select("window_start", "user_id")
+    return keyed.groupBy("window_start").applyInPandasWithState(
+        _theta_users,
+        outputStructType=THETA_OUT_SCHEMA,
+        stateStructType=THETA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
