@@ -884,3 +884,49 @@ def canonical_url(url) -> "F.Column":
             F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
         ).otherwise(F.lit("")),
     )
+
+
+def containment_pairs(
+    sh: DataFrame, min_containment: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Shingle CONTAINMENT over the inverted index — the asymmetric near-dup
+    measure Jaccard misses: C = inter / min(|A|, |B|) flags a short doc
+    quoted or templated inside a long one (their Jaccard is diluted by the
+    long doc's size; their containment is ~1). Same scale shape as
+    :func:`jaccard_pairs` — intersections form only on shared shingles
+    (equi-join on the integer shingle id, never all-pairs), sizes are
+    combinable counts, and the containment division is one exact
+    integer-over-integer double op.
+
+    Output: (d1, d2, inter, sz1, sz2, containment) with containment ≥ the
+    threshold; d1 < d2 by id, the direction is recoverable from the sizes.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
+    out = (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.least("sz1", "sz2").cast("double"),
+        )
+    )
+    return out.filter(F.col("containment") >= F.lit(min_containment)).select(
+        "d1",
+        "d2",
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("sz1").cast("bigint").alias("sz1"),
+        F.col("sz2").cast("bigint").alias("sz2"),
+        "containment",
+    )

@@ -276,3 +276,56 @@ def range_join_buckets(
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
         .drop("_bkt")
     )
+
+
+def value_entropy(events: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Per-series Shannon entropy of the value distribution over ``n_bins``
+    equal-width bins — the distribution-shape signal behind load-profile
+    classification (a flat meter has near-zero entropy; a noisy one
+    approaches log2(n_bins)).
+
+    Cross-engine discipline: bin edges come from exact per-series min/max
+    (combinable agg, joined back on the series key); p_i = c_i/n is an
+    exact integer ratio, and each -p·log2(p) term is quantized to the 1e-6
+    lattice BEFORE the integer term-sum (the t_tfidf_top_terms precedent:
+    a 1-ulp libm divergence cannot cross the 0.5e-6 boundary in practice,
+    and the sum of quantized integers is order-independent).
+
+    Scale shape: one combinable min/max agg, one (series, bin) combinable
+    count, one series-key join, one combinable term-sum — no window, no
+    sort, no collect.
+    """
+    s = events_as_series(events)
+    mm = s.groupBy(SID).agg(F.min(VAL).alias("_lo"), F.max(VAL).alias("_hi"))
+    binned = s.join(mm, SID).withColumn(
+        "_bin",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (F.col(VAL) - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo"))
+                    * F.lit(n_bins)
+                ).cast("int"),
+                F.lit(n_bins - 1),
+            )
+        ),
+    )
+    counts = binned.groupBy(SID, "_bin").agg(F.count(F.lit(1)).alias("c"))
+    n = counts.groupBy(SID).agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_bins_used")
+    )
+    term = F.expr(
+        "cast(floor((cast(c as double) / cast(n as double)) "
+        "* (ln(cast(c as double) / cast(n as double)) / ln(2.0D)) "
+        "* 1000000.0D + 0.5D) as bigint)"
+    )
+    return (
+        counts.join(n, SID)
+        .withColumn("_t", term)
+        .groupBy(SID)
+        .agg(
+            F.max("n").cast("bigint").alias("n_points"),
+            F.max("n_bins_used").cast("bigint").alias("n_bins_used"),
+            (-F.sum("_t").cast("double") / F.lit(1e6)).alias("entropy_bits"),
+        )
+    )

@@ -469,3 +469,34 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.fuzzy_edit_pairs(_docs(spark, sf_dir), max_rel_edit=0.4)
+
+
+@register(
+    "d_containment_pairs",
+    oracle=f"""
+    WITH {_SH_CTES},
+    ex AS (SELECT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+           CAST(s1.sz AS BIGINT) AS sz1, CAST(s2.sz AS BIGINT) AS sz2,
+           CAST(inter AS DOUBLE) / CAST(least(s1.sz, s2.sz) AS DOUBLE) AS containment
+    FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(inter AS DOUBLE) / CAST(least(s1.sz, s2.sz) AS DOUBLE) >= 0.3
+    """,
+    tags=("DEDUP-ngram",),
+    doc="Shingle CONTAINMENT pairs (inter / min size) - the asymmetric "
+    "near-dup measure Jaccard misses: a short doc quoted or templated "
+    "inside a long one has diluted Jaccard but containment ~1 (the "
+    "measure web-crawl dedup uses for quote/subset detection). Same "
+    "inverted-index shape as the Jaccard query: intersections form only "
+    "on shared integer shingle ids, never all-pairs; one exact "
+    "integer-over-integer division decides the threshold.",
+)
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = DD.shingle_hashes(_docs(spark, sf_dir))
+    return DD.containment_pairs(sh, min_containment=0.3)

@@ -635,3 +635,46 @@ def j_range_gap_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ctx_points"),
         dsum(VAL).alias("ctx_sum"),
     )
+
+
+@register(
+    "a_value_entropy",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id, value FROM events
+    ),
+    mm AS (SELECT series_id, min(value) AS lo, max(value) AS hi FROM s GROUP BY 1),
+    b AS (
+      SELECT s.series_id,
+             CASE WHEN m.hi = m.lo THEN 0
+                  ELSE least(CAST(floor((s.value - m.lo) / (m.hi - m.lo) * 16) AS INTEGER), 15)
+             END AS bin
+      FROM s JOIN mm m USING (series_id)
+    ),
+    c AS (SELECT series_id, bin, count(*) AS c FROM b GROUP BY 1, 2),
+    n AS (SELECT series_id, sum(c) AS n, count(*) AS n_bins_used FROM c GROUP BY 1),
+    t AS (
+      SELECT c.series_id,
+             CAST(floor((CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                        * (ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)) / ln(2.0))
+                        * 1000000.0 + 0.5) AS BIGINT) AS ti
+      FROM c JOIN n USING (series_id)
+    )
+    SELECT n.series_id,
+           CAST(n.n AS BIGINT) AS n_points,
+           CAST(n.n_bins_used AS BIGINT) AS n_bins_used,
+           -CAST(sum(t.ti) AS DOUBLE) / 1000000.0 AS entropy_bits
+    FROM n JOIN t USING (series_id)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("A6", "A14", "F7"),
+    doc="Per-series Shannon entropy of the value distribution over 16 "
+    "equal-width bins - the load-profile shape signal (flat meter -> ~0 "
+    "bits, noisy meter -> log2(16)). Exact integer bin counts; each "
+    "-p*log2(p) term quantized to the 1e-6 lattice BEFORE the integer "
+    "term-sum (the TF-IDF ln precedent), so the float-log sum is "
+    "order-independent and cross-engine exact. One combinable min/max "
+    "agg + one (series, bin) count + one term-sum - no window, no sort.",
+)
+def a_value_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TSO.value_entropy(_events(spark, sf_dir))
