@@ -251,3 +251,69 @@ def nation_revenue_deciles(
         F.count(F.lit(1)).cast("bigint").alias("n_custs"),
         dsum(F.col("revenue")).alias("revenue_sum"),
     )
+
+
+BENFORD_E = None  # computed once below: log10(1 + 1/d), d = 1..9
+
+
+def _benford_expected() -> list[float]:
+    global BENFORD_E
+    if BENFORD_E is None:
+        import math
+
+        BENFORD_E = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+    return BENFORD_E
+
+
+def benford_deviation(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Benford's-law deviation per group — the fabricated-data screen
+    auditors run on financial columns: compare the observed leading-digit
+    distribution of ``value_col`` against log10(1 + 1/d) and report the
+    total variation distance.
+
+    Cross-engine discipline: the leading digit comes from the INTEGER part
+    rendered as a string (int→string is identical in every engine — no
+    float log10, no float formatting); the expected shares are Python
+    double literals embedded identically in both programs, so no log is
+    ever computed by either engine; each |observed − expected| term is
+    quantized to the 1e-6 lattice before the integer term-sum (missing
+    digits contribute their full expected share via the 9-digit spine).
+
+    Scale shape: one combinable (group, digit) count, a 9-row broadcast
+    spine, one combinable term-sum — no window, no sort.
+
+    Output: (group, n_values, tvd) with tvd = 0.5·Σ|o_d − e_d|.
+    """
+    e = _benford_expected()
+    vals = df.filter(F.col(value_col) >= 1).select(
+        F.col(group_col).alias("grp"),
+        F.substring(
+            F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit"),
+    )
+    counts = vals.groupBy("grp", "digit").agg(F.count(F.lit(1)).alias("c"))
+    n = vals.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    spine = n.select(
+        "grp", "n", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")
+    )
+    e_case = F.element_at(
+        F.array(*[F.lit(x) for x in e]), F.col("digit")
+    )
+    terms = (
+        spine.join(counts, ["grp", "digit"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .withColumn("_e", e_case)
+        .withColumn(
+            "t",
+            F.expr(
+                "cast(floor(abs(cast(c as double) / cast(n as double) - _e) "
+                "* 1000000.0D + 0.5D) as bigint)"
+            ),
+        )
+    )
+    return terms.groupBy(F.col("grp")).agg(
+        F.max("n").cast("bigint").alias("n_values"),
+        (F.sum("t").cast("double") / F.lit(2e6)).alias("tvd"),
+    )

@@ -329,3 +329,55 @@ def value_entropy(events: DataFrame, n_bins: int = 16) -> DataFrame:
             (-F.sum("_t").cast("double") / F.lit(1e6)).alias("entropy_bits"),
         )
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = SID,
+    left_ts: str = TS,
+    right_ts: str = TS,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Forward as-of join (pandas ``merge_asof(direction='forward')``):
+    attach to each left row the value columns of the EARLIEST right row
+    with ``right.right_ts >= left.left_ts`` per key — the "next scheduled
+    event" pattern (upcoming tariff change, next calibration window). Ties
+    at equal timestamps include the right row.
+
+    Mirror of :func:`asof_join`'s union-and-carry encoding, reversed: one
+    hash shuffle on the key, a linear windowed scan carrying each value
+    column BACKWARD with ``first(col, ignorenulls=True)`` over the
+    [current, unbounded following] frame; left rows sort before state rows
+    at equal timestamps so an equal-ts right row is visible (>= semantics).
+    Left rows after the last right row keep NULLs. Zero pair explosion.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (by, right_ts)]
+    left_cols = list(left.columns)
+    l = left
+    for c in value_cols:
+        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    l = l.withColumn("_src", F.lit(1))
+    r = right.select(
+        F.col(by), F.col(right_ts).alias(left_ts), *[F.col(c) for c in value_cols]
+    )
+    for c in left_cols:
+        if c not in (by, left_ts):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r = r.withColumn("_src", F.lit(0))
+    cols = [by, left_ts, *[c for c in left_cols if c not in (by, left_ts)], *value_cols, "_src"]
+    u = l.select(*cols).unionByName(r.select(*cols))
+    # left rows (_src=1) sort BEFORE state rows at the same ts, so the
+    # forward frame starting at the left row still sees an equal-ts right
+    w = (
+        W.partitionBy(by)
+        .orderBy(F.col(left_ts).asc(), F.col("_src").desc())
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    carried = [F.first(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols]
+    return (
+        u.select(*[F.col(c) for c in left_cols], F.col("_src"), *carried)
+        .filter(F.col("_src") == 1)
+        .drop("_src")
+    )

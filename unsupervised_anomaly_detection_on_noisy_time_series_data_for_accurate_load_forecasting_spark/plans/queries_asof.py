@@ -73,3 +73,64 @@ def j_asof_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "series_id", "ts", "value", "thr", (F.col("value") > F.col("thr")).alias("flag")
     )
+
+
+@register(
+    "j_asof_forward",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts,
+             {davg_sql('value')} AS value
+      FROM events GROUP BY 1, 2
+    ),
+    thr AS (
+      SELECT series_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS eff_ts,
+             {_THR_SQL} AS thr
+      FROM hourly GROUP BY series_id, date_trunc('day', ts)
+    )
+    SELECT h.series_id, h.ts, h.value, t.thr AS next_thr,
+           (h.value > t.thr) AS flag
+    FROM hourly h ASOF LEFT JOIN thr t
+      ON h.series_id = t.series_id AND h.ts <= t.eff_ts
+    """,
+    tags=("J-asof", "J1", "W2"),
+    doc="FORWARD as-of join (pandas merge_asof direction='forward'): each "
+    "hourly point picks up the EARLIEST future per-series threshold - the "
+    "'next scheduled event' pattern (upcoming tariff, next calibration). "
+    "Union-and-carry reversed: one key shuffle + a linear windowed scan "
+    "carrying values backward over the [current, unbounded following] "
+    "frame - no per-key pair explosion; the oracle is DuckDB's native "
+    "forward ASOF LEFT JOIN (the <= inequality), pinning >= /earliest-"
+    "future semantics against an independent implementation.",
+)
+def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .shared import hourly_df
+
+    hourly = hourly_df(spark, sf_dir)
+    thr = (
+        hourly.groupBy(
+            "series_id", F.date_trunc("day", F.col("ts")).alias("day_ts")
+        )
+        .agg(
+            qround(
+                davg("value")
+                + F.lit(2.0) * F.sqrt(F.greatest(dvar("value", 0), F.lit(0.0))),
+                6,
+            ).alias("thr")
+        )
+        .select(
+            "series_id",
+            (F.col("day_ts") + F.expr("interval 1 day")).alias("ts"),
+            "thr",
+        )
+    )
+    j = TSO.asof_join_forward(hourly, thr, by="series_id", value_cols=["thr"])
+    return j.select(
+        "series_id",
+        "ts",
+        "value",
+        F.col("thr").alias("next_thr"),
+        (F.col("value") > F.col("thr")).alias("flag"),
+    )

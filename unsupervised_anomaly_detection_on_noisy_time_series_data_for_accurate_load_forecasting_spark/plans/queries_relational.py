@@ -203,3 +203,52 @@ def a_nation_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "lineitem"),
     )
+
+
+def _benford_oracle() -> str:
+    from ..operators.relational import _benford_expected
+
+    e_list = ", ".join(
+        f"({d}, CAST({x!r} AS DOUBLE))" for d, x in enumerate(_benford_expected(), start=1)
+    )
+    return f"""
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM lineitem WHERE l_extendedprice >= 1
+    ),
+    counts AS (SELECT grp, digit, count(*) AS c FROM v GROUP BY 1, 2),
+    n AS (SELECT grp, count(*) AS n FROM v GROUP BY 1),
+    exp(digit, e) AS (VALUES {e_list}),
+    terms AS (
+      SELECT n.grp, n.n,
+             CAST(floor(abs(CAST(coalesce(c.c, 0) AS DOUBLE) / CAST(n.n AS DOUBLE) - exp.e)
+                        * 1000000.0 + 0.5) AS BIGINT) AS t
+      FROM n CROSS JOIN exp
+      LEFT JOIN counts c ON c.grp = n.grp AND c.digit = exp.digit
+    )
+    SELECT grp, CAST(max(n) AS BIGINT) AS n_values,
+           CAST(sum(t) AS DOUBLE) / 2000000.0 AS tvd
+    FROM terms GROUP BY 1
+    """
+
+
+@register(
+    "a_benford_deviation",
+    oracle=_benford_oracle,
+    tags=("A14", "A6", "F7"),
+    doc="Benford's-law deviation per return flag - the fabricated-data "
+    "screen auditors run on financial columns: observed leading-digit "
+    "shares of l_extendedprice vs log10(1 + 1/d), reported as total "
+    "variation distance. The leading digit comes from the INTEGER part "
+    "rendered as a string (int-to-string is engine-identical - no float "
+    "log10 or formatting anywhere); expected shares are Python double "
+    "literals embedded identically in both programs; per-digit terms "
+    "quantize to the 1e-6 lattice before the integer term-sum, with "
+    "missing digits contributing their full expected share via the "
+    "9-digit spine. Combinable aggs end to end - no window, no sort.",
+)
+def a_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.benford_deviation(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag"
+    )
