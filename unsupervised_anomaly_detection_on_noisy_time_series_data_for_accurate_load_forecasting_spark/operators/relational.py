@@ -10,9 +10,10 @@ dims broadcast, fact-fact joins shuffle on their keys, aggregates are partial
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, dsum
+from ..functions.exact import davg, dsum, qround
 
 
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
@@ -250,6 +251,130 @@ def nation_revenue_deciles(
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_custs"),
         dsum(F.col("revenue")).alias("revenue_sum"),
+    )
+
+
+def retention_cohorts(orders: DataFrame) -> DataFrame:
+    """Monthly retention-cohort matrix — the standard product-analytics
+    triangle: customers are assigned to the month of their FIRST order
+    (the cohort), and for each (cohort, months-since) cell we count how
+    many of them placed an order, as an absolute count and as a share of
+    the cohort size.
+
+    Cross-engine discipline: months are the integer lattice
+    ``year·12 + month`` (no engine date subtraction), the retention share
+    is one bigint/bigint double division (IEEE-exact in every engine).
+
+    Scale shape: min-per-customer and distinct-(customer, month) are both
+    map-side combinable; the customer-keyed join shuffles once on
+    custkey; the cohort-size join is a broadcast of #months rows. No
+    window, no sort.
+
+    Output: (cohort_month DATE, offset, active, cohort_n, retention).
+    """
+    mkey = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mkey")
+    firsts = orders.groupBy("o_custkey").agg(F.min(mkey.cast("int")).alias("mkey0"))
+    activity = orders.select("o_custkey", mkey.cast("int").alias("mkey")).distinct()
+    cohort_n = firsts.groupBy("mkey0").agg(F.count(F.lit(1)).cast("bigint").alias("cohort_n"))
+    per = (
+        activity.join(firsts, "o_custkey")
+        .groupBy("mkey0", (F.col("mkey") - F.col("mkey0")).alias("m_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active"))
+    )
+    return per.join(F.broadcast(cohort_n), "mkey0").select(
+        F.make_date(
+            F.floor((F.col("mkey0") - 1) / F.lit(12.0)).cast("int"),
+            (F.pmod(F.col("mkey0") - 1, F.lit(12)) + 1).cast("int"),
+            F.lit(1),
+        ).alias("cohort_month"),
+        F.col("m_offset").cast("int").alias("m_offset"),
+        "active",
+        "cohort_n",
+        (F.col("active").cast("double") / F.col("cohort_n").cast("double")).alias("retention"),
+    )
+
+
+def rfm_segments(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per-nation RFM (recency / frequency / monetary) quintile
+    segmentation — the classic CRM cube: each customer gets three 1–5
+    scores via ``ntile(5)`` within their nation, and the output is the
+    per-(nation, R, F, M) cell with its population and exact monetary sum.
+
+    Determinism: every ntile ordering carries the custkey tiebreak, so
+    tile assignment is unique; recency is an integer day count against
+    the global max order date (broadcast 1-row aggregate, no driver
+    collect); monetary is the decimal-exact per-customer sum.
+
+    Scale shape: the per-customer rollup is one combinable agg; the three
+    windows are NATION-bounded (never a single-task global ntile); the
+    1-row max-date frame and the nation column join stay broadcast.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("max_date"))
+    base = (
+        per_cust.crossJoin(F.broadcast(maxd))
+        .withColumn("recency_days", F.datediff(F.col("max_date"), F.col("last_order")))
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+            "o_custkey",
+        )
+    )
+    wn = lambda *order: W.partitionBy("c_nationkey").orderBy(*order)
+    tiled = base.select(
+        "c_nationkey",
+        "monetary",
+        F.ntile(5).over(wn(F.col("recency_days").asc(), F.col("o_custkey").asc())).alias("r_q"),
+        F.ntile(5).over(wn(F.col("freq").desc(), F.col("o_custkey").asc())).alias("f_q"),
+        F.ntile(5).over(wn(F.col("monetary").desc(), F.col("o_custkey").asc())).alias("m_q"),
+    )
+    return tiled.groupBy("c_nationkey", "r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        dsum(F.col("monetary")).alias("monetary_sum"),
+    )
+
+
+def gini_revenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue — the inequality
+    measure on the exact rank-weighted form
+    ``G = (2·Σ rk·x_rk − (n+1)·Σx) / (n·Σx)`` with ranks ascending.
+
+    Cross-engine discipline: per-customer revenue is the decimal-exact
+    sum cast to double (identical in both engines); ``rk·x`` is one
+    IEEE-exact double product re-quantized through the same decimal sum;
+    the closing expression is pure +,−,×,/ — no libm anywhere.
+
+    Scale shape: the heavy lineitem⋈orders rollup is combinable before
+    the window; only the skinny (nation, custkey, revenue) frame enters
+    the NATION-bounded rank window; final agg is combinable.
+
+    Output: (nationkey, n_custs, revenue_sum, gini).
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(revenue).alias("revenue"))
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+            "o_custkey",
+        )
+    )
+    w = W.partitionBy("c_nationkey").orderBy(F.col("revenue").asc(), F.col("o_custkey").asc())
+    ranked = per_cust.withColumn("rk", F.row_number().over(w))
+    agg = ranked.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        dsum(F.col("revenue")).alias("revenue_sum"),
+        dsum(F.col("rk").cast("double") * F.col("revenue")).alias("rk_rev_sum"),
+    )
+    n = F.col("n_custs").cast("double")
+    t = F.col("revenue_sum")
+    gini = (F.lit(2.0) * F.col("rk_rev_sum") - (n + F.lit(1.0)) * t) / (n * t)
+    return agg.select(
+        "nationkey", "n_custs", "revenue_sum", qround(gini, 9).alias("gini")
     )
 
 

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.exact import davg_sql, dsum_sql
+from ..functions.exact import davg_sql, dsum_sql, qround_sql
 from ..operators import relational as R
 from ..sources.readers import load_table
 from .registry import register
@@ -251,4 +251,134 @@ def _benford_oracle() -> str:
 def a_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.benford_deviation(
         _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag"
+    )
+
+
+@register(
+    "a_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(min(year(o_orderdate) * 12 + month(o_orderdate)) AS INTEGER) AS mkey0
+      FROM orders GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INTEGER) AS mkey
+      FROM orders
+    ),
+    cohort_n AS (SELECT mkey0, count(*) AS cohort_n FROM firsts GROUP BY 1),
+    per AS (
+      SELECT f.mkey0, a.mkey - f.mkey0 AS m_offset, count(*) AS active
+      FROM activity a JOIN firsts f USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT make_date(CAST(floor((p.mkey0 - 1) / 12.0) AS INTEGER),
+                     CAST(((p.mkey0 - 1) % 12) + 1 AS INTEGER), 1) AS cohort_month,
+           CAST(p.m_offset AS INTEGER) AS m_offset,
+           CAST(p.active AS BIGINT) AS active,
+           CAST(c.cohort_n AS BIGINT) AS cohort_n,
+           CAST(p.active AS DOUBLE) / CAST(c.cohort_n AS DOUBLE) AS retention
+    FROM per p JOIN cohort_n c USING (mkey0)
+    """,
+    tags=("A10", "J1", "F4"),
+    doc="Monthly retention-cohort triangle: customers keyed to the month "
+    "of their first order, counted per (cohort, months-since) cell with "
+    "the cohort-share ratio. Months live on the integer year*12+month "
+    "lattice (no engine date subtraction); min-per-customer and "
+    "distinct-(customer, month) are combinable aggs; one custkey "
+    "shuffle; cohort sizes broadcast (#months rows). No window, no sort.",
+)
+def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.retention_cohorts(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "a_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS freq,
+             {dsum_sql('o_totalprice')} AS monetary
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT c.c_nationkey, p.o_custkey, p.freq, p.monetary,
+             date_diff('day', CAST(p.last_order AS DATE),
+                       CAST((SELECT max(o_orderdate) FROM orders) AS DATE)) AS recency_days
+      FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+    ),
+    tiled AS (
+      SELECT c_nationkey, monetary,
+             ntile(5) OVER (PARTITION BY c_nationkey
+                            ORDER BY recency_days ASC, o_custkey ASC) AS r_q,
+             ntile(5) OVER (PARTITION BY c_nationkey
+                            ORDER BY freq DESC, o_custkey ASC) AS f_q,
+             ntile(5) OVER (PARTITION BY c_nationkey
+                            ORDER BY monetary DESC, o_custkey ASC) AS m_q
+      FROM base
+    )
+    SELECT c_nationkey, CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+           CAST(m_q AS INTEGER) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_custs, {dsum_sql('monetary')} AS monetary_sum
+    FROM tiled GROUP BY 1, 2, 3, 4
+    """,
+    tags=("O2", "A6", "W4"),
+    doc="Per-nation RFM quintile segmentation (the CRM cube): ntile(5) "
+    "per nation on recency (integer days vs the broadcast global max "
+    "order date), frequency, and decimal-exact monetary, each with the "
+    "custkey tiebreak so tile assignment is unique; output is the "
+    "(nation, R, F, M) cell population + exact monetary sum. Windows "
+    "are nation-bounded - never a single-task global ntile.",
+)
+def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.rfm_segments(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+
+_GINI_EXPR = (
+    "(2.0 * rk_rev_sum - (CAST(n_custs AS DOUBLE) + 1.0) * revenue_sum)"
+    " / (CAST(n_custs AS DOUBLE) * revenue_sum)"
+)
+
+
+@register(
+    "a_gini_revenue",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    ),
+    nat AS (
+      SELECT c.c_nationkey AS nationkey, p.o_custkey, p.revenue
+      FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+      SELECT nationkey, o_custkey, revenue,
+             row_number() OVER (PARTITION BY nationkey
+                                ORDER BY revenue ASC, o_custkey ASC) AS rk
+      FROM nat
+    ),
+    agg AS (
+      SELECT nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+             {dsum_sql('revenue')} AS revenue_sum,
+             {dsum_sql('CAST(rk AS DOUBLE) * revenue')} AS rk_rev_sum
+      FROM ranked GROUP BY 1
+    )
+    SELECT nationkey, n_custs, revenue_sum,
+           {qround_sql(_GINI_EXPR, 9)} AS gini
+    FROM agg
+    """,
+    tags=("A6", "O1", "A2"),
+    doc="Per-nation Gini coefficient of customer revenue via the exact "
+    "rank-weighted identity G = (2*sum(rk*x) - (n+1)*sum(x)) / (n*sum(x)): "
+    "decimal-exact revenue, IEEE-exact double products re-quantized "
+    "through the decimal sum, closing arithmetic pure +,-,*,/ (no libm). "
+    "Heavy lineitem join is combinable before the nation-bounded rank "
+    "window; only the skinny per-customer frame is sorted.",
+)
+def a_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.gini_revenue(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
     )
