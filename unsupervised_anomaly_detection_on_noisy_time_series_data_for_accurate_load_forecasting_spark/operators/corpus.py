@@ -598,3 +598,98 @@ def theta_setops(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+WSAMPLE_SALT = 131
+WSAMPLE_CAP = 64
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10) -> DataFrame:
+    """Okapi BM25 ranking of ``docs`` against a fixed query-term set —
+    the retrieval scorer every RAG / dedup-adjacent corpus pipeline runs:
+    score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Cross-engine discipline: same as TF-IDF (established parity) — the
+    single libm call (ln) is applied to an identical double in both
+    engines and the score is qround(6)-quantized BEFORE ranking; dl and
+    avgdl come from the shared single-space tokenizer; ties break on
+    doc_id.
+
+    Scale shape: term rows are filtered to the |Q| query terms BEFORE the
+    (doc, term) combine, so the shuffle carries only matching postings;
+    df is a second combinable agg over those; N and avgdl ride along as
+    one broadcast 1-row frame; final top-k is TakeOrdered (per-partition
+    heaps), never a global sort.
+    """
+    q = [t for t in query_terms]
+    term = F.explode(F.split(F.col("text"), " ")).alias("term")
+    toks = docs.select("doc_id", term).filter(F.col("term").isin(q))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("dfreq").cast("double")
+    idf = F.log(F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+    tfd = F.col("tf").cast("double")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            qround(idf * tfd * F.lit(BM25_K1 + 1.0) / (tfd + norm), 9).alias("s"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        qround(F.sum("s"), 6).alias("score"),
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def weighted_sample(
+    docs: DataFrame, k: int = 10, cap: int = WSAMPLE_CAP, salt: int = WSAMPLE_SALT
+) -> DataFrame:
+    """Deterministic weighted reservoir sample (A-ES surrogate): each doc
+    gets the key ``max_{j=1..w} rng_draw(doc_id, j)`` with integer weight
+    w = min(token_count, cap), and the sample is the top-``k`` docs by
+    (key DESC, doc_id ASC). The max-of-w-uniforms key has exactly the
+    A-ES ``u^(1/w)`` distribution, but stays on the integer lattice — no
+    pow/log, so both engines agree bit-for-bit on every draw.
+
+    Scale shape: the weight explosion is one row per (doc, j) bounded by
+    cap·N rows — the same cost class as tokenization; the max is map-side
+    combinable; top-k is TakeOrdered. Sampling is embarrassingly parallel
+    (the RNG is a pure function of doc_id) — no stateful reservoir to
+    serialize, which is the point at 100 TB: a true streaming reservoir
+    is order-dependent, this spec is slicing-independent.
+    """
+    w = F.least(F.size(F.split(F.col("text"), " ")), F.lit(cap))
+    weighted = docs.select(
+        "doc_id", F.greatest(w, F.lit(1)).cast("int").alias("w")
+    )
+    drawn = weighted.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.col("w"))).alias("j"),
+    ).select("doc_id", "w", rng_draw("doc_id", "j", salt=salt).alias("draw"))
+    keyed = drawn.groupBy("doc_id").agg(
+        F.max("w").cast("int").alias("w"), F.max("draw").cast("bigint").alias("skey")
+    )
+    return keyed.orderBy(F.col("skey").desc(), F.col("doc_id").asc()).limit(k)

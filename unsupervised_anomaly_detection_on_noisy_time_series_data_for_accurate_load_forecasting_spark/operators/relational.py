@@ -378,6 +378,67 @@ def gini_revenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) ->
     )
 
 
+def brand_basket_lift(lineitem: DataFrame, part: DataFrame, min_co: int = 3) -> DataFrame:
+    """Market-basket association mining over order baskets: for every
+    brand pair co-occurring in an order, the support and lift
+    (``lift = P(a,b) / (P(a)·P(b))``) — the screen behind "frequently
+    bought together".
+
+    Scale shape: the basket frame is distinct (order, brand) — orders
+    have a bounded line count, so the orderkey self-join explodes at most
+    C(|basket|, 2) pairs per order (never all-pairs across orders); pair
+    and brand counts are combinable; the brand marginals (|brands|² max
+    rows) and the 1-row order count are broadcast. Lift/support are pure
+    IEEE double ratios of exact integer counts.
+    """
+    ob = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"), "l_partkey")
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .filter(F.col("co") >= min_co)
+    )
+    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    co_d = F.col("co").cast("double")
+    n_d = F.col("n_orders").cast("double")
+    return (
+        pairs.join(
+            F.broadcast(bc.select(F.col("p_brand").alias("brand_a"), F.col("cnt").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(bc.select(F.col("p_brand").alias("brand_b"), F.col("cnt").alias("n_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "co",
+            "n_a",
+            "n_b",
+            (co_d / n_d).alias("support"),
+            (
+                (co_d * n_d)
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
 BENFORD_E = None  # computed once below: log10(1 + 1/d), d = 1..9
 
 

@@ -1015,3 +1015,99 @@ def pipeline_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_after").cast("bigint").alias("chars_after"),
         F.sum(F.when(F.col("n_after") == 0, 1).otherwise(0)).cast("bigint").alias("n_emptied"),
     )
+
+
+_BM25_Q = ["join", "vector", "scan", "spark"]
+
+
+def _bm25_oracle() -> str:
+    k1 = CO.BM25_K1
+    b = CO.BM25_B
+    terms = ", ".join(f"'{t}'" for t in _BM25_Q)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ({terms}) GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKS})) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM documents
+    ),
+    per_term AS (
+      SELECT tf.doc_id,
+             floor(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(dfreq AS DOUBLE) + 0.5)
+                        / (CAST(dfreq AS DOUBLE) + 0.5))
+               * CAST(tf AS DOUBLE) * {k1 + 1.0!r}
+               / (CAST(tf AS DOUBLE)
+                  + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(dl AS DOUBLE) / avgdl))
+               * 1000000000.0 + 0.5) / 1000000000.0 AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id, floor(sum(s) * 1000000.0 + 0.5) / 1000000.0 AS score,
+             CAST(count(*) AS INTEGER) AS n_terms_hit
+      FROM per_term GROUP BY 1
+    )
+    SELECT doc_id, score, n_terms_hit
+    FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+
+
+@register(
+    "t_bm25_topk",
+    oracle=_bm25_oracle,
+    tags=("TXT-tokens", "O3", "A-sketch"),
+    doc="Okapi BM25 top-10 for a fixed query-term set - the retrieval "
+    "scorer behind RAG corpus curation. Postings are filtered to the |Q| "
+    "query terms BEFORE the (doc, term) combine so the shuffle carries "
+    "only matches; df is a second combinable agg; N and avgdl broadcast "
+    "as one 1-row frame; top-k is TakeOrdered. The one libm call (ln) is "
+    "applied to identical doubles in both engines (established TF-IDF "
+    "parity) and scores quantize per-term at 1e-9 and per-doc at 1e-6 "
+    "before ranking with the doc_id tiebreak.",
+)
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CO.bm25_topk(_docs(spark, sf_dir), _BM25_Q)
+
+
+def _wsample_oracle() -> str:
+    draw = rng_draw_sql("doc_id", "j", salt=CO.WSAMPLE_SALT)
+    return f"""
+    WITH weighted AS (
+      SELECT doc_id,
+             CAST(greatest(least(len({_TOKS}), {CO.WSAMPLE_CAP}), 1) AS INTEGER) AS w
+      FROM documents
+    ),
+    drawn AS (
+      SELECT doc_id, w, unnest(generate_series(1, w)) AS j FROM weighted
+    ),
+    keyed AS (
+      SELECT doc_id, CAST(max(w) AS INTEGER) AS w,
+             CAST(max({draw}) AS BIGINT) AS skey
+      FROM drawn GROUP BY 1
+    )
+    SELECT doc_id, w, skey FROM keyed ORDER BY skey DESC, doc_id ASC LIMIT 10
+    """
+
+
+@register(
+    "s_weighted_sample",
+    oracle=_wsample_oracle,
+    tags=("U4", "F8", "O3"),
+    doc="Deterministic weighted reservoir sample (A-ES surrogate): key = "
+    "max of w seeded integer draws per doc with w = min(tokens, cap) - "
+    "distributionally the u^(1/w) A-ES key but on the integer lattice, "
+    "so no pow/log anywhere. One bounded explode (cap*N rows, the "
+    "tokenization cost class), combinable max, TakeOrdered top-k; "
+    "slicing-independent by construction, unlike a stateful streaming "
+    "reservoir.",
+)
+def s_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CO.weighted_sample(_docs(spark, sf_dir))

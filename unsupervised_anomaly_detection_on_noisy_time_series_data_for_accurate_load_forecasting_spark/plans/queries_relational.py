@@ -382,3 +382,43 @@ def a_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "lineitem"),
     )
+
+
+@register(
+    "a_basket_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+    bc AS (SELECT p_brand, count(*) AS cnt FROM ob GROUP BY 1),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS co
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_b, brand_a, CAST(co AS BIGINT) AS co,
+           CAST(ca.cnt AS BIGINT) AS n_a, CAST(cb.cnt AS BIGINT) AS n_b,
+           CAST(co AS DOUBLE) / CAST(n.n_orders AS DOUBLE) AS support,
+           (CAST(co AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+             / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN bc ca ON ca.p_brand = pairs.brand_a
+    JOIN bc cb ON cb.p_brand = pairs.brand_b
+    CROSS JOIN n
+    WHERE co >= 3
+    """,
+    tags=("J1", "A10", "O3"),
+    doc="Market-basket association mining: support and lift for brand "
+    "pairs co-occurring in an order basket ('frequently bought "
+    "together'). The orderkey self-join explodes at most C(basket,2) "
+    "pairs per order (baskets are bounded) - never cross-order pairs; "
+    "counts are combinable; brand marginals and the 1-row order count "
+    "broadcast; lift/support are IEEE-exact double ratios of integers.",
+)
+def a_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.brand_basket_lift(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
