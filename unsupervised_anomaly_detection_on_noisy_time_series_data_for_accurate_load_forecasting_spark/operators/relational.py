@@ -378,6 +378,94 @@ def gini_revenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) ->
     )
 
 
+def shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H-Q3-shaped shipping priority: revenue of not-yet-shipped
+    lineitems for BUILDING-segment orders placed before the cutoff,
+    top-``k`` by (revenue DESC, orderkey ASC).
+
+    Scale shape: the segment filter reduces customer before its join
+    (semi-join pruning Catalyst pushes through); the one real shuffle is
+    lineitem⋈orders on orderkey with the date predicates pushed to both
+    scans; the grouped frame is per-order (skinny) and the top-k compiles
+    to TakeOrderedAndProject — per-partition heaps, no global sort.
+    """
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )
+
+
+def returned_items(
+    customer: DataFrame, nation: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 20
+) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: the ``k`` customers who
+    returned the most revenue in a quarter, with their nation.
+
+    Scale shape: returnflag + quarter predicates push to the scans; one
+    orderkey shuffle, one custkey combine; nation broadcast; top-k is
+    TakeOrderedAndProject on the skinny per-customer frame.
+    """
+    lo = F.lit("1997-10-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def large_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, qty_threshold: int = 250
+) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume orders: orders whose total lineitem
+    quantity exceeds the threshold, with customer attribution — the
+    GROUP BY + HAVING pattern.
+
+    Scale shape: the per-order quantity rollup is combinable BEFORE any
+    join (the aggregate-then-join rewrite of Q18 — never join-then-
+    aggregate the wide frame); the surviving orders are a tiny fraction,
+    so the orders/customer joins run on the filtered skinny side.
+    """
+    per_order = (
+        lineitem.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(float(qty_threshold)))
+    )
+    return (
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
 def brand_basket_lift(lineitem: DataFrame, part: DataFrame, min_co: int = 3) -> DataFrame:
     """Market-basket association mining over order baskets: for every
     brand pair co-occurring in an order, the support and lift

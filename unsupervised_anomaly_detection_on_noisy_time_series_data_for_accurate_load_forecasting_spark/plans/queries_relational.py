@@ -422,3 +422,93 @@ def a_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.brand_basket_lift(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
     )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("P1", "J1", "O3"),
+    doc="TPC-H-Q3-shaped shipping priority: unshipped revenue of "
+    "BUILDING-segment orders, top-10 by exact revenue with the orderkey "
+    "tiebreak. Date and segment predicates push to the scans; one "
+    "orderkey shuffle; the top-k compiles to TakeOrderedAndProject "
+    "(per-partition heaps), never a global sort.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("P1", "J1", "O3"),
+    doc="TPC-H-Q10-shaped returned-item report: the 20 customers who "
+    "returned the most revenue in a quarter, with nation attribution. "
+    "Returnflag + quarter predicates push to the scans; nation "
+    "broadcast; TakeOrdered top-k on the skinny per-customer frame.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.returned_items(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    WITH per_order AS (
+      SELECT l_orderkey, {dsum_sql('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {dsum_sql('l_quantity')} > 250.0
+    )
+    SELECT c_custkey AS custkey, c_name AS cust_name, o_orderkey AS orderkey,
+           o_orderdate AS orderdate, o_totalprice AS totalprice, sum_qty
+    FROM per_order
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("A2", "J1", "P1"),
+    doc="TPC-H-Q18-shaped large-volume orders (GROUP BY + HAVING): the "
+    "per-order quantity rollup is combinable BEFORE any join (the "
+    "aggregate-then-join rewrite - never join-then-aggregate the wide "
+    "frame); survivors are a ~1% fraction, so the orders/customer joins "
+    "run on the filtered skinny side.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.large_orders(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
