@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.exact import qround
+from ..functions.exact import dsum, qround
 from ..functions.rng import rng_draw
 
 PACK_SALT = 71
@@ -693,3 +693,51 @@ def weighted_sample(
         F.max("w").cast("int").alias("w"), F.max("draw").cast("bigint").alias("skey")
     )
     return keyed.orderBy(F.col("skey").desc(), F.col("doc_id").asc()).limit(k)
+
+
+ZIPF_TOP_N = 1000
+
+
+def zipf_fit(docs: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Zipf's-law fit over the token frequency spectrum: OLS slope and
+    intercept of ln(freq) against ln(rank) for the top-``top_n`` tokens —
+    the corpus-health diagnostic (natural text sits near slope −1;
+    boilerplate-heavy or synthetic corpora deviate).
+
+    Scale shape: token counts are one combinable agg; the rank frame is
+    the top-``top_n`` via TakeOrdered (per-partition heaps — the
+    vocabulary never sees a global sort); everything after operates on a
+    constant-size frame. The OLS sums go through the decimal-exact path
+    (float sums of ln values are order-dependent); ln itself is the
+    established cross-engine libm call, applied to identical integer-
+    derived doubles.
+
+    Output: one row (n_fit, slope, intercept).
+    """
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    top = freq.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(top_n)
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    ranked = top.withColumn("rk", F.row_number().over(w))
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fit"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+    )
+    n = F.col("n_fit").cast("double")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    intercept = F.col("sy") / n - slope * F.col("sx") / n
+    return agg.select(
+        "n_fit",
+        qround(slope, 6).alias("slope"),
+        qround(intercept, 6).alias("intercept"),
+    )

@@ -591,3 +591,29 @@ def benford_deviation(
         F.max("n").cast("bigint").alias("n_values"),
         (F.sum("t").cast("double") / F.lit(2e6)).alias("tvd"),
     )
+
+
+def kanonymity_report(customer: DataFrame, k: int = 5) -> DataFrame:
+    """k-anonymity screen over the quasi-identifier tuple
+    (nation, market segment, account-balance bucket) — the privacy gate a
+    training-data pipeline runs before releasing joined customer
+    attributes: any QI group with fewer than ``k`` members re-identifies
+    its rows and must be suppressed or generalized.
+
+    Scale shape: one combinable groupBy over the QI columns (bounded
+    cardinality: |nations|·|segments|·|buckets|); the flag is a pure
+    integer comparison. The balance bucket is floor(bal/1000) — floor
+    division is engine-identical for negatives too.
+
+    Output: (nationkey, segment, bal_bucket, group_n, anonymous).
+    """
+    bucket = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int")
+    return (
+        customer.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            bucket.alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_n"))
+        .withColumn("anonymous", F.col("group_n") >= F.lit(k))
+    )

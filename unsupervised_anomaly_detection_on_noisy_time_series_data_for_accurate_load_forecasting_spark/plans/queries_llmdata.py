@@ -1111,3 +1111,52 @@ def _wsample_oracle() -> str:
 )
 def s_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.weighted_sample(_docs(spark, sf_dir))
+
+
+def _zipf_oracle() -> str:
+    from ..functions.exact import dsum_sql
+
+    return f"""
+    WITH freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    top AS (SELECT * FROM freq ORDER BY freq DESC, tok ASC LIMIT {CO.ZIPF_TOP_N}),
+    ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rk FROM top
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_fit,
+             {dsum_sql('ln(CAST(rk AS DOUBLE))')} AS sx,
+             {dsum_sql('ln(CAST(freq AS DOUBLE))')} AS sy,
+             {dsum_sql('ln(CAST(rk AS DOUBLE)) * ln(CAST(freq AS DOUBLE))')} AS sxy,
+             {dsum_sql('ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))')} AS sxx
+      FROM ranked
+    )
+    SELECT n_fit,
+           floor(((sxy - sx * sy / CAST(n_fit AS DOUBLE))
+                  / (sxx - sx * sx / CAST(n_fit AS DOUBLE))) * 1000000.0 + 0.5)
+             / 1000000.0 AS slope,
+           floor((sy / CAST(n_fit AS DOUBLE)
+                  - ((sxy - sx * sy / CAST(n_fit AS DOUBLE))
+                     / (sxx - sx * sx / CAST(n_fit AS DOUBLE)))
+                    * sx / CAST(n_fit AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS intercept
+    FROM agg
+    """
+
+
+@register(
+    "t_zipf_fit",
+    oracle=_zipf_oracle,
+    tags=("TXT-tokens", "A-sketch", "A6"),
+    doc="Zipf's-law fit of the token frequency spectrum: OLS slope / "
+    "intercept of ln(freq) vs ln(rank) over the top-1000 tokens - the "
+    "corpus-health diagnostic (natural text sits near slope -1). Token "
+    "counts are one combinable agg; the rank frame is TakeOrdered (the "
+    "vocabulary never sees a global sort); OLS sums go through the "
+    "decimal-exact path on a constant-size frame.",
+)
+def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CO.zipf_fit(_docs(spark, sf_dir))

@@ -512,3 +512,24 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "lineitem"),
     )
+
+
+@register(
+    "p_kanonymity",
+    oracle="""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+           CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bal_bucket,
+           CAST(count(*) AS BIGINT) AS group_n,
+           (count(*) >= 5) AS anonymous
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+    tags=("A14", "P8", "TXT-pii"),
+    doc="k-anonymity screen over the (nation, segment, balance-bucket) "
+    "quasi-identifier tuple - the privacy gate before releasing joined "
+    "customer attributes: groups under k=5 members re-identify their "
+    "rows. One combinable groupBy over bounded-cardinality QI columns; "
+    "floor-division bucketing is engine-identical for negatives.",
+)
+def p_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.kanonymity_report(_t(spark, sf_dir, "customer"))
