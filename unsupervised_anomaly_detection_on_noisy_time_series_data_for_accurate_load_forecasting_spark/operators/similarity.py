@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..functions.exact import qround
 from ..functions.rng import rng_uniform_sql
 
 DIM = 64
@@ -972,3 +973,165 @@ def ivfpq_topk(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_SHORTLIST = 20
+MMR_K = 5
+MMR_QUERY_ID = 0
+
+
+def mmr_diversify(
+    df: DataFrame,
+    query_id: int = MMR_QUERY_ID,
+    shortlist: int = MMR_SHORTLIST,
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from the decimal-exact
+    cosine top-``shortlist`` for one query vector, greedily select ``k``
+    results maximizing ``lam·cos(q,d) − (1−lam)·max_{s∈sel} cos(d,s)`` —
+    the standard diversified-retrieval post-processor (Carbonell &
+    Goldberg '98) every RAG stack runs after ANN.
+
+    Scale shape: the corpus-wide stage is the same two-speed broadcast
+    scan as :func:`cosine_topk` (fast double prefilter, decimal fold only
+    near the boundary, TakeOrdered); the candidate-candidate cosine
+    matrix is a shortlist×shortlist self-join — O(shortlist²) decimal
+    dots, constant by construction; only that constant-size matrix is
+    collected for the inherently sequential greedy (same bounded-collect
+    contract as the coreset/PQ training). Ties break on vec_id.
+
+    Output: (rk, vec_id, cosine, mmr_score).
+    """
+    e = df.select("vec_id", "embedding").withColumn("sq", dnorm_sq()).filter(F.col("sq") > 0)
+    q = e.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("qemb"), F.col("sq").alias("qsq")
+    )
+    pairs = (
+        e.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_fast",
+            F.expr(fdot_expr("qemb", "embedding")) / F.sqrt(F.col("qsq") * F.col("sq")),
+        )
+    )
+    # Single-query shortlist WITHOUT a global window (which would drag the
+    # whole corpus through one task): TakeOrdered yields the fast top-k,
+    # its min is the broadcast threshold, and a second parallel scan keeps
+    # the margin-padded superset for the exact decimal pass.
+    fast_th = (
+        pairs.orderBy(F.col("cos_fast").desc(), F.col("vec_id").asc())
+        .limit(shortlist)
+        .agg(F.coalesce(F.min("cos_fast"), F.lit(-2.0)).alias("kth_fast"))
+    )
+    survivors = pairs.join(F.broadcast(fast_th)).filter(
+        F.col("cos_fast") >= F.col("kth_fast") - F.lit(MARGIN)
+    )
+    cand = (
+        survivors.withColumn(
+            "cosine",
+            F.expr(ddot_expr("qemb", "embedding")) / F.sqrt(F.col("qsq") * F.col("sq")),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(shortlist)
+        .select("vec_id", "embedding", "sq", "cosine")
+    )
+    # ONE corpus scan: collect the constant-size shortlist (embeddings
+    # included — shortlist×DIM floats), then the pair-cosine self-join runs
+    # over a local re-created frame so Spark's decimal fold (not driver
+    # Python) still owns every dot product.
+    spark = df.sparkSession
+    sl_rows = cand.collect()
+    sl = spark.createDataFrame(sl_rows, cand.schema)
+    a = sl.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"), F.col("sq").alias("sqa")
+    )
+    b = sl.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"), F.col("sq").alias("sqb")
+    )
+    pair_cos = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
+        "ida",
+        "idb",
+        (F.expr(ddot_expr("ea", "eb")) / F.sqrt(F.col("sqa") * F.col("sqb"))).alias("cc"),
+    )
+    qrows = {int(r["vec_id"]): float(r["cosine"]) for r in sl_rows}
+    prows = {}
+    for r in pair_cos.collect():
+        prows[(int(r["ida"]), int(r["idb"]))] = float(r["cc"])
+
+    def pc(x: int, y: int) -> float:
+        return prows[(x, y)] if x < y else prows[(y, x)]
+
+    sel: list[tuple[int, float, float]] = []
+    remaining = sorted(qrows)
+    while remaining and len(sel) < k:
+        best = None
+        for d in remaining:
+            div = max((pc(d, s) for s, _, _ in sel), default=0.0)
+            score = lam * qrows[d] - (1.0 - lam) * div
+            if best is None or score > best[1] or (score == best[1] and d < best[0]):
+                best = (d, score)
+        sel.append((best[0], best[1], qrows[best[0]]))
+        remaining.remove(best[0])
+    spark = df.sparkSession
+    rows = [
+        (i + 1, vid, cos, score) for i, (vid, score, cos) in enumerate(sel)
+    ]
+    return spark.createDataFrame(
+        rows, "rk int, vec_id bigint, cosine double, mmr_score double"
+    ).select("rk", "vec_id", "cosine", qround("mmr_score", 9).alias("mmr_score"))
+
+
+def mmr_mirror(ids, X, query_id: int = MMR_QUERY_ID, shortlist: int = MMR_SHORTLIST,
+               k: int = MMR_K, lam: float = MMR_LAMBDA):
+    """Independent numpy replica of :func:`mmr_diversify` (oracle side):
+    decimal dots replayed as exact integer micro-unit sums (the
+    DECIMAL(27,6) lattice), the same shortlist cut and greedy spec.
+    Returns [(rk, vec_id, cosine, mmr_score)]."""
+    import numpy as np
+
+    ids = [int(i) for i in ids]
+    Xd = np.asarray(X, dtype=np.float64)
+    idx = {v: i for i, v in enumerate(ids)}
+
+    def ddot(i: int, j: int) -> float:
+        prods = Xd[i] * Xd[j]
+        micros = np.floor(prods * 1e6 + 0.5).astype(np.int64)
+        return float(int(micros.sum()) / 1e6)
+
+    sq = {v: ddot(i, i) for v, i in idx.items()}
+    qi = idx[query_id]
+    cands = []
+    for v, i in idx.items():
+        if v == query_id or sq[v] <= 0:
+            continue
+        import math
+
+        cos = ddot(qi, i) / math.sqrt(sq[query_id] * sq[v])
+        cands.append((v, cos))
+    cands.sort(key=lambda t: (-t[1], t[0]))
+    cands = cands[:shortlist]
+    qcos = dict(cands)
+
+    def pc(x: int, y: int) -> float:
+        import math
+
+        return ddot(idx[x], idx[y]) / math.sqrt(sq[x] * sq[y])
+
+    sel = []
+    remaining = sorted(qcos)
+    while remaining and len(sel) < k:
+        best = None
+        for d in remaining:
+            div = max((pc(d, s) for s, _, _ in sel), default=0.0)
+            score = lam * qcos[d] - (1.0 - lam) * div
+            if best is None or score > best[1] or (score == best[1] and d < best[0]):
+                best = (d, score)
+        sel.append((best[0], best[1], qcos[best[0]]))
+        remaining.remove(best[0])
+    from ..functions.exact import qround_py
+
+    return [
+        (i + 1, vid, cos, qround_py(score, 9)) for i, (vid, score, cos) in enumerate(sel)
+    ]

@@ -879,3 +879,67 @@ def s_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _mmr_oracle() -> str:
+    """Mirror-golden MMR selection (independent numpy integer-micro
+    replica of the decimal dots + the same greedy spec), with DuckDB
+    itself recomputing every output cosine from the raw embeddings — a
+    mirror error in the relevance column would hash-mismatch the engine."""
+    import os
+
+    import duckdb as _dd
+
+    from ..operators.similarity import MMR_QUERY_ID, mmr_mirror
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = _dd.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    res = mmr_mirror([r[0] for r in rows], [r[1] for r in rows])
+    vals = ", ".join(
+        f"({rk}, {vid}, CAST({score!r} AS DOUBLE))" for rk, vid, _cos, score in res
+    )
+    micro = (
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        "* 1000000.0 + 0.5) AS BIGINT)))"
+    )
+    dqd = micro.format(a="qe", b="e.embedding")
+    dqq = micro.format(a="qe", b="qe")
+    dnn = micro.format(a="e.embedding", b="e.embedding")
+    return f"""
+    WITH sel(rk, vec_id, mmr_score) AS (VALUES {vals}),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {MMR_QUERY_ID}),
+    dot AS (
+      SELECT s.rk, s.vec_id, s.mmr_score,
+             {dqd} AS dqd, {dqq} AS dqq, {dnn} AS dnn
+      FROM sel s JOIN embeddings e USING (vec_id) CROSS JOIN q
+    )
+    SELECT CAST(rk AS INTEGER) AS rk, CAST(vec_id AS BIGINT) AS vec_id,
+           (CAST(dqd AS DOUBLE) / 1000000.0)
+             / sqrt((CAST(dqq AS DOUBLE) / 1000000.0)
+                    * (CAST(dnn AS DOUBLE) / 1000000.0)) AS cosine,
+           mmr_score
+    FROM dot
+    """
+
+
+@register(
+    "s_mmr_diversify",
+    oracle=_mmr_oracle,
+    tags=("SIM-ann", "J5", "O4"),
+    doc="Maximal Marginal Relevance diversified re-ranking (Carbonell & "
+    "Goldberg '98) - the post-ANN result diversifier every RAG stack "
+    "runs: greedy top-5 from the decimal-exact cosine top-20 shortlist "
+    "maximizing lam*cos(q,d) - (1-lam)*max cos(d,selected). Corpus stage "
+    "is the two-speed broadcast scan + TakeOrdered; the candidate matrix "
+    "is a constant shortlist^2 self-join of decimal dots; only that "
+    "constant frame is collected for the inherently sequential greedy "
+    "(bounded-collect contract, like coreset/PQ training).",
+)
+def s_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.mmr_diversify(_emb(spark, sf_dir))
