@@ -1,0 +1,154 @@
+"""Operator-contract tests for the r7 analytics additions: forward as-of
+join, retention cohorts, Gini, basket lift, weighted sampling, and the MMR
+first-pick guarantee (oracle parity covers full-query values; these pin the
+semantics on hand-built frames)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.relational import (
+    brand_basket_lift,
+    gini_revenue,
+    retention_cohorts,
+)
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.timeseries import (
+    asof_join_forward,
+)
+
+
+def _ts(h):
+    return dt.datetime(2024, 1, 1, h)
+
+
+def test_asof_forward_earliest_future_and_ties(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(0), 1.0), ("a", _ts(2), 2.0), ("a", _ts(5), 3.0), ("b", _ts(3), 9.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), 10.0), ("a", _ts(2), 20.0), ("a", _ts(4), 40.0)],
+        "series_id string, ts timestamp, thr double",
+    )
+    got = {
+        (r.series_id, r.ts.hour): r.thr
+        for r in asof_join_forward(left, right, value_cols=["thr"]).collect()
+    }
+    assert got[("a", 0)] == 10.0  # earliest future, not latest
+    assert got[("a", 2)] == 20.0  # equal-ts right row is visible (>=)
+    assert got[("a", 5)] is None  # after the last right row
+    assert got[("b", 3)] is None  # key with no right rows at all
+
+
+def test_asof_forward_preserves_left_rowcount(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(i), float(i)) for i in range(10)],
+        "series_id string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(3), 1.0)], "series_id string, ts timestamp, thr double"
+    )
+    assert asof_join_forward(left, right, value_cols=["thr"]).count() == 10
+
+
+def test_retention_cohort_offset_zero_is_full_cohort(spark):
+    # every customer is active in their own first month, so the offset-0
+    # cell of every cohort must equal the cohort size with retention 1.0
+    orders = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 5)),
+            (1, dt.datetime(2024, 3, 2)),
+            (2, dt.datetime(2024, 1, 20)),
+            (3, dt.datetime(2024, 2, 1)),
+            (3, dt.datetime(2024, 4, 1)),
+        ],
+        "o_custkey bigint, o_orderdate timestamp",
+    )
+    rows = {(r.cohort_month, r.m_offset): r for r in retention_cohorts(orders).collect()}
+    jan = rows[(dt.date(2024, 1, 1), 0)]
+    assert jan.active == 2 and jan.cohort_n == 2 and jan.retention == 1.0
+    mar = rows[(dt.date(2024, 1, 1), 2)]
+    assert mar.active == 1 and mar.retention == 0.5
+    feb = rows[(dt.date(2024, 2, 1), 0)]
+    assert feb.cohort_n == 1
+
+
+def test_gini_extremes(spark):
+    # equal revenues -> gini 0; one customer holding everything -> (n-1)/n
+    customer = spark.createDataFrame(
+        [(i, 1) for i in range(1, 5)] + [(i, 2) for i in range(10, 14)],
+        "c_custkey bigint, c_nationkey int",
+    )
+    orders = spark.createDataFrame(
+        [(i, i) for i in range(1, 5)] + [(i, i) for i in range(10, 14)],
+        "o_orderkey bigint, o_custkey bigint",
+    )
+    li = [(i, 100.0, 0.0) for i in range(1, 5)]  # nation 1: all equal
+    li += [(10, 400.0, 0.0)] + [(i, 1e-6, 0.0) for i in range(11, 14)]  # nation 2: concentrated
+    lineitem = spark.createDataFrame(
+        li, "l_orderkey bigint, l_extendedprice double, l_discount double"
+    )
+    got = {r.nationkey: r.gini for r in gini_revenue(customer, orders, lineitem).collect()}
+    assert got[1] == 0.0
+    assert 0.70 < got[2] <= 0.75  # ~ (n-1)/n = 0.75 minus the epsilon holders
+
+
+def test_basket_lift_known_counts(spark):
+    # brands A,B co-occur in both orders; C occurs once alone with A
+    lineitem = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101), (2, 102), (2, 103)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    part = spark.createDataFrame(
+        [(101, "A"), (102, "B"), (103, "C")], "p_partkey bigint, p_brand string"
+    )
+    rows = {
+        (r.brand_a, r.brand_b): r
+        for r in brand_basket_lift(lineitem, part, min_co=1).collect()
+    }
+    ab = rows[("A", "B")]
+    assert ab.co == 2 and ab.n_a == 2 and ab.n_b == 2
+    assert ab.support == 1.0 and ab.lift == 1.0  # 2*2/(2*2)
+    ac = rows[("A", "C")]
+    assert ac.co == 1 and ac.lift == 1.0  # 1*2/(2*1)
+
+
+def test_weighted_sample_key_replays_rng(spark):
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.functions.rng import (
+        rng_draw_np,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.corpus import (
+        WSAMPLE_SALT,
+        weighted_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a"), (3, "x y z w v")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: (r.w, r.skey) for r in weighted_sample(docs, k=3).collect()}
+    for doc_id, n_tok in [(1, 3), (2, 1), (3, 5)]:
+        draws = [
+            int(rng_draw_np([doc_id, j], salt=WSAMPLE_SALT))
+            for j in range(1, n_tok + 1)
+        ]
+        assert got[doc_id] == (n_tok, max(draws))
+
+
+def test_mmr_first_pick_is_pure_relevance(spark, sf_dir):
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.similarity import (
+        mmr_diversify,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = mmr_diversify(emb).collect()
+    assert [r.rk for r in out] == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in out}) == 5
+    # rank-1 pick ignores diversity: it must be the global argmax cosine
+    top1 = max(out, key=lambda r: r.cosine)
+    assert out[0].vec_id == top1.vec_id

@@ -44,6 +44,12 @@ def _formatted(df) -> str:
         "pipeline_anomaly_e2e",
         "forecast_ab_neural",
         "s_lsh_near_pairs",
+        "q3_shipping_priority",
+        "q10_returned_items",
+        "a_gini_revenue",
+        "a_retention_cohorts",
+        "a_basket_lift",
+        "s_weighted_sample",
     ],
 )
 def test_no_single_task_global_window(spark, sf_dir, name):
@@ -60,6 +66,19 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     merged on the driver), not a global-Window row_number filter."""
     df = REGISTRY["o3_top_customers"].spark(spark, sf_dir)
     assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_new_topk_queries_use_take_ordered(spark, sf_dir):
+    """Q3/Q10/BM25/weighted-sample top-k must compile to
+    TakeOrderedAndProject, never a global sort or window."""
+    for name in (
+        "q3_shipping_priority",
+        "q10_returned_items",
+        "t_bm25_topk",
+        "s_weighted_sample",
+    ):
+        plan = _plan(REGISTRY[name].spark(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, f"{name} lacks TakeOrdered"
 
 
 def test_calendar_anti_join_broadcasts(spark, sf_dir):
