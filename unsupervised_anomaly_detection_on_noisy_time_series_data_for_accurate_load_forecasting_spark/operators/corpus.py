@@ -741,3 +741,65 @@ def zipf_fit(docs: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
         qround(slope, 6).alias("slope"),
         qround(intercept, 6).alias("intercept"),
     )
+
+
+PPL_TOP_K = 20
+
+
+def bigram_perplexity_topk(docs: DataFrame, k: int = PPL_TOP_K) -> DataFrame:
+    """Per-document bigram language-model surprisal — the CCNet-style
+    perplexity filter: train add-one-smoothed bigram counts on the corpus
+    itself, score each doc by its mean negative log-probability, and
+    return the ``k`` most surprising (most likely machine-garbled) docs.
+
+    score(D) = −(1/|D|) · Σ ln( (c(w1,w2)+1) / (c(w1)+V) )
+
+    Cross-engine discipline: counts and V are exact integers; each ln is
+    the established libm call on an identical double ratio; the per-doc
+    sum goes through the decimal-exact path before the final division;
+    scores qround(6) before ranking with the doc_id tiebreak.
+
+    Scale shape: bigram formation is a JVM ``transform`` over the token
+    array (no window, no self-join — zero extra shuffle beyond the
+    count combine); bigram/unigram counts are map-side combinable; the
+    count joins are plain equi-joins AQE sizes (broadcast for real-world
+    vocabularies, shuffle-hash beyond); V rides as a broadcast 1-row
+    frame; top-k is TakeOrdered.
+    """
+    toks = F.split(F.col("text"), " ")
+    # docs with <2 tokens have no bigrams and are excluded up front —
+    # guarding the sequence() bound, which Spark evaluates DESCENDING
+    # [1, 0] (not empty) when the upper bound underruns
+    bi = (
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    uc = docs.select(F.explode(toks).alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    vocab = uc.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    nll = -F.log(
+        (F.col("c12").cast("double") + F.lit(1.0))
+        / (F.col("c1").cast("double") + F.col("v").cast("double"))
+    )
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            qround(dsum(nll) / F.count(F.lit(1)).cast("double"), 6).alias("avg_nll"),
+        )
+    )
+    return scored.orderBy(F.col("avg_nll").desc(), F.col("doc_id").asc()).limit(k)

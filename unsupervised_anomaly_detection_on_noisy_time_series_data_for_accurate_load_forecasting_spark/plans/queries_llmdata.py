@@ -1160,3 +1160,46 @@ def _zipf_oracle() -> str:
 )
 def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.zipf_fit(_docs(spark, sf_dir))
+
+
+def _ppl_oracle() -> str:
+    from ..functions.exact import dsum_sql
+
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    bi AS (
+      SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+      FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+            FROM toks WHERE len(l) >= 2)
+    ),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+    uc AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(l) AS w1 FROM toks) GROUP BY 1
+    ),
+    vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+    scored AS (
+      SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             floor(({dsum_sql('-ln((CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)))')}
+                    / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll
+      FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
+      GROUP BY bi.doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_nll
+    FROM scored ORDER BY avg_nll DESC, doc_id ASC LIMIT {CO.PPL_TOP_K}
+    """
+
+
+@register(
+    "t_bigram_perplexity",
+    oracle=_ppl_oracle,
+    tags=("TXT-tokens", "A-sketch", "O3"),
+    doc="CCNet-style perplexity filter: an add-one-smoothed bigram LM "
+    "trained on the corpus itself scores each doc by mean negative log-"
+    "probability; the top-20 most surprising docs surface for removal. "
+    "Bigram formation is a JVM transform over the token array (no "
+    "window, no self-join); counts are combinable; count joins AQE-"
+    "sized; per-doc sums decimal-exact; TakeOrdered top-k.",
+)
+def t_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CO.bigram_perplexity_topk(_docs(spark, sf_dir))
