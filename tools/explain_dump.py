@@ -211,6 +211,36 @@ PICKS = [
         "Morton tiles, the min/max footers skip most of them — the "
         "multi-dimensional analog of partition pruning.",
     ),
+    (
+        "q3_shipping_priority",
+        "TPC-H Q3: date/segment predicates pushed to all three scans, one "
+        "orderkey shuffle, top-k as TakeOrderedAndProject (per-partition "
+        "heaps) — never a global sort.",
+    ),
+    (
+        "a_gini_revenue",
+        "Per-nation Gini: the heavy lineitem join partial-aggregates before "
+        "the nation-bounded rank window; only the skinny per-customer frame "
+        "is sorted, final agg combinable.",
+    ),
+    (
+        "a_retention_cohorts",
+        "Retention cohorts: two combinable aggs + one custkey shuffle + a "
+        "broadcast of #months cohort sizes — the whole triangle without a "
+        "window.",
+    ),
+    (
+        "t_bigram_perplexity",
+        "Perplexity filter: bigrams form inside a JVM transform over the "
+        "token array (no window, no self-join); count joins are AQE-sized; "
+        "top-k is TakeOrdered.",
+    ),
+    (
+        "s_weighted_sample",
+        "Weighted reservoir sample: bounded explode (cap x N rows), "
+        "map-side-combinable max, TakeOrderedAndProject — embarrassingly "
+        "parallel, no reservoir state.",
+    ),
 ]
 
 
