@@ -59,6 +59,12 @@ QUERIES = [
     "t_countmin_freq",          # Count-Min sketch build + probe
     "s_ivfpq_topk",             # IVF-PQ composite ANN (probe × ADC)
     "g_communities",            # synchronous label propagation (4 rounds)
+    "t_bigram_perplexity",      # bigram-LM perplexity filter (r7)
+    "a_basket_lift",            # order-basket pair explosion (r7)
+    "a_gini_revenue",           # nation-bounded rank window (r7)
+    "s_mmr_diversify",          # MMR shortlist + greedy (r7)
+    "s_weighted_sample",        # bounded-explode weighted sampling (r7)
+    "a_retention_cohorts",      # cohort triangle, windowless (r7)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

@@ -752,19 +752,21 @@ def bigram_perplexity_topk(docs: DataFrame, k: int = PPL_TOP_K) -> DataFrame:
     itself, score each doc by its mean negative log-probability, and
     return the ``k`` most surprising (most likely machine-garbled) docs.
 
-    score(D) = −(1/|D|) · Σ ln( (c(w1,w2)+1) / (c(w1)+V) )
+    score(D) = −(1/|D|) · Σ_{(w1,w2)∈D} tf · ln( (c(w1,w2)+1) / (c(w1)+V) )
 
     Cross-engine discipline: counts and V are exact integers; each ln is
-    the established libm call on an identical double ratio; the per-doc
-    sum goes through the decimal-exact path before the final division;
-    scores qround(6) before ranking with the doc_id tiebreak.
+    the established libm call on an identical double ratio, weighted by
+    the per-doc term frequency BEFORE the decimal quantization (the
+    grouped form — each distinct doc-bigram contributes one quantized
+    term); scores qround(6) before ranking with the doc_id tiebreak.
 
     Scale shape: bigram formation is a JVM ``transform`` over the token
-    array (no window, no self-join — zero extra shuffle beyond the
-    count combine); bigram/unigram counts are map-side combinable; the
-    count joins are plain equi-joins AQE sizes (broadcast for real-world
-    vocabularies, shuffle-hash beyond); V rides as a broadcast 1-row
-    frame; top-k is TakeOrdered.
+    array (no window, no self-join); the per-(doc, bigram) tf combine is
+    the only full-size shuffle — corpus-level bigram counts then derive
+    from that strictly smaller frame, and every downstream join carries
+    distinct doc-bigrams, never instances; count joins are AQE-sized
+    equi-joins (broadcast for real vocabularies); V rides as a broadcast
+    1-row frame; top-k is TakeOrdered.
     """
     toks = F.split(F.col("text"), " ")
     # docs with <2 tokens have no bigrams and are excluded up front —
@@ -783,7 +785,10 @@ def bigram_perplexity_topk(docs: DataFrame, k: int = PPL_TOP_K) -> DataFrame:
         )
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    bgc = bi.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    bc = bgc.groupBy("w1", "w2").agg(F.sum("tf").cast("bigint").alias("c12"))
     uc = docs.select(F.explode(toks).alias("w1")).groupBy("w1").agg(
         F.count(F.lit(1)).cast("bigint").alias("c1")
     )
@@ -793,13 +798,17 @@ def bigram_perplexity_topk(docs: DataFrame, k: int = PPL_TOP_K) -> DataFrame:
         / (F.col("c1").cast("double") + F.col("v").cast("double"))
     )
     scored = (
-        bi.join(bc, ["w1", "w2"])
+        bgc.join(bc, ["w1", "w2"])
         .join(uc, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            qround(dsum(nll) / F.count(F.lit(1)).cast("double"), 6).alias("avg_nll"),
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            qround(
+                dsum(F.col("tf").cast("double") * nll)
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("avg_nll"),
         )
     )
     return scored.orderBy(F.col("avg_nll").desc(), F.col("doc_id").asc()).limit(k)

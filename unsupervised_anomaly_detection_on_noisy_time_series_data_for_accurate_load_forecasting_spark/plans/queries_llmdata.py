@@ -1162,29 +1162,40 @@ def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.zipf_fit(_docs(spark, sf_dir))
 
 
-def _ppl_oracle() -> str:
+def _ppl_ctes() -> str:
+    """Shared bigram-LM CTE chain (train + per-doc surprisal) — used by the
+    standalone perplexity query and replayed inside the quality-funnel
+    pipeline oracle so both filters are provably the same spec."""
     from ..functions.exact import dsum_sql
 
     return f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
     bi AS (
       SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
       FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
             FROM toks WHERE len(l) >= 2)
     ),
-    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+    bgc AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM bi GROUP BY 1, 2, 3
+    ),
+    bc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM bgc GROUP BY 1, 2),
     uc AS (
       SELECT w1, CAST(count(*) AS BIGINT) AS c1
       FROM (SELECT unnest(l) AS w1 FROM toks) GROUP BY 1
     ),
     vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
     scored AS (
-      SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-             floor(({dsum_sql('-ln((CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)))')}
-                    / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll
-      FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
-      GROUP BY bi.doc_id
-    )
+      SELECT bgc.doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             floor(({dsum_sql('CAST(tf AS DOUBLE) * -ln((CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)))')}
+                    / CAST(sum(tf) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll
+      FROM bgc JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
+      GROUP BY bgc.doc_id
+    )"""
+
+
+def _ppl_oracle() -> str:
+    return f"""
+    WITH {_ppl_ctes()}
     SELECT doc_id, n_bigrams, avg_nll
     FROM scored ORDER BY avg_nll DESC, doc_id ASC LIMIT {CO.PPL_TOP_K}
     """
@@ -1203,3 +1214,50 @@ def _ppl_oracle() -> str:
 )
 def t_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.bigram_perplexity_topk(_docs(spark, sf_dir))
+
+
+def _funnel_oracle() -> str:
+    return f"""
+    WITH {_ppl_ctes()},
+    bad AS (
+      SELECT doc_id FROM scored ORDER BY avg_nll DESC, doc_id ASC LIMIT {CO.PPL_TOP_K}
+    ),
+    clean AS (
+      SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    ),
+    kept AS (
+      SELECT lang, text,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM clean
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+    FROM kept WHERE rn = 1 GROUP BY lang
+    """
+
+
+@register(
+    "pipeline_quality_funnel",
+    oracle=_funnel_oracle,
+    tags=("PIPE", "TXT-tokens", "DEDUP-exact"),
+    doc="Composed corpus-quality funnel as ONE Spark plan: the bigram-LM "
+    "perplexity filter drops the top-20 most surprising docs (anti-join "
+    "on the TakeOrdered id set), exact-text dedup keeps the lowest id "
+    "per text, and the survivors roll up to per-language doc/token "
+    "counts. Demonstrates operator composition without materialization "
+    "boundaries - Catalyst sees the whole funnel; the oracle replays "
+    "every stage as one CTE chain sharing the perplexity spec verbatim.",
+)
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+
+    d = _docs(spark, sf_dir)
+    bad = CO.bigram_perplexity_topk(d).select("doc_id")
+    clean = d.join(bad, "doc_id", "left_anti")
+    kept = DD.exact_dedup(clean)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
