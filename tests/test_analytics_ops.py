@@ -152,3 +152,29 @@ def test_mmr_first_pick_is_pure_relevance(spark, sf_dir):
     # rank-1 pick ignores diversity: it must be the global argmax cosine
     top1 = max(out, key=lambda r: r.cosine)
     assert out[0].vec_id == top1.vec_id
+
+
+def test_chunk_windows_tail_boundaries(spark):
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    def doc(i, n):
+        return (i, " ".join(f"t{j}" for j in range(n)))
+
+    # n=64 exactly one chunk; n=65 grows a 17-token tail; n=112 two full
+    # chunks; n=113 three chunks with a 17-token tail; n=1 single short chunk
+    docs = spark.createDataFrame(
+        [doc(64, 64), doc(65, 65), doc(112, 112), doc(113, 113), doc(1, 1)],
+        "doc_id bigint, text string",
+    )
+    out = {}
+    for r in chunk_documents(docs).collect():
+        out.setdefault(r.doc_id, []).append((r.chunk_idx, r.start_tok, r.n_tok))
+    for v in out.values():
+        v.sort()
+    assert out[64] == [(1, 1, 64)]
+    assert out[65] == [(1, 1, 64), (2, 49, 17)]
+    assert out[112] == [(1, 1, 64), (2, 49, 64)]
+    assert out[113] == [(1, 1, 64), (2, 49, 64), (3, 97, 17)]
+    assert out[1] == [(1, 1, 1)]

@@ -812,3 +812,51 @@ def bigram_perplexity_topk(docs: DataFrame, k: int = PPL_TOP_K) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("avg_nll").desc(), F.col("doc_id").asc()).limit(k)
+
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """RAG-style document chunking: overlapping token windows of ``size``
+    tokens every ``stride`` tokens, each with a stable md5 fingerprint of
+    its joined text — the chunk table an embedding/retrieval pipeline
+    indexes instead of whole documents.
+
+    Chunk count is ``1 + max(0, ceil((n − size) / stride))`` so every doc
+    yields at least one chunk and the final chunk is allowed to be short
+    — the integer formula (negated floor division) is engine-identical.
+
+    Scale shape: chunk starts come from a JVM ``transform(sequence(...))``
+    over the token array — one Generate per doc, no window, no join, no
+    shuffle at all until a consumer aggregates; md5 is the JVM built-in
+    on identical joined strings.
+    """
+    n = "size(split(text, ' '))"
+    # ceil((n - size)/stride) via the negatives-safe floor division
+    # (a - pmod(a, b)) div b — Spark's bare `div` truncates toward zero,
+    # which undercounts the partial tail chunk for size < n < size+stride
+    a = f"({size} - {n})"
+    floordiv = f"(({a} - pmod({a}, {stride})) div {stride})"
+    n_chunks = f"1 + greatest(0, -1 * {floordiv})"
+    starts = f"transform(sequence(1, {n_chunks}), k -> 1 + ({stride} * (k - 1)))"
+    chunk = (
+        f"transform({starts}, s -> named_struct("
+        f"'start_tok', s, "
+        f"'n_tok', least({size}, {n} - s + 1), "
+        f"'chunk_md5', md5(array_join(slice(split(text, ' '), s, {size}), ' '))))"
+    )
+    return (
+        docs.filter(F.expr(n) >= 1)
+        .select("doc_id", F.posexplode(F.expr(chunk)).alias("idx0", "c"))
+        .select(
+            "doc_id",
+            (F.col("idx0") + 1).cast("int").alias("chunk_idx"),
+            F.col("c.start_tok").cast("int").alias("start_tok"),
+            F.col("c.n_tok").cast("int").alias("n_tok"),
+            F.col("c.chunk_md5").alias("chunk_md5"),
+        )
+    )

@@ -466,6 +466,73 @@ def large_orders(
     )
 
 
+def promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H-Q14-shaped promotion effect: the share of one month's revenue
+    attributable to PROMO-type parts, as one conditional-aggregate row.
+
+    Scale shape: the shipdate predicate pushes to the lineitem scan; the
+    partkey join is the one shuffle (AQE broadcasts part when it fits);
+    both sums are decimal-exact conditional aggregates in a single pass;
+    the final percentage is one IEEE double division.
+    """
+    lo = F.lit("1997-09-01").cast("timestamp")
+    hi = F.lit("1997-10-01").cast("timestamp")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))).alias(
+                "promo_rev"
+            ),
+            dsum(rev).alias("total_rev"),
+        )
+        .select(
+            "promo_rev",
+            "total_rev",
+            (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
+        )
+    )
+
+
+def volume_shipping(
+    supplier: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H-Q7-shaped volume shipping: bilateral trade revenue between two
+    nations by ship year — the two-role dimension pattern (nation joined
+    once for the supplier side, once for the customer side).
+
+    Scale shape: the two-nation predicate reaches BOTH tiny broadcast
+    nation dims, which prunes supplier and customer before the fact joins
+    (semi-join reduction through broadcast); lineitem⋈orders on orderkey
+    is the one real shuffle; the year rollup is combinable.
+    """
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = [nation_a, nation_b]
+    n1 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), "s_nationkey")
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), "c_nationkey")
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 def brand_basket_lift(lineitem: DataFrame, part: DataFrame, min_co: int = 3) -> DataFrame:
     """Market-basket association mining over order baskets: for every
     brand pair co-occurring in an order, the support and lift

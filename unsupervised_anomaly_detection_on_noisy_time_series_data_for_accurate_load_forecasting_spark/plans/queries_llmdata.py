@@ -1261,3 +1261,39 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
+
+
+def _chunk_oracle() -> str:
+    size, stride = CO.CHUNK_SIZE, CO.CHUNK_STRIDE
+    a = f"({size} - len(l))"
+    fd = f"(({a} - (({a}) % {stride} + {stride}) % {stride}) // {stride})"
+    start = f"(1 + {stride} * (k - 1))"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS l FROM documents WHERE len({_TOKS}) >= 1
+    ),
+    ks AS (
+      SELECT doc_id, l, unnest(range(1, 1 + greatest(0, -1 * {fd}) + 1)) AS k
+      FROM toks
+    )
+    SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+           CAST({start} AS INTEGER) AS start_tok,
+           CAST(least({size}, len(l) - {start} + 1) AS INTEGER) AS n_tok,
+           md5(array_to_string(l[{start} : {start} + {size} - 1], ' ')) AS chunk_md5
+    FROM ks
+    """
+
+
+@register(
+    "t_chunk_windows",
+    oracle=_chunk_oracle,
+    tags=("TXT-tokens", "W1", "PIPE"),
+    doc="RAG document chunking: overlapping 64-token windows every 48 "
+    "tokens with md5-stable chunk fingerprints - the chunk table a "
+    "retrieval pipeline indexes. Chunk starts come from a JVM "
+    "transform(sequence) over the token array (one Generate, no window, "
+    "no join, no shuffle); the tail-chunk count uses the negatives-safe "
+    "floor division (Spark div truncates toward zero).",
+)
+def t_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CO.chunk_documents(_docs(spark, sf_dir))

@@ -533,3 +533,58 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.kanonymity_report(_t(spark, sf_dir, "customer"))
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_rev,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_rev,
+           100.0 * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {dsum_sql('l_extendedprice * (1 - l_discount)')} AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("A10", "A13", "P1"),
+    doc="TPC-H-Q14-shaped promotion effect: one month's PROMO revenue "
+    "share as a single conditional-aggregate pass. Shipdate predicate "
+    "pushed to the scan, one AQE-sized partkey join, decimal-exact "
+    "conditional sums, IEEE double percentage.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.promo_revenue(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+      AND n2.n_name IN ('NATION_3', 'NATION_7')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+    tags=("J1", "A2", "P1"),
+    doc="TPC-H-Q7-shaped bilateral volume shipping: the two-role dimension "
+    "pattern - nation joined once for the supplier side, once for the "
+    "customer side, both as filtered broadcasts that prune supplier/"
+    "customer before the orderkey fact shuffle; year rollup combinable.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.volume_shipping(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
