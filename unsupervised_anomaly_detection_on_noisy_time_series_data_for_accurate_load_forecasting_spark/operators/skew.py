@@ -40,3 +40,39 @@ def salted_join(
     d = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     out = f.join(d, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def skew_profile(df, key_col: str, k: int = 10):
+    """Join-key skew profiler — the diagnostic run BEFORE choosing a join
+    strategy at 100 TB: the top-``k`` hottest keys with their share of all
+    rows, plus the global skew factor ``max_cnt · n_keys / n_rows`` (1.0 =
+    perfectly uniform; ≫1 = salt or skew-join this key).
+
+    Scale shape: one combinable key count; the hot-key cut is TakeOrdered
+    (per-partition heaps over the key-count frame, never a sort of it);
+    the 1-row global stats ride a broadcast cross join. All ratios are
+    IEEE doubles of exact integers.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(k)
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "cnt",
+        "n_rows",
+        "n_keys",
+        (F.col("cnt").cast("double") / F.col("n_rows").cast("double")).alias("share"),
+        (
+            F.col("max_cnt").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_factor"),
+    )

@@ -186,3 +186,32 @@ def repetition_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -
         F.expr(rep).alias("rep_ratio"),
         F.expr(share).alias("top_tok_share"),
     )
+
+
+def phrase_search(df: DataFrame, phrase: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Positional-index phrase search: documents containing the exact
+    token sequence ``phrase``, with match count and first match position —
+    the probe a positional inverted index answers (adjacent-position
+    equi-joins over per-term posting lists).
+
+    Scale shape: each term's postings are a pushed-down filter over the
+    positional explosion (the scan reads only matching tokens); the
+    adjacency join is an equi-join on (doc, pos+offset) — skewless keys,
+    AQE-sized; the per-doc rollup is combinable. |phrase|−1 joins total,
+    never a string scan of whole documents.
+    """
+    from .dedup import token_long
+
+    tl = token_long(df, id_col=id_col)
+    cur = tl.filter(F.col("tok") == phrase[0]).select(id_col, F.col("pos").alias("p0"))
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = tl.filter(F.col("tok") == term).select(
+            id_col, (F.col("pos") - i).alias(f"_p{i}")
+        )
+        cur = cur.join(
+            nxt, (cur[id_col] == nxt[id_col]) & (F.col("p0") == F.col(f"_p{i}"))
+        ).select(cur[id_col].alias(id_col), "p0")
+    return cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("p0").cast("int").alias("first_pos"),
+    )

@@ -588,3 +588,36 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "lineitem"),
     )
+
+
+@register(
+    "a_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM counts
+    ),
+    top AS (SELECT key, cnt FROM counts ORDER BY cnt DESC, key ASC LIMIT 10)
+    SELECT key, cnt, n_rows, n_keys,
+           CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+           CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / CAST(n_rows AS DOUBLE) AS skew_factor
+    FROM top CROSS JOIN stats
+    """,
+    tags=("SKEW-salt", "O3", "A14"),
+    doc="Join-key skew profiler - the pre-join diagnostic at 100 TB: "
+    "top-10 hottest keys with row share plus the global skew factor "
+    "max_cnt*n_keys/n_rows (1.0 = uniform; >>1 = salt this key). One "
+    "combinable key count, TakeOrdered hot-key cut, broadcast 1-row "
+    "stats; ratios are IEEE doubles of exact integers.",
+)
+def a_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import skew_profile
+
+    return skew_profile(_t(spark, sf_dir, "events"), "user_id")

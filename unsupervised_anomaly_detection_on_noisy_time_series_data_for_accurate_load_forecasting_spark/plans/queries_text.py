@@ -500,3 +500,34 @@ def d_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = DD.shingle_hashes(_docs(spark, sf_dir))
     return DD.containment_pairs(sh, min_containment=0.3)
+
+
+_PHRASE = ["hash", "join"]
+
+
+@register(
+    "t_phrase_search",
+    oracle=f"""
+    WITH tl AS (
+      SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, unnest(l) AS tok
+      FROM (SELECT doc_id, {_TOKS} AS l FROM documents)
+    ),
+    t0 AS (SELECT doc_id, pos AS p0 FROM tl WHERE tok = '{_PHRASE[0]}'),
+    t1 AS (SELECT doc_id, pos - 1 AS p1 FROM tl WHERE tok = '{_PHRASE[1]}'),
+    m AS (
+      SELECT t0.doc_id, p0 FROM t0
+      JOIN t1 ON t0.doc_id = t1.doc_id AND t0.p0 = t1.p1
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(p0) AS INTEGER) AS first_pos
+    FROM m GROUP BY 1
+    """,
+    tags=("TXT-tokens", "J1", "W2"),
+    doc="Positional-index phrase search ('hash join' as an exact token "
+    "sequence): per-term postings are pushed-down filters over the "
+    "positional explosion, adjacency is an equi-join on (doc, pos+1) - "
+    "skewless keys, AQE-sized - and the per-doc rollup is combinable. "
+    "|phrase|-1 joins, never a string scan of whole documents.",
+)
+def t_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.phrase_search(_docs(spark, sf_dir), _PHRASE)
