@@ -296,3 +296,31 @@ def frame_sample(media: DataFrame, every_n: int = 4, use_real_codecs: bool = Fal
     )
     flat = media.select("media_id", "payload", *extra)
     return flat.mapInPandas(gen, schema=schema)
+
+
+def ahash_bands(img: "np.ndarray") -> tuple[int, int, int, int]:
+    """8×8 average-hash of an (h, w, 3) uint8 image as FOUR 16-bit band
+    ints — the perceptual near-dup fingerprint, banded so every engine
+    (Spark, DuckDB, numpy mirror) manipulates small non-negative integers
+    and never a sign-ambiguous 64-bit value.
+
+    Spec (integer-exact end to end): per-pixel gray = r+g+b (0..765);
+    sample an 8×8 grid at nearest-index rows/cols (linspace indices —
+    the stub resampler's convention); bit j (row-major) = 1 iff
+    64·g_j > Σ g (the strict average test without division); band k =
+    Σ_{j=0..15} bit[16k+j] << (15−j).
+    """
+    g = img.astype(np.int64).sum(axis=2)
+    h, w = g.shape
+    ri = np.linspace(0, h - 1, 8).astype(int)
+    ci = np.linspace(0, w - 1, 8).astype(int)
+    s = g[np.ix_(ri, ci)].ravel()
+    total = int(s.sum())
+    bits = (64 * s > total).astype(int)
+    bands = []
+    for k in range(4):
+        v = 0
+        for j in range(16):
+            v = (v << 1) | int(bits[16 * k + j])
+        bands.append(v)
+    return tuple(bands)

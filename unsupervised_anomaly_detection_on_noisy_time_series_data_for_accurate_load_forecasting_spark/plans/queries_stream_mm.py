@@ -975,3 +975,148 @@ def stream_theta_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.n_sketch").alias("n_sketch"),
         F.col("m.n_est").alias("n_est"),
     )
+
+
+_AHASH_WINDOW = 8  # sorted-neighborhood span within a (band, value) bucket
+
+
+def _mm_ahash_oracle() -> str:
+    """Mirror that never touches PNG: builds the same pixel grid directly
+    and derives the same 4×16-bit average-hash bands; DuckDB itself then
+    re-runs the banded candidate join and the Hamming arithmetic — the
+    engine's encode→decode round trip AND its pair logic are both on
+    trial."""
+    from ..operators.multimodal import ahash_bands
+
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        b0, b1, b2, b3 = ahash_bands(_doc_pixels(r.text))
+        rows.append(f"({int(r.doc_id)}::BIGINT,{b0},{b1},{b2},{b3})")
+    ham = " + ".join(f"bit_count(xor(ha.b{k}, hb.b{k}))" for k in range(4))
+    return f"""
+    WITH h(media_id, b0, b1, b2, b3) AS (VALUES {",".join(rows)}),
+    bands AS (
+      SELECT media_id, k AS band_id,
+             CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+      FROM h, (SELECT unnest([0, 1, 2, 3]) AS k)
+    ),
+    ranked AS (
+      SELECT media_id, band_id, bv,
+             row_number() OVER (PARTITION BY band_id, bv ORDER BY media_id) AS rk
+      FROM bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS ida, b.media_id AS idb
+      FROM ranked a JOIN ranked b
+        ON a.band_id = b.band_id AND a.bv = b.bv
+       AND b.rk - a.rk BETWEEN 1 AND {_AHASH_WINDOW}
+    )
+    SELECT ida, idb, CAST({ham} AS INTEGER) AS hamming,
+           ({ham} <= 6) AS is_near
+    FROM cand JOIN h ha ON ha.media_id = ida JOIN h hb ON hb.media_id = idb
+    """
+
+
+@register(
+    "mm_ahash_near_dup",
+    oracle=_mm_ahash_oracle,
+    tags=("MM-codec", "DEDUP-simhash", "J5"),
+    doc="Image near-dup via 8x8 average-hash over the REAL PNG round trip: "
+    "each doc's pixel grid encodes to PNG and decodes back through the "
+    "stdlib codec inside Arrow islands, hashes to 4x16-bit aHash bands "
+    "(integer-exact: 64*g > sum, no division), and candidate pairs form "
+    "ONLY on band equality (the SimHash trick applied to images - never "
+    "all-pairs) before the exact Hamming check. The oracle mirror builds "
+    "the same grid without PNG and DuckDB re-runs the band join and "
+    "Hamming arithmetic itself.",
+)
+def mm_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def enc(batches):
+        from ..operators import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                img = _doc_pixels(text)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "payload": bytearray(CX.encode_png(img)),
+                        "meta": {
+                            "mime": "image/png",
+                            "width": 16,
+                            "height": int(img.shape[0]),
+                            "n_frames": 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    def hash_island(batches):
+        from ..operators import codecs as CX
+        from ..operators.multimodal import ahash_bands
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b0, b1, b2, b3 = ahash_bands(CX.decode_png(bytes(payload)))
+                out.append(
+                    {"media_id": int(mid), "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(enc, schema=MM.MEDIA_SCHEMA)
+    hashes = media.mapInPandas(
+        hash_island, schema="media_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+    bands = hashes.select(
+        "media_id", F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_id", "bv")
+    )
+    # sorted-neighborhood pairing bounds hot buckets: pairs per (band,
+    # value) grow linearly (window * members), never quadratically — the
+    # ×10 docs step stays ~×10 pairs instead of the ×100 an uncapped
+    # band self-join showed at sf0.1
+    from pyspark.sql import Window as W
+
+    wspec = W.partitionBy("band_id", "bv").orderBy("media_id")
+    ranked = bands.withColumn("rk", F.row_number().over(wspec))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("b.rk") - F.col("a.rk")).between(1, _AHASH_WINDOW),
+        )
+        .select(F.col("a.media_id").alias("ida"), F.col("b.media_id").alias("idb"))
+        .distinct()
+    )
+    ha = hashes.select(F.col("media_id").alias("ida"), *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)])
+    hb = hashes.select(F.col("media_id").alias("idb"), *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)])
+    ham = None
+    for k in range(4):
+        term = F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}")))
+        ham = term if ham is None else ham + term
+    return (
+        cand.join(ha, "ida")
+        .join(hb, "idb")
+        .select(
+            "ida",
+            "idb",
+            ham.cast("int").alias("hamming"),
+            (ham <= F.lit(6)).alias("is_near"),
+        )
+    )
