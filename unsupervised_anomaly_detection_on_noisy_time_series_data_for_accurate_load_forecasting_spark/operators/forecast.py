@@ -359,3 +359,50 @@ def rolling_median(df: DataFrame, half: int = 12) -> DataFrame:
             (F.max("med_q").cast("double") / F.lit(1e6)).alias("med_max"),
         )
     )
+
+
+def rolling_backtest(
+    df: DataFrame,
+    cutoffs: list[str],
+    horizon_hours: int = 24,
+    lag_hours: int = 168,
+) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster: for each
+    cutoff, score f(t) = x(t − lag) on the ``horizon_hours`` immediately
+    after the cutoff, pooled across series — the standard leakage-safe
+    forecast-evaluation protocol (each origin only ever uses data from
+    before itself; lag ≥ horizon guarantees it here).
+
+    Scale shape: one per-series lag window over the skinny regular
+    series; the cutoff dim is a broadcast of |cutoffs| rows (each point
+    joins at most the cutoffs whose horizon covers it); the metric rollup
+    is combinable with decimal-exact sums.
+
+    Output: (cutoff, n_eval, mae, rmse).
+    """
+    ow = W.partitionBy(SID).orderBy(TS)
+    lagged = df.withColumn("f", F.lag(VAL, lag_hours).over(ow)).filter(
+        F.col("f").isNotNull()
+    )
+    cuts = None
+    for c in cutoffs:
+        row = df.sparkSession.range(1).select(
+            F.lit(c).cast("timestamp").alias("cutoff")
+        )
+        cuts = row if cuts is None else cuts.unionByName(row)
+    j = lagged.join(
+        F.broadcast(cuts),
+        (F.col(TS) > F.col("cutoff"))
+        & (
+            F.col(TS)
+            <= F.col("cutoff") + F.expr(f"INTERVAL {horizon_hours} HOURS")
+        ),
+    )
+    e = F.col("f") - F.col(VAL)
+    n = F.count(F.lit(1)).cast("double")
+    mse = dsum(e * e) / n
+    return j.groupBy("cutoff").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        (dsum(F.abs(e)) / n).alias("mae"),
+        F.sqrt(mse).alias("rmse"),
+    )

@@ -448,3 +448,38 @@ def w_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = TSO.hourly_series(_events(spark, sf_dir))
     return FC.rolling_median(hourly)
+
+
+_BT_CUTS = ["2024-01-15 00:00:00", "2024-01-20 00:00:00", "2024-01-25 00:00:00"]
+
+
+@register(
+    "a_backtest_rolling",
+    oracle=f"""
+    WITH {FILLED_CTE},
+    lagged AS (
+      SELECT series_id, ts, value,
+             lag(value, 168) OVER (PARTITION BY series_id ORDER BY ts) AS f
+      FROM filled
+    ),
+    cuts(cutoff) AS (VALUES {", ".join(f"(TIMESTAMP '{c}')" for c in _BT_CUTS)}),
+    j AS (
+      SELECT cutoff, f, value FROM lagged CROSS JOIN cuts
+      WHERE f IS NOT NULL AND ts > cutoff AND ts <= cutoff + INTERVAL 24 HOUR
+    )
+    SELECT cutoff, CAST(count(*) AS BIGINT) AS n_eval,
+           {dsum_sql('abs(f - value)')} / CAST(count(*) AS DOUBLE) AS mae,
+           sqrt({dsum_sql('(f - value) * (f - value)')} / CAST(count(*) AS DOUBLE)) AS rmse
+    FROM j GROUP BY cutoff
+    """,
+    tags=("A12", "M22", "W2"),
+    doc="Rolling-origin backtest (three origins, 24 h horizon, pooled "
+    "across series) of the seasonal-naive forecaster - the leakage-safe "
+    "evaluation protocol: each origin scores only the day after itself "
+    "and the week-lag predictor only sees pre-origin data. One per-series "
+    "lag window on the skinny regular series, broadcast cutoff dim, "
+    "combinable decimal-exact metric rollup.",
+)
+def a_backtest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = AN.prepared_series(_events(spark, sf_dir))
+    return FC.rolling_backtest(series, _BT_CUTS)
