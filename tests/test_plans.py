@@ -68,6 +68,26 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in _plan(df)
 
 
+def test_phrase_search_pushes_token_filters_to_scan(spark, sf_dir):
+    """Each phrase term must reach its positional scan as a filter on the
+    exploded token, never a whole-document string scan."""
+    plan = _plan(REGISTRY["t_phrase_search"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_skew_profile_uses_take_ordered_and_broadcast_stats(spark, sf_dir):
+    plan = _plan(REGISTRY["a_skew_profile"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_ahash_pairs_form_only_in_band_buckets(spark, sf_dir):
+    """The aHash near-dup self-join must stay an equi-join on the band
+    keys (with the window-range post-filter) — no nested-loop anywhere."""
+    plan = _plan(REGISTRY["mm_ahash_near_dup"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_new_topk_queries_use_take_ordered(spark, sf_dir):
     """Q3/Q10/BM25/weighted-sample top-k must compile to
     TakeOrderedAndProject, never a global sort or window."""
