@@ -684,3 +684,82 @@ def kanonymity_report(customer: DataFrame, k: int = 5) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("group_n"))
         .withColumn("anonymous", F.col("group_n") >= F.lit(k))
     )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H-Q13-shaped customer distribution: how many customers placed
+    exactly k orders, INCLUDING the zero-order customers a plain inner
+    join silently drops — the left-outer + two-level aggregation pattern.
+
+    Scale shape: the per-customer order count is one combinable agg on the
+    orders side BEFORE the join (aggregate-then-join, so the left outer
+    join carries one row per customer, not per order); the distribution
+    rollup is a second combinable agg over the skinny count frame.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_count")
+    )
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+def top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: suppliers achieving the maximum
+    quarterly revenue — the aggregate → global-max → join-back pattern
+    (ties preserved, unlike a LIMIT 1).
+
+    Scale shape: per-supplier revenue is combinable; the global max is a
+    broadcast 1-row frame (never a single-task window); the equality
+    join-back touches only the max achievers; decimal-exact revenue makes
+    the max/equality bit-stable across engines.
+    """
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = (
+        lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(dsum(rev).alias("total_revenue"))
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        per_supp.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            "total_revenue",
+        )
+    )
+
+
+def discounted_brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H-Q19-shaped OR-of-conjunctions revenue: three brand/size/
+    quantity clauses OR-ed together — the predicate-pushdown stress shape
+    (Catalyst extracts the common partkey equi-join and pushes the
+    residual disjunction below/into the join).
+
+    Scale shape: the disjunction's common subexpressions (quantity and
+    size bounds) prune both scans; the partkey join is the one shuffle;
+    one decimal-exact conditional-free aggregate row.
+    """
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 30)) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 45)) & q.between(20, 40))
+    )
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            dsum(rev).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )

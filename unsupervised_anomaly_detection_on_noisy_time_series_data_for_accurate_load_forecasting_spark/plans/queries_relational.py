@@ -621,3 +621,73 @@ def a_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import skew_profile
 
     return skew_profile(_t(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "q13_custdist",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS c_count FROM orders GROUP BY 1
+    )
+    SELECT CAST(coalesce(p.c_count, 0) AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+    GROUP BY 1
+    """,
+    tags=("J1", "A10", "U1"),
+    doc="TPC-H-Q13-shaped customer distribution: customers per exact order "
+    "count INCLUDING the zero-order customers an inner join drops. "
+    "Aggregate-then-left-join (one row per customer enters the join, not "
+    "per order), then a second combinable rollup of the skinny frame.",
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH per_supp AS (
+      SELECT l_suppkey, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s_suppkey AS suppkey, s_name AS supp_name, total_revenue
+    FROM per_supp
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
+    """,
+    tags=("O3", "A2", "J1"),
+    doc="TPC-H-Q15-shaped top supplier: the aggregate -> global-max -> "
+    "join-back pattern, ties preserved (unlike LIMIT 1). The max is a "
+    "broadcast 1-row frame - never a single-task window; decimal-exact "
+    "revenue makes the equality join-back bit-stable.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_supplier(_t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45 AND l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("P1", "A2", "J1"),
+    doc="TPC-H-Q19-shaped OR-of-conjunctions revenue - the predicate-"
+    "pushdown stress shape: Catalyst keeps the common partkey equi-join "
+    "and pushes the residual disjunction's per-side conjuncts into both "
+    "scans; one decimal-exact aggregate row.",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.discounted_brand_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
