@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import dec, dsum
+from ..functions.exact import dec, dsum, qround
 from .timeseries import SID, TS, VAL
 
 
@@ -270,6 +270,63 @@ def cusum_flags_fixed_point(
     )
 
 
+def seasonal_components(df: DataFrame, half: int = 12) -> DataFrame:
+    """Per-point decomposition components shared by
+    :func:`seasonal_decompose` and :func:`seasonal_strength`:
+    (series_id, hod, detr, seas_q) on the 1e-6 integer lattice, with
+    clipped-window edge rows already excluded."""
+    n_win = 2 * half + 1
+    fdiv = lambda a, b: f"((({a}) - pmod(({a}), ({b}))) div ({b}))"
+    q = F.expr(f"cast(floor({VAL} * 1000000.0D + 0.5D) as bigint)")
+    tw = W.partitionBy(SID).orderBy(TS).rowsBetween(-half, half)
+    t = (
+        df.withColumn("q", q)
+        .withColumn("tsum", F.sum("q").over(tw))
+        .withColumn("tn", F.count("q").over(tw))
+    )
+    de = t.filter(F.col("tn") == n_win).select(
+        SID,
+        F.hour(TS).cast("int").alias("hod"),
+        (F.col("q") - F.expr(fdiv("tsum", "tn"))).alias("detr"),
+    )
+    sw = W.partitionBy(SID, "hod")
+    s = de.withColumn("ssum", F.sum("detr").over(sw)).withColumn(
+        "sn", F.count("detr").over(sw)
+    )
+    return s.withColumn("seas_q", F.expr(fdiv("ssum", "sn"))).select(
+        SID, "hod", "detr", "seas_q"
+    )
+
+
+def seasonal_strength(df: DataFrame, half: int = 12) -> DataFrame:
+    """Seasonality-strength diagnostic per series (Hyndman's FS measure):
+    ``max(0, 1 − Σresid² / Σdetr²)`` over the decomposition components —
+    ~1 for strongly daily-periodic load, ~0 for noise. The ranking that
+    decides which series get hour-of-day features at all.
+
+    Exactness: detr/resid come off the integer lattice; their squares are
+    IEEE doubles of identical values routed through the decimal-exact sum
+    (int64 square sums could overflow at long horizons); the closing
+    ratio is pure double arithmetic.
+
+    Output: (series_id, n_points, strength).
+    """
+    c = seasonal_components(df, half)
+    detr_d = F.col("detr").cast("double") / F.lit(1e6)
+    resid_d = (F.col("detr") - F.col("seas_q")).cast("double") / F.lit(1e6)
+    agg = c.groupBy(SID).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        dsum(detr_d * detr_d).alias("dss"),
+        dsum(resid_d * resid_d).alias("rss"),
+    )
+    strength = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.try_divide(F.col("rss"), F.col("dss"))
+    )
+    return agg.select(
+        SID, "n_points", qround(F.coalesce(strength, F.lit(0.0)), 9).alias("strength")
+    )
+
+
 def seasonal_decompose(df: DataFrame, half: int = 12) -> DataFrame:
     """Additive seasonal decomposition (STL-lite) per series on the 1e-6
     fixed-point lattice — the load-forecasting EDA primitive behind the
@@ -293,34 +350,18 @@ def seasonal_decompose(df: DataFrame, half: int = 12) -> DataFrame:
 
     Output: (series_id, hod, n_hours, seasonal, resid_abs_mean).
     """
-    n_win = 2 * half + 1
-    fdiv = lambda a, b: f"((({a}) - pmod(({a}), ({b}))) div ({b}))"
-    q = F.expr(f"cast(floor({VAL} * 1000000.0D + 0.5D) as bigint)")
-    tw = W.partitionBy(SID).orderBy(TS).rowsBetween(-half, half)
-    t = (
-        df.withColumn("q", q)
-        .withColumn("tsum", F.sum("q").over(tw))
-        .withColumn("tn", F.count("q").over(tw))
-    )
-    de = t.filter(F.col("tn") == n_win).select(
-        SID,
-        F.hour(TS).cast("int").alias("hod"),
-        (F.col("q") - F.expr(fdiv("tsum", "tn"))).alias("detr"),
-    )
-    sw = W.partitionBy(SID, "hod")
-    s = de.withColumn("ssum", F.sum("detr").over(sw)).withColumn(
-        "sn", F.count("detr").over(sw)
-    )
-    seas = F.expr(fdiv("ssum", "sn"))
     return (
-        s.withColumn("seas_q", seas)
+        seasonal_components(df, half)
         .withColumn("resid_abs", F.abs(F.col("detr") - F.col("seas_q")))
         .groupBy(SID, "hod")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_hours"),
             (F.max("seas_q").cast("double") / F.lit(1e6)).alias("seasonal"),
             (
-                F.expr(fdiv("sum(resid_abs)", "count(1)")).cast("double") / F.lit(1e6)
+                F.expr(
+                    "(((sum(resid_abs)) - pmod((sum(resid_abs)), (count(1)))) div (count(1)))"
+                ).cast("double")
+                / F.lit(1e6)
             ).alias("resid_abs_mean"),
         )
     )

@@ -483,3 +483,59 @@ _BT_CUTS = ["2024-01-15 00:00:00", "2024-01-20 00:00:00", "2024-01-25 00:00:00"]
 def a_backtest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = AN.prepared_series(_events(spark, sf_dir))
     return FC.rolling_backtest(series, _BT_CUTS)
+
+
+@register(
+    "a_seasonal_strength",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    qd AS (
+      SELECT series_id, ts, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM hourly
+    ),
+    t AS (
+      SELECT series_id, ts, q,
+             sum(q) OVER w AS tsum, count(q) OVER w AS tn
+      FROM qd
+      WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    de AS (
+      SELECT series_id, CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+             q - {_FDIV_TSUM} AS detr
+      FROM t WHERE tn = 25
+    ),
+    s AS (
+      SELECT series_id, detr,
+             sum(detr) OVER (PARTITION BY series_id, hod) AS ssum,
+             count(*) OVER (PARTITION BY series_id, hod) AS sn
+      FROM de
+    ),
+    r AS (
+      SELECT series_id,
+             CAST(detr AS DOUBLE) / 1000000.0 AS detr_d,
+             CAST(detr - {_FDIV_SSUM} AS DOUBLE) / 1000000.0 AS resid_d
+      FROM s
+    ),
+    agg AS (
+      SELECT series_id, CAST(count(*) AS BIGINT) AS n_points,
+             {dsum_sql('detr_d * detr_d')} AS dss,
+             {dsum_sql('resid_d * resid_d')} AS rss
+      FROM r GROUP BY 1
+    )
+    SELECT series_id, n_points,
+           floor(coalesce(greatest(0.0, 1.0 - rss / nullif(dss, 0.0)), 0.0)
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS strength
+    FROM agg
+    """,
+    tags=("M7", "A3", "A12"),
+    doc="Seasonality-strength diagnostic per series (Hyndman's FS: "
+    "max(0, 1 - Var_resid/Var_detrended) on the decomposition "
+    "components) - the ranking that decides which series deserve "
+    "hour-of-day features. Components come off the shared integer-"
+    "lattice decomposition; squares route through the decimal-exact sum; "
+    "the ratio is pure IEEE arithmetic.",
+)
+def a_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    return FC.seasonal_strength(hourly)
