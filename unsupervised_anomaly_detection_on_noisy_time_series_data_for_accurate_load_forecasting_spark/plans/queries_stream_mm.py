@@ -1120,3 +1120,34 @@ def mm_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ham <= F.lit(6)).alias("is_near"),
         )
     )
+
+
+@register(
+    "stream_upsert_sink",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n
+      FROM events
+    )
+    SELECT user_id, event_type, value AS latest_value, ts AS latest_ts,
+           CAST(n AS BIGINT) AS n_versions
+    FROM r WHERE rn = 1
+    """,
+    tags=("STREAM", "S6", "P2"),
+    doc="Streaming CDC upsert via foreachBatch - the merge-on-write sink "
+    "for engines without a lakehouse format: per micro-batch, the batch "
+    "pre-compacts to one candidate per key (combinable max_by), ONLY the "
+    "touched state buckets are read back (hive partition pruning on "
+    "pmod(user_id, 16)), the keep-latest merge is associative on "
+    "struct(ts, event_id) so the result is independent of micro-batch "
+    "slicing, and dynamic partition overwrite rewrites only touched "
+    "buckets. Final state must equal the batch compaction bit-for-bit "
+    "(the u_upsert_latest oracle).",
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.score_stream import stream_upsert_sink as _run
+
+    return _run(spark, sf_dir)
