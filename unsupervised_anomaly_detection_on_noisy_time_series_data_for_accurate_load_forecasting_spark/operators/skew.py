@@ -76,3 +76,58 @@ def skew_profile(df, key_col: str, k: int = 10):
             / F.col("n_rows").cast("double")
         ).alias("skew_factor"),
     )
+
+
+JOINEST_SALT = 211
+JOINEST_MOD = 16  # sample 1-in-16 keys
+
+
+def join_size_estimate(
+    left, left_key: str, right, right_key: str, mod: int = JOINEST_MOD
+) -> "DataFrame":
+    """Sketch-based equi-join cardinality estimate — the statistic a cost
+    model needs BEFORE running a 100 TB join: |A⋈B| = Σ_k fA(k)·fB(k),
+    estimated over a deterministic 1-in-``mod`` distinct-key sample
+    (include key k iff rng_draw(k) % mod == 0 — the same coordinated
+    sample on both sides, so matching keys are never half-sampled).
+
+    Scale shape: the key-sample predicate filters BEFORE the per-side
+    frequency counts (both scans drop ~15/16 of rows pre-shuffle); the
+    frequency join runs on the sampled key dims only; the estimate is an
+    exact integer (Σ products · mod). The exact count is computed
+    alongside for the accuracy report — a real deployment would skip it.
+
+    Output: one row (est_size, exact_size, rel_err).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.rng import rng_draw
+
+    def freqs(df, key):
+        return (
+            df.select(F.col(key).alias("k"))
+            .filter(F.pmod(rng_draw(F.col(key), salt=JOINEST_SALT), F.lit(mod)) == 0)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+        )
+    fa = freqs(left, left_key).withColumnRenamed("f", "fa")
+    fb = freqs(right, right_key).withColumnRenamed("f", "fb")
+    est = fa.join(fb, "k").agg(
+        (F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0)) * F.lit(mod))
+        .cast("bigint")
+        .alias("est_size")
+    )
+    exact = (
+        left.select(F.col(left_key).alias("k"))
+        .join(right.select(F.col(right_key).alias("k")), "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_size"))
+    )
+    j = est.crossJoin(F.broadcast(exact))
+    return j.select(
+        "est_size",
+        "exact_size",
+        (
+            (F.col("est_size").cast("double") - F.col("exact_size").cast("double"))
+            / F.col("exact_size").cast("double")
+        ).alias("rel_err"),
+    )

@@ -691,3 +691,52 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.discounted_brand_revenue(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
     )
+
+
+def _joinest_oracle() -> str:
+    from ..functions.rng import rng_draw_sql
+    from ..operators.skew import JOINEST_MOD, JOINEST_SALT
+
+    da = rng_draw_sql("user_id", salt=JOINEST_SALT)
+    db = rng_draw_sql("o_custkey", salt=JOINEST_SALT)
+    return f"""
+    WITH fa AS (
+      SELECT user_id AS k, CAST(count(*) AS BIGINT) AS fa
+      FROM events WHERE ({da}) % {JOINEST_MOD} = 0 GROUP BY 1
+    ),
+    fb AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS fb
+      FROM orders WHERE ({db}) % {JOINEST_MOD} = 0 GROUP BY 1
+    ),
+    est AS (
+      SELECT CAST(coalesce(sum(fa * fb), 0) * {JOINEST_MOD} AS BIGINT) AS est_size
+      FROM fa JOIN fb USING (k)
+    ),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_size
+      FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    )
+    SELECT est_size, exact_size,
+           (CAST(est_size AS DOUBLE) - CAST(exact_size AS DOUBLE))
+             / CAST(exact_size AS DOUBLE) AS rel_err
+    FROM est CROSS JOIN ex
+    """
+
+
+@register(
+    "a_join_size_est",
+    oracle=_joinest_oracle,
+    tags=("A-sketch", "SKEW-salt", "J1"),
+    doc="Sketch-based equi-join cardinality estimate (events x orders on "
+    "the customer key) via a coordinated 1-in-16 distinct-key sample: "
+    "|A join B| = sum fA(k)*fB(k) scaled by the sampling rate - the "
+    "cost-model statistic computed BEFORE a 100 TB join. The key-sample "
+    "predicate filters both scans pre-shuffle; the estimate is an exact "
+    "integer; the exact count rides along for the accuracy report.",
+)
+def a_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import join_size_estimate
+
+    return join_size_estimate(
+        _t(spark, sf_dir, "events"), "user_id", _t(spark, sf_dir, "orders"), "o_custkey"
+    )
