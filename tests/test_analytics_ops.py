@@ -178,3 +178,31 @@ def test_chunk_windows_tail_boundaries(spark):
     assert out[112] == [(1, 1, 64), (2, 49, 64)]
     assert out[113] == [(1, 1, 64), (2, 49, 64), (3, 97, 17)]
     assert out[1] == [(1, 1, 1)]
+
+
+def test_stream_upsert_is_slicing_independent(spark, sf_dir):
+    # the foreachBatch merge must yield the identical compaction whether the
+    # feed arrives as 2 or 5 micro-batches, and match the batch max_by
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.streaming.score_stream import (
+        stream_upsert_sink,
+    )
+
+    def key(df):
+        return {
+            (r.user_id, r.event_type): (r.latest_value, r.latest_ts, r.n_versions)
+            for r in df.collect()
+        }
+
+    a = key(stream_upsert_sink(spark, sf_dir, n_files=2))
+    b = key(stream_upsert_sink(spark, sf_dir, n_files=5))
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy("user_id", "event_type").agg(
+        F.expr("max_by(value, struct(ts, event_id))").alias("latest_value"),
+        F.max("ts").alias("latest_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+    )
+    c = key(batch)
+    assert a == b == c

@@ -202,7 +202,9 @@ def stream_sessions(
     )
 
 
-def stream_upsert_sink(spark: SparkSession, sf_dir: str, n_buckets: int = 16) -> DataFrame:
+def stream_upsert_sink(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16, n_files: int = 4
+) -> DataFrame:
     """Streaming CDC upsert via ``foreachBatch`` — the merge-on-write sink
     pattern for engines without a transactional table format: each
     micro-batch folds into a keyed state table that always holds exactly
@@ -236,8 +238,8 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str, n_buckets: int = 16) ->
         f"{root}/ckpt",
     )
     events = load_table(spark, sf_dir, "events")
-    # deterministic 4-file split -> 4 micro-batches under maxFilesPerTrigger=1
-    events.repartition(4, "user_id").write.mode("overwrite").parquet(src_dir)
+    # deterministic n-file split -> n micro-batches under maxFilesPerTrigger=1
+    events.repartition(n_files, "user_id").write.mode("overwrite").parquet(src_dir)
 
     stream = (
         spark.readStream.schema(events.schema)
