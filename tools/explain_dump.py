@@ -241,6 +241,23 @@ PICKS = [
         "map-side-combinable max, TakeOrderedAndProject — embarrassingly "
         "parallel, no reservoir state.",
     ),
+    (
+        "t_phrase_search",
+        "Positional phrase search: per-term postings as pushed-down filters "
+        "over the positional explosion, adjacency equi-joins, combinable "
+        "per-doc rollup.",
+    ),
+    (
+        "q13_custdist",
+        "Zero-preserving custdist: aggregate-then-left-join (one row per "
+        "customer enters the join), second combinable rollup.",
+    ),
+    (
+        "a_join_size_est",
+        "Join-size estimate: the coordinated key-sample predicate filters "
+        "BOTH scans before any shuffle; frequency join runs on sampled key "
+        "dims only.",
+    ),
 ]
 
 
