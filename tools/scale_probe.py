@@ -65,6 +65,11 @@ QUERIES = [
     "s_mmr_diversify",          # MMR shortlist + greedy (r7)
     "s_weighted_sample",        # bounded-explode weighted sampling (r7)
     "a_retention_cohorts",      # cohort triangle, windowless (r7)
+    "t_chunk_windows",          # RAG chunking, zero-shuffle Generate (r7)
+    "t_phrase_search",          # positional postings adjacency joins (r7)
+    "mm_ahash_near_dup",        # PNG round-trip aHash, windowed bands (r7)
+    "stream_upsert_sink",       # foreachBatch CDC merge sink (r7)
+    "a_join_size_est",          # coordinated key-sample join estimate (r7)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
