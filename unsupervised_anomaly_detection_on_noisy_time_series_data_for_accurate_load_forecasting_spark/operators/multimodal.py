@@ -324,3 +324,32 @@ def ahash_bands(img: "np.ndarray") -> tuple[int, int, int, int]:
             v = (v << 1) | int(bits[16 * k + j])
         bands.append(v)
     return tuple(bands)
+
+
+SILENCE_THRESHOLD = 8192  # |int16 sample| below this counts as silence
+SILENCE_MIN_RUN = 4
+
+
+def silence_runs(samples: "np.ndarray") -> tuple[int, int, int]:
+    """Silence-run segmentation of an int16 sample vector — the audio
+    pre-filter a speech corpus runs before transcription (trim/split on
+    silence): returns (n_runs, longest_run, n_silent) counting only runs
+    of at least SILENCE_MIN_RUN consecutive samples with
+    |x| < SILENCE_THRESHOLD. Pure integer comparisons — bit-identical in
+    the island and the mirror."""
+    sil = np.abs(samples.astype(np.int64)) < SILENCE_THRESHOLD
+    n_runs = longest = 0
+    n_silent = int(sil.sum())
+    run = 0
+    for flag in sil:
+        if flag:
+            run += 1
+        else:
+            if run >= SILENCE_MIN_RUN:
+                n_runs += 1
+                longest = max(longest, run)
+            run = 0
+    if run >= SILENCE_MIN_RUN:
+        n_runs += 1
+        longest = max(longest, run)
+    return n_runs, longest, n_silent

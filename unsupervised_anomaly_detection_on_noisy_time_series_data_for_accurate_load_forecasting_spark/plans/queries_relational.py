@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.exact import davg_sql, dsum_sql, qround_sql
 from ..operators import relational as R
@@ -739,4 +740,58 @@ def a_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return join_size_estimate(
         _t(spark, sf_dir, "events"), "user_id", _t(spark, sf_dir, "orders"), "o_custkey"
+    )
+
+
+def _kfold_oracle() -> str:
+    from ..functions.rng import rng_draw_sql
+
+    d = rng_draw_sql("c_custkey", salt=271)
+    return f"""
+    WITH f AS (
+      SELECT CAST(({d}) % 5 AS INTEGER) AS fold, c_acctbal
+      FROM customer
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_custs,
+           {dsum_sql('c_acctbal')} AS acctbal_sum,
+           CAST(count(*) AS DOUBLE)
+             / (SELECT CAST(count(*) AS DOUBLE) FROM customer) AS share
+    FROM f GROUP BY fold
+    """
+
+
+@register(
+    "u_kfold_assign",
+    oracle=_kfold_oracle,
+    tags=("U4", "F8", "U3"),
+    doc="Deterministic k-fold assignment (k=5) for cross-validation: fold "
+    "= seeded hash draw of the key mod k - embarrassingly parallel, "
+    "slicing-independent, reproducible across engines (the same F8 RNG "
+    "contract as the hash split), with per-fold population and exact "
+    "balance-sum health stats.",
+)
+def u_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rng import rng_draw
+
+    cust = _t(spark, sf_dir, "customer")
+    total = cust.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    f = cust.select(
+        F.pmod(rng_draw("c_custkey", salt=271), F.lit(5)).cast("int").alias("fold"),
+        "c_acctbal",
+    )
+    from ..functions.exact import dsum
+
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            dsum(F.col("c_acctbal")).alias("acctbal_sum"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "fold",
+            "n_custs",
+            "acctbal_sum",
+            (F.col("n_custs").cast("double") / F.col("n_total")).alias("share"),
+        )
     )

@@ -1151,3 +1151,71 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.score_stream import stream_upsert_sink as _run
 
     return _run(spark, sf_dir)
+
+
+def _mm_silence_oracle() -> str:
+    """Mirror that never touches WAV: the same int16 samples and run
+    segmentation computed directly — the encode→decode round trip through
+    the stdlib wave codec is what's on trial."""
+    from ..operators.multimodal import silence_runs
+
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        n_runs, longest, n_silent = silence_runs(_doc_samples(r.text))
+        rows.append(f"({int(r.doc_id)}::BIGINT,{n_runs},{longest},{n_silent})")
+    return (
+        "SELECT media_id, CAST(n_runs AS INTEGER) AS n_runs,"
+        " CAST(longest_run AS INTEGER) AS longest_run,"
+        " CAST(n_silent AS INTEGER) AS n_silent FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, n_runs, longest_run, n_silent)"
+    )
+
+
+@register(
+    "mm_wav_silence_runs",
+    oracle=_mm_silence_oracle,
+    tags=("MM-codec", "W5"),
+    doc="Audio silence-run segmentation through the REAL WAV round trip - "
+    "the pre-transcription trim/split pass: per doc, int16 samples encode "
+    "to WAV and decode back through the stdlib codec inside Arrow "
+    "islands, then runs of >=4 consecutive samples under the amplitude "
+    "threshold are counted (W5 consecutive-run detection applied to "
+    "audio). Pure integer comparisons; the oracle mirror builds the same "
+    "samples without WAV.",
+)
+def mm_wav_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def island(batches):
+        from ..operators import codecs as CX
+        from ..operators.multimodal import silence_runs
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                wav = CX.encode_wav(_doc_samples(text), rate=8000)
+                samples, _rate = CX.decode_wav(bytes(wav))
+                n_runs, longest, n_silent = silence_runs(samples)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "n_runs": n_runs,
+                        "longest_run": longest,
+                        "n_silent": n_silent,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        island, schema="media_id long, n_runs int, longest_run int, n_silent int"
+    )
