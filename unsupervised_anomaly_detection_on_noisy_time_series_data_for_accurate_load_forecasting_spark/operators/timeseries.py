@@ -381,3 +381,37 @@ def asof_join_forward(
         .filter(F.col("_src") == 1)
         .drop("_src")
     )
+
+
+def mad_outliers(events: DataFrame, k_times_10000: int = 44478) -> DataFrame:
+    """Robust per-series outlier accounting via the median/MAD estimator —
+    the W6 z-score's breakdown-resistant twin (a single injected spike
+    inflates a std enough to hide itself; the MAD doesn't move):
+    flag x iff |x − median| > (k·1.4826)·MAD, with k·1.4826 = 4.4478
+    carried as the INTEGER 44478 so the comparison
+    ``|q − med|·10000 > 44478·mad`` is exact int64 arithmetic.
+
+    Exactness: values quantize to the 1e-6 lattice; the median is the
+    lower median (element (n+1) div 2 of the sorted array — one spec, no
+    engine percentile-interpolation ambiguity); the MAD is the same
+    median applied to |x − med|. One combinable collect per series (array
+    bounded by series length, the ewma/holt-winters contract) and pure
+    array HOFs after — a single pass, no second shuffle.
+
+    Output: (series_id, n_points, median, mad, n_outliers).
+    """
+    q = F.expr(f"cast(floor({VAL} * 1000000.0D + 0.5D) as bigint)")
+    g = events.groupBy(SID).agg(F.sort_array(F.collect_list(q)).alias("arr"))
+    med = "element_at(arr, cast((size(arr) + 1) div 2 as int))"
+    dev = f"array_sort(transform(arr, x -> abs(x - {med})))"
+    mad = f"element_at({dev}, cast((size(arr) + 1) div 2 as int))"
+    n_out = (
+        f"size(filter(arr, x -> abs(x - {med}) * 10000 > {k_times_10000}L * {mad}))"
+    )
+    return g.select(
+        SID,
+        F.size("arr").cast("bigint").alias("n_points"),
+        (F.expr(med).cast("double") / F.lit(1e6)).alias("median"),
+        (F.expr(mad).cast("double") / F.lit(1e6)).alias("mad"),
+        F.expr(n_out).cast("bigint").alias("n_outliers"),
+    )

@@ -678,3 +678,50 @@ def j_range_gap_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_value_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TSO.value_entropy(_events(spark, sf_dir))
+
+
+@register(
+    "w6_mad_outliers",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    qd AS (
+      SELECT series_id, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM hourly
+    ),
+    g AS (SELECT series_id, list_sort(list(q)) AS arr FROM qd GROUP BY 1),
+    m AS (
+      SELECT series_id, arr,
+             arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS med
+      FROM g
+    ),
+    d AS (
+      SELECT series_id, arr, med,
+             list_sort(list_transform(arr, x -> abs(x - med))) AS devs
+      FROM m
+    ),
+    s AS (
+      SELECT series_id, arr, med,
+             devs[CAST((len(arr) + 1) // 2 AS INTEGER)] AS mad
+      FROM d
+    )
+    SELECT series_id, CAST(len(arr) AS BIGINT) AS n_points,
+           CAST(med AS DOUBLE) / 1000000.0 AS median,
+           CAST(mad AS DOUBLE) / 1000000.0 AS mad,
+           CAST(len(list_filter(arr, x -> abs(x - med) * 10000 > 44478 * mad))
+                AS BIGINT) AS n_outliers
+    FROM s
+    """,
+    tags=("W6", "A1", "F7"),
+    doc="Robust outlier accounting via median/MAD (the breakdown-"
+    "resistant W6 twin - one injected spike inflates a std enough to "
+    "hide itself; the MAD doesn't move): flag iff |x - med| > "
+    "3*1.4826*MAD with the constant carried as INTEGER 44478 so the "
+    "comparison is exact int64 arithmetic on the 1e-6 lattice. Lower-"
+    "median spec (element (n+1) div 2 of the sorted array) removes "
+    "engine percentile-interpolation ambiguity; one combinable per-"
+    "series collect + pure array HOFs - a single pass.",
+)
+def w6_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .shared import hourly_df
+
+    return TSO.mad_outliers(hourly_df(spark, sf_dir))
