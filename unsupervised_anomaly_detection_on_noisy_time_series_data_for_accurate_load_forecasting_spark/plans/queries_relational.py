@@ -795,3 +795,54 @@ def u_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_custs").cast("double") / F.col("n_total")).alias("share"),
         )
     )
+
+
+@register(
+    "f_time_to_convert",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(date_diff('second', t_view, t_purchase) AS BIGINT) AS gap_s
+      FROM f WHERE t_view IS NOT NULL AND t_purchase > t_view
+    ),
+    arr AS (SELECT list_sort(list(gap_s)) AS a FROM g)
+    SELECT CAST(len(a) AS BIGINT) AS n_converted,
+           CAST(a[CAST((len(a) + 1) // 2 AS INTEGER)] AS BIGINT) AS median_gap_s,
+           CAST(a[1] AS BIGINT) AS min_gap_s,
+           CAST(a[len(a)] AS BIGINT) AS max_gap_s
+    FROM arr
+    """,
+    tags=("A10", "U5", "F4"),
+    doc="Time-to-convert distribution (first view -> first purchase): "
+    "conditional-min first-touch per user (one combinable agg, no event-"
+    "history window), integer-second gaps, and the lower-median spec on "
+    "the sorted gap array (engine-unambiguous, no percentile "
+    "interpolation). The global collect is bounded by the CONVERTED-user "
+    "count, orders of magnitude under the event count.",
+)
+def f_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    g = f.filter(
+        F.col("t_view").isNotNull() & (F.col("t_purchase") > F.col("t_view"))
+    ).select(
+        (
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
+        ).cast("bigint").alias("gap_s")
+    )
+    arr = g.agg(F.sort_array(F.collect_list("gap_s")).alias("a"))
+    med = "element_at(a, cast((size(a) + 1) div 2 as int))"
+    return arr.select(
+        F.size("a").cast("bigint").alias("n_converted"),
+        F.expr(med).cast("bigint").alias("median_gap_s"),
+        F.element_at("a", 1).cast("bigint").alias("min_gap_s"),
+        F.expr("element_at(a, size(a))").cast("bigint").alias("max_gap_s"),
+    )
