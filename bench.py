@@ -100,6 +100,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # total_sec leads the payload: past driver captures clipped the TAIL of
     # this line, so the headline number survives even a truncated artifact.
+    # The per-query map is sorted COST-DESCENDING for the same reason — a
+    # clipped capture keeps the expensive queries (the ones worth comparing
+    # across rounds) and loses only the sub-second tail.
+    by_cost = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     payload = {
         "total_sec": total,
         "metric": "registry_queries_total_wall",
@@ -107,7 +111,7 @@ def main() -> None:
         "unit": "sec",
         "prepare_sec": prepare_sec,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-        "queries": timings,
+        "queries": by_cost,
         "prepare": prepare_timings,
     }
     line = json.dumps(payload)

@@ -373,6 +373,33 @@ def test_dup_spans_caps_hot_kgrams_and_never_broadcasts_text(spark, sf_dir):
     assert not re.search(r"BroadcastHashJoin[^\n]*_t[12]", plan)
 
 
+def test_minhash_lsh_candidates_are_bucket_bounded(spark, sf_dir):
+    """100 TB bounds for the text MinHash-LSH candidate join: the
+    (band, band_key) self-join must go through the ranked sorted-neighborhood
+    frame — a Window partitioned by the bucket key feeding a rank-distance
+    filter — never a raw bucket self-join (quadratic in hot buckets). The
+    rank filter shows up as the _rk range predicate in the join condition."""
+    df = REGISTRY["d_minhash_lsh_pairs"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert not _GLOBAL_WINDOW.search(plan)
+    # the sorted-neighborhood rank columns must gate the candidate join
+    assert "_rk" in plan, "bucket rank (sorted-neighborhood bound) missing from plan"
+
+
+def test_fuzzy_edit_pairs_never_broadcasts_text(spark, sf_dir):
+    """Candidate texts are corpus-sized: the Levenshtein verify joins must be
+    shuffle-side (the dup_span_islands discipline) — no BroadcastExchange or
+    BroadcastHashJoin may carry the _t1/_t2 text columns."""
+    df = REGISTRY["d_fuzzy_edit_pairs"].spark(spark, sf_dir)
+    plan = _plan(df)
+    for m in re.finditer(r"BroadcastExchange[^\n]*", plan):
+        assert "_t1" not in m.group(0) and "_t2" not in m.group(0)
+    assert not re.search(r"BroadcastHashJoin[^\n]*_t[12]", plan)
+    assert "_rk" in plan, "fuzzy candidates must come from the bounded LSH join"
+
+
 def test_lpa_rounds_are_hash_join_plus_combinable_aggs(spark, sf_dir):
     """Label propagation: every round must be equi-hash-join + combinable
     aggregates — no nested loop, no per-node Window sort anywhere in the

@@ -188,6 +188,86 @@ def synthetic_semdedup_rows(spark) -> list[str]:
     return out
 
 
+def synthetic_textlsh_rows(spark) -> list[str]:
+    """Synthetic ×10 DOCUMENT-scale probe for the text MinHash-LSH candidate
+    join (`d_minhash_lsh_pairs` / `d_fuzzy_edit_pairs` both consume it): a
+    boilerplate-heavy corpus (30% of docs are small edits of one template —
+    the hot-bucket regime of a real crawl) at n = 2 000 vs n = 20 000 docs.
+    Measured: candidate pairs out of the r8 capped sorted-neighborhood join
+    (pairs/n must stay ≤ bands·window, flat in n) vs the UNCAPPED r7-shape
+    self-join counterfactual at n = 2 000 / 6 000 (pairs/n ∝ n — the
+    quadratic blow-up the cap exists to kill), plus the full
+    minhash_lsh_dedup wall (min of two runs)."""
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        dedup as DD,
+    )
+
+    def synth(n: int):
+        rng = np.random.RandomState(11)
+        vocab = np.array([f"w{i}" for i in range(2000)])
+        template = vocab[rng.randint(0, 2000, 40)]
+        texts = []
+        for i in range(n):
+            if i % 10 < 3:  # 30% boilerplate cohort: template + 2 edits
+                toks = template.copy()
+                pos = rng.randint(0, 40, 2)
+                toks[pos] = vocab[rng.randint(0, 2000, 2)]
+            else:
+                toks = vocab[rng.randint(0, 2000, 40)]
+            texts.append(" ".join(toks))
+        pdf = pd.DataFrame({"doc_id": np.arange(1, n + 1, dtype=np.int64), "text": texts})
+        return spark.createDataFrame(pdf).repartition(32).cache()
+
+    out = [
+        "## Synthetic ×10 document step — text MinHash-LSH candidate bound",
+        "",
+        "| n docs | capped pairs | pairs/n | uncapped pairs | uncapped/n | dedup wall (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n in (2_000, 6_000, 20_000):
+        df = synth(n)
+        df.count()
+        bands = DD.minhash_bands(DD.shingle_hashes(df)).cache()
+        bands.count()
+        capped = DD.lsh_candidate_pairs(bands).count()
+        # uncapped counterfactual only at the small sizes (it IS quadratic)
+        uncapped = (
+            DD.lsh_candidate_pairs(bands, bucket_cap=None, neighborhood=1 << 30).count()
+            if n <= 6_000
+            else None
+        )
+        ws = []
+        if n != 6_000:
+            for _ in range(2):
+                t0 = time.time()
+                DD.minhash_lsh_dedup(df, min_jaccard=0.2).collect()
+                ws.append(time.time() - t0)
+        wall = f"{min(ws):.2f}" if ws else "—"
+        un = f"{uncapped}" if uncapped is not None else "—"
+        unr = f"{uncapped / n:.1f}" if uncapped is not None else "—"
+        out.append(f"| {n} | {capped} | {capped / n:.1f} | {un} | {unr} | {wall} |")
+        print(f"# synth-lsh n={n}: capped={capped} uncapped={uncapped} wall={wall}", file=sys.stderr)
+        bands.unpersist()
+        df.unpersist()
+    out += [
+        "",
+        "The capped sorted-neighborhood join (rank distance ≤ 32 within a",
+        "(band, bucket), buckets truncated at 2 000) holds pairs/n FLAT on the",
+        "×10 step while the uncapped r7-shape self-join grows pairs/n linearly",
+        "(quadratic pairs) on the SAME boilerplate-heavy corpus — the exact",
+        "failure measured at ×104 on the uncapped aHash band join before its",
+        "sorted-neighborhood fix. `d_fuzzy_edit_pairs` consumes this candidate",
+        "frame, so its Levenshtein verify volume carries the same bound; its",
+        "text joins are shuffle_hash (no broadcast carries a text column).",
+        "",
+    ]
+    return out
+
+
 def main() -> None:
     from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.session import (
         get_spark,
@@ -254,6 +334,7 @@ def main() -> None:
         )
     lines += [""]
     lines += synthetic_semdedup_rows(spark)
+    lines += synthetic_textlsh_rows(spark)
     lines += [
         "Notes on the shapes (stable across regenerations):",
         "- `ml_softpatch_scores` restores its fitted bank from the keyed",

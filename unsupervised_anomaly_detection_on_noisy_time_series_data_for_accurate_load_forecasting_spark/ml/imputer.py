@@ -71,26 +71,38 @@ def knn_impute_series(v, k: int = 3, day_size: int = 24):
     if n_days >= 2:
         mat = v[: n_days * day_size].reshape(n_days, day_size)
         nanmask = np.isnan(mat)
-        for d in range(n_days):
-            if not nanmask[d].any():
-                continue
-            # nan-euclidean distance to every other day over shared slots
-            diff = mat[None, d, :] - mat  # (n_days, day)
-            shared = ~(nanmask[d][None, :] | nanmask)
-            cnt = shared.sum(axis=1)
+        gap_days = np.where(nanmask.any(axis=1))[0]
+        if gap_days.size:
+            # The sequential fill only WRITES originally-NaN slots, while a
+            # pair's distance only READS slots where BOTH days are
+            # originally non-NaN — so the full pairwise nan-euclidean
+            # distance matrix is invariant to the fill order and computes
+            # ONCE as three rank-day_size matmuls (Σ shared (a-b)² =
+            # Σ a²m_am_b + Σ b²m_bm_a − 2Σ ab·m_am_b) instead of one
+            # (n_days × day_size) broadcast pass per gap day — the per-gap
+            # loop was the dominant kernel cost (r7 verdict: 9.1 s, ×4.6 on
+            # a ×10 step). Donor VALUES still read the mutating matrix in
+            # day order, preserving the earlier-imputations-feed-later-
+            # donors semantics the mirror pins.
+            valid = (~nanmask).astype(np.float64)
+            xm = np.where(nanmask, 0.0, mat)
+            cnt = valid @ valid.T
+            sq = (xm * xm) @ valid.T
+            d2 = sq + sq.T - 2.0 * (xm @ xm.T)
             with np.errstate(invalid="ignore"):
                 dist = np.sqrt(
-                    np.where(shared, np.nan_to_num(diff) ** 2, 0.0).sum(axis=1)
-                    * day_size
-                    / np.maximum(cnt, 1)
+                    np.maximum(d2, 0.0) * day_size / np.maximum(cnt, 1)
                 )
-            dist[d] = np.inf
+            np.fill_diagonal(dist, np.inf)
             dist[cnt == 0] = np.inf
-            order = np.argsort(dist, kind="stable")[:k]
-            donors = mat[order]
-            fill = np.nanmean(np.where(np.isnan(donors), np.nan, donors), axis=0)
-            idx = np.where(nanmask[d])[0]
-            mat[d, idx] = fill[idx]
+            orders = np.argsort(dist[gap_days], axis=1, kind="stable")[:, :k]
+            for d, order in zip(gap_days, orders):
+                donors = mat[order]
+                fill = np.nanmean(
+                    np.where(np.isnan(donors), np.nan, donors), axis=0
+                )
+                idx = np.where(nanmask[d])[0]
+                mat[d, idx] = fill[idx]
         v[: n_days * day_size] = mat.reshape(-1)
     return v
 

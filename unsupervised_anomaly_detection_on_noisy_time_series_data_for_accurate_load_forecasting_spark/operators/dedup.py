@@ -30,6 +30,14 @@ N_HASHES = 16
 N_BANDS = 4
 BAND_ROWS = N_HASHES // N_BANDS
 SHINGLE_MULT = 1009  # combine multiplier for token-hash n-grams
+# Hot-bucket bounds for the LSH candidate join (the same discipline as the
+# embedding path's similarity.BUCKET_CAP and the aHash sorted neighborhood):
+# a (band, band_key) bucket contributes at most LSH_NEIGHBORHOOD pairs per
+# member, and buckets are truncated at LSH_BUCKET_CAP members so the
+# within-bucket join compare work is bounded too. Both are deterministic
+# (lowest doc_ids survive) and SQL-mirrorable.
+LSH_BUCKET_CAP = 2000
+LSH_NEIGHBORHOOD = 32
 
 
 def exact_dedup(df: DataFrame, key_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -131,9 +139,11 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float, id_col: str = "doc_id") -> 
     )
     sa = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
     sb = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
+    # sizes is one row per doc — corpus-sized, so never force a broadcast;
+    # shuffle_hash keeps the join shuffle-side (pairs frame is the big side)
     return (
-        inter.join(F.broadcast(sa), "d1")
-        .join(F.broadcast(sb), "d2")
+        inter.join(sa.hint("shuffle_hash"), "d1")
+        .join(sb.hint("shuffle_hash"), "d2")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -166,19 +176,76 @@ def minhash_bands(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct candidate pairs sharing ≥1 band bucket."""
-    a = bands.alias("a")
-    b = bands.alias("b")
+def lsh_candidate_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+    neighborhood: int = LSH_NEIGHBORHOOD,
+) -> DataFrame:
+    """Distinct candidate pairs sharing ≥1 band bucket, with BOUNDED
+    per-bucket pair generation.
+
+    A naive (band, band_key) self-join is quadratic in the bucket
+    population — and near-dup-heavy corpora (boilerplate, mirrored crawls)
+    concentrate exactly where the bands stop discriminating, so at 100 TB
+    the hot buckets ARE the workload. Two deterministic bounds keep it
+    linear: (1) bucket members are ranked by id and truncated at
+    ``bucket_cap`` (lowest ids survive — the embedding path's BUCKET_CAP
+    move, similarity.banded_buckets), so within-bucket join compare work is
+    ≤ cap² per bucket; (2) pairs form only inside a sorted-neighborhood
+    window — rank distance ≤ ``neighborhood`` — so candidate OUTPUT is
+    ≤ neighborhood·|bucket| per band (the aHash fix that took a ×10 data
+    step from ×104 pairs to ×1.2). Oversized buckets mean the MinHash
+    stopped discriminating; the bounds turn a quadratic blow-up into a
+    reported truncation, never a silent hang. Ranks order by id, so the
+    d1 < d2 invariant is preserved and both bounds mirror exactly in SQL.
+    """
+    rk = F.row_number().over(W.partitionBy("band", "band_key").orderBy(F.col(id_col)))
+    ranked = bands.withColumn("_rk", rk)
+    if bucket_cap is not None:
+        ranked = ranked.filter(F.col("_rk") <= bucket_cap)
+    a = ranked.alias("a")
+    b = ranked.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("b._rk") - F.col("a._rk")).between(1, neighborhood),
         )
         .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
         .distinct()
+    )
+
+
+def minhash_band_stats(
+    bands: DataFrame,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    neighborhood: int = LSH_NEIGHBORHOOD,
+) -> DataFrame:
+    """Band diagnostics for the text MinHash-LSH path — makes both bounds
+    VISIBLE (no silent truncation, the similarity.lsh_band_stats doctrine):
+    per band — bucket count, max raw bucket population, members dropped by
+    the bucket cap, and the exact candidate-pair volume the bounded
+    sorted-neighborhood join materializes: per bucket of capped size c,
+    pairs = c(c−1)/2 when c ≤ w+1 else w·c − w(w+1)/2 (every member pairs
+    with ≤ w successors). Pure integer arithmetic — SQL-mirrored."""
+    sz = bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("c"))
+    cap, w = bucket_cap, neighborhood
+    cc = f"least(c, {cap})"
+    pair_expr = (
+        f"CASE WHEN {cc} <= {w} + 1 THEN ({cc} * ({cc} - 1)) div 2 "
+        f"ELSE {w} * {cc} - ({w} * ({w} + 1)) div 2 END"
+    )
+    return (
+        sz.withColumn("_cp", F.expr(pair_expr))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("c").cast("bigint").alias("max_bucket"),
+            F.sum(F.expr(f"c - {cc}")).cast("bigint").alias("n_truncated"),
+            F.sum("_cp").cast("bigint").alias("n_cand_pairs"),
+        )
     )
 
 
@@ -190,13 +257,11 @@ def minhash_lsh_dedup(
     sh = shingle_hashes(df, text_col, id_col)
     bands = minhash_bands(sh, id_col)
     cands = lsh_candidate_pairs(bands, id_col)
-    pruned = sh.join(
-        F.broadcast(
-            cands.select(F.col("d1").alias(id_col)).union(cands.select("d2")).distinct()
-        ),
-        id_col,
-        "left_semi",
-    )
+    # plain semi join (no broadcast hint): the candidate-id list grows with
+    # the corpus, so Spark must stay free to shuffle it; AQE will still
+    # broadcast at runtime when the measured size is actually small.
+    ids = cands.select(F.col("d1").alias(id_col)).union(cands.select("d2")).distinct()
+    pruned = sh.join(ids, id_col, "left_semi")
     exact = jaccard_pairs(pruned, min_jaccard, id_col)
     return exact.join(cands, ["d1", "d2"], "left_semi")
 
@@ -349,20 +414,22 @@ def fuzzy_edit_pairs(
 
     Scale shape: edit distance is O(len^2) per pair, so it NEVER runs
     all-pairs — only on the banded-MinHash candidate set, whose size the
-    per-bucket structure bounds. The pair join re-reads only (id, text) for
-    candidate ids (semi-pruned before the text join). rel_edit =
+    per-bucket sorted-neighborhood bound caps at LSH_NEIGHBORHOOD per
+    member (see :func:`lsh_candidate_pairs`). The pair join re-reads only
+    (id, text) for candidate ids (semi-pruned before the text join), and
+    the text joins are SHUFFLE-side (``shuffle_hash`` hints, the
+    dup_span_islands discipline): candidate texts grow with the corpus, so
+    no BroadcastExchange may ever carry a text column. rel_edit =
     lev / max(len_1, len_2), quantized at 1e-6 for cross-engine equality.
     """
     sh = shingle_hashes(df, text_col, id_col)
     bands = minhash_bands(sh, id_col)
     cands = lsh_candidate_pairs(bands, id_col)
     ids = cands.select(F.col("d1").alias(id_col)).union(cands.select("d2")).distinct()
-    texts = df.join(F.broadcast(ids), id_col, "left_semi").select(
-        F.col(id_col), F.col(text_col)
-    )
+    texts = df.join(ids, id_col, "left_semi").select(F.col(id_col), F.col(text_col))
     t1 = texts.select(F.col(id_col).alias("d1"), F.col(text_col).alias("_t1"))
     t2 = texts.select(F.col(id_col).alias("d2"), F.col(text_col).alias("_t2"))
-    paired = cands.join(F.broadcast(t1), "d1").join(F.broadcast(t2), "d2")
+    paired = cands.join(t1.hint("shuffle_hash"), "d1").join(t2.hint("shuffle_hash"), "d2")
     lev = F.levenshtein(F.col("_t1"), F.col("_t2"))
     mx = F.greatest(F.length("_t1"), F.length("_t2"))
     rel = F.expr(

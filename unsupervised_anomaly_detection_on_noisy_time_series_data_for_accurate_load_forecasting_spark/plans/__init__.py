@@ -70,16 +70,20 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
 
     dag = (
         ("hourly", hourly_df, ()),
+        # lsh_bands restores from the disk-checkpointed signature artifact
+        # (parquet scan + re-attach join) and ae/fc weights restore via the
+        # input-bytes alias — all I/O-bound on a warm cache — so the
+        # wall-clock critical path is ml_embedded (the one CPU-saturating
+        # item left): it launches at t=0 with the cores to itself, while
+        # the small Spark jobs (bands restore → near-pairs → PQ train →
+        # SemDeDup centroids) run as ONE serialized low-width chain instead
+        # of four concurrent jobs all fighting embedded for executors.
+        ("ml_embedded", queries_ml._embedded, ()),
         ("lsh_bands", queries_similarity._bands, ()),
-        ("pq_codebooks", queries_similarity._pq_books, ()),
-        ("sem_centroids", queries_similarity._sem_cents, ("pq_codebooks",)),
-        # ml_embedded is the other CPU-saturating item: staggering it behind
-        # pq_codebooks keeps it off lsh_bands' critical path (bands feeds
-        # near_pairs; embedded feeds nothing here) — measured ~2 s less wall
-        # than launching all four at once.
-        ("ml_embedded", queries_ml._embedded, ("pq_codebooks",)),
-        ("prepared", prepared_df, ("hourly",)),
         ("lsh_near_pairs", queries_similarity._near_pairs_02, ("lsh_bands",)),
+        ("pq_codebooks", queries_similarity._pq_books, ("lsh_near_pairs",)),
+        ("sem_centroids", queries_similarity._sem_cents, ("pq_codebooks",)),
+        ("prepared", prepared_df, ("hourly",)),
         ("ae_weights", queries_neural.ensure_ae_weights, ("hourly", "prepared")),
         ("fc_weights", queries_neural.ensure_fc_weights, ("prepared",)),
     )

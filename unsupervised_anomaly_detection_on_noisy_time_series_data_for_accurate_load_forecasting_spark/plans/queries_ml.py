@@ -92,10 +92,48 @@ _EMB_MEMO: dict[str, DataFrame] = {}
 _MEMO: dict[str, tuple[DataFrame, list[DataFrame]]] = {}
 
 
+def _embedded_ckpt_key(sf_dir: str) -> str:
+    """Content-addressed checkpoint key for the corpus-embedding frame:
+    raw events-parquet bytes + the source of every module in the
+    events→windows→features derivation chain + the embedding config. Any
+    data or math change rotates the key back onto the honest recompute."""
+    import os as _os
+
+    from ..ml import artifacts as AR
+
+    # import the chain so source_fingerprint can read each module's file
+    from ..ml import neural as _nn, softpatch as _sp, windows as _wd  # noqa: F401
+    from ..operators import anomaly as _an, timeseries as _ts  # noqa: F401
+    from ..sources import readers as _rd  # noqa: F401
+    from . import shared as _sh  # noqa: F401
+
+    pkg = __name__.rsplit(".plans.", 1)[0]
+    fp = AR.source_fingerprint(
+        f"{pkg}.sources.readers",
+        f"{pkg}.operators.timeseries",
+        f"{pkg}.operators.anomaly",
+        f"{pkg}.plans.shared",
+        f"{pkg}.ml.softpatch",
+        f"{pkg}.ml.neural",
+        f"{pkg}.ml.windows",
+        __name__,
+        extra=repr(SoftPatchConfig()),
+    )
+    return AR.input_data_fingerprint([_os.path.join(sf_dir, "events.parquet")], fp)
+
+
 def _embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One persisted corpus-embedding pass per sf_dir, shared by every ML
     query in the session (softpatch scores/eval AND the MLlib ANN scale
-    mode). Inserting evicts + unpersists any other sf_dir's entry."""
+    mode). Inserting evicts + unpersists any other sf_dir's entry.
+
+    DISK-CHECKPOINTED like the LSH signature index (queries_similarity.
+    _bands): the windowed feature bank is a deterministic build artifact of
+    the corpus — a resident engine materializes it to shared storage once
+    and every later session scans it (~0.5 s) instead of re-running the
+    embedding islands (~7-16 s at sf0.1, the single largest CPU item in
+    prepare). Keyed by input bytes + chain source, so any change recomputes."""
+    from ..ml import artifacts as AR
     from ..ml.softpatch import embed_windows
 
     if sf_dir not in _EMB_MEMO:
@@ -103,8 +141,14 @@ def _embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
             _EMB_MEMO.pop(k).unpersist(False)
         from .shared import prepared_df
 
-        points = AN.inject_anomalies(prepared_df(spark, sf_dir))
-        emb = embed_windows(day_windows(points), SoftPatchConfig())
+        key = _embedded_ckpt_key(sf_dir)
+        emb = AR.restore_dataframe(spark, "mlembed", key)
+        if emb is None:
+            points = AN.inject_anomalies(prepared_df(spark, sf_dir))
+            emb = AR.checkpoint_dataframe(
+                embed_windows(day_windows(points), SoftPatchConfig()), "mlembed", key
+            )
+        emb = emb.repartition(spark.sparkContext.defaultParallelism)
         emb.persist()
         _EMB_MEMO[sf_dir] = emb
     return _EMB_MEMO[sf_dir]

@@ -56,6 +56,40 @@ def _oracle_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+def _restore_alias(sf_dir: str, hyper: str) -> str:
+    """Cheap checkpoint-restore key for the trained-weight caches: input
+    parquet bytes + the source of EVERY module in the events→windows
+    derivation chain (r7 verdict: a warm restore was paying the full Spark
+    window build + collect — as much as the fit it skipped — only to
+    recompute the train-data key; the derivation is deterministic in
+    (data bytes, chain source), so this alias is a faithful proxy and any
+    change to either rotates it back onto the honest slow path)."""
+    from ..ml import artifacts as AR
+
+    # import the chain so source_fingerprint can read every module's file
+    from ..functions import exact as _ex, rng as _rng  # noqa: F401
+    from ..ml import forecaster as _fc, imputer as _im, neural_np as _nn  # noqa: F401
+    from ..operators import anomaly as _an, timeseries as _ts  # noqa: F401
+    from ..sources import readers as _rd  # noqa: F401
+    from . import shared as _sh  # noqa: F401
+
+    pkg = __name__.rsplit(".plans.", 1)[0]
+    chain = (
+        f"{pkg}.sources.readers",
+        f"{pkg}.operators.timeseries",
+        f"{pkg}.operators.anomaly",
+        f"{pkg}.plans.shared",
+        f"{pkg}.ml.imputer",
+        f"{pkg}.ml.forecaster",
+        f"{pkg}.ml.neural_np",
+        f"{pkg}.functions.rng",
+        f"{pkg}.functions.exact",
+        __name__,
+    )
+    fp = AR.source_fingerprint(*chain, extra=hyper)
+    return AR.input_data_fingerprint([os.path.join(sf_dir, "events.parquet")], fp)
+
+
 def _duck_points(sql: str):
     import duckdb
 
@@ -176,6 +210,18 @@ def ensure_ae_weights(spark: SparkSession, sf_dir: str, windows: DataFrame | Non
         return _AE_WEIGHTS_MEMO[sf_dir]
     from ..ml import artifacts as AR
 
+    hyper = f"seed={AE_SEED} epochs={AE_EPOCHS} cap={AE_CAP} salt={AE_STRIDE_SALT}"
+    # fast restore: input-bytes+chain-source alias → data key → weights,
+    # pure file I/O (<1 s) — no Spark window build, no training collect
+    alias = _restore_alias(sf_dir, "ae|" + hyper)
+    hit = AR.load_alias("ae", alias)
+    if hit is not None:
+        stored = AR.load_weight_groups("ae", hit)
+        if stored is not None:
+            _AE_WEIGHTS_MEMO.clear()
+            _AE_WEIGHTS_MEMO[sf_dir] = stored["ae"]
+            return _AE_WEIGHTS_MEMO[sf_dir]
+
     own = windows is None
     if own:
         windows = _ae_spark_windows(spark, sf_dir)
@@ -183,10 +229,7 @@ def ensure_ae_weights(spark: SparkSession, sf_dir: str, windows: DataFrame | Non
     try:
         _AE_WEIGHTS_MEMO.clear()
         pdf = _collect_ae_train(windows)
-        fp = AR.source_fingerprint(
-            DenoisingAE.__module__,
-            extra=f"seed={AE_SEED} epochs={AE_EPOCHS} cap={AE_CAP} salt={AE_STRIDE_SALT}",
-        )
+        fp = AR.source_fingerprint(DenoisingAE.__module__, extra=hyper)
         key = AR.train_data_key(
             [np.stack(pdf["vals"].to_numpy()), np.stack(pdf["mask"].to_numpy())], fp
         )
@@ -196,6 +239,7 @@ def ensure_ae_weights(spark: SparkSession, sf_dir: str, windows: DataFrame | Non
             AR.save_weight_groups("ae", key, {"ae": w})
         else:
             w = stored["ae"]
+        AR.save_alias("ae", alias, key)
         _AE_WEIGHTS_MEMO[sf_dir] = w
     finally:
         if own:
@@ -340,6 +384,19 @@ def ensure_fc_weights(spark: SparkSession, sf_dir: str, windows: DataFrame | Non
 
     from .shared import prepared_df
 
+    # fast restore (same discipline as ensure_ae_weights): alias hit ⇒
+    # weights come straight off disk, no window build / training collect
+    alias = _restore_alias(sf_dir, "fc_ab")
+    hit = AR.load_alias("fc_ab", alias)
+    if hit is not None:
+        stored = AR.load_weight_groups("fc_ab", hit)
+        if stored is not None:
+            _FC_WEIGHTS_MEMO.clear()
+            _FC_WEIGHTS_MEMO[sf_dir] = {
+                tuple(g.split("|", 1)): w for g, w in stored.items()
+            }
+            return _FC_WEIGHTS_MEMO[sf_dir]
+
     own = windows is None
     if own:
         points = AN.cleaned_series(
@@ -366,6 +423,7 @@ def ensure_fc_weights(spark: SparkSession, sf_dir: str, windows: DataFrame | Non
             )
         else:
             fitted = {tuple(g.split("|", 1)): w for g, w in stored.items()}
+        AR.save_alias("fc_ab", alias, key)
         _FC_WEIGHTS_MEMO[sf_dir] = fitted
     finally:
         if own:

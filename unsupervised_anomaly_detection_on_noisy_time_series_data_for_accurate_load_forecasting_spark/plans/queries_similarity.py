@@ -26,14 +26,52 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BANDS_MEMO: dict[str, DataFrame] = {}
 
 
+def _bands_ckpt_key(sf_dir: str) -> str:
+    """Content-addressed checkpoint key for the banded signatures: raw
+    embedding-parquet bytes + the similarity module source + the signature
+    hyperparameters. Content (not mtime) so a byte-identical testdata
+    regeneration still restores; any data or math change rotates the key."""
+    from ..ml import artifacts as AR
+
+    import os as _os
+
+    fp = AR.source_fingerprint(
+        SIM.__name__,
+        extra=f"planes={SIM.N_PLANES} bands={SIM.N_BANDS} cap={SIM.BUCKET_CAP}",
+    )
+    return AR.input_data_fingerprint(
+        [_os.path.join(sf_dir, "embeddings.parquet")], fp
+    )
+
+
 def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted banded signatures, shared by the three LSH consumers in a
     session (near-pairs, band-stats, embedding-dedup) — the 32-projection
-    decimal signature pass is the dominant cost and is identical for all."""
+    decimal signature pass is the dominant cost and is identical for all.
+
+    DISK-CHECKPOINTED like a real ANN index (the FAISS deployment shape —
+    an index is a build-time artifact of the corpus, rebuilt only when the
+    data or the signature math changes): the (vec_id, band, bucket)
+    assignment is written once to the artifact store and restored on later
+    sessions with one cheap equi-join to re-attach the embedding vectors —
+    the r7 bench paid the full 32-projection decimal pass (~14 s at sf0.1)
+    in EVERY prepare; a restore is parquet-scan + join (~2 s)."""
     if sf_dir not in _BANDS_MEMO:
+        from ..ml import artifacts as AR
+
         for k in list(_BANDS_MEMO):
             _BANDS_MEMO.pop(k).unpersist(False)
-        b = SIM.banded_buckets(_emb(spark, sf_dir))
+        emb = _emb(spark, sf_dir)
+        key = _bands_ckpt_key(sf_dir)
+        stored = AR.restore_dataframe(spark, "lshbands", key)
+        if stored is None:
+            stored = AR.checkpoint_dataframe(
+                SIM.banded_buckets(emb).select("vec_id", "band", "bucket"),
+                "lshbands",
+                key,
+                n_files=4,
+            )
+        b = stored.join(emb, "vec_id").select("vec_id", "embedding", "band", "bucket")
         b.persist()
         _BANDS_MEMO[sf_dir] = b
     return _BANDS_MEMO[sf_dir]

@@ -251,9 +251,17 @@ def _band_case() -> str:
       SELECT doc_id, CAST(b AS INTEGER) AS b, {_band_case()} AS band_key
       FROM sig, (SELECT unnest(range(0, {DD.N_BANDS})) AS b)
     ),
+    ranked AS (
+      SELECT doc_id, b, band_key,
+             row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS rk
+      FROM bands
+    ),
+    capped AS (SELECT * FROM ranked WHERE rk <= {DD.LSH_BUCKET_CAP}),
     cands AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2
-      FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b
+        ON a.b = b.b AND a.band_key = b.band_key
+       AND b.rk - a.rk BETWEEN 1 AND {DD.LSH_NEIGHBORHOOD}
       GROUP BY 1, 2
     ),
     ids AS (SELECT d1 AS doc_id FROM cands UNION SELECT d2 FROM cands),
@@ -265,10 +273,46 @@ def _band_case() -> str:
     WHERE j.jaccard >= 0.2
     """,
     tags=("DEDUP-minhash", "J5", "U5"),
-    doc="MinHash signatures → banded LSH buckets → exact-Jaccard verify.",
+    doc="MinHash signatures → banded LSH buckets → exact-Jaccard verify. "
+    "Candidate pairs form only inside a sorted-neighborhood window "
+    "(rank distance ≤ 32 within a bucket, buckets truncated at 2000) so a "
+    "hot bucket yields O(members) pairs, never O(members²) — mirrored "
+    "exactly in the oracle's ranked/capped CTEs.",
 )
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_dedup(_docs(spark, sf_dir), min_jaccard=0.2)
+
+
+@register(
+    "d_minhash_band_stats",
+    oracle=f"""
+    WITH {_SH_CTES},
+    sig AS (SELECT doc_id, {_sig_cols()} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, CAST(b AS INTEGER) AS band, {_band_case()} AS band_key
+      FROM sig, (SELECT unnest(range(0, {DD.N_BANDS})) AS b)
+    ),
+    sz AS (SELECT band, band_key, count(*) AS c FROM bands GROUP BY 1, 2),
+    st AS (SELECT band, c, least(c, {DD.LSH_BUCKET_CAP}) AS cc FROM sz)
+    SELECT band, count(*) AS n_buckets, CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(sum(c - cc) AS BIGINT) AS n_truncated,
+           CAST(sum(CASE WHEN cc <= {DD.LSH_NEIGHBORHOOD} + 1 THEN (cc * (cc - 1)) // 2
+                         ELSE {DD.LSH_NEIGHBORHOOD} * cc
+                              - ({DD.LSH_NEIGHBORHOOD} * ({DD.LSH_NEIGHBORHOOD} + 1)) // 2 END)
+                AS BIGINT) AS n_cand_pairs
+    FROM st GROUP BY band
+    """,
+    tags=("DEDUP-minhash", "A14"),
+    doc="Text MinHash-LSH band diagnostics — the no-silent-caps visibility "
+    "query for the bounded candidate join: per band, bucket count, max raw "
+    "bucket population, members dropped by the 2000 cap, and the exact pair "
+    "volume the sorted-neighborhood join materializes (c(c-1)/2 small "
+    "buckets, w*c - w(w+1)/2 hot ones). An operator that truncates must "
+    "report what it truncated.",
+)
+def d_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = DD.minhash_bands(DD.shingle_hashes(_docs(spark, sf_dir)))
+    return DD.minhash_band_stats(bands)
 
 
 _POLY = poly_hash_duck_expr("s")
@@ -443,10 +487,17 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(b AS INTEGER) AS b, {_band_case()} AS band_key
       FROM sig, (SELECT unnest(range(0, {DD.N_BANDS})) AS b)
     ),
+    ranked AS (
+      SELECT doc_id, b, band_key,
+             row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS rk
+      FROM bands
+    ),
+    capped AS (SELECT * FROM ranked WHERE rk <= {DD.LSH_BUCKET_CAP}),
     cands AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2
-      FROM bands a JOIN bands b
-        ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b
+        ON a.b = b.b AND a.band_key = b.band_key
+       AND b.rk - a.rk BETWEEN 1 AND {DD.LSH_NEIGHBORHOOD}
       GROUP BY 1, 2
     ),
     verified AS (
