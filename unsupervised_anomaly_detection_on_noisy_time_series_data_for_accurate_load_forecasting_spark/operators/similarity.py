@@ -103,6 +103,66 @@ def cosine_topk(df: DataFrame, n_queries: int = 100, k: int = 5) -> DataFrame:
     )
 
 
+def hard_negatives_topk(
+    df: DataFrame, n_queries: int = 100, k: int = 3, label_col: str = "label"
+) -> DataFrame:
+    """Contrastive hard-negative mining — for each query vector, the top-k
+    highest-cosine corpus vectors with a DIFFERENT label: the pairs a
+    metric-learning / embedding fine-tune actually trains on (the nearest
+    same-label neighbors are trivial positives; the nearest OTHER-label
+    neighbors are the gradient-bearing negatives).
+
+    Same scale shape as :func:`cosine_topk`: the query side (n_queries
+    rows) broadcasts against the streaming corpus — one codegen'd FP dot
+    per pair as a deterministic pre-filter (everything within MARGIN of
+    the fast kth score survives), decimal-exact re-rank on the survivors,
+    per-query windows only. The label-disagreement predicate rides the
+    broadcast join condition, so mismatched pairs never materialize."""
+    e = (
+        df.select("vec_id", "embedding", label_col)
+        .withColumn("sq", dnorm_sq())
+        .filter(F.col("sq") > 0)
+    )
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("sq").alias("qsq"),
+        F.col(label_col).alias("q_label"),
+    )
+    pairs = (
+        e.select(
+            F.col("vec_id").alias("nid"),
+            "embedding",
+            F.col("sq").alias("nsq"),
+            F.col(label_col).alias("n_label"),
+        )
+        .join(
+            F.broadcast(q),
+            (F.col("qid") != F.col("nid")) & (F.col("q_label") != F.col("n_label")),
+        )
+        .withColumn(
+            "cos_fast",
+            F.expr(fdot_expr("qemb", "embedding")) / F.sqrt(F.col("qsq") * F.col("nsq")),
+        )
+    )
+    wf = W.partitionBy("qid").orderBy(F.col("cos_fast").desc(), F.col("nid").asc())
+    kth = F.max(F.when(F.col("rkf") == k, F.col("cos_fast"))).over(W.partitionBy("qid"))
+    survivors = (
+        pairs.withColumn("rkf", F.row_number().over(wf))
+        .withColumn("kth_fast", F.coalesce(kth, F.lit(-2.0)))
+        .filter(F.col("cos_fast") >= F.col("kth_fast") - F.lit(MARGIN))
+    )
+    exact = survivors.withColumn(
+        "cosine", F.expr(ddot_expr("qemb", "embedding")) / F.sqrt(F.col("qsq") * F.col("nsq"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "q_label", "nid", "n_label", "cosine", "rk")
+    )
+
+
 def _plane_matrix(n_planes: int = N_PLANES) -> "list[list[float]]":
     """The hyperplane weights w(i,k) = 2·U(i,k)−1, materialized ONCE on the
     driver from the shared RNG model. Bit-identical to what the SQL mirror

@@ -331,6 +331,91 @@ def value_entropy(events: DataFrame, n_bins: int = 16) -> DataFrame:
     )
 
 
+def psi_drift(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Population stability index per event_type between the first and
+    second half of the stream — the standard data-drift monitor a feature
+    pipeline runs before retraining (PSI < 0.1 stable, 0.1–0.25 moderate
+    shift, > 0.25 retrain).
+
+    Spec: the split point is the integer midpoint of the event_id range
+    (ids are arrival-ordered; an integer ``div`` split is bit-exact in
+    every engine, unlike epoch arithmetic on sub-second timestamps). Bin
+    edges are ``n_bins`` equal widths over period A's exact min/max (the
+    reference-period convention); period-B values outside A's range clamp
+    into the edge bins. Laplace-smoothed densities p = (c+1)/(n+n_bins)
+    keep empty bins finite, and every (p_b−p_a)·ln(p_b/p_a) term is
+    quantized to the 1e-9 lattice BEFORE the integer term-sum (the
+    value_entropy precedent — order-independent, and a 1-ulp libm
+    divergence cannot cross the 0.5e-9 boundary).
+
+    Scale shape: one combinable min/max agg per group, one (group, bin)
+    combinable count, group-key joins, a static bin grid — no window, no
+    sort, no collect; groups are event types, so skew is bounded by the
+    type alphabet."""
+    e = events.select("event_type", "event_id", "value")
+    rng_ = e.groupBy("event_type").agg(
+        F.min("event_id").alias("_i0"), F.max("event_id").alias("_i1")
+    )
+    j = e.join(rng_, "event_type").withColumn(
+        "_a", (F.col("event_id") <= F.expr("(_i0 + _i1) div 2")).cast("int")
+    )
+    amm = (
+        j.filter(F.col("_a") == 1)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    )
+    bin_expr = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo"))
+                    * F.lit(float(n_bins))
+                ).cast("int"),
+                F.lit(n_bins - 1),
+            ),
+        )
+    )
+    counts = (
+        j.join(amm, "event_type")
+        .withColumn("_bin", bin_expr)
+        .groupBy("event_type", "_bin")
+        .agg(
+            F.sum("_a").alias("ca"),
+            F.sum(F.lit(1) - F.col("_a")).alias("cb"),
+        )
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.expr(f"sequence(0, {n_bins - 1})")).alias("_bin"))
+    )
+    dense = (
+        grid.join(counts, ["event_type", "_bin"], "left")
+        .withColumn("ca", F.coalesce(F.col("ca"), F.lit(0)))
+        .withColumn("cb", F.coalesce(F.col("cb"), F.lit(0)))
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = f"(cast(ca as double) + 1.0D) / (cast(na as double) + {float(n_bins)}D)"
+    pb = f"(cast(cb as double) + 1.0D) / (cast(nb as double) + {float(n_bins)}D)"
+    term = F.expr(
+        f"cast(floor((({pb}) - ({pa})) * ln(({pb}) / ({pa})) * 1000000000.0D + 0.5D) as bigint)"
+    )
+    return (
+        dense.join(tot, "event_type")
+        .withColumn("_t", term)
+        .groupBy("event_type")
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            (F.sum("_t").cast("double") / F.lit(1e9)).alias("psi"),
+        )
+    )
+
+
 def asof_join_forward(
     left: DataFrame,
     right: DataFrame,

@@ -146,6 +146,43 @@ def s_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(_emb(spark, sf_dir), n_queries=100, k=5)
 
 
+@register(
+    "s_hard_negatives",
+    oracle=f"""
+    WITH {_LONG},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    nm AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM long GROUP BY 1),
+    dots AS (
+      SELECT q.vec_id AS qid, t.vec_id AS nid, {dsum_sql('q.x * t.x')} AS dot
+      FROM long q JOIN long t ON q.i = t.i AND q.vec_id < 100 AND q.vec_id != t.vec_id
+      GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT qid, ql.label AS q_label, nid, nl.label AS n_label,
+             dot / sqrt(qn.sq * tn.sq) AS cosine
+      FROM dots JOIN nm qn ON qid = qn.vec_id JOIN nm tn ON nid = tn.vec_id
+                JOIN lab ql ON qid = ql.vec_id JOIN lab nl ON nid = nl.vec_id
+      WHERE ql.label != nl.label
+    ),
+    rk AS (
+      SELECT qid, q_label, nid, n_label, cosine,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS INTEGER) AS rk
+      FROM cos
+    )
+    SELECT qid, q_label, nid, n_label, cosine, rk FROM rk WHERE rk <= 3
+    """,
+    tags=("SIM-bruteforce", "J5", "O3", "M24"),
+    doc="Contrastive hard-negative mining: per query vector, the top-3 "
+    "highest-cosine corpus vectors with a DIFFERENT label — the gradient-"
+    "bearing pairs an embedding fine-tune trains on. Broadcast query side, "
+    "label-disagreement predicate inside the join condition (mismatched "
+    "pairs never materialize), FP pre-filter + decimal-exact re-rank, "
+    "per-query windows only.",
+)
+def s_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.hard_negatives_topk(_emb(spark, sf_dir), n_queries=100, k=3)
+
+
 _W = f"(2.0 * {rng_uniform_sql('i', 'k', salt=SIM.PLANE_SALT)} - 1.0)"
 
 # banded LSH candidate CTEs: 4 bands × 8 planes, per-bucket cap, distinct pairs

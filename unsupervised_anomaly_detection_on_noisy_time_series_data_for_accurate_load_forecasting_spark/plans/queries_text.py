@@ -134,6 +134,102 @@ def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_cohens_kappa",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, lang,
+             {_marker_duck('en')} AS n_en, {_marker_duck('fr')} AS n_fr,
+             {_marker_duck('de')} AS n_de, {_marker_duck('es')} AS n_es,
+             length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0 AS has_cjk
+      FROM documents
+    ),
+    pred AS (
+      SELECT source, lang,
+             CASE WHEN has_cjk THEN 'zh'
+                  WHEN n_en >= greatest(n_fr, n_de, n_es) AND n_en > 0 THEN 'en'
+                  WHEN n_fr >= greatest(n_de, n_es) AND n_fr > 0 THEN 'fr'
+                  WHEN n_de >= n_es AND n_de > 0 THEN 'de'
+                  WHEN n_es > 0 THEN 'es'
+                  ELSE 'unknown' END AS pred_lang
+      FROM pred_base
+    ),
+    cm AS (SELECT source, lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT source, sum(n) AS n,
+             sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS agree
+      FROM cm GROUP BY 1
+    ),
+    rows_ AS (SELECT source, lang AS lbl, sum(n) AS rn FROM cm GROUP BY 1, 2),
+    cols_ AS (SELECT source, pred_lang AS lbl, sum(n) AS cn FROM cm GROUP BY 1, 2),
+    marg AS (
+      SELECT coalesce(r.source, c.source) AS source,
+             sum(coalesce(r.rn, 0) * coalesce(c.cn, 0)) AS rc
+      FROM rows_ r FULL JOIN cols_ c ON r.source = c.source AND r.lbl = c.lbl
+      GROUP BY 1
+    )
+    SELECT t.source, CAST(t.n AS BIGINT) AS n_docs,
+           floor((CAST(t.agree AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1000000000.0 + 0.5) / 1000000000.0 AS po,
+           floor((CAST(m.rc AS DOUBLE) / CAST(t.n * t.n AS DOUBLE)) * 1000000000.0 + 0.5) / 1000000000.0 AS pe,
+           CASE WHEN m.rc = t.n * t.n THEN 0.0
+                ELSE floor(((CAST(t.agree AS DOUBLE) / CAST(t.n AS DOUBLE)
+                             - CAST(m.rc AS DOUBLE) / CAST(t.n * t.n AS DOUBLE))
+                            / (1.0 - CAST(m.rc AS DOUBLE) / CAST(t.n * t.n AS DOUBLE)))
+                           * 1000000000.0 + 0.5) / 1000000000.0
+           END AS kappa
+    FROM tot t JOIN marg m USING (source)
+    """.replace("FROM pred_base", "FROM scored"),
+    tags=("TXT-langid", "A10"),
+    doc="Cohen's kappa per source between the marker-based langid heuristic "
+    "and the labeled lang column — chance-corrected inter-rater agreement, "
+    "the standard acceptance metric for a labeling/classification pipeline. "
+    "po and pe are exact integer-count ratios (row x column marginal "
+    "products), kappa = (po-pe)/(1-pe), all quantized at 1e-9. Combinable "
+    "counts + marginal joins on (source, label) — no window, no collect.",
+)
+def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cm = (
+        d.select("source", "lang", TX.predicted_lang().alias("pred_lang"))
+        .groupBy("source", "lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cm.groupBy("source").agg(
+        F.sum("n").alias("n"),
+        F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    rows_ = cm.groupBy("source", F.col("lang").alias("lbl")).agg(F.sum("n").alias("rn"))
+    cols_ = cm.groupBy("source", F.col("pred_lang").alias("lbl")).agg(
+        F.sum("n").alias("cn")
+    )
+    marg = (
+        rows_.join(cols_, ["source", "lbl"], "full")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rn"), F.lit(0)) * F.coalesce(F.col("cn"), F.lit(0))
+            ).alias("rc")
+        )
+    )
+    po = "cast(agree as double) / cast(n as double)"
+    pe = "cast(rc as double) / cast(n * n as double)"
+    q9 = lambda x: f"floor(({x}) * 1000000000.0D + 0.5D) / 1000000000.0D"
+    return (
+        tot.join(marg, "source")
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.expr(q9(po)).alias("po"),
+            F.expr(q9(pe)).alias("pe"),
+            F.expr(
+                f"CASE WHEN rc = n * n THEN 0.0D ELSE {q9(f'(({po}) - ({pe})) / (1.0D - ({pe}))')} END"
+            ).alias("kappa"),
+        )
+    )
+
+
+@register(
     "t_fingerprint_dedup",
     oracle="""
     WITH fp AS (
@@ -242,6 +338,25 @@ def _band_case() -> str:
     return f"CASE b {whens} END"
 
 
+_MH_PAIRS_MEMO: dict[str, DataFrame] = {}
+
+
+def _mh_pairs_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted text-MinHash verified pair set at the LOWEST threshold any
+    consumer uses (0.2) — the _near_pairs_02 discipline applied to the text
+    path: the shingle/band/verify chain runs once per session and every
+    higher-threshold consumer (the 0.5 cluster histogram) is a pure filter
+    of this materialization (candidates are threshold-independent, so the
+    filtered set is exactly minhash_lsh_dedup at the higher threshold)."""
+    if sf_dir not in _MH_PAIRS_MEMO:
+        for k in list(_MH_PAIRS_MEMO):
+            _MH_PAIRS_MEMO.pop(k).unpersist(False)
+        p = DD.minhash_lsh_dedup(_docs(spark, sf_dir), min_jaccard=0.2)
+        p.persist()
+        _MH_PAIRS_MEMO[sf_dir] = p
+    return _MH_PAIRS_MEMO[sf_dir]
+
+
 @register(
     "d_minhash_lsh_pairs",
     oracle=f"""
@@ -280,7 +395,7 @@ def _band_case() -> str:
     "exactly in the oracle's ranked/capped CTEs.",
 )
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_lsh_dedup(_docs(spark, sf_dir), min_jaccard=0.2)
+    return _mh_pairs_02(spark, sf_dir)
 
 
 @register(
@@ -313,6 +428,76 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = DD.minhash_bands(DD.shingle_hashes(_docs(spark, sf_dir)))
     return DD.minhash_band_stats(bands)
+
+
+@register(
+    "d_dup_cluster_hist",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTES},
+    sig AS (SELECT doc_id, {_sig_cols()} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, CAST(b AS INTEGER) AS b, {_band_case()} AS band_key
+      FROM sig, (SELECT unnest(range(0, {DD.N_BANDS})) AS b)
+    ),
+    ranked AS (
+      SELECT doc_id, b, band_key,
+             row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS rk
+      FROM bands
+    ),
+    capped AS (SELECT * FROM ranked WHERE rk <= {DD.LSH_BUCKET_CAP}),
+    cands AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM capped a JOIN capped b
+        ON a.b = b.b AND a.band_key = b.band_key
+       AND b.rk - a.rk BETWEEN 1 AND {DD.LSH_NEIGHBORHOOD}
+      GROUP BY 1, 2
+    ),
+    ids AS (SELECT d1 AS doc_id FROM cands UNION SELECT d2 FROM cands),
+    ex AS (SELECT doc_id, shingle FROM sh WHERE doc_id IN (SELECT doc_id FROM ids)),
+    {_JACCARD_TAIL},
+    near AS (
+      SELECT j.d1, j.d2 FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
+      WHERE j.jaccard >= 0.5
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM near UNION ALL SELECT d2, d1 FROM near),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, lab) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+    ),
+    labf AS (SELECT v, min(lab) AS cluster FROM reach GROUP BY v),
+    sz AS (SELECT cluster, count(*) AS csize FROM labf GROUP BY 1)
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(csize * count(*) AS BIGINT) AS n_docs,
+           CAST((csize - 1) * count(*) AS BIGINT) AS n_removable
+    FROM sz GROUP BY csize
+    """,
+    tags=("DEDUP-minhash", "DEDUP-cc", "A14"),
+    doc="Dedup-savings accounting: connected components over the text "
+    "MinHash near-dup graph (Jaccard >= 0.5 verified pairs), rolled up to a "
+    "cluster-size histogram — n_clusters / n_docs / n_removable per size, "
+    "the numbers a 100 TB dedup policy decision actually reads (keep-one-"
+    "per-cluster savings = sum of n_removable). Singleton docs (no near-dup "
+    "edge) are out of the graph by construction. Same BSP min-label + "
+    "pointer-jumping CC as d_cc_clusters; oracle = DuckDB recursive CTE "
+    "over the identically-bounded pair graph.",
+)
+def d_dup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _mh_pairs_02(spark, sf_dir).filter(F.col("jaccard") >= 0.5).select("d1", "d2")
+    cc = DD.connected_components(pairs)
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
+    return sizes.groupBy("csize").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("csize") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        ((F.col("csize") - 1) * F.count(F.lit(1))).cast("bigint").alias("n_removable"),
+    ).select(
+        F.col("csize").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "n_removable",
+    )
 
 
 _POLY = poly_hash_duck_expr("s")

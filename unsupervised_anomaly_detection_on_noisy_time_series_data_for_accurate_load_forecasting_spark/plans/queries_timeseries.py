@@ -638,6 +638,65 @@ def j_range_gap_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_psi_drift",
+    oracle="""
+    WITH e AS (SELECT event_type, event_id, value FROM events),
+    r AS (SELECT event_type, min(event_id) AS i0, max(event_id) AS i1 FROM e GROUP BY 1),
+    j AS (
+      SELECT e.event_type, e.value,
+             CASE WHEN e.event_id <= (r.i0 + r.i1) // 2 THEN 1 ELSE 0 END AS a
+      FROM e JOIN r USING (event_type)
+    ),
+    amm AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM j WHERE a = 1 GROUP BY 1
+    ),
+    b AS (
+      SELECT j.event_type, j.a,
+             CASE WHEN m.hi = m.lo THEN 0
+                  ELSE greatest(0, least(CAST(floor((j.value - m.lo) / (m.hi - m.lo) * 10.0) AS INTEGER), 9))
+             END AS bin
+      FROM j JOIN amm m USING (event_type)
+    ),
+    c AS (SELECT event_type, bin, sum(a) AS ca, sum(1 - a) AS cb FROM b GROUP BY 1, 2),
+    grid AS (
+      SELECT event_type, g.bin
+      FROM (SELECT DISTINCT event_type FROM c), (SELECT unnest(range(0, 10)) AS bin) g
+    ),
+    dense AS (
+      SELECT grid.event_type, grid.bin,
+             coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+      FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.bin = c.bin
+    ),
+    tot AS (SELECT event_type, sum(ca) AS na, sum(cb) AS nb FROM dense GROUP BY 1),
+    t AS (
+      SELECT d.event_type,
+             CAST(floor((((CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + 10.0))
+                         - ((CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + 10.0)))
+                        * ln(((CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + 10.0))
+                             / ((CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + 10.0)))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS ti,
+             na, nb
+      FROM dense d JOIN tot USING (event_type)
+    )
+    SELECT event_type, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(sum(ti) AS DOUBLE) / 1000000000.0 AS psi
+    FROM t GROUP BY 1
+    """,
+    tags=("A6", "A13", "A14", "F7"),
+    doc="Population stability index per event_type between the first and "
+    "second half of the stream (integer event_id midpoint split): 10 "
+    "equal-width bins over period A's min/max, Laplace-smoothed densities, "
+    "each (pb-pa)*ln(pb/pa) term quantized to the 1e-9 lattice before an "
+    "order-independent integer sum — the data-drift monitor a feature "
+    "pipeline runs before retraining. Combinable aggs + group-key joins "
+    "only; no window, no sort, no collect.",
+)
+def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TSO.psi_drift(_events(spark, sf_dir))
+
+
+@register(
     "a_value_entropy",
     oracle="""
     WITH s AS (
