@@ -416,6 +416,65 @@ def psi_drift(events: DataFrame, n_bins: int = 10) -> DataFrame:
     )
 
 
+def ks_drift(events: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per event_type between the
+    first and second half of the stream (same integer event_id midpoint
+    split as :func:`psi_drift`) — the distribution-free companion to PSI:
+    KS = max_x |F_a(x) − F_b(x)|, sensitive to any CDF gap rather than
+    binned density shifts.
+
+    INTEGER-EXACT cross-engine: the running CDFs are cumulative integer
+    counts over the per-type sorted distinct values, and the max gap is
+    compared via cross-multiplication — max |cum_a·n_b − cum_b·n_a| — so no
+    float division happens until the single final ratio (BIGINT products
+    are exact here for per-group counts up to ~3e9; beyond that, widen the
+    two products to DECIMAL(38,0) — same plan shape).
+
+    Scale shape: one combinable (type, value) count, one per-TYPE window
+    over distinct values (partition key = event type, never a global
+    sort), one combinable max — group cardinality is the type alphabet, so
+    the window partitions are bounded and skew-free."""
+    e = events.select("event_type", "event_id", "value")
+    rng_ = e.groupBy("event_type").agg(
+        F.min("event_id").alias("_i0"), F.max("event_id").alias("_i1")
+    )
+    j = e.join(rng_, "event_type").withColumn(
+        "_a", (F.col("event_id") <= F.expr("(_i0 + _i1) div 2")).cast("int")
+    )
+    counts = j.groupBy("event_type", "value").agg(
+        F.sum("_a").alias("ca"), F.sum(F.lit(1) - F.col("_a")).alias("cb")
+    )
+    w = W.partitionBy("event_type").orderBy("value")
+    cum = counts.withColumn("cum_ca", F.sum("ca").over(w)).withColumn(
+        "cum_cb", F.sum("cb").over(w)
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    gap = F.abs(
+        F.col("cum_ca").cast("bigint") * F.col("nb")
+        - F.col("cum_cb").cast("bigint") * F.col("na")
+    )
+    return (
+        cum.join(tot, "event_type")
+        .withColumn("_gap", gap)
+        .groupBy("event_type")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.max("_gap").alias("_num"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.expr(
+                "cast(_num as double) / (cast(n_a as double) * cast(n_b as double))"
+            ).alias("ks"),
+        )
+    )
+
+
 def asof_join_forward(
     left: DataFrame,
     right: DataFrame,

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum_sql
-from ..functions.rng import M
+from ..functions.rng import M, rng_uniform, rng_uniform_sql
 from ..operators import dedup as DD
 from ..operators import textops as TX
 from ..operators.textops import poly_hash_duck_expr
@@ -226,6 +226,53 @@ def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CASE WHEN rc = n * n THEN 0.0D ELSE {q9(f'(({po}) - ({pe})) / (1.0D - ({pe}))')} END"
             ).alias("kappa"),
         )
+    )
+
+
+@register(
+    "u_train_leakage",
+    oracle=f"""
+    WITH s AS (
+      SELECT md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp,
+             CASE WHEN {rng_uniform_sql('doc_id', salt=37)} < 0.8 THEN 1 ELSE 0 END AS is_train
+      FROM documents
+    ),
+    g AS (
+      SELECT fp, sum(is_train) AS ct, sum(1 - is_train) AS cv
+      FROM s GROUP BY fp
+    )
+    SELECT CAST(sum(ct) AS BIGINT) AS n_train,
+           CAST(sum(cv) AS BIGINT) AS n_val,
+           CAST(sum(CASE WHEN ct > 0 AND cv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_fps,
+           CAST(sum(CASE WHEN ct > 0 THEN cv ELSE 0 END) AS BIGINT) AS n_leaked_val_docs
+    FROM g
+    """,
+    tags=("U4", "F8", "DEDUP-exact", "A13"),
+    doc="Train/val split-hygiene audit: after the seeded 80/20 hash split, "
+    "count normalized-fingerprint groups spanning BOTH splits and the val "
+    "docs whose fingerprint also appears in train — the leakage number a "
+    "training pipeline must drive to zero before an eval claim (the "
+    "split-level complement of benchmark decontamination). One combinable "
+    "fingerprint groupBy + one global agg; no window, no collect.",
+)
+def u_train_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    s = d.select(
+        TX.fingerprint().alias("fp"),
+        (rng_uniform(F.col("doc_id"), salt=37) < 0.8).cast("int").alias("is_train"),
+    )
+    g = s.groupBy("fp").agg(
+        F.sum("is_train").alias("ct"), F.sum(F.lit(1) - F.col("is_train")).alias("cv")
+    )
+    return g.agg(
+        F.sum("ct").cast("bigint").alias("n_train"),
+        F.sum("cv").cast("bigint").alias("n_val"),
+        F.sum(F.when((F.col("ct") > 0) & (F.col("cv") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaked_fps"),
+        F.sum(F.when(F.col("ct") > 0, F.col("cv")).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaked_val_docs"),
     )
 
 

@@ -697,6 +697,49 @@ def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_ks_drift",
+    oracle="""
+    WITH e AS (SELECT event_type, event_id, value FROM events),
+    r AS (SELECT event_type, min(event_id) AS i0, max(event_id) AS i1 FROM e GROUP BY 1),
+    j AS (
+      SELECT e.event_type, e.value,
+             CASE WHEN e.event_id <= (r.i0 + r.i1) // 2 THEN 1 ELSE 0 END AS a
+      FROM e JOIN r USING (event_type)
+    ),
+    c AS (
+      SELECT event_type, value,
+             CAST(sum(a) AS BIGINT) AS ca, CAST(sum(1 - a) AS BIGINT) AS cb
+      FROM j GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, value, ca, cb,
+             sum(ca) OVER w AS cum_ca, sum(cb) OVER w AS cum_cb
+      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM c GROUP BY 1
+    )
+    SELECT cum.event_type,
+           max(tot.na) AS n_a, max(tot.nb) AS n_b,
+           CAST(max(abs(CAST(cum_ca AS BIGINT) * tot.nb - CAST(cum_cb AS BIGINT) * tot.na)) AS DOUBLE)
+             / (CAST(max(tot.na) AS DOUBLE) * CAST(max(tot.nb) AS DOUBLE)) AS ks
+    FROM cum JOIN tot USING (event_type)
+    GROUP BY 1
+    """,
+    tags=("A6", "A13", "F7"),
+    doc="Two-sample Kolmogorov-Smirnov drift per event_type (same integer "
+    "event_id midpoint split as a_psi_drift): KS = max CDF gap, computed "
+    "integer-exactly via cross-multiplied cumulative counts over per-type "
+    "sorted distinct values — no float until the single final ratio. The "
+    "distribution-free companion the PSI monitor pairs with. Per-TYPE "
+    "windows only (bounded partitions), combinable counts.",
+)
+def a_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TSO.ks_drift(_events(spark, sf_dir))
+
+
+@register(
     "a_value_entropy",
     oracle="""
     WITH s AS (
