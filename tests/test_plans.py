@@ -50,6 +50,12 @@ def _formatted(df) -> str:
         "a_retention_cohorts",
         "a_basket_lift",
         "s_weighted_sample",
+        "a_psi_drift",
+        "a_ks_drift",
+        "a_cohens_kappa",
+        "u_train_leakage",
+        "p_dp_counts",
+        "pipeline_near_dedup",
     ],
 )
 def test_no_single_task_global_window(spark, sf_dir, name):
@@ -398,6 +404,29 @@ def test_fuzzy_edit_pairs_never_broadcasts_text(spark, sf_dir):
         assert "_t1" not in m.group(0) and "_t2" not in m.group(0)
     assert not re.search(r"BroadcastHashJoin[^\n]*_t[12]", plan)
     assert "_rk" in plan, "fuzzy candidates must come from the bounded LSH join"
+
+
+def test_hard_negatives_broadcasts_query_side_only(spark, sf_dir):
+    """Hard-negative mining must broadcast the (n_queries-row) query side —
+    the corpus streams — and its only windows are per-query top-k, never a
+    single-partition global sort."""
+    df = REGISTRY["s_hard_negatives"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan, "query side must broadcast"
+    assert not _GLOBAL_WINDOW.search(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_drift_monitors_are_combinable_aggs(spark, sf_dir):
+    """PSI is pure combinable aggregates (no window at all); KS's only
+    window partitions by event_type (bounded alphabet) — neither may
+    nested-loop or globally sort."""
+    psi = _plan(REGISTRY["a_psi_drift"].spark(spark, sf_dir))
+    assert "Window" not in psi, "PSI must need no window"
+    assert "BroadcastNestedLoopJoin" not in psi
+    ks = _plan(REGISTRY["a_ks_drift"].spark(spark, sf_dir))
+    assert not _GLOBAL_WINDOW.search(ks)
+    assert "BroadcastNestedLoopJoin" not in ks
 
 
 def test_lpa_rounds_are_hash_join_plus_combinable_aggs(spark, sf_dir):

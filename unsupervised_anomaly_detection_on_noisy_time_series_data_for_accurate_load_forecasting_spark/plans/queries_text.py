@@ -11,7 +11,7 @@ from ..functions.exact import dsum_sql
 from ..functions.rng import M, rng_uniform, rng_uniform_sql
 from ..operators import dedup as DD
 from ..operators import textops as TX
-from ..operators.textops import poly_hash_duck_expr
+from ..operators.textops import poly_hash_duck_expr, poly_hash_sql_expr
 from ..sources.readers import load_table
 from .registry import register
 
@@ -277,6 +277,50 @@ def u_train_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p_dp_counts",
+    oracle=f"""
+    WITH g AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+    k AS (SELECT source, lang, n,
+                 {poly_hash_duck_expr("concat(source, '|', lang)")} AS hk
+          FROM g),
+    u AS (SELECT source, lang, n, {rng_uniform_sql('hk', salt=73)} - 0.5 AS v FROM k)
+    SELECT source, lang, CAST(n AS BIGINT) AS n_true,
+           floor((CAST(n AS DOUBLE)
+                  + (CASE WHEN v >= 0 THEN -1.0 ELSE 1.0 END)
+                    * ln(greatest(1.0 - 2.0 * abs(v), 0.000000000001)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS n_noisy
+    FROM u
+    """,
+    tags=("P-privacy", "F8", "F7"),
+    doc="Differentially-private release of per-(source, lang) counts: "
+    "Laplace(b = 1/eps, eps = 1, count sensitivity 1) noise drawn by "
+    "inverse CDF from the seeded cross-engine RNG keyed on the group's "
+    "polynomial hash — deterministic, bit-reproducible in the oracle, and "
+    "still a valid DP mechanism for a single fixed release (the privacy "
+    "argument needs fresh randomness per release; the seeded draw IS that "
+    "one release). Complements p_kanonymity: suppression vs noise — the "
+    "two privacy primitives an aggregate-publishing pipeline ships. "
+    "Map-side-combinable count + pure column math; noise quantized 1e-6.",
+)
+def p_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+
+    d = _docs(spark, sf_dir)
+    g = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    hk = F.expr(poly_hash_sql_expr("concat(source, '|', lang)"))
+    v = rng_uniform(hk, salt=73) - F.lit(0.5)
+    noise = F.when(v >= 0, F.lit(-1.0)).otherwise(F.lit(1.0)) * F.log(
+        F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(v), F.lit(1e-12))
+    )
+    return g.select(
+        "source",
+        "lang",
+        F.col("n").cast("bigint").alias("n_true"),
+        qround(F.col("n").cast("double") + noise, 6).alias("n_noisy"),
+    )
+
+
+@register(
     "t_fingerprint_dedup",
     oracle="""
     WITH fp AS (
@@ -477,10 +521,9 @@ def d_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_band_stats(bands)
 
 
-@register(
-    "d_dup_cluster_hist",
-    oracle=f"""
-    WITH RECURSIVE {_SH_CTES},
+# the full text-MinHash → verified-pairs → recursive-CC oracle chain at
+# Jaccard ≥ 0.5, shared by d_dup_cluster_hist and pipeline_near_dedup
+_MH_CC_CTES = f"""{_SH_CTES},
     sig AS (SELECT doc_id, {_sig_cols()} FROM sh GROUP BY doc_id),
     bands AS (
       SELECT doc_id, CAST(b AS INTEGER) AS b, {_band_case()} AS band_key
@@ -513,7 +556,32 @@ def d_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
     ),
-    labf AS (SELECT v, min(lab) AS cluster FROM reach GROUP BY v),
+    labf AS (SELECT v, min(lab) AS cluster FROM reach GROUP BY v)"""
+
+
+_MH_CC_MEMO: dict[str, DataFrame] = {}
+
+
+def _mh_cc_05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted connected-components labels over the 0.5-Jaccard near-dup
+    graph — shared by the cluster histogram and the composed dedup
+    pipeline, so the BSP label-propagation rounds run once per session."""
+    if sf_dir not in _MH_CC_MEMO:
+        for k in list(_MH_CC_MEMO):
+            _MH_CC_MEMO.pop(k).unpersist(False)
+        pairs = (
+            _mh_pairs_02(spark, sf_dir).filter(F.col("jaccard") >= 0.5).select("d1", "d2")
+        )
+        cc = DD.connected_components(pairs)
+        cc.persist()
+        _MH_CC_MEMO[sf_dir] = cc
+    return _MH_CC_MEMO[sf_dir]
+
+
+@register(
+    "d_dup_cluster_hist",
+    oracle=f"""
+    WITH RECURSIVE {_MH_CC_CTES},
     sz AS (SELECT cluster, count(*) AS csize FROM labf GROUP BY 1)
     SELECT CAST(csize AS BIGINT) AS cluster_size,
            count(*) AS n_clusters,
@@ -532,8 +600,7 @@ def d_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over the identically-bounded pair graph.",
 )
 def d_dup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _mh_pairs_02(spark, sf_dir).filter(F.col("jaccard") >= 0.5).select("d1", "d2")
-    cc = DD.connected_components(pairs)
+    cc = _mh_cc_05(spark, sf_dir)
     sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
     return sizes.groupBy("csize").agg(
         F.count(F.lit(1)).alias("n_clusters"),
@@ -544,6 +611,49 @@ def d_dup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clusters",
         "n_docs",
         "n_removable",
+    )
+
+
+@register(
+    "pipeline_near_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_MH_CC_CTES},
+    dropped AS (SELECT v AS doc_id FROM labf WHERE cluster != v)
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    GROUP BY d.source
+    """,
+    tags=("DEDUP-minhash", "DEDUP-cc", "U5", "A13"),
+    doc="The near-dedup CORPUS OPERATION end to end, as one plan over the "
+    "session memos: MinHash-LSH verified pairs (>= 0.5 Jaccard) -> "
+    "connected components -> keep the min-id representative per cluster -> "
+    "per-source kept/dropped accounting with retained char volume. The "
+    "drop set is an anti-join of cluster non-representatives against the "
+    "corpus — the exact shape a 100 TB dedup job ships (dedup never "
+    "rewrites the corpus; it emits a keep-list).",
+)
+def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cc = _mh_cc_05(spark, sf_dir)
+    dropped = cc.filter(F.col("cluster") != F.col("vertex")).select(
+        F.col("vertex").alias("doc_id")
+    )
+    flagged = d.join(dropped.withColumn("_dr", F.lit(1)), "doc_id", "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("_dr").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("_dr").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("_dr").isNull(), F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
     )
 
 
