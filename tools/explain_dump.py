@@ -258,6 +258,40 @@ PICKS = [
         "BOTH scans before any shuffle; frequency join runs on sampled key "
         "dims only.",
     ),
+    (
+        "d_minhash_lsh_pairs",
+        "r8 bounded text-LSH: the (band, band_key) candidate self-join goes "
+        "through the ranked sorted-neighborhood frame (Window partitioned by "
+        "the bucket key, rank-distance filter in the join condition, bucket "
+        "cap 2000) — hot buckets yield O(members) pairs, and the sizes join "
+        "in the Jaccard verify is shuffle_hash, never a corpus-sized "
+        "broadcast.",
+    ),
+    (
+        "d_fuzzy_edit_pairs",
+        "r8 no-text-broadcast: the Levenshtein verify joins candidate texts "
+        "shuffle-side (shuffle_hash hints) after a semi-prune on candidate "
+        "ids — no BroadcastExchange carries a text column at any scale.",
+    ),
+    (
+        "s_hard_negatives",
+        "Contrastive hard-negative mining: the n_queries-row query side "
+        "broadcasts with the label-disagreement predicate inside the join "
+        "condition; per-query top-k windows only.",
+    ),
+    (
+        "a_ks_drift",
+        "Integer-exact KS drift: cumulative counts over per-type sorted "
+        "distinct values (Window partitioned by event_type — bounded "
+        "alphabet, never global), cross-multiplied max gap, one final "
+        "division.",
+    ),
+    (
+        "pipeline_near_dedup",
+        "End-to-end keep-list dedup: the cluster non-representative set "
+        "left-joins the corpus (keep-list shape — dedup never rewrites the "
+        "corpus); upstream pair generation is the bounded LSH join above.",
+    ),
 ]
 
 
