@@ -4,7 +4,7 @@ dedup, n-gram Jaccard, MinHash+LSH, SimHash)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum_sql
@@ -274,6 +274,89 @@ def u_train_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_leaked_val_docs"),
     )
+
+
+@register(
+    "t_rake_keywords",
+    oracle=f"""
+    WITH tl AS (
+      SELECT doc_id, unnest(range(1, len({_TOKS}) + 1)) AS pos, unnest({_TOKS}) AS tok
+      FROM documents
+    ),
+    ns AS (
+      SELECT doc_id, pos, tok,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM tl WHERE tok NOT IN ({_STOP})
+    ),
+    ph AS (
+      SELECT doc_id, isl,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             count(*) AS n_words
+      FROM ns GROUP BY 1, 2
+    ),
+    wp AS (
+      SELECT ns.doc_id, ns.isl, ns.tok, ph.n_words
+      FROM ns JOIN ph ON ns.doc_id = ph.doc_id AND ns.isl = ph.isl
+    ),
+    ws AS (
+      SELECT tok,
+             CAST(floor((CAST(sum(n_words) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS wq
+      FROM wp GROUP BY tok
+    ),
+    psc AS (
+      SELECT wp.doc_id, wp.isl, sum(ws.wq) AS sq
+      FROM wp JOIN ws USING (tok) GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT ph.phrase, count(*) AS n_occurrences,
+             CAST(max(psc.sq) AS DOUBLE) / 1000000.0 AS score
+      FROM ph JOIN psc ON ph.doc_id = psc.doc_id AND ph.isl = psc.isl
+      GROUP BY ph.phrase
+    )
+    SELECT phrase, n_occurrences, score
+    FROM agg ORDER BY score DESC, phrase ASC LIMIT 40
+    """,
+    tags=("TXT-tokens", "TXT-quality", "O3"),
+    doc="RAKE keyword extraction: candidate phrases are maximal stopword-"
+    "free token runs (per-doc gaps-and-islands), word score = degree/freq "
+    "over the whole corpus (degree = sum of containing-phrase lengths), "
+    "phrase score = sum of its word scores — each word score quantized to "
+    "the 1e-6 lattice before the integer phrase-sum (the TF-IDF "
+    "precedent), global top-40 via TakeOrdered. Per-doc windows + "
+    "combinable word stats; the word table is vocabulary-sized.",
+)
+def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tl = DD.token_long(d)
+    ns = tl.filter(~F.col("tok").isin(*TX.STOPWORDS)).withColumn(
+        "isl",
+        F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    ph = ns.groupBy("doc_id", "isl").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    wp = ns.join(ph.select("doc_id", "isl", "n_words"), ["doc_id", "isl"])
+    ws = wp.groupBy("tok").agg(
+        F.expr(
+            "cast(floor((cast(sum(n_words) as double) / cast(count(1) as double))"
+            " * 1000000.0D + 0.5D) as bigint)"
+        ).alias("wq")
+    )
+    psc = wp.join(ws, "tok").groupBy("doc_id", "isl").agg(F.sum("wq").alias("sq"))
+    agg = (
+        ph.join(psc, ["doc_id", "isl"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            (F.max("sq").cast("double") / F.lit(1e6)).alias("score"),
+        )
+    )
+    return agg.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(40)
 
 
 @register(

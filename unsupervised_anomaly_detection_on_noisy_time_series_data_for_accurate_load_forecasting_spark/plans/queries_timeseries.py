@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import davg_sql, dsum, dsum_sql, dvar_sql
-from ..functions.rng import rng_uniform_sql
+from ..functions.rng import rng_uniform, rng_uniform_sql
 from ..operators import anomaly as AN
 from ..operators import timeseries as TSO
 from ..operators.timeseries import SID, TS, VAL
@@ -634,6 +634,129 @@ def j_range_gap_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(SID, "run_start").agg(
         F.count(F.lit(1)).alias("n_ctx_points"),
         dsum(VAL).alias("ctx_sum"),
+    )
+
+
+@register(
+    "a_markov_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, to_type, count(*) AS n
+      FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, sum(n) AS tn FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           floor((CAST(c.n AS DOUBLE) / CAST(t.tn AS DOUBLE)) * 1000000000.0 + 0.5)
+             / 1000000000.0 AS p
+    FROM c JOIN t USING (from_type)
+    """,
+    tags=("W5", "A10", "F4"),
+    doc="First-order Markov transition matrix over per-user event journeys "
+    "(deterministic (ts, event_id) ordering): transition counts and "
+    "row-normalized probabilities — the user-journey model behind "
+    "next-action prediction and funnel leak analysis. One per-USER window "
+    "(bounded partitions) + combinable counts; the matrix is "
+    "|alphabet|^2 rows at any corpus size.",
+)
+def a_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.withColumn("to_type", F.lead("event_type", 1).over(w)).filter(
+        F.col("to_type").isNotNull()
+    )
+    c = t.groupBy(F.col("event_type").alias("from_type"), "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("tn"))
+    return c.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        qround(F.col("n").cast("double") / F.col("tn").cast("double"), 9).alias("p"),
+    )
+
+
+@register(
+    "a_abtest_ztest",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN {rng_uniform_sql('user_id', salt=53)} < 0.5 THEN 'A' ELSE 'B' END AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT variant, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+      FROM u GROUP BY 1
+    ),
+    wide AS (
+      SELECT max(CASE WHEN variant = 'A' THEN n END) AS na,
+             max(CASE WHEN variant = 'A' THEN conv END) AS xa,
+             max(CASE WHEN variant = 'B' THEN n END) AS nb,
+             max(CASE WHEN variant = 'B' THEN conv END) AS xb
+      FROM v
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS conv_b,
+           floor(((CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+                   - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+                  / sqrt((CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                         * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                         * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS z_score
+    FROM wide
+    """,
+    tags=("U4", "F8", "A10"),
+    doc="Two-proportion z-test for a seeded 50/50 user-level A/B split "
+    "(conversion = any purchase with value > 150): pooled-variance z-score over exact "
+    "integer counts, quantized 1e-6 — the experimentation readout a "
+    "product-analytics pipeline ships next to the funnel. Per-user "
+    "combinable max + two tiny aggs; no window.",
+)
+def a_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150.0), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn(
+        "variant",
+        F.when(rng_uniform(F.col("user_id"), salt=53) < 0.5, F.lit("A")).otherwise(
+            F.lit("B")
+        ),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("bigint").alias("conv")
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("xa"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("xb"),
+    )
+    pa = "cast(xa as double) / cast(na as double)"
+    pb = "cast(xb as double) / cast(nb as double)"
+    pp = "cast(xa + xb as double) / cast(na + nb as double)"
+    z = (
+        f"floor((({pa} - {pb}) / sqrt(({pp}) * (1.0D - ({pp})) "
+        f"* (1.0D / cast(na as double) + 1.0D / cast(nb as double)))) "
+        f"* 1000000.0D + 0.5D) / 1000000.0D"
+    )
+    return wide.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("xa").cast("bigint").alias("conv_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("xb").cast("bigint").alias("conv_b"),
+        F.expr(z).alias("z_score"),
     )
 
 
