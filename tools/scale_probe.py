@@ -70,6 +70,14 @@ QUERIES = [
     "mm_ahash_near_dup",        # PNG round-trip aHash, windowed bands (r7)
     "stream_upsert_sink",       # foreachBatch CDC merge sink (r7)
     "a_join_size_est",          # coordinated key-sample join estimate (r7)
+    "d_fuzzy_edit_pairs",       # bounded-LSH + shuffle-side Levenshtein (r8)
+    "s_hard_negatives",         # broadcast-query contrastive mining (r8)
+    "d_dup_cluster_hist",       # memoized pair graph -> CC histogram (r8)
+    "pipeline_near_dedup",      # keep-list dedup end to end (r8)
+    "a_ks_drift",               # per-type cumulative CDF gap (r8)
+    "a_markov_transitions",     # per-user journey transition matrix (r8)
+    "t_rake_keywords",          # stopword-island phrase scoring (r8)
+    "j_asof_nearest",           # two-direction union-and-carry compose (r8)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
