@@ -740,6 +740,99 @@ def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d_soft_dedup_weights",
+    oracle=f"""
+    WITH RECURSIVE {_MH_CC_CTES},
+    sz AS (SELECT cluster, count(*) AS csize FROM labf GROUP BY 1),
+    w AS (
+      SELECT labf.v AS doc_id, sz.csize
+      FROM labf JOIN sz USING (cluster)
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN w.csize IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           floor(sum(1.0 / CAST(coalesce(w.csize, 1) AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS effective_docs
+    FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+    GROUP BY d.source
+    """,
+    tags=("DEDUP-minhash", "DEDUP-cc", "A13"),
+    doc="SOFT dedup: instead of dropping near-duplicates, weight every doc "
+    "by 1/|its near-dup cluster| (docs outside the pair graph weigh 1) — "
+    "the downweight-don't-discard training recipe; per source, the "
+    "effective document count Σ 1/csize is the number the token-budget "
+    "planner uses. 1/csize is an exact small-integer reciprocal, identical "
+    "in both engines; the per-source sum is quantized at 1e-6. Reuses the "
+    "memoized CC labels — one size join + one rollup on top.",
+)
+def d_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cc = _mh_cc_05(spark, sf_dir)
+    sz = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
+    w_ = cc.join(sz, "cluster").select(F.col("vertex").alias("doc_id"), "csize")
+    flagged = d.join(w_, "doc_id", "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("csize").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unique"),
+        F.expr(
+            "floor(sum(1.0D / cast(coalesce(csize, 1) as double)) * 1000000.0D + 0.5D)"
+            " / 1000000.0D"
+        ).alias("effective_docs"),
+    )
+
+
+@register(
+    "t_ngram_novelty",
+    oracle=f"""
+    WITH {_SH_CTES},
+    first_seen AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+    per_doc AS (
+      SELECT sh.doc_id,
+             count(*) AS n_shingles,
+             CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM sh JOIN first_seen f USING (shingle)
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_novel,
+           floor((CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS novelty
+    FROM per_doc
+    """,
+    tags=("DEDUP-ngram", "TXT-quality", "A13"),
+    doc="N-gram novelty scoring: per doc, the fraction of its hashed "
+    "3-gram shingles whose FIRST occurrence (min doc_id — arrival order) "
+    "is this doc — the curation signal that separates fresh content from "
+    "recombinations of already-seen text (near 1 = novel, near 0 = "
+    "derivative). One combinable min per shingle + one shingle-key join + "
+    "per-doc counts; the first-seen dim is vocabulary-sized.",
+)
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = DD.shingle_hashes(_docs(spark, sf_dir))
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        "n_novel",
+        F.expr(
+            "floor((cast(n_novel as double) / cast(n_shingles as double))"
+            " * 1000000.0D + 0.5D) / 1000000.0D"
+        ).alias("novelty"),
+    )
+
+
 _POLY = poly_hash_duck_expr("s")
 
 
