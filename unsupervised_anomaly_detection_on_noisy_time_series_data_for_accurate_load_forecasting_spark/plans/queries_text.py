@@ -833,6 +833,152 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d_lsh_recall_curve",
+    oracle=f"""
+    WITH samp AS (
+      SELECT doc_id, text FROM documents
+      WHERE {rng_uniform_sql('doc_id', salt=91)} < 0.5
+    ),
+    base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM samp),
+    tok_long AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok FROM base
+    ),
+    dimh AS (
+      SELECT tok, {poly_hash_duck_expr('tok')} AS h FROM (SELECT DISTINCT tok FROM tok_long)
+    ),
+    tl AS (SELECT doc_id, pos, h FROM tok_long JOIN dimh USING (tok)),
+    tri AS (
+      SELECT doc_id, h AS h1, lead(h, 1) OVER w AS h2, lead(h, 2) OVER w AS h3
+      FROM tl WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ((((h1 * {DD.SHINGLE_MULT} + h2) % {M}) * {DD.SHINGLE_MULT}) + h3) % {M} AS shingle
+      FROM tri WHERE h3 IS NOT NULL
+    ),
+    ex AS (SELECT doc_id, shingle FROM sh),
+    {_JACCARD_TAIL},
+    truth AS (SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.1),
+    sig AS (SELECT doc_id, {_sig_cols()} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, CAST(b AS INTEGER) AS b, {_band_case()} AS band_key
+      FROM sig, (SELECT unnest(range(0, {DD.N_BANDS})) AS b)
+    ),
+    ranked AS (
+      SELECT doc_id, b, band_key,
+             row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS rk
+      FROM bands
+    ),
+    capped AS (SELECT * FROM ranked WHERE rk <= {DD.LSH_BUCKET_CAP}),
+    cands AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM capped a JOIN capped b
+        ON a.b = b.b AND a.band_key = b.band_key
+       AND b.rk - a.rk BETWEEN 1 AND {DD.LSH_NEIGHBORHOOD}
+      GROUP BY 1, 2
+    ),
+    hit AS (
+      SELECT t.d1, t.d2, t.jaccard,
+             CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END AS caught
+      FROM truth t LEFT JOIN cands c ON t.d1 = c.d1 AND t.d2 = c.d2
+    )
+    SELECT CAST(least(floor(jaccard * 10.0), 9) AS INTEGER) AS j_bucket,
+           count(*) AS n_pairs,
+           CAST(sum(caught) AS BIGINT) AS n_caught,
+           floor((CAST(sum(caught) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS recall
+    FROM hit GROUP BY 1
+    """,
+    tags=("DEDUP-minhash", "DEDUP-ngram", "M24"),
+    doc="LSH calibration S-curve: on a seeded 50% doc sample, the exact "
+    "inverted-index Jaccard pairs (>= 0.1) are the ground truth and the "
+    "bounded MinHash-LSH candidate set is the system under test — per "
+    "0.1-wide Jaccard bucket, pair count and candidate recall. This is "
+    "the detection-probability curve every MinHash deployment tunes "
+    "(bands x rows) against; exact all-pairs truth is only feasible on a "
+    "sample, which is exactly how it is run at 100 TB.",
+)
+def d_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    samp = _docs(spark, sf_dir).filter(rng_uniform(F.col("doc_id"), salt=91) < 0.5)
+    sh = DD.shingle_hashes(samp)
+    truth = DD.jaccard_pairs(sh, min_jaccard=0.1).select("d1", "d2", "jaccard")
+    cands = DD.lsh_candidate_pairs(DD.minhash_bands(sh)).withColumn("_c", F.lit(1))
+    hit = truth.join(cands, ["d1", "d2"], "left")
+    bucket = F.least(F.floor(F.col("jaccard") * 10.0), F.lit(9)).cast("int")
+    caught = F.when(F.col("_c").isNotNull(), 1).otherwise(0)
+    return (
+        hit.withColumn("j_bucket", bucket)
+        .withColumn("caught", caught)
+        .groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("caught").cast("bigint").alias("n_caught"),
+            F.expr(
+                "floor((cast(sum(caught) as double) / cast(count(1) as double))"
+                " * 1000000.0D + 0.5D) / 1000000.0D"
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "u_rendezvous_shards",
+    oracle=f"""
+    WITH s8 AS (
+      SELECT doc_id,
+             (SELECT k FROM (SELECT unnest(range(0, 8)) AS k) g
+              ORDER BY {rng_uniform_sql('doc_id', 'k', salt=97)} DESC, k ASC LIMIT 1) AS shard8
+      FROM documents
+    ),
+    s9 AS (
+      SELECT doc_id,
+             (SELECT k FROM (SELECT unnest(range(0, 9)) AS k) g
+              ORDER BY {rng_uniform_sql('doc_id', 'k', salt=97)} DESC, k ASC LIMIT 1) AS shard9
+      FROM documents
+    )
+    SELECT CAST(s9.shard9 AS INTEGER) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN s8.shard8 != s9.shard9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+    FROM s8 JOIN s9 USING (doc_id)
+    GROUP BY 1
+    """,
+    tags=("U3", "F8", "S6"),
+    doc="Rendezvous (highest-random-weight) shard assignment: shard = "
+    "argmax over shards of the seeded draw(doc, shard) — the consistent "
+    "placement scheme where growing 8 -> 9 shards moves ONLY the docs "
+    "whose new shard wins (~n/9, vs hash-mod's ~8n/9 reshuffle). Output: "
+    "per-shard occupancy at k=9 plus how many of its docs moved in the "
+    "expansion — the minimal-movement property made measurable. Pure "
+    "column math over a static 9-element array; no join, no shuffle "
+    "beyond the rollup.",
+)
+def u_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rng import rng_uniform_sql as _rs
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def argmax_shard(n: int) -> str:
+        draw = _rs("doc_id", "k", salt=97, dialect="spark")
+        return (
+            f"(aggregate(transform(sequence(0, {n - 1}), k -> named_struct('w', {draw}, 'k', k)), "
+            f"named_struct('w', cast(-1.0 as double), 'k', -1), "
+            f"(acc, s) -> CASE WHEN s.w > acc.w THEN s ELSE acc END)).k"
+        )
+
+    out = d.select(
+        "doc_id",
+        F.expr(argmax_shard(8)).alias("shard8"),
+        F.expr(argmax_shard(9)).alias("shard9"),
+    )
+    return out.groupBy(F.col("shard9").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved"),
+    )
+
+
 _POLY = poly_hash_duck_expr("s")
 
 
