@@ -206,3 +206,60 @@ def test_stream_upsert_is_slicing_independent(spark, sf_dir):
     )
     c = key(batch)
     assert a == b == c
+
+
+def test_rendezvous_shards_minimal_movement(spark, sf_dir):
+    """HRW placement invariants: every doc lands on exactly one shard at
+    k=9 (occupancy sums to n), and the 8->9 expansion moves roughly n/9 of
+    the corpus (allow 2x slack for the seeded draw) — hash-mod would move
+    ~8n/9, so the bound separates the schemes decisively."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans import (
+        REGISTRY,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+
+    rows = REGISTRY["u_rendezvous_shards"].spark(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
+    moved = sum(r.n_moved for r in rows)
+    assert moved <= 2 * n / 9, f"moved {moved} of {n} — not minimal movement"
+    assert moved > 0
+    # only the NEW shard (8) gains docs it did not hold at k=8... every
+    # moved doc must have landed on shard 8 (HRW property: a doc moves iff
+    # the added shard wins its argmax)
+    by_shard = {r.shard: r.n_moved for r in rows}
+    assert sum(v for s, v in by_shard.items() if s != 8) == 0
+    assert by_shard.get(8, 0) == moved
+
+
+def test_soft_dedup_weights_bounds(spark, sf_dir):
+    """Effective docs <= n_docs per source (weights <= 1), and
+    n_unique <= n_docs; total effective equals n_docs minus the cluster
+    over-count exactly when summed with the histogram's savings."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans import (
+        REGISTRY,
+    )
+
+    rows = REGISTRY["d_soft_dedup_weights"].spark(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 < r.effective_docs <= r.n_docs + 1e-9
+        assert r.n_unique <= r.n_docs
+
+
+def test_ngram_novelty_range_and_first_doc(spark, sf_dir):
+    """novelty in [0, 1] (an exact duplicate of an earlier doc scores 0);
+    the lowest doc_id holding shingles is fully novel by the arrival-order
+    definition."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans import (
+        REGISTRY,
+    )
+
+    rows = REGISTRY["t_ngram_novelty"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert 0 <= r.n_novel <= r.n_shingles
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty == 1.0
