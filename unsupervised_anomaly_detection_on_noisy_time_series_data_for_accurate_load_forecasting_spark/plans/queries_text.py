@@ -979,6 +979,103 @@ def u_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d_minhash_est_error",
+    oracle=f"""
+    WITH {_SH_CTES},
+    sig AS (SELECT doc_id, {_sig_cols()} FROM sh GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, b, band_key,
+             row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS rk
+      FROM (
+        SELECT doc_id, CAST(b AS INTEGER) AS b, {_band_case()} AS band_key
+        FROM sig, (SELECT unnest(range(0, {DD.N_BANDS})) AS b)
+      )
+    ),
+    capped AS (SELECT * FROM ranked WHERE rk <= {DD.LSH_BUCKET_CAP}),
+    cands AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM capped a JOIN capped b
+        ON a.b = b.b AND a.band_key = b.band_key
+       AND b.rk - a.rk BETWEEN 1 AND {DD.LSH_NEIGHBORHOOD}
+      GROUP BY 1, 2
+    ),
+    ids AS (SELECT d1 AS doc_id FROM cands UNION SELECT d2 FROM cands),
+    ex AS (SELECT doc_id, shingle FROM sh WHERE doc_id IN (SELECT doc_id FROM ids)),
+    {_JACCARD_TAIL},
+    pairs AS (
+      SELECT j.d1, j.d2, j.jaccard FROM jac j
+      JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
+      WHERE j.jaccard >= 0.2
+    ),
+    est AS (
+      SELECT p.d1, p.d2, p.jaccard,
+             ({" + ".join(f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(DD.N_HASHES))})
+               / {float(DD.N_HASHES)} AS j_est
+      FROM pairs p JOIN sig a ON p.d1 = a.doc_id JOIN sig b ON p.d2 = b.doc_id
+    )
+    SELECT CAST(least(floor(jaccard * 10.0), 9) AS INTEGER) AS j_bucket,
+           count(*) AS n_pairs,
+           floor((sum(j_est) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_est,
+           floor((CAST(sum(CAST(floor(abs(j_est - jaccard) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / 1000000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err
+    FROM est GROUP BY 1
+    """,
+    tags=("DEDUP-minhash", "M24"),
+    doc="MinHash ESTIMATOR accuracy: for every verified near-dup pair, the "
+    "signature-agreement estimate (matching mins / 16) against the exact "
+    "Jaccard — per 0.1-bucket mean estimate and mean absolute error, the "
+    "companion readout to d_lsh_recall_curve (that one calibrates "
+    "detection, this one calibrates the ESTIMATE a dedup threshold trusts "
+    "when skipping exact verification at scale). j_est is an exact "
+    "16-denominator rational — identical in both engines; bucket stats "
+    "quantized 1e-6. Signature join is two id-key hash joins on the "
+    "memoized pair set.",
+)
+def d_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = DD.shingle_hashes(d)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(F.col("shingle") * (2 * j + 3) + (5 * j + 1), F.lit(M))
+            ).alias(f"s{j}")
+            for j in range(DD.N_HASHES)
+        ]
+    )
+    pairs = _mh_pairs_02(spark, sf_dir).select("d1", "d2", "jaccard")
+    a = sig.select(F.col("doc_id").alias("d1"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(DD.N_HASHES)])
+    b = sig.select(F.col("doc_id").alias("d2"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(DD.N_HASHES)])
+    est_expr = None
+    for i in range(DD.N_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        est_expr = term if est_expr is None else est_expr + term
+    j = (
+        pairs.join(a.hint("shuffle_hash"), "d1")
+        .join(b.hint("shuffle_hash"), "d2")
+        .withColumn("j_est", est_expr.cast("double") / F.lit(float(DD.N_HASHES)))
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 10.0), F.lit(9)).cast("int")
+    return (
+        j.withColumn("j_bucket", bucket)
+        .groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr(
+                "floor((sum(j_est) / count(1)) * 1000000.0D + 0.5D) / 1000000.0D"
+            ).alias("mean_est"),
+            # per-term 1e-9 quantization before the integer sum: j_est is an
+            # exact k/16 but (j_est - jaccard) is not, so a raw float sum
+            # would be partitioning-order-dependent
+            F.expr(
+                "floor((cast(sum(cast(floor(abs(j_est - jaccard) * 1000000000.0D"
+                " + 0.5D) as bigint)) as double) / 1000000000.0D / count(1))"
+                " * 1000000.0D + 0.5D) / 1000000.0D"
+            ).alias("mean_abs_err"),
+        )
+    )
+
+
 _POLY = poly_hash_duck_expr("s")
 
 
