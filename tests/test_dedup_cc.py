@@ -203,3 +203,36 @@ def test_remove_duplicate_spans_surgery_is_exact(spark):
     assert got[2].cleaned_hash == phash(cleaned2)
     # doc 4 duplicates doc 1 verbatim: everything goes
     assert got[4].n_after == 0 and got[4].cleaned_hash == 7
+
+
+def test_df_cap_drops_boilerplate_and_reports_it(spark):
+    # 8 docs share the boilerplate trigram "all rights reserved" (df=8 >
+    # cap=greatest(5, 8 div 100)=5) plus unique filler; df_capped_shingles
+    # must drop exactly that shingle, jaccard_pairs must then see DISJOINT
+    # filtered sets (no pair survives), and shingle_df_stats must report the
+    # truncation — never silent.
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        df_capped_shingles,
+        jaccard_pairs,
+        shingle_df_stats,
+        shingle_hashes,
+    )
+
+    rows = [
+        (i, f"unique{i}a unique{i}b unique{i}c all rights reserved")
+        for i in range(1, 9)
+    ]
+    sh = shingle_hashes(spark.createDataFrame(rows, "doc_id long, text string"))
+    # raw: each doc has 4 trigrams; the "all rights reserved" one is shared
+    raw_per_doc = {r.doc_id: r.n for r in sh.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    assert all(v == 4 for v in raw_per_doc.values())
+    capped = df_capped_shingles(sh)
+    capped_per_doc = {r.doc_id: r.n for r in capped.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    assert all(v == 3 for v in capped_per_doc.values()), "only the df=8 shingle may drop"
+    # without the cap the shared trigram makes every pair J = 1/7 > 0.1 ...
+    assert jaccard_pairs(sh, 0.1, df_capped=False).count() == 28
+    # ... with it, the filtered sets are disjoint: no pairs at all
+    assert jaccard_pairs(sh, 0.1).count() == 0
+    st = shingle_df_stats(sh).collect()[0]
+    assert st.n_docs == 8 and st.df_cap == 5 and st.n_hot == 1
+    assert st.max_df == 8 and st.rows_dropped == 8 and st.rows_kept == 24

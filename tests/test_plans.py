@@ -28,6 +28,18 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _only_scalar_cap_bnlj(plan: str) -> bool:
+    """True iff every BroadcastNestedLoopJoin in the plan is the deliberate
+    1-row doc-count join that carries the hot-shingle df cap (its condition
+    references the _nd scalar). That join is a map-side filter — the build
+    side is a single aggregate row — and is exactly how a scalar subquery
+    would execute; anything else nested-looping is a real defect."""
+    return all(
+        "_nd#" in m.group(0)
+        for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan)
+    )
+
+
 def _formatted(df) -> str:
     jvm = df.sparkSession._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -387,11 +399,41 @@ def test_minhash_lsh_candidates_are_bucket_bounded(spark, sf_dir):
     rank filter shows up as the _rk range predicate in the join condition."""
     df = REGISTRY["d_minhash_lsh_pairs"].spark(spark, sf_dir)
     plan = _plan(df)
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert _only_scalar_cap_bnlj(plan), "unexpected nested-loop join"
     assert "CartesianProduct" not in plan
     assert not _GLOBAL_WINDOW.search(plan)
     # the sorted-neighborhood rank columns must gate the candidate join
     assert "_rk" in plan, "bucket rank (sorted-neighborhood bound) missing from plan"
+
+
+def test_exact_shingle_joins_cap_hot_shingles(spark, sf_dir):
+    """100 TB bound for the EXACT inverted-index pair joins: a shingle of
+    document frequency df emits C(df, 2) self-join rows, and boilerplate
+    trigrams make df corpus-sized at crawl scale — so the hot-shingle df cap
+    (LeftAnti against the >cap list, the DUP_SPAN_HOT_CAP doctrine) must be
+    IN the plan for both the Jaccard and containment pair queries."""
+    for q in ("d_ngram_jaccard_pairs", "d_containment_pairs"):
+        plan = _plan(REGISTRY[q].spark(spark, sf_dir))
+        assert "LeftAnti" in plan, f"{q}: hot-shingle df-cap anti-join missing"
+        assert _only_scalar_cap_bnlj(plan), f"{q}: unexpected nested-loop join"
+        assert "CartesianProduct" not in plan
+
+
+def test_minhash_verify_is_candidate_keyed(spark, sf_dir):
+    """The minhash_lsh_dedup verify stage must compute intersections PER
+    CANDIDATE PAIR (cands ⋈ sh(d1) ⋈ sh(d2) on equal shingle) — never via a
+    jaccard_pairs self-join over the pruned candidate docs, which is
+    quadratic in pruned docs on a near-dup-heavy corpus. The old shape shows
+    up as a doc_id < doc_id join predicate at the verify join; the new one
+    has inequality predicates only in the bounded band join (_rk ranks). The
+    corpus-wide df cap must also be in the plan (LeftAnti)."""
+    plan = _plan(REGISTRY["d_minhash_lsh_pairs"].spark(spark, sf_dir))
+    assert "LeftAnti" in plan, "df-cap anti-join missing from verify plan"
+    assert "_rk" in plan, "bounded band join missing"
+    assert not re.search(r"doc_id#\d+L? < doc_id#", plan), (
+        "verify stage regressed to a pruned-doc self-join (doc_id < doc_id "
+        "predicate outside the candidate frame)"
+    )
 
 
 def test_fuzzy_edit_pairs_never_broadcasts_text(spark, sf_dir):

@@ -12,8 +12,30 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 import numpy as np
+
+
+def _promote_dir(tmp: str, dest: str) -> None:
+    """Atomically promote a PRIVATE tmp dir to its content-addressed final
+    path. The tmp dir carries a per-process unique suffix, so concurrent
+    builders of the same key never write into each other's in-flight output;
+    whoever renames first wins, and losing the race (dest appeared — EEXIST/
+    ENOTEMPTY, or a final isdir re-check) just discards our copy and keeps
+    theirs: the key is content-addressed, both copies are byte-equivalent."""
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        if os.path.isdir(dest):  # lost the race — keep theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+
+
+def _unique_tmp(path: str) -> str:
+    return f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
 
 
 def save_bank(path: str, bank: np.ndarray, meta: dict | None = None) -> None:
@@ -105,7 +127,8 @@ def input_data_fingerprint(paths: list[str], fingerprint: str) -> str:
         else:
             files.append(p)
         for f in sorted(files):
-            h.update(os.path.basename(f).encode())
+            rel = os.path.relpath(f, p) if os.path.isdir(p) else os.path.basename(f)
+            h.update(rel.encode())
             with open(f, "rb") as fh:
                 h.update(fh.read())
             h.update(b"\x00")
@@ -129,18 +152,14 @@ def restore_dataframe(spark, kind: str, key: str):
 
 
 def checkpoint_dataframe(df, kind: str, key: str, n_files: int = 8):
-    """Write a derived frame to the artifact store (atomic rename, same
-    race discipline as save_weight_groups) and return the re-read frame so
-    every session — the writer included — serves the identical bytes."""
+    """Write a derived frame to the artifact store (private tmp dir +
+    atomic rename, same race discipline as save_weight_groups) and return
+    the re-read frame so every session — the writer included — serves the
+    identical bytes."""
     p = dataframe_ckpt_path(kind, key)
-    tmp = p + ".tmp"
+    tmp = _unique_tmp(p)
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(p):  # concurrent builder won the race; keep theirs
-        import shutil
-
-        shutil.rmtree(tmp)
-    else:
-        os.replace(tmp, p)
+    _promote_dir(tmp, p)
     return df.sparkSession.read.parquet(p)
 
 
@@ -161,10 +180,10 @@ def save_alias(name: str, alias: str, key: str) -> None:
     d = weights_cache_dir()
     os.makedirs(d, exist_ok=True)
     p = os.path.join(d, f"alias-{name}-{alias}.json")
-    tmp = p + ".tmp"
+    tmp = _unique_tmp(p)
     with open(tmp, "w") as f:
         json.dump({"key": key}, f)
-    os.replace(tmp, p)
+    os.replace(tmp, p)  # plain file: replace is atomic and last-writer-wins
 
 
 def save_weight_groups(name: str, key: str, groups: dict[str, dict[str, np.ndarray]]) -> None:
@@ -172,7 +191,7 @@ def save_weight_groups(name: str, key: str, groups: dict[str, dict[str, np.ndarr
     pickle; portable). Atomic via rename so a concurrent reader never sees
     a half-written artifact."""
     d = os.path.join(weights_cache_dir(), f"{name}-{key}")
-    tmp = d + ".tmp"
+    tmp = _unique_tmp(d)
     os.makedirs(tmp, exist_ok=True)
     manifest: list[tuple[str, str, str]] = []
     flat: dict[str, np.ndarray] = {}
@@ -184,12 +203,7 @@ def save_weight_groups(name: str, key: str, groups: dict[str, dict[str, np.ndarr
     np.savez_compressed(os.path.join(tmp, "weights.npz"), **flat)
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
         json.dump(manifest, f)
-    if os.path.isdir(d):  # another process won the race; keep theirs
-        import shutil
-
-        shutil.rmtree(tmp)
-        return
-    os.replace(tmp, d)
+    _promote_dir(tmp, d)
 
 
 def load_weight_groups(name: str, key: str) -> dict[str, dict[str, np.ndarray]] | None:
@@ -210,17 +224,12 @@ def save_bank_keyed(name: str, key: str, bank: np.ndarray, meta: dict | None = N
     """Keyed, atomic variant of save_bank for checkpoint-restore use (same
     race discipline as save_weight_groups: write to a tmp dir, rename)."""
     d = os.path.join(weights_cache_dir(), f"{name}-{key}")
-    tmp = d + ".tmp"
+    tmp = _unique_tmp(d)
     os.makedirs(tmp, exist_ok=True)
     np.savez_compressed(os.path.join(tmp, "bank.npz"), bank=np.asarray(bank))
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta or {}, f, sort_keys=True)
-    if os.path.isdir(d):
-        import shutil
-
-        shutil.rmtree(tmp)
-        return
-    os.replace(tmp, d)
+    _promote_dir(tmp, d)
 
 
 def load_bank_keyed(name: str, key: str) -> np.ndarray | None:

@@ -84,6 +84,12 @@ def knn_impute_series(v, k: int = 3, day_size: int = 24):
             # a ×10 step). Donor VALUES still read the mutating matrix in
             # day order, preserving the earlier-imputations-feed-later-
             # donors semantics the mirror pins.
+            # CONTRACT: donor selection is DEFINED by this expanded-form
+            # distance (sq + sq.T - 2ab, clamped at 0). The expansion can
+            # cancel catastrophically for near-identical large-magnitude
+            # days, so near-tie donor ORDER may differ from a direct
+            # (a-b)² evaluation (and from sklearn KNNImputer); both engines
+            # share this kernel, so the spec — not float luck — pins ties.
             valid = (~nanmask).astype(np.float64)
             xm = np.where(nanmask, 0.0, mat)
             cnt = valid @ valid.T

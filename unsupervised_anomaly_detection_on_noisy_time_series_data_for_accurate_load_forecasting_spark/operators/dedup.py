@@ -38,6 +38,76 @@ SHINGLE_MULT = 1009  # combine multiplier for token-hash n-grams
 # (lowest doc_ids survive) and SQL-mirrorable.
 LSH_BUCKET_CAP = 2000
 LSH_NEIGHBORHOOD = 32
+# Hot-shingle document-frequency cap for the EXACT inverted-index joins
+# (jaccard_pairs / containment_pairs / the minhash_lsh_dedup verify): a
+# shingle present in more than 1/SHINGLE_DF_DENOM of all documents is
+# boilerplate ("all rights reserved" trigrams at crawl scale) — it carries
+# near-zero Jaccard signal but emits C(df, 2) join rows, the same quadratic
+# shape the LSH bucket cap removes. The cap is RELATIVE (it scales with the
+# corpus: at 100 TB only true boilerplate crosses 1 %), floored at
+# SHINGLE_DF_MIN_CAP so tiny corpora keep some headroom. Integer arithmetic
+# (greatest(min_cap, n_docs div denom)) → exact cross-engine mirror.
+SHINGLE_DF_DENOM = 100
+SHINGLE_DF_MIN_CAP = 5
+
+
+def df_capped_shingles(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop shingles whose document frequency exceeds
+    ``greatest(SHINGLE_DF_MIN_CAP, n_docs div SHINGLE_DF_DENOM)`` — the
+    DUP_SPAN_HOT_CAP doctrine applied to the inverted shingle index.
+
+    Scale shape: the hot list holds at most ``total_rows / cap`` shingles
+    (each needs > cap occurrences), so the LeftAnti join against it is
+    broadcast-sized by construction; AQE picks the broadcast at runtime. The
+    doc count rides in as a broadcast single-row aggregate, keeping the
+    whole cap inside one Catalyst plan (no driver-side collect). Truncation
+    is VISIBLE via :func:`shingle_df_stats` — never silent."""
+    # the doc count rides in on a constant-key broadcast equi-join (a 1-row
+    # crossJoin would compile to BroadcastNestedLoopJoin — same cost, worse
+    # plan hygiene)
+    nd = sh.agg(F.countDistinct(id_col).alias("_nd")).withColumn("_k", F.lit(1))
+    cap = F.greatest(
+        F.lit(SHINGLE_DF_MIN_CAP).cast("bigint"),
+        F.expr(f"_nd div {SHINGLE_DF_DENOM}"),
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(nd), "_k")
+        .filter(F.col("_df") > cap)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
+
+def shingle_df_stats(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Visibility readout for the hot-shingle df cap (the minhash_band_stats
+    doctrine: an operator that truncates must report what it truncated).
+    One row: corpus doc count, the effective cap, total distinct shingles,
+    how many are hot (dropped), the max observed df, and the inverted-index
+    row volume removed (Σ df over hot shingles) vs kept."""
+    nd = sh.agg(F.countDistinct(id_col).alias("_nd")).withColumn("_k", F.lit(1))
+    dfs = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(nd), "_k")
+    )
+    cap = F.greatest(
+        F.lit(SHINGLE_DF_MIN_CAP).cast("bigint"),
+        F.expr(f"_nd div {SHINGLE_DF_DENOM}"),
+    )
+    hot = (F.col("_df") > cap).cast("bigint")
+    return dfs.groupBy().agg(
+        F.max("_nd").cast("bigint").alias("n_docs"),
+        F.max(cap).cast("bigint").alias("df_cap"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(hot).cast("bigint").alias("n_hot"),
+        F.max("_df").cast("bigint").alias("max_df"),
+        F.sum(F.col("_df") * hot).cast("bigint").alias("rows_dropped"),
+        F.sum(F.col("_df") * (F.lit(1) - hot)).cast("bigint").alias("rows_kept"),
+    )
 
 
 def exact_dedup(df: DataFrame, key_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -123,12 +193,23 @@ def ngram_hashes(
     return hashed.select(F.col(id_col), acc.alias("shingle")).distinct()
 
 
-def jaccard_pairs(sh: DataFrame, min_jaccard: float, id_col: str = "doc_id") -> DataFrame:
+def jaccard_pairs(
+    sh: DataFrame, min_jaccard: float, id_col: str = "doc_id", df_capped: bool = True
+) -> DataFrame:
     """Exact Jaccard over the (integer) inverted shingle index.
 
     sizes: |A| per doc; intersections via self-join on shingle (d1 < d2);
     J = inter / (|A| + |B| - inter). Integer arithmetic → exact cross-engine.
+
+    The self-join emits C(df, 2) rows per shingle of document frequency df —
+    boilerplate trigrams make df corpus-sized at crawl scale — so hot
+    shingles (df > greatest(5, n_docs div 100)) are anti-joined away FIRST
+    (:func:`df_capped_shingles`; Jaccard is then exact over the filtered
+    shingle space, sizes included, so the measure stays a true set Jaccard).
+    Truncation is reported by :func:`shingle_df_stats`, never silent.
     """
+    if df_capped:
+        sh = df_capped_shingles(sh, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -253,17 +334,47 @@ def minhash_lsh_dedup(
     df: DataFrame, min_jaccard: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """MinHash→LSH→exact-verify: the scalable near-dup join. Candidates from
-    band buckets, then exact Jaccard only on candidate docs (semi-pruned)."""
+    band buckets, then exact Jaccard computed PER CANDIDATE PAIR.
+
+    The verify stage is candidate-bounded: intersections come from
+    ``cands ⋈ sh(d1) ⋈ sh(d2)`` on equal shingle — each of the ≤ 32·n
+    candidate pairs expands to |sh(d1)| rows then filters to the shared
+    shingles, so verify cost is Σ min(|A|,|B|) over the candidate set,
+    LINEAR in candidate volume. (A jaccard_pairs self-join over the pruned
+    candidate docs is quadratic in pruned docs on a near-dup-heavy corpus —
+    most docs are candidates there, and every pruned-doc pair sharing a
+    shingle would recompute an intersection the candidate set never asked
+    for.) Jaccard is measured over the df-capped shingle space
+    (:func:`df_capped_shingles`, corpus-wide df — consistent with
+    :func:`jaccard_pairs`); signatures/buckets use the raw shingles (they
+    only nominate candidates, and the bucket cap already bounds hot ones).
+    """
     sh = shingle_hashes(df, text_col, id_col)
     bands = minhash_bands(sh, id_col)
     cands = lsh_candidate_pairs(bands, id_col)
-    # plain semi join (no broadcast hint): the candidate-id list grows with
-    # the corpus, so Spark must stay free to shuffle it; AQE will still
-    # broadcast at runtime when the measured size is actually small.
-    ids = cands.select(F.col("d1").alias(id_col)).union(cands.select("d2")).distinct()
-    pruned = sh.join(ids, id_col, "left_semi")
-    exact = jaccard_pairs(pruned, min_jaccard, id_col)
-    return exact.join(cands, ["d1", "d2"], "left_semi")
+    shf = df_capped_shingles(sh, id_col)
+    sizes = shf.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    e1 = shf.select(F.col(id_col).alias("d1"), "shingle")
+    e2 = shf.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        cands.join(e1.hint("shuffle_hash"), "d1")
+        .join(e2.hint("shuffle_hash"), ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(sa.hint("shuffle_hash"), "d1")
+        .join(sb.hint("shuffle_hash"), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("d1", "d2", "inter", "sz1", "sz2", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -954,7 +1065,7 @@ def canonical_url(url) -> "F.Column":
 
 
 def containment_pairs(
-    sh: DataFrame, min_containment: float, id_col: str = "doc_id"
+    sh: DataFrame, min_containment: float, id_col: str = "doc_id", df_capped: bool = True
 ) -> DataFrame:
     """Shingle CONTAINMENT over the inverted index — the asymmetric near-dup
     measure Jaccard misses: C = inter / min(|A|, |B|) flags a short doc
@@ -967,7 +1078,14 @@ def containment_pairs(
 
     Output: (d1, d2, inter, sz1, sz2, containment) with containment ≥ the
     threshold; d1 < d2 by id, the direction is recoverable from the sizes.
+
+    Hot shingles (df > greatest(5, n_docs div 100)) are anti-joined away
+    before the self-join (:func:`df_capped_shingles` — C(df, 2) rows per hot
+    shingle otherwise), so containment is measured over the df-capped
+    shingle space; truncation is visible via :func:`shingle_df_stats`.
     """
+    if df_capped:
+        sh = df_capped_shingles(sh, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

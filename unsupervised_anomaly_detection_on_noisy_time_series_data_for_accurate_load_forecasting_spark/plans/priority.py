@@ -558,15 +558,25 @@ def auto_priority(registry_names: list[str]) -> list[str]:
     except Exception:
         pass
 
+    # Evidence-age bound (r8 verdict ask): a query whose last green row is
+    # STALE_ROUNDS+ rounds old outranks even math-changed queries — rotation
+    # must not starve behind a steady stream of edits/new queries (the five
+    # r2-green TPC-H/rollup queries sat unchecked for 6 rounds while taint
+    # and new registrations filled every window).
+    STALE_ROUNDS = 6
+    cur_round = max(last.values(), default=0) + 1
+
     def key(name: str):
         if name not in last:
             cat = 0
-        elif name in math_changed:
+        elif cur_round - last[name] >= STALE_ROUNDS:
             cat = 1
-        elif name in closure_changed:
+        elif name in math_changed:
             cat = 2
-        else:
+        elif name in closure_changed:
             cat = 3
+        else:
+            cat = 4
         return (cat, last.get(name, 0), order[name])
 
     return sorted(registry_names, key=key)

@@ -464,6 +464,19 @@ sh AS (
   FROM tri WHERE h3 IS NOT NULL
 )"""
 
+# Hot-shingle df cap (dedup.df_capped_shingles mirror): drop shingles with
+# document frequency > greatest(SHINGLE_DF_MIN_CAP, n_docs div DENOM) before
+# any inverted-index pair join. References the enclosing `sh` CTE, so it
+# composes with both the full-corpus and the sampled shingle chains.
+_SHF_CTE = f"""shf AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) > greatest({DD.SHINGLE_DF_MIN_CAP},
+                                   (SELECT count(DISTINCT doc_id) FROM sh) // {DD.SHINGLE_DF_DENOM})
+      )
+    )"""
+
 _JACCARD_TAIL = """
 sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
 inter AS (
@@ -482,14 +495,17 @@ jac AS (
     "d_ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SH_CTES},
-    ex AS (SELECT doc_id, shingle FROM sh),
+    {_SHF_CTE},
+    ex AS (SELECT doc_id, shingle FROM shf),
     {_JACCARD_TAIL}
     SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
            CAST(sz1 AS BIGINT) AS sz1, CAST(sz2 AS BIGINT) AS sz2, jaccard
     FROM jac WHERE jaccard >= 0.2
     """,
     tags=("DEDUP-ngram",),
-    doc="Exact hashed-3-gram Jaccard via integer inverted index (no cross join).",
+    doc="Exact hashed-3-gram Jaccard via integer inverted index (no cross "
+    "join); hot shingles (df > greatest(5, n_docs div 100)) anti-joined "
+    "away first — boilerplate emits C(df,2) join rows and no signal.",
 )
 def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = DD.shingle_hashes(_docs(spark, sf_dir))
@@ -554,7 +570,8 @@ def _mh_pairs_02(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ),
     ids AS (SELECT d1 AS doc_id FROM cands UNION SELECT d2 FROM cands),
-    ex AS (SELECT doc_id, shingle FROM sh WHERE doc_id IN (SELECT doc_id FROM ids)),
+    {_SHF_CTE},
+    ex AS (SELECT doc_id, shingle FROM shf WHERE doc_id IN (SELECT doc_id FROM ids)),
     {_JACCARD_TAIL}
     SELECT j.d1, j.d2, CAST(j.inter AS BIGINT) AS inter,
            CAST(j.sz1 AS BIGINT) AS sz1, CAST(j.sz2 AS BIGINT) AS sz2, j.jaccard
@@ -565,8 +582,11 @@ def _mh_pairs_02(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash signatures → banded LSH buckets → exact-Jaccard verify. "
     "Candidate pairs form only inside a sorted-neighborhood window "
     "(rank distance ≤ 32 within a bucket, buckets truncated at 2000) so a "
-    "hot bucket yields O(members) pairs, never O(members²) — mirrored "
-    "exactly in the oracle's ranked/capped CTEs.",
+    "hot bucket yields O(members) pairs, never O(members²); the verify "
+    "stage computes intersections PER CANDIDATE PAIR over the df-capped "
+    "shingle space (cands ⋈ sh(d1) ⋈ sh(d2) on equal shingle) — linear in "
+    "candidate volume, never quadratic in candidate docs — all mirrored "
+    "in the oracle's ranked/capped/shf CTEs.",
 )
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mh_pairs_02(spark, sf_dir)
@@ -604,6 +624,39 @@ def d_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_band_stats(bands)
 
 
+@register(
+    "d_shingle_df_stats",
+    oracle=f"""
+    WITH {_SH_CTES},
+    dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM sh),
+    st AS (
+      SELECT df,
+             greatest({DD.SHINGLE_DF_MIN_CAP},
+                      (SELECT n FROM nd) // {DD.SHINGLE_DF_DENOM}) AS cap
+      FROM dfs
+    )
+    SELECT CAST((SELECT n FROM nd) AS BIGINT) AS n_docs,
+           CAST(max(cap) AS BIGINT) AS df_cap,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN df > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+           CAST(max(df) AS BIGINT) AS max_df,
+           CAST(sum(CASE WHEN df > cap THEN df ELSE 0 END) AS BIGINT) AS rows_dropped,
+           CAST(sum(CASE WHEN df > cap THEN 0 ELSE df END) AS BIGINT) AS rows_kept
+    FROM st
+    """,
+    tags=("DEDUP-ngram", "A14"),
+    doc="Hot-shingle df-cap diagnostics — the no-silent-caps visibility "
+    "query for the exact inverted-index joins (jaccard/containment/"
+    "minhash-verify): corpus doc count, the effective relative cap "
+    "(greatest(5, n_docs div 100)), distinct shingles, how many are hot "
+    "(dropped), max observed df, and the inverted-index row volume removed "
+    "vs kept. An operator that truncates must report what it truncated.",
+)
+def d_shingle_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.shingle_df_stats(DD.shingle_hashes(_docs(spark, sf_dir)))
+
+
 # the full text-MinHash → verified-pairs → recursive-CC oracle chain at
 # Jaccard ≥ 0.5, shared by d_dup_cluster_hist and pipeline_near_dedup
 _MH_CC_CTES = f"""{_SH_CTES},
@@ -626,7 +679,8 @@ _MH_CC_CTES = f"""{_SH_CTES},
       GROUP BY 1, 2
     ),
     ids AS (SELECT d1 AS doc_id FROM cands UNION SELECT d2 FROM cands),
-    ex AS (SELECT doc_id, shingle FROM sh WHERE doc_id IN (SELECT doc_id FROM ids)),
+    {_SHF_CTE},
+    ex AS (SELECT doc_id, shingle FROM shf WHERE doc_id IN (SELECT doc_id FROM ids)),
     {_JACCARD_TAIL},
     near AS (
       SELECT j.d1, j.d2 FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
@@ -857,7 +911,8 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
              ((((h1 * {DD.SHINGLE_MULT} + h2) % {M}) * {DD.SHINGLE_MULT}) + h3) % {M} AS shingle
       FROM tri WHERE h3 IS NOT NULL
     ),
-    ex AS (SELECT doc_id, shingle FROM sh),
+    {_SHF_CTE},
+    ex AS (SELECT doc_id, shingle FROM shf),
     {_JACCARD_TAIL},
     truth AS (SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.1),
     sig AS (SELECT doc_id, {_sig_cols()} FROM sh GROUP BY doc_id),
@@ -1001,7 +1056,8 @@ def u_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ),
     ids AS (SELECT d1 AS doc_id FROM cands UNION SELECT d2 FROM cands),
-    ex AS (SELECT doc_id, shingle FROM sh WHERE doc_id IN (SELECT doc_id FROM ids)),
+    {_SHF_CTE},
+    ex AS (SELECT doc_id, shingle FROM shf WHERE doc_id IN (SELECT doc_id FROM ids)),
     {_JACCARD_TAIL},
     pairs AS (
       SELECT j.d1, j.d2, j.jaccard FROM jac j
@@ -1287,7 +1343,8 @@ def d_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_containment_pairs",
     oracle=f"""
     WITH {_SH_CTES},
-    ex AS (SELECT doc_id, shingle FROM sh),
+    {_SHF_CTE},
+    ex AS (SELECT doc_id, shingle FROM shf),
     sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
@@ -1306,8 +1363,9 @@ def d_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inside a long one has diluted Jaccard but containment ~1 (the "
     "measure web-crawl dedup uses for quote/subset detection). Same "
     "inverted-index shape as the Jaccard query: intersections form only "
-    "on shared integer shingle ids, never all-pairs; one exact "
-    "integer-over-integer division decides the threshold.",
+    "on shared integer shingle ids, never all-pairs, and hot shingles "
+    "(df > greatest(5, n_docs div 100)) are anti-joined away first; one "
+    "exact integer-over-integer division decides the threshold.",
 )
 def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = DD.shingle_hashes(_docs(spark, sf_dir))
