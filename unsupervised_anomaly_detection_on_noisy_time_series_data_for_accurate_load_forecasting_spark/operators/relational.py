@@ -763,3 +763,308 @@ def discounted_brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
         )
     )
+
+
+def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q6-shaped forecast revenue change: one year's revenue that
+    would vanish if small-quantity discounted lines were dropped.
+
+    Scale shape: the canonical scan-only aggregate — all three predicates
+    (shipdate range, discount band, quantity cap) push to the parquet scan,
+    no join, one map-side-combinable decimal-exact sum. The query the
+    planner must never shuffle for.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def national_market_share(
+    region_: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_5",
+) -> DataFrame:
+    """TPC-H-Q8-shaped national market share: within ASIA customers' PROMO
+    purchases, the fraction supplied by ``target_nation``, per order year.
+
+    Scale shape: the two-role nation dimension again (customer side filters
+    through region, supplier side labels the numerator) — both broadcast;
+    part's type filter prunes the fact before the orderkey shuffle; the
+    share is a conditional decimal sum over one grouped pass, then an IEEE
+    double ratio quantized 1e-6.
+    """
+    cust_asia = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region_), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nat = (
+        supplier.join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == "PROMO").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    tgt = F.when(F.col("supp_nation") == target_nation, rev).otherwise(F.lit(0.0))
+    return (
+        base.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            dsum(tgt).alias("nation_rev"),
+            dsum(rev).alias("total_rev"),
+        )
+        .withColumn("mkt_share", qround(F.col("nation_rev") / F.col("total_rev"), 6))
+    )
+
+
+def product_type_profit(
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    name_substr: str = "gear",
+) -> DataFrame:
+    """TPC-H-Q9-shaped product profit by supplier nation and year, for
+    parts whose name contains ``name_substr``. The reference Q9 nets out
+    partsupp supply cost; this corpus has no partsupp table, so profit is
+    the discounted revenue — the join/rollup shape is the point.
+
+    Scale shape: part's substring filter cannot push below the scan but
+    prunes the broadcast build side to a fraction of an already-small dim;
+    supplier⋈nation broadcasts; the only fact-fact shuffle is
+    lineitem⋈orders on orderkey; the (nation, year) rollup is combinable.
+    """
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    supp_nat = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "n_name")
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_name").contains(name_substr)).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            dsum(amount).alias("sum_profit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def parts_supplier_relationship(
+    supplier: DataFrame, part: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H-Q16-shaped parts/supplier relationship: distinct suppliers able
+    to supply each (brand, type, size) bucket, excluding one brand, one
+    type, off-list sizes, and flagged suppliers. The reference walks
+    partsupp; this corpus's part-supplier bridge is lineitem, and the
+    "customer complaints" exclusion becomes the negative-balance supplier
+    list — the NOT-IN anti-join shape is preserved.
+
+    Scale shape: the flagged-supplier list is tiny (anti-join broadcasts);
+    part filters prune the broadcast dim; countDistinct shuffles once on
+    the (brand, type, size) key with partial dedup map-side.
+    """
+    flagged = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(flagged), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity order revenue: yearly revenue lost
+    if orders below 20 % of a part's average quantity were no longer taken,
+    for one brand + type bucket.
+
+    Scale shape: the correlated avg becomes aggregate-then-join-back (one
+    grouped pass over the filtered fact, re-joined on partkey). The 20 %
+    threshold is evaluated in INTEGERS — qty·5·n_lines < Σqty — so both
+    engines agree bit-exactly with no decimal/average rounding at the
+    boundary (quantities are integral by schema contract).
+    """
+    p = part.filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li = lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", F.col("l_quantity").cast("bigint").alias("qty"), "l_extendedprice"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("qsum"), F.count(F.lit(1)).alias("qcnt")
+    )
+    small = li.join(per_part, F.col("l_partkey") == F.col("pk")).filter(
+        F.col("qty") * 5 * F.col("qcnt") < F.col("qsum")
+    )
+    return small.agg(
+        qround(dsum("l_extendedprice") / F.lit(7.0), 6).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supp_nation: str = "NATION_2",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H-Q21-shaped suppliers who kept orders waiting: suppliers from
+    one nation whose line in a finalized multi-supplier order came back
+    flagged while EVERY co-supplier's lines were clean. The reference keys
+    "late" on receipt-vs-commit dates this corpus lacks; the return flag
+    'R' is the fault marker — the EXISTS / NOT-EXISTS double-correlation
+    shape is the point.
+
+    Scale shape: both correlations are order-key semi/anti joins of
+    pre-aggregated per-order supplier sets (never per-line self-joins):
+    exists(other supplier) = distinct-supplier count ≥ 2; not-exists(other
+    faulty supplier) = the order's distinct FAULTY suppliers == {me}. One
+    orderkey shuffle builds both counts; the final rollup is per supplier
+    name with a TakeOrdered top-k.
+    """
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = lineitem.join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_faulty"),
+    )
+    nat_supp = supplier.join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == supp_nation).select("n_nationkey")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    faulty_lines = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(nat_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_faulty") == 1))
+    )
+    return (
+        faulty_lines.groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(k)
+    )
+
+
+def lapsed_high_balance_customers(
+    customer: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    cutoff: str = "1999-01-01",
+) -> DataFrame:
+    """TPC-H-Q22-shaped global sales opportunity: per nation, the count and
+    total balance of above-average-balance customers with NO recent orders
+    (none since ``cutoff``). The reference buckets by phone country code
+    this corpus lacks; nation is the bucket — the scalar-average filter +
+    anti-join shape is the point.
+
+    Scale shape: the positive-balance average is a 1-row broadcast (the
+    q15 global-max pattern, never a window); the no-recent-orders test is
+    an anti join against the date-filtered orders scan; the average is the
+    decimal-exact-sum-over-count double (davg), so the raw-double boundary
+    comparison is bit-identical in both engines.
+    """
+    avg_pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("_avg")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.join(F.broadcast(avg_pos), F.col("c_acctbal") > F.col("_avg"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+def min_cost_supplier(
+    region_: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    p_size_max: int = 15,
+    p_type: str = "LARGE",
+    r_name: str = "EUROPE",
+) -> DataFrame:
+    """TPC-H-Q2-shaped minimum-cost supplier: for every part in one
+    size-range/type bucket, the EUROPE supplier(s) observed offering it at the
+    lowest unit price. The reference reads partsupp's supply cost; this
+    corpus's observed price book is lineitem (min extendedprice per
+    part×supplier), and the correlated min re-joins exactly like Q2's
+    subquery — ties preserved.
+
+    Scale shape: part and the region-pruned supplier list broadcast; one
+    partkey-grouped min over the pruned fact, then an equality join-back
+    on the min (doubles compare exactly — min returns a member, never an
+    average); DISTINCT collapses repeat offers at the same price.
+    """
+    p = part.filter((F.col("p_size") <= p_size_max) & (F.col("p_type") == p_type)).select(
+        "p_partkey", "p_name"
+    )
+    eur_supp = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region_), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == r_name)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("p_partkey", "p_name", "l_suppkey", F.col("l_extendedprice").alias("price"))
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("bk")).agg(F.min("price").alias("min_price"))
+    return (
+        offers.join(best, (F.col("p_partkey") == F.col("bk")) & (F.col("price") == F.col("min_price")))
+        .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "min_price")
+        .distinct()
+    )

@@ -846,3 +846,267 @@ def f_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("a", 1).cast("bigint").alias("min_gap_s"),
         F.expr("element_at(a, size(a))").cast("bigint").alias("max_gap_s"),
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("P1", "A2", "F7"),
+    doc="TPC-H-Q6-shaped forecast revenue change: the canonical scan-only "
+    "aggregate - every predicate pushes to the parquet scan, no join, one "
+    "decimal-exact map-side-combinable sum.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.forecast_revenue_change(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {dsum_sql("CASE WHEN sn.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS nation_rev,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_rev,
+           {qround_sql(dsum_sql("CASE WHEN sn.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END") + ' / ' + dsum_sql('l_extendedprice * (1 - l_discount)'), 6)} AS mkt_share
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE p_type = 'PROMO'
+      AND o_custkey IN (
+        SELECT c_custkey FROM customer
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+      )
+    GROUP BY 1
+    """,
+    tags=("J1", "A10", "A13"),
+    doc="TPC-H-Q8-shaped national market share: ASIA customers' PROMO "
+    "purchases, fraction supplied by NATION_5 per order year. Two-role "
+    "nation dim (customer side filters via a semi join, supplier side "
+    "labels the numerator); conditional decimal sums, IEEE ratio "
+    "quantized 1e-6.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.national_market_share(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_profit,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+    tags=("J1", "A2", "P1"),
+    doc="TPC-H-Q9-shaped product profit by supplier nation x year for "
+    "'gear' parts (no partsupp table in this corpus, so profit is the "
+    "discounted revenue - the join/rollup shape is the point). Substring-"
+    "filtered part dim broadcasts; one orderkey fact shuffle.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.product_type_profit(
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("J3", "A10", "P1"),
+    doc="TPC-H-Q16-shaped parts/supplier relationship: distinct suppliers "
+    "per (brand, type, size) bucket, excluding one brand/type, off-list "
+    "sizes, and negative-balance suppliers (the customer-complaints "
+    "NOT-IN anti join; lineitem is the part-supplier bridge - no partsupp "
+    "table in this corpus).",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.parts_supplier_relationship(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+    ),
+    per_part AS (
+      SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS qsum,
+             CAST(count(*) AS BIGINT) AS qcnt
+      FROM li GROUP BY 1
+    )
+    SELECT {qround_sql(dsum_sql('l_extendedprice') + ' / 7.0', 6)} AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM li JOIN per_part ON l_partkey = pk
+    WHERE qty * 5 * qcnt < qsum
+    """,
+    tags=("A2", "J1", "A6"),
+    doc="TPC-H-Q17-shaped small-quantity revenue: correlated per-part "
+    "average as aggregate-then-join-back; the 20% threshold compares in "
+    "INTEGERS (qty*5*n < sum_qty) so the boundary is engine-exact - no "
+    "decimal average rounding can flip a row.",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH f_li AS (
+      SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_faulty
+      FROM f_li GROUP BY 1
+    ),
+    nat_supp AS (
+      SELECT s_suppkey, s_name FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_2'
+    ),
+    faulty AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM f_li WHERE l_returnflag = 'R'
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM faulty
+    JOIN nat_supp  ON l_suppkey = s_suppkey
+    JOIN per_order USING (l_orderkey)
+    WHERE n_supp >= 2 AND n_faulty = 1
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+    tags=("J3", "A10", "O3"),
+    doc="TPC-H-Q21-shaped suppliers who kept orders waiting: NATION_2 "
+    "suppliers whose line in a finalized multi-supplier order was flagged "
+    "'R' while every co-supplier ran clean (return flag stands in for the "
+    "receipt-vs-commit lateness this corpus lacks). The EXISTS/NOT-EXISTS "
+    "double correlation becomes two per-order distinct-supplier counts - "
+    "one orderkey shuffle, never a per-line self-join; TakeOrdered top-20.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.waiting_suppliers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "q22_sales_opportunity",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(count(*) AS BIGINT) AS numcust,
+           {dsum_sql('c_acctbal')} AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (
+        SELECT {davg_sql('c_acctbal')} FROM customer WHERE c_acctbal > 0
+      )
+      AND c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
+    GROUP BY 1
+    """,
+    tags=("J3", "A2", "A10"),
+    doc="TPC-H-Q22-shaped sales opportunity: per nation (standing in for "
+    "the phone country code this corpus lacks), count and total balance "
+    "of above-average-balance customers with no orders since 1999. The "
+    "scalar average is a broadcast 1-row davg (double of a decimal-exact "
+    "sum - boundary bit-stable); lapsed = anti join on the date-filtered "
+    "orders scan.",
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.lapsed_high_balance_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name FROM part WHERE p_size <= 15 AND p_type = 'LARGE'
+    ),
+    eur_supp AS (
+      SELECT s_suppkey, s_name, n_name FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    offers AS (
+      SELECT p.p_partkey, p.p_name, l_suppkey, l_extendedprice AS price
+      FROM lineitem JOIN p ON l_partkey = p.p_partkey
+      WHERE l_suppkey IN (SELECT s_suppkey FROM eur_supp)
+    ),
+    best AS (SELECT p_partkey AS bk, min(price) AS min_price FROM offers GROUP BY 1)
+    SELECT DISTINCT o.p_partkey, o.p_name, s.s_name, s.n_name, b.min_price
+    FROM offers o
+    JOIN best b ON o.p_partkey = b.bk AND o.price = b.min_price
+    JOIN eur_supp s ON o.l_suppkey = s.s_suppkey
+    """,
+    tags=("J1", "O3", "A1"),
+    doc="TPC-H-Q2-shaped minimum-cost supplier: for each small-size LARGE "
+    "part, the EUROPE supplier(s) observed at the lowest unit price "
+    "(lineitem is the observed price book - no partsupp table). The "
+    "correlated min is aggregate-then-equality-join-back, ties preserved; "
+    "min of doubles returns a member so the equality is exact.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.min_cost_supplier(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "lineitem"),
+    )
