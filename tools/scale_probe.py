@@ -276,6 +276,114 @@ def synthetic_textlsh_rows(spark) -> list[str]:
     return out
 
 
+def synthetic_exactjaccard_rows(spark) -> list[str]:
+    """Synthetic ×10 probe for the r9 hot-shingle df cap on the EXACT
+    inverted-index joins (`d_ngram_jaccard_pairs` / `d_containment_pairs`)
+    and for the candidate-bounded minhash_lsh_dedup verify stage.
+
+    Same boilerplate-heavy corpus as the LSH probe (30% of docs are small
+    edits of one template). Measured per n:
+    - exact-join rows = Σ C(df, 2) over shingles, WITH the relative df cap
+      (df ≤ greatest(5, n div 100)) vs WITHOUT — uncapped rows/n grows
+      linearly (quadratic rows) because the template shingles' df ∝ n;
+      capped rows/n must stay bounded;
+    - verify expansion rows = Σ |sh(d1)| over candidate pairs (the r9
+      per-candidate-pair verify's join volume) vs the r8-shape
+      pruned-doc self-join rows (Σ C(df, 2) over shingles restricted to
+      candidate docs) — near-dup-heavy corpora make most docs candidates,
+      so the old shape tracks the uncapped quadratic while the new one is
+      linear in the bounded candidate volume."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        dedup as DD,
+    )
+
+    def synth(n: int):
+        rng = np.random.RandomState(11)
+        vocab = np.array([f"w{i}" for i in range(2000)])
+        template = vocab[rng.randint(0, 2000, 40)]
+        texts = []
+        for i in range(n):
+            if i % 10 < 3:
+                toks = template.copy()
+                pos = rng.randint(0, 40, 2)
+                toks[pos] = vocab[rng.randint(0, 2000, 2)]
+            else:
+                toks = vocab[rng.randint(0, 2000, 40)]
+            texts.append(" ".join(toks))
+        pdf = pd.DataFrame({"doc_id": np.arange(1, n + 1, dtype=np.int64), "text": texts})
+        return spark.createDataFrame(pdf).repartition(32).cache()
+
+    def pair_rows(sh) -> int:
+        """Σ C(df,2) — the exact self-join's row count, from the df histogram."""
+        return (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.sum(F.expr("df * (df - 1) div 2")).alias("r"))
+            .collect()[0]["r"]
+            or 0
+        )
+
+    out = [
+        "## Synthetic ×10 document step — exact-join df cap + verify bound (r9)",
+        "",
+        "| n docs | capped join rows | /n | uncapped join rows | /n "
+        "| verify rows (r9 per-pair) | /n | verify rows (r8 pruned-self-join) | /n |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for n in (2_000, 6_000, 20_000):
+        df = synth(n)
+        df.count()
+        sh = DD.shingle_hashes(df).cache()
+        sh.count()
+        capped = pair_rows(DD.df_capped_shingles(sh))
+        uncapped = pair_rows(sh)
+        bands = DD.minhash_bands(sh)
+        cands = DD.lsh_candidate_pairs(bands).cache()
+        cands.count()
+        shf = DD.df_capped_shingles(sh)
+        sizes = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        new_verify = (
+            cands.join(sizes.withColumnRenamed("doc_id", "d1"), "d1")
+            .agg(F.sum("sz").alias("r"))
+            .collect()[0]["r"]
+            or 0
+        )
+        ids = cands.select(F.col("d1").alias("doc_id")).union(cands.select("d2")).distinct()
+        old_verify = pair_rows(sh.join(ids, "doc_id", "left_semi"))
+        out.append(
+            f"| {n} | {capped} | {capped / n:.1f} | {uncapped} | {uncapped / n:.1f} "
+            f"| {new_verify} | {new_verify / n:.1f} | {old_verify} | {old_verify / n:.1f} |"
+        )
+        print(
+            f"# synth-jac n={n}: capped={capped} uncapped={uncapped} "
+            f"verify_new={new_verify} verify_old={old_verify}",
+            file=sys.stderr,
+        )
+        cands.unpersist()
+        sh.unpersist()
+        df.unpersist()
+    out += [
+        "",
+        "The relative df cap (drop shingles in > 1% of docs, floored at 5)",
+        "keeps the exact inverted-index join linear on the ×10 step: the",
+        "template's shared shingles have df ∝ n, so uncapped join rows grow",
+        "quadratically (rows/n linear) while capped rows/n stays bounded —",
+        "the dropped shingles are exactly the boilerplate carrying no Jaccard",
+        "signal, and `d_shingle_df_stats` reports every drop. The verify",
+        "columns show the r9 minhash_lsh_dedup restructure: per-candidate-pair",
+        "intersection rows track the bounded candidate volume (≤ 32·n·|doc|),",
+        "while the r8 pruned-doc self-join shape tracks the uncapped quadratic",
+        "because on this corpus most docs are candidates.",
+        "",
+    ]
+    return out
+
+
 def main() -> None:
     from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.session import (
         get_spark,
@@ -343,6 +451,7 @@ def main() -> None:
     lines += [""]
     lines += synthetic_semdedup_rows(spark)
     lines += synthetic_textlsh_rows(spark)
+    lines += synthetic_exactjaccard_rows(spark)
     lines += [
         "Notes on the shapes (stable across regenerations):",
         "- `ml_softpatch_scores` restores its fitted bank from the keyed",
