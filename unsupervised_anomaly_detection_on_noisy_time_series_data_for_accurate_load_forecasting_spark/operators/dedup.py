@@ -1115,3 +1115,40 @@ def containment_pairs(
         F.col("sz2").cast("bigint").alias("sz2"),
         "containment",
     )
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
+    """Fixed-round k-core peel over a canonical undirected edge list
+    ``(u, v)`` with u < v: each round drops every vertex whose CURRENT
+    degree is below ``k`` (and the edges touching it), exactly ``rounds``
+    times — the deterministic, SQL-unrollable form of k-core decomposition
+    (idempotent once converged, like the LPA/PageRank fixed-round specs).
+    Output: (node, core_deg) — each surviving vertex's degree inside the
+    peeled subgraph.
+
+    Scale shape per round: one map-side-combinable degree count plus two
+    semi joins of the edge list against the (smaller) survivor set — all
+    hash-partitioned on vertex id, no windows, no collect. Lineage is cut
+    with a localCheckpoint every other round (the connected_components
+    discipline) so the plan never stacks ``rounds`` joins deep.
+    """
+    e = edges.select("u", "v")
+    for i in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        keep = deg.filter(F.col("_d") >= k).select("n")
+        e = e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi").join(
+            keep.withColumnRenamed("n", "v"), "v", "left_semi"
+        )
+        if i % 2 == 1:
+            e = e.localCheckpoint(eager=True)
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+    )

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum, dsum_sql, qround
+from ..functions.exact import davg, davg_sql, dsum, dsum_sql, qround
 from ..functions.rng import rng_uniform, rng_uniform_sql
 from ..operators import anomaly as AN
 from ..operators import timeseries as TSO
@@ -1005,4 +1005,211 @@ def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").cast("bigint").alias("part_id"),
         F.col("n_triangles").cast("bigint").alias("n_triangles"),
+    )
+
+
+KCORE_K = 80
+KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Unrolled fixed-round k-core peel over the co-purchase graph — the
+    LPA/PageRank iteration-replay pattern: each round recomputes degrees and
+    keeps only edges whose BOTH endpoints clear the k threshold."""
+    # AS MATERIALIZED: every round references the previous edge set several
+    # times; inlined CTEs would expand the reference tree exponentially
+    # (4^rounds parquet scans — DuckDB runs out of file handles at 8 rounds)
+    ctes = [
+        """pr AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+           FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk)"""
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT n, count(*) AS c
+      FROM (SELECT u AS n FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1})
+      GROUP BY 1
+    ),
+    k{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE c >= {KCORE_K}),
+    e{i} AS MATERIALIZED (
+      SELECT u, v FROM e{i - 1}
+      WHERE u IN (SELECT n FROM k{i}) AND v IN (SELECT n FROM k{i})
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(n AS BIGINT) AS part_id, CAST(count(*) AS BIGINT) AS core_deg
+    FROM (SELECT u AS n FROM e{KCORE_ROUNDS} UNION ALL SELECT v FROM e{KCORE_ROUNDS})
+    GROUP BY 1
+    """
+    )
+
+
+@register(
+    "g_kcore",
+    oracle=_kcore_oracle,
+    tags=("DEDUP-cc", "J3"),
+    doc=f"Fixed-round k-core peel (k = {KCORE_K}, {KCORE_ROUNDS} rounds) over "
+    "the co-purchase graph — the density member of the graph family "
+    "(reachability = CC, centrality = PageRank, community = LPA, "
+    "clustering = triangles). Per round: one combinable degree count + two "
+    "vertex-keyed semi joins; lineage cut every other round. Idempotent "
+    "once converged; replayed exactly by unrolled iteration CTEs.",
+)
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import kcore_peel
+    from .shared import copurchase_edges_df
+
+    out = kcore_peel(copurchase_edges_df(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS)
+    return out.select(F.col("node").cast("bigint").alias("part_id"), "core_deg")
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "f_sessionize_batch",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, us, value,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+           {dsum_sql('value')} AS sum_value
+    FROM sess GROUP BY 1, 2
+    """,
+    tags=("W5", "F4", "A13"),
+    doc="Batch gap sessionization (30-min inactivity boundary) — the batch "
+    "twin of stream_sessions: lag-detected boundaries, running-sum session "
+    "ids, per-session rollup. The only windows partition by user (bounded "
+    "per-user history — never a global sort); gap math is exact integer "
+    "epoch-microseconds so boundaries are engine-stable.",
+)
+def f_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", F.col("sess_id").cast("bigint").alias("sess_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("us").cast("bigint").alias("start_us"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+BOOT_REPS = 200
+BOOT_SALT = 131
+
+
+def _poisson_weight_case(u_expr: str) -> str:
+    """CASE mapping a seeded uniform to a Poisson(1) weight via the inverse
+    CDF — the Poisson bootstrap's per-row resample count. Thresholds are
+    shared float literals, so both engines bucket identically."""
+    import math
+
+    e1 = math.exp(-1.0)
+    cum, term, cases = 0.0, 1.0, []
+    for k in range(6):
+        cum += e1 * term
+        cases.append(f"WHEN ({u_expr}) < {cum!r} THEN {k}")
+        term /= k + 1
+    return "CASE " + " ".join(cases) + " ELSE 6 END"
+
+
+def _bootstrap_oracle() -> str:
+    # the uniform draw is hoisted to its own column: the hash chain's SQL
+    # text duplicates its accumulator at every xor step, and the CASE would
+    # repeat the whole expression once per threshold — 6x a deep tree
+    u = rng_uniform_sql("o_orderkey", "r", salt=BOOT_SALT)
+    return f"""
+    WITH reps AS (
+      SELECT o_orderkey, o_totalprice, unnest(range(0, {BOOT_REPS})) AS r FROM orders
+    ),
+    drawn AS (SELECT r, o_totalprice, {u} AS u FROM reps),
+    wtd AS (SELECT r, {_poisson_weight_case('u')} AS w, o_totalprice FROM drawn),
+    means AS (
+      SELECT r, {dsum_sql('o_totalprice * w')} / CAST(sum(w) AS DOUBLE) AS mean_r
+      FROM wtd GROUP BY r
+    ),
+    arr AS (SELECT list_sort(list(mean_r)) AS a FROM means),
+    pt AS (SELECT {davg_sql('o_totalprice')} AS point_mean FROM orders)
+    SELECT point_mean, CAST({BOOT_REPS} AS BIGINT) AS n_reps,
+           a[5] AS ci_lo, a[{BOOT_REPS - 4}] AS ci_hi
+    FROM arr CROSS JOIN pt
+    """
+
+
+@register(
+    "a_bootstrap_ci",
+    oracle=_bootstrap_oracle,
+    tags=("F8", "A12", "U4"),
+    doc="Poisson-bootstrap 95% confidence interval for the mean order "
+    "total - the resampling scheme that actually scales: instead of "
+    "materializing 200 with-replacement copies, every row draws a seeded "
+    "Poisson(1) weight per replicate (inverse-CDF on the F8 cross-engine "
+    "RNG), so the whole bootstrap is one explode + one combinable "
+    "200-group aggregate. The CI bounds are order statistics of the 200 "
+    "replicate means (5th / 196th smallest), picked from a sorted "
+    "200-element array - bounded, no window, no quantile interpolation.",
+)
+def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    u = rng_uniform_sql("o_orderkey", "r", salt=BOOT_SALT, dialect="spark")
+    # the explode multiplies rows 200x; a small-SF orders scan is a single
+    # split, so without a repartition the whole 200x volume (and the hash
+    # chain on every row) would run in ONE task
+    nparts = spark.sparkContext.defaultParallelism
+    reps = (
+        o.repartition(nparts, "o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("r"),
+        )
+        .withColumn("u", F.expr(u))
+        .withColumn("w", F.expr(_poisson_weight_case("u")))
+    )
+    means = reps.groupBy("r").agg(
+        (dsum(F.col("o_totalprice") * F.col("w")) / F.sum("w").cast("double")).alias(
+            "mean_r"
+        )
+    )
+    arr = means.agg(F.sort_array(F.collect_list("mean_r")).alias("a"))
+    pt = o.agg(davg("o_totalprice").alias("point_mean"))
+    return arr.crossJoin(F.broadcast(pt)).select(
+        "point_mean",
+        F.lit(BOOT_REPS).cast("bigint").alias("n_reps"),
+        F.element_at("a", 5).alias("ci_lo"),
+        F.element_at("a", BOOT_REPS - 4).alias("ci_hi"),
     )
