@@ -292,6 +292,41 @@ PICKS = [
         "left-joins the corpus (keep-list shape — dedup never rewrites the "
         "corpus); upstream pair generation is the bounded LSH join above.",
     ),
+    (
+        "d_ngram_jaccard_pairs",
+        "r9 hot-shingle df cap: the inverted-index self-join is preceded by "
+        "a LeftAnti against the >cap document-frequency list (the only "
+        "BroadcastNestedLoopJoin is the deliberate 1-row doc-count scalar "
+        "carrying the relative cap) — C(df,2) rows per boilerplate shingle "
+        "are structurally gone.",
+    ),
+    (
+        "d_minhash_lsh_pairs",
+        "r9 candidate-bounded verify: intersections form via "
+        "cands ⋈ sh(d1) ⋈ sh(d2) on equal shingle — no doc_id < doc_id "
+        "self-join predicate anywhere in the verify; the band join stays "
+        "rank-bounded (_rk) and the df-cap LeftAnti guards the shingle side.",
+    ),
+    (
+        "g_kcore",
+        "Fixed-round k-core peel: per round a combinable degree count and "
+        "two vertex-keyed LeftSemi joins; lineage cut every other round "
+        "(the plan shows the final rounds only — earlier rounds are behind "
+        "the localCheckpoint scan).",
+    ),
+    (
+        "a_bootstrap_ci",
+        "Poisson bootstrap: one explode (+repartition off the single scan "
+        "split), the seeded draw computed once per row, one combinable "
+        "200-group aggregate, CI picked from a bounded sorted array — no "
+        "window, no with-replacement materialization.",
+    ),
+    (
+        "q21_waiting_suppliers",
+        "TPC-H Q21 shape: both correlations are per-order distinct-supplier "
+        "counts joined back on orderkey — one fact shuffle, no per-line "
+        "self-join; final top-20 is TakeOrderedAndProject.",
+    ),
 ]
 
 
