@@ -259,15 +259,6 @@ PICKS = [
         "dims only.",
     ),
     (
-        "d_minhash_lsh_pairs",
-        "r8 bounded text-LSH: the (band, band_key) candidate self-join goes "
-        "through the ranked sorted-neighborhood frame (Window partitioned by "
-        "the bucket key, rank-distance filter in the join condition, bucket "
-        "cap 2000) — hot buckets yield O(members) pairs, and the sizes join "
-        "in the Jaccard verify is shuffle_hash, never a corpus-sized "
-        "broadcast.",
-    ),
-    (
         "d_fuzzy_edit_pairs",
         "r8 no-text-broadcast: the Levenshtein verify joins candidate texts "
         "shuffle-side (shuffle_hash hints) after a semi-prune on candidate "
@@ -302,10 +293,12 @@ PICKS = [
     ),
     (
         "d_minhash_lsh_pairs",
-        "r9 candidate-bounded verify: intersections form via "
-        "cands ⋈ sh(d1) ⋈ sh(d2) on equal shingle — no doc_id < doc_id "
-        "self-join predicate anywhere in the verify; the band join stays "
-        "rank-bounded (_rk) and the df-cap LeftAnti guards the shingle side.",
+        "Bounded text-LSH end to end: the (band, band_key) candidate "
+        "self-join goes through the ranked sorted-neighborhood frame "
+        "(bucket cap 2000, rank distance ≤ 32), and the r9 verify computes "
+        "intersections via cands ⋈ sh(d1) ⋈ sh(d2) on equal shingle — no "
+        "doc_id < doc_id self-join predicate anywhere; the df-cap LeftAnti "
+        "guards the shingle side and every sizes join is shuffle_hash.",
     ),
     (
         "g_kcore",
