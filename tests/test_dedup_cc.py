@@ -236,3 +236,30 @@ def test_df_cap_drops_boilerplate_and_reports_it(spark):
     st = shingle_df_stats(sh).collect()[0]
     assert st.n_docs == 8 and st.df_cap == 5 and st.n_hot == 1
     assert st.max_df == 8 and st.rows_dropped == 8 and st.rows_kept == 24
+
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    # K5 on 1..5 (every degree 4) plus a pendant path 1-6-7: with k=3 the
+    # path peels in round one and the clique survives intact.
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        kcore_peel,
+    )
+
+    clique = [(u, v) for u in range(1, 6) for v in range(u + 1, 6)]
+    edges = spark.createDataFrame(clique + [(1, 6), (6, 7)], "u long, v long")
+    got = {r.node: r.core_deg for r in kcore_peel(edges, k=3, rounds=8).collect()}
+    assert got == {i: 4 for i in range(1, 6)}
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    # a 6-vertex path with k=2 peels only its endpoints each round — the
+    # whole graph dies, but ONLY via the iterated cascade (round one alone
+    # would leave 2-3-4-5 standing).
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        kcore_peel,
+    )
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], "u long, v long")
+    assert kcore_peel(path, k=2, rounds=8).count() == 0
+    one_round = kcore_peel(path, k=2, rounds=1)
+    assert {r.node for r in one_round.collect()} == {2, 3, 4, 5}
