@@ -1133,7 +1133,8 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
     discipline) so the plan never stacks ``rounds`` joins deep.
     """
     e = edges.select("u", "v")
-    for i in range(rounds):
+    n_edges = None
+    for _ in range(rounds):
         deg = (
             e.select(F.col("u").alias("n"))
             .unionAll(e.select(F.col("v").alias("n")))
@@ -1144,8 +1145,15 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
         e = e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi").join(
             keep.withColumnRenamed("n", "v"), "v", "left_semi"
         )
-        if i % 2 == 1:
-            e = e.localCheckpoint(eager=True)
+        # materialize each round (cuts lineage) and early-exit at the fixed
+        # point: once no edge drops, every further peel is the identity, so
+        # stopping here returns exactly what the full `rounds` unroll (and
+        # the oracle's unrolled CTEs) would
+        e = e.localCheckpoint(eager=True)
+        n_now = e.count()
+        if n_now == n_edges:
+            break
+        n_edges = n_now
     return (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
