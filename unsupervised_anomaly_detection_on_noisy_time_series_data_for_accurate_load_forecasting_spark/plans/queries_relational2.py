@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, davg_sql, dsum, dsum_sql, qround
+from ..functions.exact import davg, davg_sql, dsum, dsum_sql, qround, qround_sql
 from ..functions.rng import rng_uniform, rng_uniform_sql
 from ..operators import anomaly as AN
 from ..operators import timeseries as TSO
@@ -1212,4 +1212,63 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(BOOT_REPS).cast("bigint").alias("n_reps"),
         F.element_at("a", 5).alias("ci_lo"),
         F.element_at("a", BOOT_REPS - 4).alias("ci_hi"),
+    )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _profile_oracle() -> str:
+    from ..functions.exact import dstd_sql
+
+    selects = []
+    for c in _PROFILE_COLS:
+        selects.append(
+            f"""SELECT '{c}' AS col,
+           CAST(count({c}) AS BIGINT) AS n,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           min({c}) AS min_v, max({c}) AS max_v,
+           {dsum_sql(c)} AS sum_v, {davg_sql(c)} AS mean_v,
+           {qround_sql(dstd_sql(c), 6)} AS std_v
+    FROM lineitem"""
+        )
+    return "\n    UNION ALL\n    ".join(selects)
+
+
+@register(
+    "a_table_profile",
+    oracle=_profile_oracle,
+    tags=("A14", "A2", "A4"),
+    doc="Numeric column profiler over lineitem - the first job any "
+    "100 TB ingest runs: per column, row/null counts, min/max, "
+    "decimal-exact sum/mean, and the moment-form std (exact decimal "
+    "sum and sum-of-squares, one double expression at the end). One "
+    "aggregate pass computes every column's moments simultaneously; "
+    "the per-column rows come from a 4-row stack of that single "
+    "result - the scan is read once, not once per column.",
+)
+def a_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import davg, dstd, qround as _qr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).cast("bigint").alias(f"{c}_n"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}_nn"),
+            F.min(c).alias(f"{c}_mn"),
+            F.max(c).alias(f"{c}_mx"),
+            dsum(c).alias(f"{c}_s"),
+            davg(c).alias(f"{c}_a"),
+            _qr(dstd(c), 6).alias(f"{c}_sd"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}_n, {c}_nn, {c}_mn, {c}_mx, {c}_s, {c}_a, {c}_sd" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) "
+            "AS (col, n, n_null, min_v, max_v, sum_v, mean_v, std_v)"
+        )
     )

@@ -1401,3 +1401,81 @@ _PHRASE = ["hash", "join"]
 )
 def t_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.phrase_search(_docs(spark, sf_dir), _PHRASE)
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 40
+
+
+@register(
+    "t_pmi_collocations",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tl AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok FROM base
+    ),
+    bg AS (
+      SELECT tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tl
+    ),
+    uni AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS c FROM tl GROUP BY 1),
+    pairs AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+      FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_tok,
+             (SELECT CAST(sum(c_ab) AS BIGINT) FROM pairs) AS n_big
+      FROM uni
+    )
+    SELECT w1, w2, c_ab,
+           floor(ln(CAST(c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)
+                    / (CAST(n_big AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pmi
+    FROM pairs
+    JOIN uni u1 ON w1 = u1.w
+    JOIN uni u2 ON w2 = u2.w
+    CROSS JOIN tot
+    WHERE c_ab >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT {PMI_TOP_K}
+    """,
+    tags=("TXT-tokens", "A10", "O3"),
+    doc="PMI collocations: top adjacent word pairs by pointwise mutual "
+    "information ln(c_ab*N^2 / (B*c_a*c_b)) with a min-count floor "
+    "(rare-pair PMI is noise) - the classic phrase-mining readout. "
+    "Combinable unigram/bigram counts, two token-keyed joins, broadcast "
+    "1-row totals; the PMI double is the same IEEE expression in both "
+    "engines (ln of a ratio of exact integer counts), quantized 1e-6; "
+    "top-k is TakeOrdered with a lexicographic tiebreak.",
+)
+def t_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = DD.token_long(_docs(spark, sf_dir))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = tl.select("doc_id", "pos", F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2"))
+    uni = tl.groupBy(F.col("tok").alias("w")).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    pairs = (
+        bg.filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n_tok"))
+    big = bg.filter(F.col("w2").isNotNull()).agg(F.count(F.lit(1)).cast("bigint").alias("n_big"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("_c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("_c2"))
+    pmi = F.expr(
+        "floor(ln(CAST(c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)"
+        " / (CAST(n_big AS DOUBLE) * CAST(_c1 AS DOUBLE) * CAST(_c2 AS DOUBLE)))"
+        " * 1000000.0D + 0.5D) / 1000000.0D"
+    )
+    return (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(big))
+        .withColumn("pmi", pmi)
+        .select("w1", "w2", "c_ab", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(PMI_TOP_K)
+    )
