@@ -331,7 +331,11 @@ def minhash_band_stats(
 
 
 def minhash_lsh_dedup(
-    df: DataFrame, min_jaccard: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash→LSH→exact-verify: the scalable near-dup join. Candidates from
     band buckets, then exact Jaccard computed PER CANDIDATE PAIR.
@@ -349,7 +353,8 @@ def minhash_lsh_dedup(
     :func:`jaccard_pairs`); signatures/buckets use the raw shingles (they
     only nominate candidates, and the bucket cap already bounds hot ones).
     """
-    sh = shingle_hashes(df, text_col, id_col)
+    if sh is None:
+        sh = shingle_hashes(df, text_col, id_col)
     bands = minhash_bands(sh, id_col)
     cands = lsh_candidate_pairs(bands, id_col)
     shf = df_capped_shingles(sh, id_col)
@@ -517,6 +522,7 @@ def fuzzy_edit_pairs(
     max_rel_edit: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Blocked fuzzy matching: LSH band buckets generate candidate pairs,
     Levenshtein edit distance verifies them — the character-level near-dup
@@ -533,7 +539,8 @@ def fuzzy_edit_pairs(
     no BroadcastExchange may ever carry a text column. rel_edit =
     lev / max(len_1, len_2), quantized at 1e-6 for cross-engine equality.
     """
-    sh = shingle_hashes(df, text_col, id_col)
+    if sh is None:
+        sh = shingle_hashes(df, text_col, id_col)
     bands = minhash_bands(sh, id_col)
     cands = lsh_candidate_pairs(bands, id_col)
     ids = cands.select(F.col("d1").alias(id_col)).union(cands.select("d2")).distinct()

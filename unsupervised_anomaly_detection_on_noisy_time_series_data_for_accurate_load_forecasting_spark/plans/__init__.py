@@ -54,7 +54,7 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
     from pyspark.sql import DataFrame as _DF
 
     from . import queries_ml, queries_neural, queries_similarity
-    from .shared import hourly_df, prepared_df
+    from .shared import hourly_df, prepared_df, shingles_df
 
     out: dict[str, float] = {}
     futs: dict[str, Future] = {}
@@ -79,6 +79,10 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
         # SemDeDup centroids) run as ONE serialized low-width chain instead
         # of four concurrent jobs all fighting embedded for executors.
         ("ml_embedded", queries_ml._embedded, ()),
+        # text-shingle inverted index: r9 — every exact-Jaccard/containment/
+        # df-stats/minhash consumer reads this one persisted frame instead
+        # of re-deriving the tokenize→hash→window chain per plan subtree
+        ("text_shingles", shingles_df, ()),
         ("lsh_bands", queries_similarity._bands, ()),
         ("lsh_near_pairs", queries_similarity._near_pairs_02, ("lsh_bands",)),
         ("pq_codebooks", queries_similarity._pq_books, ("lsh_near_pairs",)),

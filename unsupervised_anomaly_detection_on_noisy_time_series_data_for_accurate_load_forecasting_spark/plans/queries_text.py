@@ -23,6 +23,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _sh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted hashed-shingle index (plans.shared.shingles_df)."""
+    from .shared import shingles_df
+
+    return shingles_df(spark, sf_dir)
+
+
 @register(
     "t_token_stats",
     oracle=f"""
@@ -508,7 +515,7 @@ jac AS (
     "away first — boilerplate emits C(df,2) join rows and no signal.",
 )
 def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = DD.shingle_hashes(_docs(spark, sf_dir))
+    sh = _sh(spark, sf_dir)
     return DD.jaccard_pairs(sh, min_jaccard=0.2)
 
 
@@ -541,7 +548,7 @@ def _mh_pairs_02(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _MH_PAIRS_MEMO:
         for k in list(_MH_PAIRS_MEMO):
             _MH_PAIRS_MEMO.pop(k).unpersist(False)
-        p = DD.minhash_lsh_dedup(_docs(spark, sf_dir), min_jaccard=0.2)
+        p = DD.minhash_lsh_dedup(_docs(spark, sf_dir), min_jaccard=0.2, sh=_sh(spark, sf_dir))
         p.persist()
         _MH_PAIRS_MEMO[sf_dir] = p
     return _MH_PAIRS_MEMO[sf_dir]
@@ -620,7 +627,7 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "report what it truncated.",
 )
 def d_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = DD.minhash_bands(DD.shingle_hashes(_docs(spark, sf_dir)))
+    bands = DD.minhash_bands(_sh(spark, sf_dir))
     return DD.minhash_band_stats(bands)
 
 
@@ -654,7 +661,7 @@ def d_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vs kept. An operator that truncates must report what it truncated.",
 )
 def d_shingle_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.shingle_df_stats(DD.shingle_hashes(_docs(spark, sf_dir)))
+    return DD.shingle_df_stats(_sh(spark, sf_dir))
 
 
 # the full text-MinHash → verified-pairs → recursive-CC oracle chain at
@@ -864,7 +871,7 @@ def d_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-doc counts; the first-seen dim is vocabulary-sized.",
 )
 def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = DD.shingle_hashes(_docs(spark, sf_dir))
+    sh = _sh(spark, sf_dir)
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         sh.join(first, "shingle")
@@ -1336,7 +1343,7 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines' levenshtein use identical unit-cost semantics.",
 )
 def d_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.fuzzy_edit_pairs(_docs(spark, sf_dir), max_rel_edit=0.4)
+    return DD.fuzzy_edit_pairs(_docs(spark, sf_dir), max_rel_edit=0.4, sh=_sh(spark, sf_dir))
 
 
 @register(
@@ -1368,7 +1375,7 @@ def d_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact integer-over-integer division decides the threshold.",
 )
 def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = DD.shingle_hashes(_docs(spark, sf_dir))
+    sh = _sh(spark, sf_dir)
     return DD.containment_pairs(sh, min_containment=0.3)
 
 

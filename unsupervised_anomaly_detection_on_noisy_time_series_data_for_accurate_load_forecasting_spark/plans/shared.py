@@ -57,6 +57,28 @@ def prepared_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PREPARED_MEMO[sf_dir]
 
 
+_SHINGLES_MEMO: dict[str, DataFrame] = {}
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted hashed-shingle inverted index (doc_id, shingle) for the
+    documents table — the natural session-lifetime view of the dedup family
+    (the index is a property of the corpus, not of any one query). Without
+    it every exact-Jaccard/containment/stats consumer recomputes the
+    tokenize→hash→lead-window→distinct chain several times per plan
+    (Catalyst does not reuse the exchange across self-join aliases)."""
+    from ..operators import dedup as DD
+    from ..sources.readers import load_table as _lt
+
+    if sf_dir not in _SHINGLES_MEMO:
+        for k in list(_SHINGLES_MEMO):
+            _SHINGLES_MEMO.pop(k).unpersist(False)
+        sh = DD.shingle_hashes(_lt(spark, sf_dir, "documents"))
+        sh.persist()
+        _SHINGLES_MEMO[sf_dir] = sh
+    return _SHINGLES_MEMO[sf_dir]
+
+
 _COPURCHASE_MEMO: dict[str, DataFrame] = {}
 _BIPARTITE_MEMO: dict[str, DataFrame] = {}
 
