@@ -1486,3 +1486,111 @@ def t_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(PMI_TOP_K)
     )
+
+
+INCR_DELTA_FRAC = 0.1
+INCR_SALT = 171
+INCR_BUCKET_CAP = 256  # corpus-side members considered per (band, bucket)
+
+
+@register(
+    "d_incremental_dedup",
+    oracle=f"""
+    WITH {_SH_CTES},
+    sig AS (SELECT doc_id, {_sig_cols()} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, CAST(b AS INTEGER) AS b, {_band_case()} AS band_key,
+             CASE WHEN {rng_uniform_sql('doc_id', salt=INCR_SALT)} < {INCR_DELTA_FRAC}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM sig, (SELECT unnest(range(0, {DD.N_BANDS})) AS b)
+    ),
+    corpus_r AS (
+      SELECT doc_id, b, band_key,
+             row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS rk
+      FROM bands WHERE is_new = 0
+    ),
+    cands AS (
+      SELECT n.doc_id AS d_new, c.doc_id AS d_old
+      FROM (SELECT doc_id, b, band_key FROM bands WHERE is_new = 1) n
+      JOIN corpus_r c ON n.b = c.b AND n.band_key = c.band_key
+       AND c.rk <= {INCR_BUCKET_CAP}
+      GROUP BY 1, 2
+    ),
+    ids AS (SELECT d_new AS doc_id FROM cands UNION SELECT d_old FROM cands),
+    {_SHF_CTE},
+    ex AS (SELECT doc_id, shingle FROM shf WHERE doc_id IN (SELECT doc_id FROM ids)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+    inter AS (
+      SELECT cd.d_new, cd.d_old, count(*) AS inter
+      FROM cands cd
+      JOIN ex a ON a.doc_id = cd.d_new
+      JOIN ex b ON b.doc_id = cd.d_old AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT d_new, d_old, CAST(inter AS BIGINT) AS inter,
+           CAST(s1.sz AS BIGINT) AS sz_new, CAST(s2.sz AS BIGINT) AS sz_old,
+           CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d_new = s1.doc_id
+    JOIN sizes s2 ON d_old = s2.doc_id
+    WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5
+    """,
+    tags=("DEDUP-minhash", "J5", "U5"),
+    doc="Incremental near-dedup: a 10% delta of NEW documents deduplicated "
+    "against the standing corpus - the shape an ingest pipeline actually "
+    "runs at 100 TB (the corpus never self-joins; only new-vs-old pairs "
+    "form). The delta's band keys BROADCAST against the corpus band index "
+    "(delta << corpus by construction), corpus bucket membership is "
+    "rank-capped at 256 per (band, bucket), and the verify computes "
+    "per-candidate-pair intersections over the df-capped shingle space - "
+    "cost linear in delta size, independent of corpus self-similarity.",
+)
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _sh(spark, sf_dir)
+    bands = DD.minhash_bands(sh).withColumn(
+        "is_new", rng_uniform(F.col("doc_id"), salt=INCR_SALT) < INCR_DELTA_FRAC
+    )
+    delta = bands.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("d_new"), "band", "band_key"
+    )
+    rk = F.row_number().over(W.partitionBy("band", "band_key").orderBy("doc_id"))
+    corpus = (
+        bands.filter(~F.col("is_new"))
+        .withColumn("_rk", rk)
+        .filter(F.col("_rk") <= INCR_BUCKET_CAP)
+        .select(F.col("doc_id").alias("d_old"), "band", "band_key")
+    )
+    cands = (
+        corpus.join(F.broadcast(delta), ["band", "band_key"])
+        .select("d_new", "d_old")
+        .distinct()
+    )
+    shf = DD.df_capped_shingles(sh)
+    sizes = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    e_new = shf.select(F.col("doc_id").alias("d_new"), "shingle")
+    e_old = shf.select(F.col("doc_id").alias("d_old"), "shingle")
+    inter = (
+        cands.join(e_new.hint("shuffle_hash"), "d_new")
+        .join(e_old.hint("shuffle_hash"), ["d_old", "shingle"])
+        .groupBy("d_new", "d_old")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d_new"), F.col("sz").alias("sz_new"))
+    s2 = sizes.select(F.col("doc_id").alias("d_old"), F.col("sz").alias("sz_old"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_new") + F.col("sz_old") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(s1.hint("shuffle_hash"), "d_new")
+        .join(s2.hint("shuffle_hash"), "d_old")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            "d_new",
+            "d_old",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("sz_new").cast("bigint").alias("sz_new"),
+            F.col("sz_old").cast("bigint").alias("sz_old"),
+            "jaccard",
+        )
+    )
