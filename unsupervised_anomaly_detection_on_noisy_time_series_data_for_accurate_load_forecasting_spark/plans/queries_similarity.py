@@ -1018,3 +1018,55 @@ def _mmr_oracle() -> str:
 )
 def s_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.mmr_diversify(_emb(spark, sf_dir))
+
+
+KNN_K = 5
+
+
+@register(
+    "s_knn_graph",
+    oracle=f"""
+    WITH {_LONG},{_BANDED},
+    ids AS (SELECT d1 AS vec_id FROM cands UNION SELECT d2 FROM cands),
+    pl AS (SELECT * FROM long WHERE vec_id IN (SELECT vec_id FROM ids)),
+    nm2 AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM pl GROUP BY 1),
+    dots AS (
+      SELECT c.d1, c.d2, {dsum_sql('a.x * b.x')} AS dot
+      FROM cands c JOIN pl a ON a.vec_id = c.d1 JOIN pl b ON b.vec_id = c.d2 AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    cosd AS (
+      SELECT d1, d2, dot / sqrt(n1.sq * n2.sq) AS cosine
+      FROM dots JOIN nm2 n1 ON d1 = n1.vec_id JOIN nm2 n2 ON d2 = n2.vec_id
+      WHERE n1.sq > 0 AND n2.sq > 0
+    ),
+    sym AS (SELECT d1 AS src, d2 AS nbr, cosine FROM cosd
+            UNION ALL SELECT d2, d1, cosine FROM cosd),
+    rk AS (SELECT src, nbr, cosine,
+                  row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nbr ASC) AS rnk
+           FROM sym)
+    SELECT src, nbr, CAST(rnk AS INTEGER) AS rnk, cosine FROM rk WHERE rnk <= {KNN_K}
+    """,
+    tags=("SIM-lsh", "J5", "O3"),
+    doc="Approximate kNN graph over the embedding corpus - the input "
+    "structure SemDeDup/label-prop/graph-clustering consume: every "
+    "vector's top-5 neighbors among its banded-LSH bucket candidates by "
+    "exact cosine. Candidate volume is the bounded bucket join (cap per "
+    "(band, bucket)), the per-source rank window partitions by vector "
+    "(bounded by bands x cap - never global), and the decimal-exact dot "
+    "decides ties before the id tiebreak.",
+)
+def s_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    pairs = SIM.lsh_near_pairs(_emb(spark, sf_dir), min_cosine=-1.0, bands=_bands(spark, sf_dir))
+    sym = pairs.select(
+        F.col("d1").alias("src"), F.col("d2").alias("nbr"), "cosine"
+    ).unionAll(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("nbr"), "cosine"))
+    w = W.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("nbr").asc())
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("src", "nbr", F.col("rnk").cast("int").alias("rnk"), "cosine")
+    )
