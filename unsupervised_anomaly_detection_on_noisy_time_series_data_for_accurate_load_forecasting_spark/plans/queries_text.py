@@ -962,8 +962,9 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample, which is exactly how it is run at 100 TB.",
 )
 def d_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    samp = _docs(spark, sf_dir).filter(rng_uniform(F.col("doc_id"), salt=91) < 0.5)
-    sh = DD.shingle_hashes(samp)
+    # per-doc shingles are independent of other docs, so shingling the
+    # sampled docs == filtering the session-persisted index by sampled ids
+    sh = _sh(spark, sf_dir).filter(rng_uniform(F.col("doc_id"), salt=91) < 0.5)
     truth = DD.jaccard_pairs(sh, min_jaccard=0.1).select("d1", "d2", "jaccard")
     cands = DD.lsh_candidate_pairs(DD.minhash_bands(sh)).withColumn("_c", F.lit(1))
     hit = truth.join(cands, ["d1", "d2"], "left")
