@@ -1195,3 +1195,94 @@ def mmr_mirror(ids, X, query_id: int = MMR_QUERY_ID, shortlist: int = MMR_SHORTL
     return [
         (i + 1, vid, cos, qround_py(score, 9)) for i, (vid, score, cos) in enumerate(sel)
     ]
+
+
+PCA_COMPONENTS = 2
+
+
+def pca_fit(emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Exact-covariance PCA fit: the covariance matrix is ONE distributed
+    pass (vec-keyed self-join of the long form → dec-quantized product sums,
+    d² = 4096 combinable cells), the d×d eigendecomposition is a trivial
+    driver step (the kmeans/PQ memoized-driver-train discipline — the
+    reduction to d² cells is the distributed work; eigh on 64×64 costs
+    microseconds at ANY corpus size).
+
+    Cross-engine exactness: column means come from decimal-exact sums
+    (float(Decimal) is correctly rounded, division by n is one IEEE op),
+    covariance cells are decimal-exact sums of dec-quantized centered
+    products, so the numpy-mirror oracle reconstructs the IDENTICAL float64
+    matrix via int64 micro-unit sums — eigh then agrees bit-for-bit. Each
+    eigenvector's sign is pinned by making its largest-|coordinate| entry
+    positive (first index on ties).
+
+    Returns (mu list[float], components list[list[float]] — top
+    PCA_COMPONENTS rows, eigenvalue-descending).
+    """
+    import numpy as np
+
+    from ..functions.exact import dec
+
+    long = emb.select(
+        F.col(id_col), F.posexplode(F.col(emb_col).cast("array<double>")).alias("i", "x")
+    )
+    n = emb.count()
+    mrows = long.groupBy("i").agg(F.sum(dec("x")).alias("s")).collect()
+    mu = [0.0] * 64
+    for r in mrows:
+        mu[r["i"]] = float(r["s"]) / n
+    mu_arr = "array(" + ", ".join(f"CAST('{m!r}' AS DOUBLE)" for m in mu) + ")"
+    a = long.select(F.col(id_col).alias("_v"), F.col("i").alias("ii"), F.col("x").alias("xa"))
+    b = long.select(F.col(id_col).alias("_v"), F.col("i").alias("jj"), F.col("x").alias("xb"))
+    prod = F.expr(
+        f"(xa - element_at({mu_arr}, ii + 1)) * (xb - element_at({mu_arr}, jj + 1))"
+    )
+    crows = (
+        a.join(b, "_v")
+        .select("ii", "jj", dec(prod).alias("p"))
+        .groupBy("ii", "jj")
+        .agg(F.sum("p").alias("s"))
+        .collect()
+    )
+    C = np.zeros((64, 64))
+    for r in crows:
+        C[r["ii"], r["jj"]] = float(r["s"]) / (n - 1)
+    return mu, _pca_components_from_cov(C)
+
+
+def _pca_components_from_cov(C):
+    """Top-PCA_COMPONENTS eigenvectors of a symmetric covariance matrix,
+    eigenvalue-descending, sign pinned (largest-|coordinate| entry made
+    positive, first index on ties) — shared verbatim by the Spark fit and
+    the numpy-mirror oracle so both sides run the same eigh on the same
+    float64 matrix."""
+    import numpy as np
+
+    w, v = np.linalg.eigh(C)
+    comps = []
+    for c in range(PCA_COMPONENTS):
+        vec = v[:, int(np.argsort(w)[::-1][c])].copy()
+        k = int(np.argmax(np.abs(vec)))
+        if vec[k] < 0:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+    return comps
+
+
+def pca_project_exprs(mu, components):
+    """SQL expressions projecting `embedding` onto each component as a
+    LEFT-TO-RIGHT fold (aggregate HOF adds x_k·w_k in array order — the
+    same sequential IEEE adds the mirror's Python loop performs), with the
+    constant Σ mu_k·w_k folded driver-side (same order)."""
+    exprs = []
+    for comp in components:
+        w_arr = "array(" + ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in comp) + ")"
+        off = 0.0
+        for m, w in zip(mu, comp):
+            off += m * w
+        exprs.append(
+            f"aggregate(transform(sequence(0, 63), k -> "
+            f"element_at(CAST(embedding AS ARRAY<DOUBLE>), k + 1) * element_at({w_arr}, k + 1)), "
+            f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) - CAST('{off!r}' AS DOUBLE)"
+        )
+    return exprs

@@ -1070,3 +1070,97 @@ def s_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= KNN_K)
         .select("src", "nbr", F.col("rnk").cast("int").alias("rnk"), "cosine")
     )
+
+
+_PCA_MEMO: dict[str, tuple] = {}
+
+
+def _pca_fit_memo(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _PCA_MEMO:
+        _PCA_MEMO.clear()
+        _PCA_MEMO[sf_dir] = SIM.pca_fit(_emb(spark, sf_dir))
+    return _PCA_MEMO[sf_dir]
+
+
+def _pca_mirror(sf_dir: str):
+    """Single-node replica of pca_fit + projection: int64 micro-unit sums
+    reproduce the decimal-exact Spark aggregations bit-for-bit, the shared
+    eigh/sign helper runs on the identical float64 covariance, and the
+    projection is the same left-to-right fold the aggregate HOF performs."""
+    from decimal import Decimal
+
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = [int(r[0]) for r in rows]
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    n = len(ids)
+    q = np.floor(X * 1e6 + 0.5).astype(np.int64)
+    mu = [float(Decimal(int(s)).scaleb(-6)) / n for s in q.sum(axis=0)]
+    cent = X - np.array(mu)[None, :]
+    P = cent[:, :, None] * cent[:, None, :]
+    ci = np.floor(P * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+    C = np.empty((64, 64))
+    for i in range(64):
+        for j in range(64):
+            C[i, j] = float(Decimal(int(ci[i, j])).scaleb(-6)) / (n - 1)
+    comps = SIM._pca_components_from_cov(C)
+    offs = []
+    for comp in comps:
+        off = 0.0
+        for m, w in zip(mu, comp):
+            off += m * w
+        offs.append(off)
+    out = []
+    for r, vid in enumerate(ids):
+        pcs = []
+        for comp, off in zip(comps, offs):
+            acc = 0.0
+            for k in range(64):
+                acc += float(X[r, k]) * comp[k]
+            pcs.append(acc - off)
+        out.append((vid, pcs[0], pcs[1]))
+    return out
+
+
+def _pca_oracle() -> str:
+    import os
+
+    from ..functions.exact import qround_py
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = ",".join(
+        f"({vid}, {qround_py(p1, 6)!r}::DOUBLE, {qround_py(p2, 6)!r}::DOUBLE)"
+        for vid, p1, p2 in _pca_mirror(sf_dir)
+    )
+    return "SELECT * FROM (VALUES " + rows + ") AS t(vec_id, pc1, pc2)"
+
+
+@register(
+    "s_pca_project",
+    oracle=_pca_oracle,
+    tags=("SIM-ann", "J5", "A2"),
+    doc="Exact-covariance PCA projection of the embedding corpus to its top "
+    "2 components - the dimensionality reduction a training pipeline runs "
+    "before visualization/indexing. The distributed work is the reduction "
+    "to d^2 = 4096 decimal-exact covariance cells (one vec-keyed self-join "
+    "of the long form, combinable sums); the 64x64 eigh is a driver step "
+    "costing microseconds at any corpus size (the kmeans/PQ memoized-"
+    "driver-train discipline), signs pinned deterministically; the "
+    "projection is a map-only fold against component literals. The "
+    "numpy-mirror oracle reconstructs the identical covariance via int64 "
+    "micro-unit sums, so eigh and the fold agree bit-for-bit.",
+)
+def s_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+
+    mu, comps = _pca_fit_memo(spark, sf_dir)
+    e1, e2 = SIM.pca_project_exprs(mu, comps)
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        qround(F.expr(e1), 6).alias("pc1"),
+        qround(F.expr(e2), 6).alias("pc2"),
+    )
