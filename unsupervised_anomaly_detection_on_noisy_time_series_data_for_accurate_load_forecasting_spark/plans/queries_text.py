@@ -1595,3 +1595,102 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+TEXTRANK_TOP_K = 20
+TEXTRANK_ITERS = 5
+
+
+def _textrank_oracle() -> str:
+    """Unrolled fixed-point PageRank over the word co-occurrence graph
+    (window ±2 over the stopword-filtered token stream, canonical
+    undirected pairs symmetrized) — the g_pagerank integer-lattice replay
+    on a text graph."""
+    ctes = [
+        f"""base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tl AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok FROM base
+    ),
+    seq AS (
+      SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p, tok
+      FROM tl WHERE tok NOT IN ({_STOP})
+    ),
+    und AS (
+      SELECT DISTINCT least(a.tok, b.tok) AS u, greatest(a.tok, b.tok) AS v
+      FROM seq a JOIN seq b
+        ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2 AND a.tok <> b.tok
+    )""",
+        "edges AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        "ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src))",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n_nodes FROM nodes)",
+        "r0 AS (SELECT node, CAST((SELECT 1000000000 // n_nodes FROM nn) AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, TEXTRANK_ITERS + 1):
+        ctes.append(
+            f"""s{i} AS (
+      SELECT e.dst AS node, sum(r.r // e.deg) AS S
+      FROM ed e JOIN r{i - 1} r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST((SELECT 150000000 // n_nodes FROM nn)
+                  + (85 * coalesce(s.S, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN s{i} s ON n.node = s.node
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT node AS word, r AS rank_q, CAST(r AS DOUBLE) / 1000000000.0 AS rank
+    FROM r{TEXTRANK_ITERS}
+    ORDER BY rank_q DESC, word ASC
+    LIMIT {TEXTRANK_TOP_K}
+    """
+    )
+
+
+@register(
+    "t_textrank_keywords",
+    oracle=_textrank_oracle,
+    tags=("TXT-tokens", "DEDUP-cc", "O3"),
+    doc="TextRank keyword extraction - fixed-point PageRank composed over "
+    "the word co-occurrence graph (window +-2 on the stopword-filtered "
+    "token stream, canonical undirected pairs symmetrized): the graph "
+    "operator family applied to text, reusing the 1e-9 integer-lattice "
+    "PageRank so every round replays exactly in the oracle's unrolled "
+    "CTEs. Per round one hash join + one combinable aggregate; window "
+    "neighbors come from two lead() columns over per-doc windows (linear, "
+    "never a per-doc quadratic self-join); top-20 is TakeOrdered.",
+)
+def t_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import pagerank_fixed_point
+
+    tl = DD.token_long(_docs(spark, sf_dir))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    seq = tl.filter(~F.col("tok").isin(*TX.STOPWORDS)).withColumn(
+        "p", F.row_number().over(w)
+    )
+    wp = W.partitionBy("doc_id").orderBy("p")
+    nb = seq.select(
+        "doc_id",
+        F.col("tok").alias("a"),
+        F.lead("tok", 1).over(wp).alias("n1"),
+        F.lead("tok", 2).over(wp).alias("n2"),
+    )
+    raw = nb.select(F.col("a"), F.col("n1").alias("b")).unionAll(
+        nb.select(F.col("a"), F.col("n2").alias("b"))
+    ).filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    und = raw.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    pr = pagerank_fixed_point(edges, iters=TEXTRANK_ITERS)
+    return (
+        pr.select(F.col("node").alias("word"), "rank_q", "rank")
+        .orderBy(F.col("rank_q").desc(), F.col("word").asc())
+        .limit(TEXTRANK_TOP_K)
+    )
