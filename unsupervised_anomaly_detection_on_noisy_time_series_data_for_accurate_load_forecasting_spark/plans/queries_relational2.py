@@ -1272,3 +1272,61 @@ def a_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (col, n, n_null, min_v, max_v, sum_v, mean_v, std_v)"
         )
     )
+
+
+HIST_BUCKETS = 16
+
+
+@register(
+    "a_numeric_histogram",
+    oracle=f"""
+    WITH long AS (
+      SELECT 'l_quantity' AS col, l_quantity AS x FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+    ),
+    st AS (SELECT col, min(x) AS mn, max(x) AS mx FROM long GROUP BY 1),
+    b AS (
+      SELECT l.col,
+             CAST(least({HIST_BUCKETS - 1},
+                        floor((l.x - st.mn) * {HIST_BUCKETS}.0 / (st.mx - st.mn))) AS INTEGER) AS bucket,
+             st.mn, st.mx
+      FROM long l JOIN st USING (col)
+    )
+    SELECT col, bucket, CAST(count(*) AS BIGINT) AS cnt,
+           {qround_sql(f'mn + bucket * (mx - mn) / {HIST_BUCKETS}.0', 6)} AS lo,
+           {qround_sql(f'mn + (bucket + 1) * (mx - mn) / {HIST_BUCKETS}.0', 6)} AS hi
+    FROM b GROUP BY col, bucket, mn, mx
+    """,
+    tags=("A14", "A6", "W8"),
+    doc="Equi-width numeric histograms (16 buckets) for the profiler "
+    "family: per column, one broadcast min/max row then a combinable "
+    "(col, bucket) count - two scans collapse into one via stack() on "
+    "the Spark side. Bucketing arithmetic is the same IEEE double "
+    "expression in both engines (floor of identical doubles), edges "
+    "quantized 1e-6.",
+)
+def a_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr("stack(2, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice) AS (col, x)")
+    )
+    st = long.groupBy("col").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    nb = float(HIST_BUCKETS)
+    bucket = F.least(
+        F.lit(HIST_BUCKETS - 1),
+        F.floor((F.col("x") - F.col("mn")) * nb / (F.col("mx") - F.col("mn"))),
+    ).cast("int")
+    return (
+        long.join(F.broadcast(st), "col")
+        .withColumn("bucket", bucket)
+        .groupBy("col", "bucket", "mn", "mx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "col",
+            "bucket",
+            "cnt",
+            qround(F.col("mn") + F.col("bucket") * (F.col("mx") - F.col("mn")) / nb, 6).alias("lo"),
+            qround(F.col("mn") + (F.col("bucket") + 1) * (F.col("mx") - F.col("mn")) / nb, 6).alias("hi"),
+        )
+    )
