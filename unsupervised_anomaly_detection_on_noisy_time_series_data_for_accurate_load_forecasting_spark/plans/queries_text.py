@@ -1694,3 +1694,82 @@ def t_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_q").desc(), F.col("word").asc())
         .limit(TEXTRANK_TOP_K)
     )
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+@register(
+    "d_simhash_hamming_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS s FROM documents),
+    h AS (SELECT doc_id, {_POLY} AS h FROM t),
+    b AS (SELECT doc_id, h, g.bit FROM h, (SELECT unnest(range(0, 32)) AS bit) g),
+    v AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN CAST(floor(h / power(2.0, bit)) AS BIGINT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM b GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN CAST(power(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS sh
+      FROM v GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, sh, g.bd, (sh // CAST(power(2.0, 8 * g.bd) AS BIGINT)) % 256 AS bv
+      FROM sim, (SELECT unnest(range(0, 4)) AS bd) g
+    ),
+    ranked AS (
+      SELECT doc_id, sh, bd, bv,
+             row_number() OVER (PARTITION BY bd, bv ORDER BY doc_id) AS rk
+      FROM bands
+    ),
+    capped AS (SELECT * FROM ranked WHERE rk <= {DD.LSH_BUCKET_CAP}),
+    cands AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, any_value(a.sh) AS h1, any_value(b.sh) AS h2
+      FROM capped a JOIN capped b
+        ON a.bd = b.bd AND a.bv = b.bv
+       AND b.rk - a.rk BETWEEN 1 AND {DD.LSH_NEIGHBORHOOD}
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+    FROM cands WHERE bit_count(xor(h1, h2)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    tags=("DEDUP-simhash", "J5"),
+    doc="SimHash Hamming near-pairs: docs whose 32-bit SimHash differs in "
+    "<= 3 bits. Pigeonhole blocking - distance <= 3 over 4 bands of 8 bits "
+    "guarantees at least one band matches exactly - so candidates come "
+    "from an EQUI-join on (band, band_value), bounded by the same bucket "
+    "cap + sorted-neighborhood window as the MinHash path (hot bands are "
+    "where SimHash stops discriminating); verify is one bit_count(xor) "
+    "per candidate. Never an all-pairs Hamming scan.",
+)
+def d_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = DD.simhash(_docs(spark, sf_dir)).withColumnRenamed("simhash", "sh")
+    bands = sim.select(
+        "doc_id",
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("bd"),
+    ).withColumn("bv", F.expr("shiftright(sh, CAST(bd * 8 AS INT)) & 255"))
+    rk = F.row_number().over(W.partitionBy("bd", "bv").orderBy("doc_id"))
+    ranked = bands.withColumn("rk", rk).filter(F.col("rk") <= DD.LSH_BUCKET_CAP)
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.bd") == F.col("b.bd"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("b.rk") - F.col("a.rk")).between(1, DD.LSH_NEIGHBORHOOD),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.any_value(F.col("a.sh")).alias("h1"), F.any_value(F.col("b.sh")).alias("h2"))
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cands.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("d1", "d2", "hamming")
+    )
