@@ -503,3 +503,42 @@ def test_theta_sketches_compile_to_take_ordered(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("TakeOrderedAndProject") >= 3, "card_a/card_b/union sketches"
     assert not _GLOBAL_WINDOW.search(plan)
+
+
+def test_incremental_dedup_broadcasts_delta_and_never_self_joins(spark, sf_dir):
+    """The delta-vs-corpus dedup must broadcast the (small) delta band keys
+    and never form corpus-corpus pairs: no doc_id < doc_id self-join
+    predicate anywhere, and the only nested loop is the 1-row df-cap
+    scalar."""
+    plan = _plan(REGISTRY["d_incremental_dedup"].spark(spark, sf_dir))
+    assert "BroadcastExchange" in plan, "delta band keys must broadcast"
+    assert not re.search(r"doc_id#\d+L? < doc_id#", plan)
+    assert _only_scalar_cap_bnlj(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_rank_window_is_per_vector(spark, sf_dir):
+    """The kNN-graph top-5 rank partitions by source vector (bounded by
+    bands x bucket cap) — never a single-partition global Window."""
+    plan = _plan(REGISTRY["s_knn_graph"].spark(spark, sf_dir))
+    assert not _GLOBAL_WINDOW.search(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_projection_is_map_only(spark, sf_dir):
+    """After the (memoized, driver-side) fit, the PCA projection must be a
+    pure map stage: fold against component literals over the scan — no
+    Exchange, no join, no Window in the returned plan."""
+    plan = _plan(REGISTRY["s_pca_project"].spark(spark, sf_dir))
+    assert "Exchange" not in plan, "projection must not shuffle"
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_simhash_hamming_candidates_are_band_bounded(spark, sf_dir):
+    """SimHash near-pairs must go through the ranked (band, band_value)
+    equi-join (pigeonhole blocking) with the sorted-neighborhood rank gate —
+    never an all-pairs Hamming scan (no nested loop, no cross product)."""
+    plan = _plan(REGISTRY["d_simhash_hamming_pairs"].spark(spark, sf_dir))
+    assert "_rk" in plan or "rk#" in plan, "rank bound missing"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
