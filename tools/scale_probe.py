@@ -78,6 +78,13 @@ QUERIES = [
     "a_markov_transitions",     # per-user journey transition matrix (r8)
     "t_rake_keywords",          # stopword-island phrase scoring (r8)
     "j_asof_nearest",           # two-direction union-and-carry compose (r8)
+    "g_kcore",                  # fixed-round peel + fixpoint early exit (r9)
+    "a_bootstrap_ci",           # Poisson-bootstrap, 200x explode (r9)
+    "d_incremental_dedup",      # broadcast-delta vs corpus bands (r9)
+    "s_knn_graph",              # banded-LSH kNN graph (r9)
+    "s_pca_project",            # exact-covariance PCA projection (r9)
+    "t_textrank_keywords",      # PageRank over the word graph (r9)
+    "q21_waiting_suppliers",    # per-order distinct-supplier correlations (r9)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
