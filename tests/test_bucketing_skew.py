@@ -173,3 +173,43 @@ def test_zorder_write_is_idempotent(spark, sf_dir):
     write_zordered(od, "z_orders_idem", "o_custkey", "o_orderdate", n_files=4)
     assert {f: os.stat(f).st_mtime_ns for f in files} == mtimes, "rewrite happened"
     spark.sql("DROP TABLE IF EXISTS z_orders_idem")
+
+
+def test_compact_partitions_rewrites_only_fragmented(spark, sf_dir):
+    """Small-files compaction: a partitioned table whose 'en' partition was
+    deliberately fragmented into many files compacts to the row-count
+    target, other partitions stay byte-identical (file counts unchanged),
+    and the table's data survives the rewrite exactly."""
+    from pyspark.sql import functions as F
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.bucketing import (
+        compact_partitions,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spark.sql("DROP TABLE IF EXISTS compact_docs")
+    # fragment: 16 files per partition (micro-batch append simulation)
+    docs.repartition(16).write.mode("overwrite").partitionBy("lang").saveAsTable(
+        "compact_docs"
+    )
+    before = {
+        r["lang"]: r["n"]
+        for r in spark.table("compact_docs").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    stats = compact_partitions(spark, "compact_docs", target_rows_per_file=50_000)
+    by_part = {v: (fb, fa, n) for v, fb, fa, n in stats}
+    assert by_part, "no partitions reported"
+    for val, (fb, fa, n) in by_part.items():
+        assert n == before[val]
+        if fb > 1:
+            assert fa < fb, f"{val}: {fb} files not compacted"
+            assert fa == max(1, -(-n // 50_000))
+    after = {
+        r["lang"]: r["n"]
+        for r in spark.table("compact_docs").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert after == before, "compaction changed the data"
+    spark.sql("DROP TABLE IF EXISTS compact_docs")

@@ -208,3 +208,57 @@ def write_zordered(
         .saveAsTable(table)
     )
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('graft.plan_key'='{key}')")
+
+
+def compact_partitions(
+    spark: SparkSession, table: str, target_rows_per_file: int = 50_000
+) -> list[tuple[str, int, int, int]]:
+    """Small-files compaction for a hive-partitioned managed table — the
+    sink-maintenance job every streaming/incremental 100 TB table needs:
+    micro-batch and per-partition appends accrete kilobyte files whose
+    open/footer overhead eventually dominates scans. Each partition is
+    rewritten into ``ceil(rows / target_rows_per_file)`` files via a
+    partition-scoped coalesce INSERT OVERWRITE (dynamic partition
+    overwrite: only the rewritten partition's directory is replaced, never
+    the table), smallest-file-count partitions untouched when already at
+    target.
+
+    Returns [(partition_value, files_before, files_after, n_rows)] so the
+    caller sees exactly what was rewritten — the no-silent-maintenance
+    rule. Driver work is one file listing per partition; the data moves
+    through executors (scan → coalesce → write), never the driver."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    loc = None
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r["col_name"].strip() == "Location":
+            loc = urlparse(r["data_type"].strip()).path
+            break
+    out: list[tuple[str, int, int, int]] = []
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for prow in spark.sql(f"SHOW PARTITIONS {table}").collect():
+            spec = prow[0]  # e.g. "lang=en"
+            pcol, val = spec.split("=", 1)
+            pdir = os.path.join(loc, spec)
+            files_before = sum(
+                1 for f in os.listdir(pdir) if f.endswith(".parquet")
+            ) if os.path.isdir(pdir) else 0
+            part = spark.table(table).where(f"{pcol} = '{val}'")
+            n_rows = part.count()
+            n_target = max(1, math.ceil(n_rows / target_rows_per_file))
+            if files_before <= n_target:
+                out.append((val, files_before, files_before, n_rows))
+                continue
+            # overwrite ONLY this partition (dynamic mode): read must not
+            # race its own overwrite, so cut lineage first
+            snap = part.localCheckpoint(eager=True)
+            snap.coalesce(n_target).write.mode("overwrite").insertInto(table)
+            files_after = sum(1 for f in os.listdir(pdir) if f.endswith(".parquet"))
+            out.append((val, files_before, files_after, n_rows))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return out
