@@ -320,6 +320,39 @@ PICKS = [
         "counts joined back on orderkey — one fact shuffle, no per-line "
         "self-join; final top-20 is TakeOrderedAndProject.",
     ),
+    (
+        "s_pca_project",
+        "PCA projection after the memoized driver fit: a PURE map stage — "
+        "fold against component literals straight over the scan, no "
+        "Exchange, no join, no Window anywhere in the plan.",
+    ),
+    (
+        "t_textrank_keywords",
+        "PageRank composed over the word co-occurrence graph: lead-window "
+        "neighbors (linear, never a per-doc self-join), per-round hash join "
+        "+ combinable aggregate on the integer rank lattice, TakeOrdered "
+        "top-20.",
+    ),
+    (
+        "d_incremental_dedup",
+        "Delta-vs-corpus dedup: the delta band keys BROADCAST against the "
+        "corpus band index (the corpus never self-joins), corpus buckets "
+        "rank-capped, per-candidate-pair verify over the df-capped shingle "
+        "view.",
+    ),
+    (
+        "d_simhash_hamming_pairs",
+        "Pigeonhole band blocking: Hamming ≤ 3 over 4×8-bit bands "
+        "guarantees one exact band match, so candidates are an equi-join "
+        "under the bucket cap + sorted-neighborhood window; verify is one "
+        "bit_count(xor) per candidate.",
+    ),
+    (
+        "s_knn_graph",
+        "Approximate kNN graph: bounded banded-LSH candidates, exact-cosine "
+        "verify, per-source rank window (bounded by bands × cap — never a "
+        "global sort).",
+    ),
 ]
 
 
