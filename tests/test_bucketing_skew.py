@@ -200,7 +200,8 @@ def test_compact_partitions_rewrites_only_fragmented(spark, sf_dir):
         for r in spark.table("compact_docs").groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     stats = compact_partitions(spark, "compact_docs", target_rows_per_file=50_000)
-    by_part = {v: (fb, fa, n) for v, fb, fa, n in stats}
+    # stats key by the full partition spec ("lang=en"), not the bare value
+    by_part = {spec.split("=", 1)[1]: (fb, fa, n) for spec, fb, fa, n in stats}
     assert by_part, "no partitions reported"
     for val, (fb, fa, n) in by_part.items():
         assert n == before[val]
@@ -213,3 +214,50 @@ def test_compact_partitions_rewrites_only_fragmented(spark, sf_dir):
     }
     assert after == before, "compaction changed the data"
     spark.sql("DROP TABLE IF EXISTS compact_docs")
+
+
+def test_compact_partitions_multilevel_escaped_and_null_specs(spark):
+    """The spec parser must handle what SHOW PARTITIONS really emits:
+    multi-level specs (a=1/b=2), URL-escaped values (spaces → %20), and
+    __HIVE_DEFAULT_PARTITION__ for NULL — each resolving to a typed column
+    predicate that matches the partition's actual rows (the old
+    string-interpolated WHERE silently matched 0 rows for all three)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.bucketing import (
+        compact_partitions,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS compact_tricky")
+    rows = []
+    for i in range(40):
+        rows.append(Row(x=i, region=1, city="new york"))
+        rows.append(Row(x=i, region=2, city=None))
+    (
+        spark.createDataFrame(rows)
+        .repartition(8)
+        .write.mode("overwrite")
+        .partitionBy("region", "city")
+        .saveAsTable("compact_tricky")
+    )
+    before = {
+        (r["region"], r["city"]): r["n"]
+        for r in spark.table("compact_tricky")
+        .groupBy("region", "city")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    stats = compact_partitions(spark, "compact_tricky", target_rows_per_file=50_000)
+    assert len(stats) == len(before) == 2
+    for spec, fb, fa, n in stats:
+        assert n > 0, f"{spec}: predicate matched 0 rows"
+        assert fb >= 1
+        if fb > 1:
+            assert fa == 1, f"{spec}: not compacted ({fb}->{fa})"
+    total_after = spark.table("compact_tricky").count()
+    assert total_after == sum(before.values())
+    # the escaped-space and NULL partitions each kept their exact rows
+    assert spark.table("compact_tricky").where(F.col("city") == "new york").count() == 40
+    assert spark.table("compact_tricky").where(F.col("city").isNull()).count() == 40
+    spark.sql("DROP TABLE IF EXISTS compact_tricky")

@@ -542,3 +542,22 @@ def test_simhash_hamming_candidates_are_band_bounded(spark, sf_dir):
     assert "_rk" in plan or "rk#" in plan, "rank bound missing"
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_hashing_is_map_only(spark, sf_dir):
+    """The shared token-hash primitive must never materialize a vocabulary
+    dimension frame: a crawl corpus's distinct whitespace-token vocabulary is
+    10^8–10^9 rows, and the old distinct+forced-broadcast shape OOMs at that
+    scale. shingle_hashes / simhash / count_min cells must therefore contain
+    ZERO joins — the poly hash is an inline expression over token instances."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        ngram_hashes,
+        shingle_hashes,
+        simhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    for df in (shingle_hashes(docs), ngram_hashes(docs, 5), simhash(docs)):
+        plan = _plan(df)
+        assert "Join" not in plan, "vocabulary join reintroduced"
+        assert "BroadcastExchange" not in plan

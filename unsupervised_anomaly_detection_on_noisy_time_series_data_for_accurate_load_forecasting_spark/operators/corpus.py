@@ -428,8 +428,8 @@ def count_min_estimates(
     per-token groupBy, and estimates only ever OVER-count (min over d rows;
     error ≤ n/w with probability 1−2^−d per the standard bound).
 
-    Shape: token hashing goes through the broadcast vocabulary dim (hot
-    path integer-only), the sketch build is ONE map-side-combinable
+    Shape: token hashing is applied inline per instance (map-only — no
+    vocabulary frame, no broadcast), the sketch build is ONE map-side-combinable
     groupBy over (row, bucket) — d·w cells regardless of corpus size, the
     definition of mergeable — and probing joins the tiny sketch broadcast
     against the probe tokens' buckets. Deterministic end to end, so the
@@ -441,10 +441,7 @@ def count_min_estimates(
     from .textops import poly_hash_sql_expr
 
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    dim = (
-        toks.select("tok").distinct().withColumn("th", F.expr(poly_hash_sql_expr("tok")))
-    )
-    hashed = toks.join(F.broadcast(dim), "tok")
+    hashed = toks.withColumn("th", F.expr(poly_hash_sql_expr("tok")))
     buckets = F.array(
         *[
             F.struct(F.lit(i).alias("i"), _cms_bucket(F.col("th"), i, w).alias("bucket"))
@@ -458,7 +455,7 @@ def count_min_estimates(
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
     probes = exact.orderBy(F.col("n_exact").desc(), F.col("tok").asc()).limit(probe_k)
     pb = (
-        probes.join(F.broadcast(dim), "tok")
+        probes.withColumn("th", F.expr(poly_hash_sql_expr("tok")))
         .select("tok", "n_exact", F.explode(buckets).alias("rb"))
         .select("tok", "n_exact", F.col("rb.i").alias("i"), F.col("rb.bucket").alias("bucket"))
     )

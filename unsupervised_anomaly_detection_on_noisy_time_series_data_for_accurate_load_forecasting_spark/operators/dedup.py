@@ -136,12 +136,14 @@ def token_long(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
 
 
-def token_hash_dim(tok_long_df: DataFrame) -> DataFrame:
-    """Distinct vocabulary → polynomial char-fold hash. Tiny vs. the corpus;
-    broadcast everywhere so the hot path stays integer-only."""
-    return (
-        tok_long_df.select("tok").distinct().withColumn("h", F.expr(poly_hash_sql_expr("tok")))
-    )
+def token_hash_long(tok_long_df: DataFrame) -> DataFrame:
+    """(id, pos, h): token instances with the polynomial char-fold hash
+    applied INLINE per instance — a pure map-only expression, no vocabulary
+    dimension frame and no join. A crawl corpus's distinct whitespace-token
+    vocabulary is 10^8–10^9 rows (typos, URLs, numbers); the old
+    distinct-vocab + forced-broadcast shape OOMs the driver at that scale,
+    while this shape stays whole-stage-codegen over token instances."""
+    return tok_long_df.withColumn("h", F.expr(poly_hash_sql_expr("tok")))
 
 
 def shingle_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -149,10 +151,9 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     shingle = ((h1·1009 + h2) mod M · 1009 + h3) mod M over consecutive token
     hashes (lead window — no string re-materialization)."""
     tl = token_long(df, text_col, id_col)
-    dim = token_hash_dim(tl)
     w = W.partitionBy(id_col).orderBy("pos")
     hashed = (
-        tl.join(F.broadcast(dim), "tok")
+        token_hash_long(tl)
         .select(
             id_col,
             "pos",
@@ -176,14 +177,13 @@ def ngram_hashes(
     generalized to any n (n=3 reproduces it exactly: the fold applies the
     same ``pmod`` after every multiply-add).
 
-    Same scale shape: broadcast vocabulary dim, per-doc ``lead`` window
+    Same scale shape: inline map-only token hashing, per-doc ``lead`` window
     (partition = doc, never global), pure 64-bit integer combine."""
     tl = token_long(df, text_col, id_col)
-    dim = token_hash_dim(tl)
     w = W.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("h", i).over(w).alias(f"h{i}") for i in range(1, n)]
     hashed = (
-        tl.join(F.broadcast(dim), "tok")
+        token_hash_long(tl)
         .select(id_col, "pos", F.col("h").alias("h0"), *leads)
         .filter(F.col(f"h{n - 1}").isNotNull())
     )
@@ -336,6 +336,7 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     sh: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash→LSH→exact-verify: the scalable near-dup join. Candidates from
     band buckets, then exact Jaccard computed PER CANDIDATE PAIR.
@@ -355,7 +356,8 @@ def minhash_lsh_dedup(
     """
     if sh is None:
         sh = shingle_hashes(df, text_col, id_col)
-    bands = minhash_bands(sh, id_col)
+    if bands is None:
+        bands = minhash_bands(sh, id_col)
     cands = lsh_candidate_pairs(bands, id_col)
     shf = df_capped_shingles(sh, id_col)
     sizes = shf.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -385,7 +387,7 @@ def minhash_lsh_dedup(
 def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash: token hashes → ±1 votes per bit → sign → packed int.
 
-    Token hashes come from the broadcast vocabulary dim. Per-bit vote counts
+    Token hashes are applied inline per instance (map-only). Per-bit vote counts
     are packed SIMD-style — each token row folds its ``bits`` bit values into
     ``bits/2`` 32-bit lanes across ``bits/2`` long columns, and one
     map-side-combinable ``sum`` per lane-column accumulates all bit counters
@@ -395,8 +397,7 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str =
     2·ones(bit) > n_tokens. Lanes are 32-bit so counts are exact for docs up
     to 2^31 token occurrences — far past any real document."""
     tl = token_long(df, text_col, id_col)
-    dim = token_hash_dim(tl)
-    t = tl.join(F.broadcast(dim), "tok")
+    t = token_hash_long(tl)
     n_lanes = bits // 2  # two 32-bit lanes per long column
     lanes = [
         (
@@ -523,6 +524,7 @@ def fuzzy_edit_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     sh: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Blocked fuzzy matching: LSH band buckets generate candidate pairs,
     Levenshtein edit distance verifies them — the character-level near-dup
@@ -541,7 +543,8 @@ def fuzzy_edit_pairs(
     """
     if sh is None:
         sh = shingle_hashes(df, text_col, id_col)
-    bands = minhash_bands(sh, id_col)
+    if bands is None:
+        bands = minhash_bands(sh, id_col)
     cands = lsh_candidate_pairs(bands, id_col)
     ids = cands.select(F.col("d1").alias(id_col)).union(cands.select("d2")).distinct()
     texts = df.join(ids, id_col, "left_semi").select(F.col(id_col), F.col(text_col))
@@ -1135,9 +1138,13 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
 
     Scale shape per round: one map-side-combinable degree count plus two
     semi joins of the edge list against the (smaller) survivor set — all
-    hash-partitioned on vertex id, no windows, no collect. Lineage is cut
-    with a localCheckpoint every other round (the connected_components
-    discipline) so the plan never stacks ``rounds`` joins deep.
+    hash-partitioned on vertex id, no windows, no collect. Each round
+    materializes once (eager localCheckpoint, cutting lineage so the plan
+    never stacks ``rounds`` joins deep) and then counts the checkpointed
+    edges — the count doubles as the fixed-point probe (no edge dropped ⇒
+    every further peel is the identity ⇒ early-exit), and it scans the
+    already-materialized checkpoint blocks, not the join lineage, so the
+    probe is the cheap half of the pair of jobs.
     """
     e = edges.select("u", "v")
     n_edges = None

@@ -1203,10 +1203,11 @@ PCA_COMPONENTS = 2
 def pca_fit(emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"):
     """Exact-covariance PCA fit: the covariance matrix is ONE distributed
     pass (vec-keyed self-join of the long form → dec-quantized product sums,
-    d² = 4096 combinable cells), the d×d eigendecomposition is a trivial
-    driver step (the kmeans/PQ memoized-driver-train discipline — the
-    reduction to d² cells is the distributed work; eigh on 64×64 costs
-    microseconds at ANY corpus size).
+    d² combinable cells — 4096 for the 64-wide corpus embeddings), the d×d
+    eigendecomposition is a trivial driver step (the kmeans/PQ
+    memoized-driver-train discipline — the reduction to d² cells is the
+    distributed work; eigh on d×d costs microseconds at ANY corpus size).
+    d is derived from the data (max F.size of ``emb_col``), not hardcoded.
 
     Cross-engine exactness: column means come from decimal-exact sums
     (float(Decimal) is correctly rounded, division by n is one IEEE op),
@@ -1227,8 +1228,9 @@ def pca_fit(emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"):
         F.col(id_col), F.posexplode(F.col(emb_col).cast("array<double>")).alias("i", "x")
     )
     n = emb.count()
+    d = emb.select(F.max(F.size(emb_col)).alias("d")).collect()[0]["d"]
     mrows = long.groupBy("i").agg(F.sum(dec("x")).alias("s")).collect()
-    mu = [0.0] * 64
+    mu = [0.0] * d
     for r in mrows:
         mu[r["i"]] = float(r["s"]) / n
     mu_arr = "array(" + ", ".join(f"CAST('{m!r}' AS DOUBLE)" for m in mu) + ")"
@@ -1244,7 +1246,7 @@ def pca_fit(emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"):
         .agg(F.sum("p").alias("s"))
         .collect()
     )
-    C = np.zeros((64, 64))
+    C = np.zeros((d, d))
     for r in crows:
         C[r["ii"], r["jj"]] = float(r["s"]) / (n - 1)
     return mu, _pca_components_from_cov(C)
@@ -1269,20 +1271,22 @@ def _pca_components_from_cov(C):
     return comps
 
 
-def pca_project_exprs(mu, components):
-    """SQL expressions projecting `embedding` onto each component as a
+def pca_project_exprs(mu, components, emb_col: str = "embedding"):
+    """SQL expressions projecting ``emb_col`` onto each component as a
     LEFT-TO-RIGHT fold (aggregate HOF adds x_k·w_k in array order — the
     same sequential IEEE adds the mirror's Python loop performs), with the
-    constant Σ mu_k·w_k folded driver-side (same order)."""
+    constant Σ mu_k·w_k folded driver-side (same order). The fold length is
+    the fitted component's width, not a hardcoded dimension."""
     exprs = []
     for comp in components:
+        d = len(comp)
         w_arr = "array(" + ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in comp) + ")"
         off = 0.0
         for m, w in zip(mu, comp):
             off += m * w
         exprs.append(
-            f"aggregate(transform(sequence(0, 63), k -> "
-            f"element_at(CAST(embedding AS ARRAY<DOUBLE>), k + 1) * element_at({w_arr}, k + 1)), "
+            f"aggregate(transform(sequence(0, {d - 1}), k -> "
+            f"element_at(CAST({emb_col} AS ARRAY<DOUBLE>), k + 1) * element_at({w_arr}, k + 1)), "
             f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) - CAST('{off!r}' AS DOUBLE)"
         )
     return exprs

@@ -53,7 +53,7 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
 
     from pyspark.sql import DataFrame as _DF
 
-    from . import queries_ml, queries_neural, queries_similarity
+    from . import queries_ml, queries_neural, queries_similarity, queries_text
     from .shared import hourly_df, prepared_df, shingles_df
 
     out: dict[str, float] = {}
@@ -83,6 +83,9 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
         # df-stats/minhash consumer reads this one persisted frame instead
         # of re-deriving the tokenize→hash→window chain per plan subtree
         ("text_shingles", shingles_df, ()),
+        # full-corpus MinHash band keys over the shingle view: one signature
+        # groupBy per session; sampled/delta consumers filter it by doc_id
+        ("text_mh_bands", queries_text._mh_bands, ("text_shingles",)),
         ("lsh_bands", queries_similarity._bands, ()),
         ("lsh_near_pairs", queries_similarity._near_pairs_02, ("lsh_bands",)),
         ("pq_codebooks", queries_similarity._pq_books, ("lsh_near_pairs",)),

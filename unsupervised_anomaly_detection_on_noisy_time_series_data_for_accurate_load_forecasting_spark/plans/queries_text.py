@@ -535,6 +535,25 @@ def _band_case() -> str:
     return f"CASE b {whens} END"
 
 
+_MH_BANDS_MEMO: dict[str, DataFrame] = {}
+
+
+def _mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted full-corpus MinHash band keys (doc_id, band, band_key) over
+    the session shingle view — the signature groupBy runs once per session.
+    A doc's signature depends only on its own shingles, so every sampled /
+    split consumer (recall curve's 50% sample, incremental dedup's delta) is
+    a pure doc_id filter of this frame, identical to recomputing bands on
+    the sampled shingles."""
+    if sf_dir not in _MH_BANDS_MEMO:
+        for k in list(_MH_BANDS_MEMO):
+            _MH_BANDS_MEMO.pop(k).unpersist(False)
+        b = DD.minhash_bands(_sh(spark, sf_dir))
+        b.persist()
+        _MH_BANDS_MEMO[sf_dir] = b
+    return _MH_BANDS_MEMO[sf_dir]
+
+
 _MH_PAIRS_MEMO: dict[str, DataFrame] = {}
 
 
@@ -548,7 +567,12 @@ def _mh_pairs_02(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _MH_PAIRS_MEMO:
         for k in list(_MH_PAIRS_MEMO):
             _MH_PAIRS_MEMO.pop(k).unpersist(False)
-        p = DD.minhash_lsh_dedup(_docs(spark, sf_dir), min_jaccard=0.2, sh=_sh(spark, sf_dir))
+        p = DD.minhash_lsh_dedup(
+            _docs(spark, sf_dir),
+            min_jaccard=0.2,
+            sh=_sh(spark, sf_dir),
+            bands=_mh_bands(spark, sf_dir),
+        )
         p.persist()
         _MH_PAIRS_MEMO[sf_dir] = p
     return _MH_PAIRS_MEMO[sf_dir]
@@ -627,8 +651,7 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "report what it truncated.",
 )
 def d_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = DD.minhash_bands(_sh(spark, sf_dir))
-    return DD.minhash_band_stats(bands)
+    return DD.minhash_band_stats(_mh_bands(spark, sf_dir))
 
 
 @register(
@@ -966,7 +989,10 @@ def d_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sampled docs == filtering the session-persisted index by sampled ids
     sh = _sh(spark, sf_dir).filter(rng_uniform(F.col("doc_id"), salt=91) < 0.5)
     truth = DD.jaccard_pairs(sh, min_jaccard=0.1).select("d1", "d2", "jaccard")
-    cands = DD.lsh_candidate_pairs(DD.minhash_bands(sh)).withColumn("_c", F.lit(1))
+    # signatures are per-doc: the sample's bands == the session band memo
+    # filtered to sampled ids (no second signature groupBy)
+    bands = _mh_bands(spark, sf_dir).filter(rng_uniform(F.col("doc_id"), salt=91) < 0.5)
+    cands = DD.lsh_candidate_pairs(bands).withColumn("_c", F.lit(1))
     hit = truth.join(cands, ["d1", "d2"], "left")
     bucket = F.least(F.floor(F.col("jaccard") * 10.0), F.lit(9)).cast("int")
     caught = F.when(F.col("_c").isNotNull(), 1).otherwise(0)
@@ -1344,7 +1370,12 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines' levenshtein use identical unit-cost semantics.",
 )
 def d_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.fuzzy_edit_pairs(_docs(spark, sf_dir), max_rel_edit=0.4, sh=_sh(spark, sf_dir))
+    return DD.fuzzy_edit_pairs(
+        _docs(spark, sf_dir),
+        max_rel_edit=0.4,
+        sh=_sh(spark, sf_dir),
+        bands=_mh_bands(spark, sf_dir),
+    )
 
 
 @register(
@@ -1492,6 +1523,11 @@ def t_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCR_DELTA_FRAC = 0.1
 INCR_SALT = 171
 INCR_BUCKET_CAP = 256  # corpus-side members considered per (band, bucket)
+# The simulated ingest batch is bounded in ABSOLUTE size (a real delta is a
+# day's ingest, not a corpus fraction) — without this the broadcast delta
+# grows linearly with the corpus and OOMs at crawl scale. At sf0.01 the cap
+# is slack (~50 new docs); at sf0.1 it binds (~500 → 256).
+INCR_DELTA_CAP = 256
 
 
 @register(
@@ -1505,6 +1541,10 @@ INCR_BUCKET_CAP = 256  # corpus-side members considered per (band, bucket)
                   THEN 1 ELSE 0 END AS is_new
       FROM sig, (SELECT unnest(range(0, {DD.N_BANDS})) AS b)
     ),
+    new_docs AS (
+      SELECT DISTINCT doc_id FROM bands WHERE is_new = 1
+      ORDER BY doc_id LIMIT {INCR_DELTA_CAP}
+    ),
     corpus_r AS (
       SELECT doc_id, b, band_key,
              row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS rk
@@ -1512,7 +1552,8 @@ INCR_BUCKET_CAP = 256  # corpus-side members considered per (band, bucket)
     ),
     cands AS (
       SELECT n.doc_id AS d_new, c.doc_id AS d_old
-      FROM (SELECT doc_id, b, band_key FROM bands WHERE is_new = 1) n
+      FROM (SELECT bd.doc_id, bd.b, bd.band_key FROM bands bd
+            JOIN new_docs nd ON bd.doc_id = nd.doc_id) n
       JOIN corpus_r c ON n.b = c.b AND n.band_key = c.band_key
        AND c.rk <= {INCR_BUCKET_CAP}
       GROUP BY 1, 2
@@ -1540,19 +1581,32 @@ INCR_BUCKET_CAP = 256  # corpus-side members considered per (band, bucket)
     doc="Incremental near-dedup: a 10% delta of NEW documents deduplicated "
     "against the standing corpus - the shape an ingest pipeline actually "
     "runs at 100 TB (the corpus never self-joins; only new-vs-old pairs "
-    "form). The delta's band keys BROADCAST against the corpus band index "
-    "(delta << corpus by construction), corpus bucket membership is "
+    "form). The simulated batch is bounded ABSOLUTELY (TakeOrdered cap of "
+    "256 docs - a real delta is a day's ingest, not a corpus fraction), so "
+    "the delta band keys that BROADCAST against the corpus band index are "
+    "<= 256 x N_BANDS rows at any corpus size; corpus bucket membership is "
     "rank-capped at 256 per (band, bucket), and the verify computes "
     "per-candidate-pair intersections over the df-capped shingle space - "
     "cost linear in delta size, independent of corpus self-similarity.",
 )
 def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _sh(spark, sf_dir)
-    bands = DD.minhash_bands(sh).withColumn(
+    bands = _mh_bands(spark, sf_dir).withColumn(
         "is_new", rng_uniform(F.col("doc_id"), salt=INCR_SALT) < INCR_DELTA_FRAC
     )
-    delta = bands.filter(F.col("is_new")).select(
-        F.col("doc_id").alias("d_new"), "band", "band_key"
+    # Absolute batch bound: TakeOrderedAndProject (per-partition top-k, k
+    # rows of driver state) — never a global window; makes the broadcast
+    # below <= INCR_DELTA_CAP * N_BANDS rows at any corpus size.
+    new_ids = (
+        bands.filter(F.col("is_new"))
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .limit(INCR_DELTA_CAP)
+    )
+    delta = (
+        bands.join(new_ids, "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("d_new"), "band", "band_key")
     )
     rk = F.row_number().over(W.partitionBy("band", "band_key").orderBy("doc_id"))
     corpus = (

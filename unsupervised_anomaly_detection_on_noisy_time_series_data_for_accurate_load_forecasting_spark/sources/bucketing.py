@@ -223,42 +223,77 @@ def compact_partitions(
     the table), smallest-file-count partitions untouched when already at
     target.
 
-    Returns [(partition_value, files_before, files_after, n_rows)] so the
+    Returns [(partition_spec, files_before, files_after, n_rows)] so the
     caller sees exactly what was rewritten — the no-silent-maintenance
-    rule. Driver work is one file listing per partition; the data moves
-    through executors (scan → coalesce → write), never the driver."""
+    rule. Partition specs are parsed into typed (col, value) pairs —
+    multi-level specs (a=1/b=2), URL-escaped values (spaces → %20, quotes),
+    and ``__HIVE_DEFAULT_PARTITION__`` (NULL) all resolve to column
+    predicates, never to interpolated SQL strings — and a partition whose
+    predicate matches zero rows while its directory holds files RAISES
+    instead of reporting n_rows=0 as handled. File listing goes through the
+    Hadoop FileSystem API, so any warehouse scheme (s3a/hdfs/file) works,
+    not just a local path. Driver work is one file listing per partition;
+    the data moves through executors (scan → coalesce → write), never the
+    driver."""
     import math
-    import os
-    from urllib.parse import urlparse
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
 
     loc = None
     for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
         if r["col_name"].strip() == "Location":
-            loc = urlparse(r["data_type"].strip()).path
+            loc = r["data_type"].strip()
             break
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _count_parquet(dir_uri: str) -> int:
+        p = jvm.org.apache.hadoop.fs.Path(dir_uri)
+        fs = p.getFileSystem(hconf)
+        if not fs.exists(p):
+            return 0
+        return sum(
+            1 for st in fs.listStatus(p) if st.getPath().getName().endswith(".parquet")
+        )
+
     out: list[tuple[str, int, int, int]] = []
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         for prow in spark.sql(f"SHOW PARTITIONS {table}").collect():
-            spec = prow[0]  # e.g. "lang=en"
-            pcol, val = spec.split("=", 1)
-            pdir = os.path.join(loc, spec)
-            files_before = sum(
-                1 for f in os.listdir(pdir) if f.endswith(".parquet")
-            ) if os.path.isdir(pdir) else 0
-            part = spark.table(table).where(f"{pcol} = '{val}'")
+            spec = prow[0]  # e.g. "lang=en" or "a=1/b=x%20y"
+            pred = F.lit(True)
+            for level in spec.split("/"):
+                pcol, raw = level.split("=", 1)
+                val = unquote(raw)
+                if val == "__HIVE_DEFAULT_PARTITION__":
+                    pred = pred & F.col(pcol).isNull()
+                else:
+                    # typed compare via analyzer coercion of the string
+                    # literal — no SQL-string interpolation, quote-safe
+                    pred = pred & (F.col(pcol) == F.lit(val))
+            pdir = loc.rstrip("/") + "/" + spec
+            files_before = _count_parquet(pdir)
+            part = spark.table(table).where(pred)
             n_rows = part.count()
+            if n_rows == 0 and files_before > 0:
+                raise RuntimeError(
+                    f"compact_partitions: partition spec {spec!r} of {table} "
+                    f"matched 0 rows but its directory holds {files_before} "
+                    "parquet files — predicate/spec mismatch, refusing to "
+                    "report it as compacted"
+                )
             n_target = max(1, math.ceil(n_rows / target_rows_per_file))
             if files_before <= n_target:
-                out.append((val, files_before, files_before, n_rows))
+                out.append((spec, files_before, files_before, n_rows))
                 continue
             # overwrite ONLY this partition (dynamic mode): read must not
             # race its own overwrite, so cut lineage first
             snap = part.localCheckpoint(eager=True)
             snap.coalesce(n_target).write.mode("overwrite").insertInto(table)
-            files_after = sum(1 for f in os.listdir(pdir) if f.endswith(".parquet"))
-            out.append((val, files_before, files_after, n_rows))
+            files_after = _count_parquet(pdir)
+            out.append((spec, files_before, files_after, n_rows))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return out
