@@ -155,3 +155,87 @@ def test_rle8_decoder_handles_delta_and_topdown():
     assert (out[2, :3] == 65).all()  # bottom row (y=0)
     assert (out[1, 5:7] == 66).all()  # after delta: x=3+2, y=1
     assert out.sum() == 3 * 65 + 2 * 66
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+
+@st.composite
+def tile_mosaics(draw):
+    th = draw(st.integers(1, 6))
+    tw = draw(st.integers(1, 6))
+    data = draw(st.binary(min_size=th * tw, max_size=th * tw))
+    tiles = np.frombuffer(data, dtype=np.uint8).reshape(th, tw)
+    return np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+
+
+@given(tile_mosaics())
+@settings(max_examples=30, deadline=None)
+def test_jpeg_block_constant_mosaic_is_bit_exact(img):
+    """8x8-constant tiles survive baseline JPEG at quality 90 BIT-EXACTLY:
+    AC coefficients are mathematically zero and the DC quantization error
+    spreads below the 0.5 rounding threshold — the property the driver-
+    verified mm_jpeg_real_features oracle relies on."""
+    out = CX.decode_jpeg(CX.encode_jpeg(img, quality=90))
+    assert out.shape == img.shape + (1,)
+    assert (out[:, :, 0] == img).all()
+
+
+@given(gray_images())
+@settings(max_examples=25, deadline=None)
+def test_jpeg_gray_roundtrip_psnr(img):
+    """Arbitrary (non-block-constant) grayscale content is lossy but
+    bounded: quality 95 must stay visually transparent (PSNR > 30 dB even
+    on adversarial random-noise images) and preserve shape/odd sizes."""
+    out = CX.decode_jpeg(CX.encode_jpeg(img, quality=95))
+    assert out.shape == img.shape + (1,)
+    assert _psnr(out[:, :, 0], img) > 30.0
+
+
+@st.composite
+def rgb3_images(draw):
+    h = draw(st.integers(1, 32))
+    w = draw(st.integers(1, 32))
+    data = draw(st.binary(min_size=h * w * 3, max_size=h * w * 3))
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+@given(rgb3_images())
+@settings(max_examples=15, deadline=None)
+def test_jpeg_rgb_444_and_420_roundtrip(img):
+    """Color: both chroma layouts stay above a noise floor on adversarial
+    random-RGB images (4:2:0 drops 3/4 of the chroma samples, so its floor
+    is lower); the 4:2:0 path exercises the decoder's generic
+    sampling-factor MCU walk and box upsampling."""
+    full = CX.decode_jpeg(CX.encode_jpeg(img, quality=95, subsample=False))
+    sub = CX.decode_jpeg(CX.encode_jpeg(img, quality=95, subsample=True))
+    assert full.shape == img.shape and sub.shape == img.shape
+    assert _psnr(full, img) > 25.0
+    assert _psnr(sub, img) > 12.0
+
+
+def test_jpeg_smooth_gradient_is_high_fidelity():
+    """Natural-image-like content (smooth gradients) should round-trip far
+    above the adversarial floor — the codec is a real JPEG, not a stub."""
+    x = np.linspace(0, 255, 64)[None, :] + np.linspace(0, 40, 56)[:, None]
+    g = np.clip(x, 0, 255).astype(np.uint8)
+    out = CX.decode_jpeg(CX.encode_jpeg(g, quality=90))[:, :, 0]
+    assert _psnr(out, g) > 45.0
+    rgb = np.dstack([g, g[::-1], np.full_like(g, 96)])
+    out3 = CX.decode_jpeg(CX.encode_jpeg(rgb, quality=90, subsample=True))
+    assert _psnr(out3, rgb) > 35.0
+
+
+def test_jpeg_rejects_garbage_and_progressive():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CX.decode_jpeg(b"\x00\x01\x02")
+    # flip a baseline SOF0 marker to progressive SOF2: must raise, not decode
+    b = bytearray(CX.encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        CX.decode_jpeg(bytes(b))

@@ -1,9 +1,10 @@
-"""Pure-stdlib media codecs: PNG (zlib + struct, RFC 2083) and WAV (wave).
+"""Pure-stdlib media codecs: PNG (zlib + struct, RFC 2083), WAV (wave),
+GIF (LZW), AVI/MS-RLE8 (RIFF), and baseline JPEG (ITU-T T.81 huffman+DCT).
 
-The container has no PIL/librosa/av, but PNG is just zlib-compressed
-filtered scanlines and WAV is a stdlib module — so the multimodal
-``use_real_codecs`` path can be REAL for these two formats instead of a
-library gate (video stays gated: there is no stdlib video codec).
+The container has no PIL/librosa/av, but each of these formats decomposes
+into stdlib + numpy primitives — so the multimodal ``use_real_codecs``
+path can be REAL for all of them instead of a library gate (general video
+stays gated: there is no stdlib inter-frame video codec).
 
 Correctness-first decoders: small hot loops run per pixel in Python where
 the PNG filter recurrences are sequential (Sub/Paeth depend on the previous
@@ -584,3 +585,585 @@ def decode_avi_frames(data: bytes) -> np.ndarray:
             idx = idx[::-1]
         frames.append(pal[idx])
     return np.stack(frames)
+
+
+# --------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU-T T.81), pure stdlib + numpy.
+#
+# The most common crawl image format. Encoder: grayscale or RGB (YCbCr,
+# 4:4:4 or 4:2:0 chroma subsampling), Annex-K quantization/Huffman tables
+# with libjpeg-style quality scaling. Decoder: baseline DHT/DQT/SOF0/SOS
+# with arbitrary per-component sampling factors (box upsampling), DRI/RSTn
+# restart markers, byte-unstuffing. DCT/IDCT are 8x8 matrix products
+# applied to ALL blocks of a component at once (numpy einsum) — the only
+# per-symbol Python loop is the Huffman coder, which is bounded by the
+# entropy stream length.
+#
+# Exactness property used by the driver-verified oracle query: an image
+# that is CONSTANT within each 8x8 block with even sample values round-
+# trips bit-exactly at quality 90 (all AC coefficients quantize to zero;
+# the DC path is exact integer arithmetic), so a no-codec mirror can
+# rebuild the decoded pixels. Lossy behavior on general images is pytest-
+# covered via PSNR bounds.
+# --------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_JPEG_Q_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+
+_JPEG_Q_CHROM = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+_JPEG_HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_HUFF_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """8x8 orthonormal DCT-II matrix D: coefficients = D @ block @ D.T."""
+    k = np.arange(8)
+    d = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    d[0, :] = np.sqrt(1.0 / 8.0)
+    return d
+
+
+_JPEG_DCT = _jpeg_dct_matrix()
+
+
+def _jpeg_quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 50 → Annex-K tables as-is."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), codes assigned per T.81 C.2 (increasing
+    length, increasing value)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for the bit-serial decoder."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def _jpeg_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (H, W multiples of 8) -> (n_blocks, 8, 8) in
+    raster block order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _jpeg_cat(v: int) -> int:
+    """DC/AC magnitude category (bit length of |v|)."""
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _jpeg_encode_plane(
+    bw: _BitWriter,
+    coefs: np.ndarray,
+    dc_tab: dict[int, tuple[int, int]],
+    ac_tab: dict[int, tuple[int, int]],
+    pred: int,
+) -> int:
+    """Entropy-code one component's quantized zigzag coefficients
+    (n_blocks, 64); returns the updated DC predictor."""
+    for blk in coefs:
+        diff = int(blk[0]) - pred
+        pred = int(blk[0])
+        s = _jpeg_cat(diff)
+        code, ln = dc_tab[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_tab[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            s = _jpeg_cat(v)
+            code, ln = ac_tab[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            code, ln = ac_tab[0x00]  # EOB
+            bw.put(code, ln)
+    return pred
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF bytes.
+    Color uses YCbCr; ``subsample=True`` emits 4:2:0 (box-averaged chroma),
+    else 4:4:4."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[:2]
+    qlum = _jpeg_quality_scale(_JPEG_Q_LUM, quality)
+    qchrom = _jpeg_quality_scale(_JPEG_Q_CHROM, quality)
+
+    if gray:
+        planes = [a.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1), (1, 1), (1, 1)]
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    # per-component sampled planes padded to MCU-aligned multiples of 8
+    comp_coefs = []
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for ci, p in enumerate(planes):
+        sh, sv = samp[ci]
+        if (sh, sv) != (hmax, vmax):
+            fy, fx = vmax // sv, hmax // sh
+            py = -(-h // fy) * fy
+            px = -(-w // fx) * fx
+            pp = np.pad(p, ((0, py - h), (0, px - w)), mode="edge")
+            p = pp.reshape(py // fy, fy, px // fx, fx).mean(axis=(1, 3))
+        ph = mcuy * 8 * sv
+        pw = mcux * 8 * sh
+        p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+        blocks = _jpeg_blocks(p - 128.0)
+        co = np.einsum("ij,njk,lk->nil", _JPEG_DCT, blocks, _JPEG_DCT)
+        q = (qlum if qsel[ci] == 0 else qchrom).reshape(8, 8)
+        zz = np.round(co / q).astype(np.int64).reshape(-1, 64)[:, _JPEG_ZIGZAG]
+        # re-order raster blocks into MCU-interleaved order for this comp
+        bh, bwid = p.shape[0] // 8, p.shape[1] // 8
+        order = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(sv):
+                    for bx in range(sh):
+                        order.append((my * sv + by) * bwid + (mx * sh + bx))
+        comp_coefs.append(zz[np.array(order)])
+
+    dc_lum = _huff_encode_table(*_JPEG_HUFF_DC_LUM)
+    ac_lum = _huff_encode_table(*_JPEG_HUFF_AC_LUM)
+    dc_chrom = _huff_encode_table(*_JPEG_HUFF_DC_CHROM)
+    ac_chrom = _huff_encode_table(*_JPEG_HUFF_AC_CHROM)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    blocks_per_mcu = [s[0] * s[1] for s in samp]
+    pos = [0] * len(planes)
+    for _ in range(mcux * mcuy):
+        for ci in range(len(planes)):
+            n = blocks_per_mcu[ci]
+            seg = comp_coefs[ci][pos[ci] : pos[ci] + n]
+            pos[ci] += n
+            preds[ci] = _jpeg_encode_plane(
+                bw,
+                seg,
+                dc_lum if qsel[ci] == 0 else dc_chrom,
+                ac_lum if qsel[ci] == 0 else ac_chrom,
+                preds[ci],
+            )
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qlum[_JPEG_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + bytes(qchrom[_JPEG_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci in range(len(planes)):
+        sof += struct.pack(">BBB", ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci])
+    out += seg(0xFFC0, sof)
+
+    def dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _JPEG_HUFF_DC_LUM) + dht(1, 0, _JPEG_HUFF_AC_LUM)
+    if not gray:
+        out += dht(0, 1, _JPEG_HUFF_DC_CHROM) + dht(1, 1, _JPEG_HUFF_AC_CHROM)
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        t = 0 if qsel[ci] == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Bit-serial reader over the entropy-coded segment with FF00
+    unstuffing; RSTn markers are surfaced via ``restart()``."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        p = self.pos
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1]
+            if nxt == 0x00:
+                self.pos = p + 2
+            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                raise _JpegMarker(nxt)
+            else:
+                raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
+        else:
+            self.pos = p + 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bits(self, n: int) -> int:
+        while self._n < n:
+            self._fill()
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+    def align_restart(self) -> None:
+        """Consume padding bits and the RSTn marker at a restart boundary."""
+        self._acc = 0
+        self._n = 0
+        d = self.data
+        p = self.pos
+        while d[p] != 0xFF or d[p + 1] == 0x00:
+            p += 1
+        if not (0xD0 <= d[p + 1] <= 0xD7):
+            raise ValueError(f"expected RSTn at restart boundary, got FF{d[p+1]:02X}")
+        self.pos = p + 2
+
+
+class _JpegMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _jpeg_receive_extend(br: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = br.bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 array (h, w, 1) grayscale or (h, w, 3)
+    RGB. Supports SOF0 with arbitrary sampling factors (box upsampling of
+    subsampled chroma), multiple DQT/DHT tables, DRI/RSTn restart markers.
+    Progressive (SOF2) and arithmetic coding raise."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    scan_comps = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables)
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported (baseline)")
+                zz = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JPEG_ZIGZAG] = zz
+                qtabs[tid] = nat
+                b += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                htabs[(cls, tid)] = _huff_decode_table(bits, vals)
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"unsupported JPEG frame type FF{marker:02X} (baseline only)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
+            pos = pos  # entropy data follows
+            break
+        # APPn/COM/etc: skipped
+    if frame is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for sc in scan_comps:
+        c = by_id[sc["cs"]]
+        order.append(
+            {
+                "c": c,
+                "dc": htabs[(0, sc["td"])],
+                "ac": htabs[(1, sc["ta"])],
+                "coefs": np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int64),
+            }
+        )
+
+    br = _BitReader(data, pos)
+    preds = [0] * len(order)
+    n_mcu = mcux * mcuy
+    mi = 0
+    try:
+        while mi < n_mcu:
+            if restart_interval and mi and mi % restart_interval == 0:
+                br.align_restart()
+                preds = [0] * len(order)
+            my, mx = divmod(mi, mcux)
+            for oi, o in enumerate(order):
+                c = o["c"]
+                bwid = mcux * c["h"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = o["coefs"][(my * c["v"] + by) * bwid + mx * c["h"] + bx]
+                        s = _jpeg_decode_huff(br, o["dc"])
+                        preds[oi] += _jpeg_receive_extend(br, s)
+                        blk[0] = preds[oi]
+                        k = 1
+                        while k <= 63:
+                            rs = _jpeg_decode_huff(br, o["ac"])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            blk[_JPEG_ZIGZAG[k]] = _jpeg_receive_extend(br, s)
+                            k += 1
+            mi += 1
+    except _JpegMarker as m:
+        if not (m.marker == 0xD9 and mi >= n_mcu):
+            raise ValueError(f"JPEG scan truncated at MCU {mi}/{n_mcu}") from None
+
+    planes = []
+    for o in order:
+        c = o["c"]
+        q = qtabs[c["tq"]]
+        co = (o["coefs"] * q).astype(np.float64).reshape(-1, 8, 8)
+        px = np.einsum("ji,njk,kl->nil", _JPEG_DCT, co, _JPEG_DCT) + 128.0
+        bh, bwid = mcuy * c["v"], mcux * c["h"]
+        plane = (
+            px.reshape(bh, bwid, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bwid * 8)
+        )
+        if (c["h"], c["v"]) != (hmax, vmax):
+            plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    if len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
+    raise ValueError(f"unsupported JPEG component count {len(planes)}")

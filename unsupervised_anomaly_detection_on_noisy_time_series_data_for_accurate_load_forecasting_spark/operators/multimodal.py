@@ -80,10 +80,14 @@ def _real_decode(payload: bytes, mime: str, dim: int = FEATURE_DIM) -> np.ndarra
     plug point stays gated on av/ffmpeg."""
     from . import codecs as CX
 
-    if mime in ("image/png", "image/gif"):
-        img = (
-            CX.decode_png(payload) if mime == "image/png" else CX.decode_gif(payload)
-        ).astype(np.float64) / 255.0
+    if mime in ("image/png", "image/gif", "image/jpeg"):
+        if mime == "image/png":
+            raw = CX.decode_png(payload)
+        elif mime == "image/jpeg":
+            raw = CX.decode_jpeg(payload)
+        else:
+            raw = CX.decode_gif(payload)
+        img = raw.astype(np.float64) / 255.0
         h, w, ch = img.shape
         means = np.pad(img.mean(axis=(0, 1)), (0, 3 - ch if ch < 3 else 0), mode="edge")[:3]
         stds = np.pad(img.std(axis=(0, 1)), (0, 3 - ch if ch < 3 else 0), mode="edge")[:3]
@@ -173,6 +177,8 @@ def resize(media: DataFrame, out_w: int = 32, out_h: int = 32, use_real_codecs: 
 
         if mime == "image/png":
             img = CX.decode_png(payload)
+        elif mime == "image/jpeg":
+            img = CX.decode_jpeg(payload)
         elif mime == "image/gif":
             img = CX.decode_gif(payload)
         else:

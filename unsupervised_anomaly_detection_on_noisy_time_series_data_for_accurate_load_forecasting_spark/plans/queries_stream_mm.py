@@ -449,6 +449,110 @@ def mm_wav_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_tiles(text: str):
+    """Deterministic doc→8×8-mosaic spec shared by the engine island and
+    the oracle mirror: UTF-8 bytes (capped at 64, zero-padded to rows of 4
+    tiles) become 8×8-constant grayscale tiles, 4 across → (h, 32) uint8.
+    On a block-constant image baseline JPEG at quality 90 is BIT-EXACT:
+    every AC coefficient is mathematically zero (quantizes to 0) and the
+    DC quantization error (≤ q/2 = 1.5) spreads as < 0.19 per pixel, under
+    the 0.5 rounding threshold — so a no-codec mirror can rebuild the
+    decoded pixels exactly."""
+    import numpy as np
+
+    b = text.encode("utf-8")[:64]
+    b = b + b"\0" * ((-len(b)) % 4)
+    if not b:
+        b = b"\0" * 4
+    tiles = np.frombuffer(b, dtype=np.uint8).reshape(len(b) // 4, 4)
+    return np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+
+
+def _mm_jpeg_oracle() -> str:
+    """Mirror that never touches JPEG: rebuilds the mosaic directly and
+    replays the engine island's exact numpy reductions on the decoder's
+    (h, w, 1) output shape (1-channel mean/std edge-padded to 3)."""
+    import numpy as np
+
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        img = _doc_tiles(r.text)[:, :, None].astype(np.float64) / 255.0
+        h, w, _ = img.shape
+        means = np.pad(img.mean(axis=(0, 1)), (0, 2), mode="edge")
+        stds = np.pad(img.std(axis=(0, 1)), (0, 2), mode="edge")
+        f = [*means, *stds, h / 1000.0, w / 1000.0]
+        rows.append(
+            f"({int(r.doc_id)}::BIGINT,"
+            + ",".join(f"{qround_py(float(x), 9)!r}::DOUBLE" for x in f)
+            + ")"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, f0, f1, f2, f3, f4, f5, f6, f7)"
+    )
+
+
+@register(
+    "mm_jpeg_real_features",
+    oracle=lambda: _mm_jpeg_oracle(),
+    tags=("MM-decode", "MM-codec"),
+    doc="REAL baseline-JPEG codec path, driver-verified (the JPEG twin of "
+    "mm_png_real_features - JPEG is the image format a crawl pipeline hits "
+    "first): per doc, build a deterministic 8x8-constant mosaic from the "
+    "text bytes, encode it to baseline JFIF in one Arrow island (pure "
+    "huffman+DCT encoder, operators/codecs.py), decode it back through the "
+    "real-codec feature island, and emit the channel statistics. Block-"
+    "constant mosaics round-trip BIT-EXACTLY through baseline JPEG at "
+    "quality 90, so the oracle rebuilds the same pixels WITHOUT any JPEG - "
+    "a defect anywhere in the DCT/quantizer/Huffman round trip "
+    "hash-mismatches. Lossy behavior on general images is pytest-covered "
+    "via PSNR bounds.",
+)
+def mm_jpeg_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    # The encode/decode islands are pure-Python CPU work: spread the docs
+    # over every core up front (the small-SF parquet is a single split; at
+    # real scale the scan is already wide and AQE coalesces the exchange).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from ..operators import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                img = _doc_tiles(text)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "payload": bytearray(CX.encode_jpeg(img, quality=90)),
+                        "meta": {
+                            "mime": "image/jpeg",
+                            "width": int(img.shape[1]),
+                            "height": int(img.shape[0]),
+                            "n_frames": 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, schema=MM.MEDIA_SCHEMA)
+    feats = MM.extract_features(media, use_real_codecs=True)
+    return feats.select(
+        "media_id",
+        *[qround(F.col("feature")[i], 9).alias(f"f{i}") for i in range(8)],
+    )
+
+
 def _doc_gray(text: str):
     """Deterministic doc→grayscale spec shared by the engine island and the
     oracle mirror: UTF-8 bytes, truncated to 48 rows of width 24, zero-padded
