@@ -1068,3 +1068,110 @@ def min_cost_supplier(
         .select("p_partkey", "p_name", "s_name", "n_name", "min_price")
         .distinct()
     )
+
+
+def observed_price_book(lineitem: DataFrame) -> DataFrame:
+    """partsupp analog derived from the fact table: per (part, supplier)
+    pair, the minimum observed unit price (supply-cost analog — min of
+    doubles returns a member, so it is cross-engine exact) and the total
+    shipped quantity (avail-qty analog — quantities are integer-valued, so
+    the BIGINT sum is exact). Closes the TPC-H Q11/Q20 gap the corpus's
+    missing partsupp table left open (SURVEY §2.12 X-tpch).
+
+    Scale shape: ONE map-side-combinable groupBy on (partkey, suppkey) —
+    the same shuffle key both consumers join on, so AQE can reuse the
+    exchange; nothing here is corpus-order-dependent."""
+    return lineitem.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min("l_extendedprice").alias("ps_supplycost"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("ps_availqty"),
+    )
+
+
+def important_stock_value(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    n_name: str = "NATION_9",
+    mult: float = 3.0,
+) -> DataFrame:
+    """TPC-H-Q11-shaped important stock: per part, the total value
+    (supply cost × available quantity) held by one nation's suppliers,
+    keeping parts whose value exceeds ``mult`` × the MEAN per-part value.
+    (TPC-H's fixed fraction of the grand total is scale-dependent — the
+    spec itself divides it by SF; a mean-relative threshold keeps the
+    selection non-trivial at every corpus size.)
+
+    The HAVING scalar is a 1-row aggregate over the per-part frame
+    (broadcast join of one row); per-part values and the mean's sum are
+    decimal-exact, and the threshold multiply is one IEEE op on the exact
+    mean — boundary-stable cross-engine."""
+    pb = observed_price_book(lineitem)
+    nat_supp = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == n_name)
+        .select("s_suppkey")
+    )
+    val = F.col("ps_supplycost") * F.col("ps_availqty").cast("double")
+    g = (
+        pb.join(nat_supp, F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("ps_partkey")
+        .agg(dsum(val).alias("value"))
+    )
+    thr = g.agg((davg("value") * F.lit(mult)).alias("_thr"))
+    return (
+        g.crossJoin(F.broadcast(thr))
+        .filter(F.col("value") > F.col("_thr"))
+        .select("ps_partkey", "value")
+    )
+
+
+def surplus_stock_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "small",
+    n_name: str = "NATION_9",
+    year_start: str = "1997-01-01",
+    year_end: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H-Q20-shaped surplus-stock suppliers: one nation's suppliers
+    holding, for some part in a name bucket, standing stock (all-time
+    shipped quantity — the avail-qty analog) exceeding TWICE what they
+    shipped of that part in the probe year. The correlated quantity
+    subquery is a (partkey, suppkey) aggregate joined back on the pair key;
+    the surplus comparison is pure integer arithmetic (exact cross-engine).
+
+    Scale shape: part-name filter broadcasts into both aggregates; the
+    price book and the year aggregate share the (partkey, suppkey) shuffle
+    key; the supplier output is a semi join on suppkey."""
+    pnames = part.filter(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    pb = observed_price_book(lineitem).join(
+        F.broadcast(pnames), F.col("ps_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    yr = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(year_end).cast("timestamp"))
+        )
+        .join(F.broadcast(pnames), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("_yq"))
+    )
+    surplus = (
+        pb.join(
+            yr,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 2 * F.col("_yq"))
+        .select("ps_suppkey")
+    )
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == n_name)
+        .join(surplus, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )

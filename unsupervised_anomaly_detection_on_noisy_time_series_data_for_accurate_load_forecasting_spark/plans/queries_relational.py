@@ -1110,3 +1110,81 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "part"),
         _t(spark, sf_dir, "lineitem"),
     )
+
+
+_PB_CTE = """pb AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice) AS ps_supplycost,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH {_PB_CTE},
+    g AS (
+      SELECT ps_partkey,
+             {dsum_sql('ps_supplycost * CAST(ps_availqty AS DOUBLE)')} AS value
+      FROM pb JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_9'
+      GROUP BY 1
+    ),
+    t AS (SELECT {davg_sql('value')} * 3.0 AS _thr FROM g)
+    SELECT ps_partkey, value FROM g, t WHERE value > _thr
+    """,
+    tags=("J1", "A2", "A6"),
+    doc="TPC-H-Q11-shaped important stock over the observed price book "
+    "(partsupp analog: per (part, supplier), min observed unit price = "
+    "supply cost, total shipped quantity = avail qty - closing the "
+    "no-partsupp gap): per part, NATION_9 suppliers' total held value, "
+    "kept when above 3x the mean per-part value (scale-free - TPC-H's "
+    "fixed fraction is SF-dependent by spec). The HAVING scalar "
+    "is a broadcast 1-row aggregate; all sums decimal-exact.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.important_stock_value(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "q20_surplus_suppliers",
+    oracle=f"""
+    WITH {_PB_CTE},
+    pn AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    yr AS (
+      SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS _yq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM pn)
+      GROUP BY 1, 2
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_9' AND s_suppkey IN (
+      SELECT ps_suppkey FROM pb
+      JOIN yr ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      WHERE ps_partkey IN (SELECT p_partkey FROM pn)
+        AND ps_availqty > 2 * _yq
+    )
+    """,
+    tags=("J1", "J3", "A6"),
+    doc="TPC-H-Q20-shaped surplus-stock suppliers over the observed price "
+    "book: NATION_9 suppliers holding, for some 'small%' part, all-time "
+    "stock above TWICE their 1997 shipments of it. The correlated year "
+    "quantity is a pair-keyed aggregate joined back on (partkey, suppkey); "
+    "the surplus test is exact integer arithmetic.",
+)
+def q20_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.surplus_stock_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )

@@ -554,6 +554,37 @@ def _mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _MH_BANDS_MEMO[sf_dir]
 
 
+_MH_P02_CTES = f"""{_SH_CTES},
+    sig AS (SELECT doc_id, {_sig_cols()} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, CAST(b AS INTEGER) AS b, {_band_case()} AS band_key
+      FROM sig, (SELECT unnest(range(0, {DD.N_BANDS})) AS b)
+    ),
+    ranked AS (
+      SELECT doc_id, b, band_key,
+             row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS rk
+      FROM bands
+    ),
+    capped AS (SELECT * FROM ranked WHERE rk <= {DD.LSH_BUCKET_CAP}),
+    cands AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM capped a JOIN capped b
+        ON a.b = b.b AND a.band_key = b.band_key
+       AND b.rk - a.rk BETWEEN 1 AND {DD.LSH_NEIGHBORHOOD}
+      GROUP BY 1, 2
+    ),
+    ids AS (SELECT d1 AS doc_id FROM cands UNION SELECT d2 FROM cands),
+    {_SHF_CTE},
+    ex AS (SELECT doc_id, shingle FROM shf WHERE doc_id IN (SELECT doc_id FROM ids)),
+    {_JACCARD_TAIL},
+    p02 AS (
+      SELECT j.d1, j.d2, CAST(j.inter AS BIGINT) AS inter,
+             CAST(j.sz1 AS BIGINT) AS sz1, CAST(j.sz2 AS BIGINT) AS sz2, j.jaccard
+      FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
+      WHERE j.jaccard >= 0.2
+    )"""
+
+
 _MH_PAIRS_MEMO: dict[str, DataFrame] = {}
 
 
@@ -581,33 +612,8 @@ def _mh_pairs_02(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d_minhash_lsh_pairs",
     oracle=f"""
-    WITH {_SH_CTES},
-    sig AS (SELECT doc_id, {_sig_cols()} FROM sh GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, CAST(b AS INTEGER) AS b, {_band_case()} AS band_key
-      FROM sig, (SELECT unnest(range(0, {DD.N_BANDS})) AS b)
-    ),
-    ranked AS (
-      SELECT doc_id, b, band_key,
-             row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS rk
-      FROM bands
-    ),
-    capped AS (SELECT * FROM ranked WHERE rk <= {DD.LSH_BUCKET_CAP}),
-    cands AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2
-      FROM capped a JOIN capped b
-        ON a.b = b.b AND a.band_key = b.band_key
-       AND b.rk - a.rk BETWEEN 1 AND {DD.LSH_NEIGHBORHOOD}
-      GROUP BY 1, 2
-    ),
-    ids AS (SELECT d1 AS doc_id FROM cands UNION SELECT d2 FROM cands),
-    {_SHF_CTE},
-    ex AS (SELECT doc_id, shingle FROM shf WHERE doc_id IN (SELECT doc_id FROM ids)),
-    {_JACCARD_TAIL}
-    SELECT j.d1, j.d2, CAST(j.inter AS BIGINT) AS inter,
-           CAST(j.sz1 AS BIGINT) AS sz1, CAST(j.sz2 AS BIGINT) AS sz2, j.jaccard
-    FROM jac j JOIN cands c ON j.d1 = c.d1 AND j.d2 = c.d2
-    WHERE j.jaccard >= 0.2
+    WITH {_MH_P02_CTES}
+    SELECT d1, d2, inter, sz1, sz2, jaccard FROM p02
     """,
     tags=("DEDUP-minhash", "J5", "U5"),
     doc="MinHash signatures → banded LSH buckets → exact-Jaccard verify. "
