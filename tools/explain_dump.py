@@ -353,6 +353,37 @@ PICKS = [
         "verify, per-source rank window (bounded by bands × cap — never a "
         "global sort).",
     ),
+    (
+        "d_ngram_jaccard_pairs",
+        "r10 map-only token hashing: the poly hash is an inline expression "
+        "over token instances — NO vocabulary dimension frame, no join, no "
+        "BroadcastExchange before the shingle window (a crawl vocabulary is "
+        "10^8-10^9 rows; the old distinct+forced-broadcast shape OOMs).",
+    ),
+    (
+        "d_bloom_new_docs",
+        "Bloom ingest screen: the 4096-bit bitmap builds as ONE aggregate-"
+        "HOF row and broadcasts into the delta probe (kilobytes to every "
+        "task at any corpus size); truth joins are shuffle-side.",
+    ),
+    (
+        "a_equidepth_histogram",
+        "Exact global ntile WITHOUT a single-task Window: approx-quantile "
+        "value buckets bound each row_number partition, driver prefix "
+        "offsets make ranks global, ntile is integer arithmetic.",
+    ),
+    (
+        "q11_important_stock",
+        "Price-book Q11: one (part, supplier) combinable rollup, nation dim "
+        "broadcast, the HAVING scalar a 1-row broadcast aggregate — never a "
+        "recomputation of the fact side.",
+    ),
+    (
+        "mm_jpeg_real_features",
+        "Baseline-JPEG round trip in one Arrow island pair: encode and "
+        "decode are mapInPandas stages over pre-spread partitions; only "
+        "(media_id, 8 doubles) leave the island.",
+    ),
 ]
 
 

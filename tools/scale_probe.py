@@ -85,6 +85,12 @@ QUERIES = [
     "s_pca_project",            # exact-covariance PCA projection (r9)
     "t_textrank_keywords",      # PageRank over the word graph (r9)
     "q21_waiting_suppliers",    # per-order distinct-supplier correlations (r9)
+    "mm_jpeg_real_features",    # baseline-JPEG huffman+DCT island (r10)
+    "q11_important_stock",      # price-book value rollup + scalar HAVING (r10)
+    "d_bloom_new_docs",         # bloom bitmap ingest screen (r10)
+    "d_sim_topk_per_doc",       # per-doc neighbor shortlist over pair memo (r10)
+    "a_equidepth_histogram",    # bucketed global ntile, no global window (r10)
+    "g_degree_hist",            # degree distribution profile (r10)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

@@ -1188,3 +1188,39 @@ def q20_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "supplier"),
         _t(spark, sf_dir, "nation"),
     )
+
+
+@register(
+    "p_l_diversity",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(count(*) AS BIGINT) AS group_n,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct,
+           (count(DISTINCT o_orderpriority) >= 3) AS diverse
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("A14", "P8", "TXT-pii"),
+    doc="l-diversity screen, the companion privacy gate to p_kanonymity: "
+    "k-anonymous groups still leak when every member shares the sensitive "
+    "value, so each (nation, order-year) quasi-identifier group must carry "
+    ">= 3 DISTINCT order priorities. One join + one combinable groupBy "
+    "with a distinct-count (partial aggregation of the (QI, value) pairs "
+    "then a count - Spark plans exactly that two-phase shape).",
+)
+def p_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        od.join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_n"),
+            F.countDistinct("o_orderpriority").cast("bigint").alias("l_distinct"),
+        )
+        .withColumn("diverse", F.col("l_distinct") >= 3)
+    )

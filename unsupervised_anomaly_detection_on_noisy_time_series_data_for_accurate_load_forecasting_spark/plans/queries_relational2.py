@@ -1330,3 +1330,113 @@ def a_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.col("mn") + (F.col("bucket") + 1) * (F.col("mx") - F.col("mn")) / nb, 6).alias("hi"),
         )
     )
+
+
+@register(
+    "g_degree_hist",
+    oracle="""
+    WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk),
+    deg AS (SELECT node, count(*) AS deg
+            FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY 1)
+    SELECT CAST(deg AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+    """,
+    tags=("DEDUP-cc", "A4", "W8"),
+    doc="Degree distribution of the co-purchase graph - the sizing profile "
+    "every graph-operator run starts with (it decides whether the "
+    "triangle/k-core bounds hold and where skew salting is needed). Two "
+    "combinable aggregates over the session edge view: degree per node, "
+    "then node count per degree; output cardinality is bounded by the "
+    "distinct-degree count, never by n.",
+)
+def g_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .shared import copurchase_edges_df
+
+    e = copurchase_edges_df(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    ).select(F.col("degree").cast("bigint").alias("degree"), "n_nodes")
+
+
+EQUIDEPTH_BUCKETS = 10
+
+
+@register(
+    "a_equidepth_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           {dsum_sql('o_totalprice')} AS total
+    FROM t GROUP BY 1
+    """,
+    tags=("A1", "A6", "W8"),
+    doc="Equi-DEPTH histogram of order totals (the quantile twin of the "
+    "equi-width a_numeric_histogram): exact ntile deciles with a full "
+    "(value, key) tiebreak, computed WITHOUT a single-task global Window - "
+    "the ranks.py discipline: approx-quantile value buckets give bounded "
+    "parallel row_number partitions (ties cannot straddle a value "
+    "boundary), driver-side bucket-count prefixes make the rank global and "
+    "exact, and the ntile bucket is then pure integer arithmetic on "
+    "(rank, n). The oracle is DuckDB's native ntile over the same total "
+    "order - the two constructions must agree row-for-row.",
+)
+def a_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import value_buckets
+
+    od = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    bkt, _ = value_buckets(od, "o_totalprice", n_buckets=64)
+    d = od.withColumn("_bkt", bkt)
+    counts = sorted(
+        d.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n")).collect(),
+        key=lambda r: r["_bkt"],
+    )
+    n = sum(r["_n"] for r in counts)
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["_bkt"]] = acc
+        acc += r["_n"]
+    off_items = []
+    for k, v in offsets.items():
+        off_items += [F.lit(int(k)), F.lit(int(v))]
+    w = W.partitionBy("_bkt").orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    r0 = (
+        F.row_number().over(w).cast("bigint")
+        + F.create_map(*off_items)[F.col("_bkt")].cast("bigint")
+        - F.lit(1)
+    )
+    k = EQUIDEPTH_BUCKETS
+    size, extra = n // k, n % k
+    assert size > 0, "fewer rows than buckets"
+    # integer `div`, never float `/`-then-cast (engine-divergent at exact
+    # integer quotients — the (n+1)/2 median pitfall)
+    bucket = F.expr(
+        f"CASE WHEN _r0 < {(size + 1) * extra} THEN _r0 div {size + 1} + 1 "
+        f"ELSE {extra} + (_r0 - {(size + 1) * extra}) div {size} + 1 END"
+    )
+    return (
+        d.withColumn("_r0", r0)
+        .withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )

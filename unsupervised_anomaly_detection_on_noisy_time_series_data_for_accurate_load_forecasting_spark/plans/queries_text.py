@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum_sql
-from ..functions.rng import M, rng_uniform, rng_uniform_sql
+from ..functions.rng import M, rng_draw, rng_draw_sql, rng_uniform, rng_uniform_sql
 from ..operators import dedup as DD
 from ..operators import textops as TX
 from ..operators.textops import poly_hash_duck_expr, poly_hash_sql_expr
@@ -1832,4 +1832,136 @@ def d_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("d1", "d2", "hamming")
+    )
+
+
+@register(
+    "d_sim_topk_per_doc",
+    oracle=f"""
+    WITH {_MH_P02_CTES},
+    sym AS (
+      SELECT d1 AS doc_id, d2 AS nbr, jaccard FROM p02
+      UNION ALL
+      SELECT d2 AS doc_id, d1 AS nbr, jaccard FROM p02
+    ),
+    rk AS (
+      SELECT doc_id, nbr, jaccard,
+             row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, nbr ASC) AS rank
+      FROM sym
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, nbr, jaccard FROM rk WHERE rank <= 3
+    """,
+    tags=("DEDUP-minhash", "O3", "J5"),
+    doc="Per-document similarity shortlist: each doc's top-3 verified "
+    "near-duplicate neighbors (exact Jaccard over LSH candidates, >= 0.2), "
+    "symmetrized from the session pair memo - the 'show me what this doc "
+    "duplicates' lookup a curation UI runs. The rank window partitions by "
+    "doc (never global), ties broken by neighbor id; cost is a pure filter "
+    "+ window over the already-bounded candidate pair set.",
+)
+def d_sim_topk_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _mh_pairs_02(spark, sf_dir)
+    sym = p.select(
+        F.col("d1").alias("doc_id"), F.col("d2").alias("nbr"), "jaccard"
+    ).unionAll(p.select(F.col("d2").alias("doc_id"), F.col("d1").alias("nbr"), "jaccard"))
+    w = W.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), F.col("nbr").asc())
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "nbr", "jaccard")
+    )
+
+
+BLOOM_SPLIT_SALT = 191
+BLOOM_POS_SALT = 193
+BLOOM_M_BITS = 4096
+BLOOM_N_HASH = 3
+BLOOM_DELTA_FRAC = 0.1
+
+
+def _bloom_pos_sqls() -> list[str]:
+    return [
+        f"(({rng_draw_sql('_h', salt=BLOOM_POS_SALT + i)}) % {BLOOM_M_BITS})"
+        for i in range(BLOOM_N_HASH)
+    ]
+
+
+@register(
+    "d_bloom_new_docs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {poly_hash_duck_expr('text')} AS _h,
+             CASE WHEN {rng_uniform_sql('doc_id', salt=BLOOM_SPLIT_SALT)} < {BLOOM_DELTA_FRAC}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM documents
+    ),
+    cpos AS (
+      {" UNION ".join(f"SELECT DISTINCT {p} AS p FROM base WHERE is_new = 0" for p in _bloom_pos_sqls())}
+    ),
+    probe AS (
+      SELECT d.doc_id,
+             CASE WHEN {" AND ".join(f"{p} IN (SELECT p FROM cpos)" for p in _bloom_pos_sqls())}
+                  THEN 1 ELSE 0 END AS flagged,
+             CASE WHEN EXISTS (SELECT 1 FROM base c WHERE c.is_new = 0 AND c.text = d.text)
+                  THEN 1 ELSE 0 END AS true_dup
+      FROM base d WHERE d.is_new = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_delta,
+           CAST(sum(flagged) AS BIGINT) AS n_flagged,
+           CAST(sum(true_dup) AS BIGINT) AS n_true_dup,
+           CAST(sum(CASE WHEN flagged = 1 AND true_dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM probe
+    """,
+    tags=("DEDUP-exact", "U5", "A14"),
+    doc="Bloom-filter ingest dedup, the O(1)-state membership screen an "
+    "ingest pipeline runs before any join: the standing corpus's text "
+    "fingerprints populate a 4096-bit bitmap (seeded-RNG bit positions, "
+    "aggregate-HOF fold - kilobytes broadcast to every task regardless of "
+    "corpus size); the simulated delta probes it (no false negatives by "
+    "construction) and the query accounts flagged vs truly-duplicate vs "
+    "false-positive docs. The oracle replays bit membership as position-set "
+    "semi-joins - same semantics, no bitmap - so a defect in the bitmap "
+    "fold or the shift probe hash-mismatches.",
+)
+def d_bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text").withColumn(
+        "_h", F.expr(poly_hash_sql_expr("text"))
+    ).withColumn(
+        "is_new", rng_uniform(F.col("doc_id"), salt=BLOOM_SPLIT_SALT) < BLOOM_DELTA_FRAC
+    )
+    pos = [
+        F.pmod(rng_draw(F.col("_h"), salt=BLOOM_POS_SALT + i), F.lit(BLOOM_M_BITS))
+        for i in range(BLOOM_N_HASH)
+    ]
+    corpus = docs.filter(~F.col("is_new"))
+    n_words = BLOOM_M_BITS // 64
+    positions = corpus.select(F.explode(F.array(*pos)).alias("p")).distinct()
+    bloom = positions.agg(
+        F.expr(
+            f"aggregate(collect_set(p), array_repeat(0L, {n_words}), "
+            "(acc, p) -> transform(acc, (w, i) -> "
+            "IF(i = CAST(p div 64 AS INT), w | shiftleft(1L, CAST(p % 64 AS INT)), w)))"
+        ).alias("bloom")
+    )
+    flag_sql = " AND ".join(
+        f"((element_at(bloom, CAST(_p{i} div 64 AS INT) + 1)"
+        f" >> CAST(_p{i} % 64 AS INT)) & 1) = 1"
+        for i in range(BLOOM_N_HASH)
+    )
+    ctexts = corpus.select("text").distinct().withColumn("_dup", F.lit(1))
+    probe = (
+        docs.filter(F.col("is_new"))
+        .select("doc_id", "text", *[p.alias(f"_p{i}") for i, p in enumerate(pos)])
+        .crossJoin(F.broadcast(bloom))
+        .withColumn("flagged", F.when(F.expr(flag_sql), 1).otherwise(0))
+        .join(ctexts.hint("shuffle_hash"), "text", "left")
+        .withColumn("true_dup", F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+    )
+    return probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_delta"),
+        F.sum("flagged").cast("bigint").alias("n_flagged"),
+        F.sum("true_dup").cast("bigint").alias("n_true_dup"),
+        F.sum(F.when((F.col("flagged") == 1) & (F.col("true_dup") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
     )
