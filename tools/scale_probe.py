@@ -366,6 +366,65 @@ def graph_rounds_rows(spark) -> list[str]:
     return out
 
 
+def synthetic_vocab_rows(spark) -> list[str]:
+    """Synthetic vocabulary-growth probe for the r10 map-only token-hash
+    path: the poly hash is an inline expression per token INSTANCE, so the
+    shingle build must be insensitive to DISTINCT-vocabulary size (the old
+    distinct-vocab + forced-broadcast shape built and shipped a V-row dim
+    frame — V is 10^8-10^9 on a crawl, a guaranteed OOM). Two corpora with
+    IDENTICAL instance counts (2 000 docs x 200 tokens) but x100 the
+    distinct vocabulary (2 000 vs 200 000 types); timed wall = full
+    shingle_hashes plan (min of two runs). The 100 TB claim is the flat
+    wall across the vocabulary step."""
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        dedup as DD,
+    )
+
+    n_docs, n_tok = 2_000, 200
+    out = []
+    walls, nsh = {}, {}
+    for vocab in (2_000, 200_000):
+        rng = np.random.RandomState(11)
+        toks = rng.randint(0, vocab, (n_docs, n_tok))
+        pdf = pd.DataFrame(
+            {
+                "doc_id": np.arange(1, n_docs + 1, dtype=np.int64),
+                "text": [" ".join(f"w{t}" for t in row) for row in toks],
+            }
+        )
+        df = spark.createDataFrame(pdf).repartition(32).cache()
+        df.count()
+        ws = []
+        for _ in range(2):
+            t0 = time.time()
+            nsh[vocab] = DD.shingle_hashes(df).count()
+            ws.append(time.time() - t0)
+        walls[vocab] = round(min(ws), 2)
+        print(f"# vocab={vocab}: {walls[vocab]}s, {nsh[vocab]} shingles", file=sys.stderr)
+        df.unpersist()
+    out += [
+        "## Synthetic x100 vocabulary step — map-only token hashing (r10)",
+        "",
+        "| distinct vocab | token instances | distinct shingles | wall (s) |",
+        "|---|---|---|---|",
+    ]
+    for vocab in (2_000, 200_000):
+        out.append(f"| {vocab} | {n_docs * n_tok} | {nsh[vocab]} | {walls[vocab]} |")
+    out += [
+        "",
+        "Identical instance counts, x100 the type count: the wall is flat",
+        "because hashing is a map-side expression over instances — there is",
+        "no vocabulary frame to build, join, or broadcast (the pre-r10 shape",
+        "grew with V and force-broadcast it).",
+        "",
+    ]
+    return out
+
+
 def synthetic_exactjaccard_rows(spark) -> list[str]:
     """Synthetic ×10 probe for the r9 hot-shingle df cap on the EXACT
     inverted-index joins (`d_ngram_jaccard_pairs` / `d_containment_pairs`)
@@ -542,6 +601,7 @@ def main() -> None:
     lines += synthetic_semdedup_rows(spark)
     lines += synthetic_textlsh_rows(spark)
     lines += synthetic_exactjaccard_rows(spark)
+    lines += synthetic_vocab_rows(spark)
     lines += graph_rounds_rows(spark)
     lines += [
         "Notes on the shapes (stable across regenerations):",

@@ -1440,3 +1440,111 @@ def a_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total"),
         )
     )
+
+
+HILL_K = 1000
+
+
+@register(
+    "a_hill_tail_index",
+    oracle=f"""
+    WITH topk AS (
+      SELECT o_totalprice AS x
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {HILL_K + 1}
+    ),
+    xm AS (SELECT min(x) AS xmin, count(*) AS nk FROM topk),
+    terms AS (
+      SELECT {qround_sql('ln(x / xmin)', 9)} AS t FROM topk, xm
+    )
+    SELECT CAST({HILL_K} AS BIGINT) AS k,
+           (SELECT xmin FROM xm) AS x_threshold,
+           {qround_sql(f"{dsum_sql('t')} / {HILL_K}.0", 9)} AS alpha_inv,
+           {qround_sql(f"{HILL_K}.0 / {dsum_sql('t')}", 9)} AS alpha
+    FROM terms
+    """,
+    tags=("A1", "A6", "O3"),
+    doc="Hill estimator of the heavy-tail index over order totals - the "
+    "statistic that says whether a value column is Pareto-tailed (decides "
+    "skew-salting and sampling strategy before a 100 TB join). Top-(k+1) "
+    "order statistics via TakeOrderedAndProject (per-partition heaps, "
+    "never a global sort); alpha-inverse = mean ln-ratio to the (k+1)-th "
+    "value (its own term is exactly 0, so summing the whole frame equals "
+    "the top-k sum and boundary ties cancel); ln terms quantized at 1e-9 "
+    "before the decimal-exact sum.",
+)
+def a_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    topk = (
+        od.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(HILL_K + 1)
+        .select(F.col("o_totalprice").alias("x"))
+    )
+    xm = topk.agg(F.min("x").alias("xmin"))
+    terms = topk.crossJoin(F.broadcast(xm)).select(
+        qround(F.log(F.col("x") / F.col("xmin")), 9).alias("t"), "xmin"
+    )
+    return terms.groupBy("xmin").agg(
+        F.lit(HILL_K).cast("bigint").alias("k"),
+        F.min("xmin").alias("x_threshold"),
+        qround(dsum("t") / F.lit(float(HILL_K)), 9).alias("alpha_inv"),
+        qround(F.lit(float(HILL_K)) / dsum("t"), 9).alias("alpha"),
+    ).select("k", "x_threshold", "alpha_inv", "alpha")
+
+
+@register(
+    "a_chisq_independence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT c_nationkey AS nationkey, o_orderpriority AS pri, count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    rowm AS (SELECT nationkey, CAST(sum(n) AS BIGINT) AS rn FROM obs GROUP BY 1),
+    colm AS (SELECT pri, CAST(sum(n) AS BIGINT) AS cn FROM obs GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs),
+    terms AS (
+      SELECT o.nationkey, o.n,
+             {qround_sql(
+                 "(CAST(o.n AS DOUBLE) - CAST(r.rn AS DOUBLE) * CAST(c.cn AS DOUBLE) / CAST(tot.t AS DOUBLE))"
+                 " * (CAST(o.n AS DOUBLE) - CAST(r.rn AS DOUBLE) * CAST(c.cn AS DOUBLE) / CAST(tot.t AS DOUBLE))"
+                 " / (CAST(r.rn AS DOUBLE) * CAST(c.cn AS DOUBLE) / CAST(tot.t AS DOUBLE))", 9)} AS term
+      FROM obs o JOIN rowm r ON o.nationkey = r.nationkey
+      JOIN colm c ON o.pri = c.pri, tot
+    )
+    SELECT nationkey, CAST(sum(n) AS BIGINT) AS n_orders,
+           {dsum_sql('term')} AS chi2_contrib
+    FROM terms GROUP BY 1
+    """,
+    tags=("A10", "A13", "A4"),
+    doc="Chi-square independence screen (nation x order priority) - the "
+    "categorical-drift / stratification diagnostic: per-nation "
+    "contribution to the chi-square statistic against the independence "
+    "expectation row*col/N. Observed counts are one combinable groupBy; "
+    "marginals are two tiny aggregates broadcast back; each (o-e)^2/e "
+    "term is identical IEEE arithmetic on exact integers, quantized at "
+    "1e-9 before the decimal-exact per-nation sum.",
+)
+def a_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    obs = (
+        od.join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"), F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rowm = obs.groupBy("nationkey").agg(F.sum("n").cast("bigint").alias("rn"))
+    colm = obs.groupBy("pri").agg(F.sum("n").cast("bigint").alias("cn"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
+    e = F.col("rn").cast("double") * F.col("cn").cast("double") / F.col("t").cast("double")
+    term = qround((F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e, 9)
+    return (
+        obs.join(F.broadcast(rowm), "nationkey")
+        .join(F.broadcast(colm), "pri")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("term", term)
+        .groupBy("nationkey")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            dsum("term").alias("chi2_contrib"),
+        )
+    )

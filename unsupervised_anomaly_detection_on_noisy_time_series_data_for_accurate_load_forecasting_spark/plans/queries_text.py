@@ -1965,3 +1965,75 @@ def d_bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_pos"),
     )
+
+
+@register(
+    "d_cross_source_overlap",
+    oracle=f"""
+    WITH {_SH_CTES},
+    ss AS (
+      SELECT DISTINCT d.source, s.shingle
+      FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    sz AS (SELECT source, count(*) AS sz FROM ss GROUP BY 1),
+    inter AS (
+      SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s1, s2, CAST(inter AS BIGINT) AS inter,
+           CAST(za.sz AS BIGINT) AS sz1, CAST(zb.sz AS BIGINT) AS sz2,
+           CAST(inter AS DOUBLE) / CAST(least(za.sz, zb.sz) AS DOUBLE) AS containment,
+           CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter JOIN sz za ON s1 = za.source JOIN sz zb ON s2 = zb.source
+    """,
+    tags=("DEDUP-ngram", "A13", "U5"),
+    doc="Cross-dataset overlap matrix: pairwise shingle containment and "
+    "Jaccard BETWEEN sources - the corpus-level contamination scan run "
+    "before mixing datasets into a training blend. The shingle self-join "
+    "is keyed on source-distinct shingles, so a shingle of source-"
+    "frequency f emits C(f,2) <= C(n_sources,2) rows - bounded by the "
+    "SOURCE count squared, independent of corpus size; per-source set "
+    "sizes come from one combinable aggregate; integer arithmetic "
+    "throughout.",
+)
+def d_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    ss = (
+        _sh(spark, sf_dir)
+        .join(docs.hint("shuffle_hash"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sz = ss.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = ss.alias("a")
+    b = ss.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sz.select(F.col("source").alias("s1"), F.col("sz").alias("sz1"))
+    zb = sz.select(F.col("source").alias("s2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(za.hint("shuffle_hash"), "s1")
+        .join(zb.hint("shuffle_hash"), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("sz1").cast("bigint").alias("sz1"),
+            F.col("sz2").cast("bigint").alias("sz2"),
+            (F.col("inter").cast("double") / F.least("sz1", "sz2").cast("double")).alias(
+                "containment"
+            ),
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
