@@ -91,6 +91,9 @@ QUERIES = [
     "d_sim_topk_per_doc",       # per-doc neighbor shortlist over pair memo (r10)
     "a_equidepth_histogram",    # bucketed global ntile, no global window (r10)
     "g_degree_hist",            # degree distribution profile (r10)
+    "w_changepoint",            # prefix-sum changepoint argmax (r10)
+    "d_cross_source_overlap",   # source-bounded shingle overlap matrix (r10)
+    "s_ivf_cell_stats",         # IVF quantizer balance diagnostics (r10)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum_sql
+from ..functions.exact import dsum_sql, qround_sql
 from ..operators import anomaly as AN
 from ..operators import forecast as FC
 from ..operators import timeseries as TSO
@@ -539,3 +539,94 @@ def a_backtest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = TSO.hourly_series(_events(spark, sf_dir))
     return FC.seasonal_strength(hourly)
+
+
+@register(
+    "w_changepoint",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    q AS (
+      SELECT series_id, ts,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS qv,
+             row_number() OVER (PARTITION BY series_id ORDER BY ts) AS t
+      FROM hourly
+    ),
+    pre AS (
+      SELECT series_id, ts, t,
+             sum(qv) OVER (PARTITION BY series_id ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+      FROM q
+    ),
+    tot AS (SELECT series_id, max(t) AS n, max(st) AS sn FROM pre GROUP BY 1),
+    g AS (
+      SELECT p.series_id, p.ts, p.t, tot.n, tot.sn, p.st,
+             CAST(tot.n * p.st - p.t * tot.sn AS DOUBLE)
+               * CAST(tot.n * p.st - p.t * tot.sn AS DOUBLE)
+               / CAST(p.t * (tot.n - p.t) AS DOUBLE) AS gs
+      FROM pre p JOIN tot ON p.series_id = tot.series_id
+      WHERE p.t < tot.n
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY gs DESC, t ASC) AS rn
+      FROM g
+    )
+    SELECT series_id, ts AS cp_ts, CAST(t AS BIGINT) AS cp_t, CAST(n AS BIGINT) AS n,
+           {qround_sql('CAST(st AS DOUBLE) / (CAST(t AS DOUBLE) * 1000000.0)', 6)} AS mean_left,
+           {qround_sql('CAST(sn - st AS DOUBLE) / (CAST(n - t AS DOUBLE) * 1000000.0)', 6)} AS mean_right,
+           {qround_sql('gs / (CAST(n AS DOUBLE) * 1e12)', 6)} AS stat
+    FROM best WHERE rn = 1
+    """,
+    tags=("W6", "A4", "M14"),
+    doc="Single-changepoint detection per series (the binary-segmentation "
+    "kernel): the split t maximizing the scaled between-mean contrast "
+    "(n*S_t - t*S_n)^2 / (t(n-t)) over 1e-6-lattice prefix sums - exact "
+    "integer inner term, so the argmax (ties to smallest t) is cross-"
+    "engine deterministic; the reported statistic t(n-t)/n * (mean_L - "
+    "mean_R)^2 is one IEEE normalization of the exact term. One per-series "
+    "prefix window + one totals join + one per-series rank window - no "
+    "per-split recomputation, O(n) per series.",
+)
+def w_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import qround
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    ow = W.partitionBy("series_id").orderBy("ts")
+    q = hourly.select(
+        "series_id",
+        "ts",
+        F.expr("CAST(floor(value * 1000000.0D + 0.5D) AS BIGINT)").alias("qv"),
+        F.row_number().over(ow).alias("t"),
+    )
+    pre = q.withColumn(
+        "st",
+        F.sum("qv").over(
+            W.partitionBy("series_id").orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    tot = pre.groupBy("series_id").agg(F.max("t").alias("n"), F.max("st").alias("sn"))
+    d = (F.col("n") * F.col("st") - F.col("t") * F.col("sn")).cast("double")
+    g = (
+        pre.join(tot.hint("shuffle_hash"), "series_id")
+        .filter(F.col("t") < F.col("n"))
+        .withColumn("gs", d * d / (F.col("t") * (F.col("n") - F.col("t"))).cast("double"))
+    )
+    rw = W.partitionBy("series_id").orderBy(F.col("gs").desc(), F.col("t").asc())
+    return (
+        g.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "series_id",
+            F.col("ts").alias("cp_ts"),
+            F.col("t").cast("bigint").alias("cp_t"),
+            F.col("n").cast("bigint").alias("n"),
+            qround(F.col("st").cast("double") / (F.col("t").cast("double") * 1e6), 6).alias("mean_left"),
+            qround(
+                (F.col("sn") - F.col("st")).cast("double")
+                / ((F.col("n") - F.col("t")).cast("double") * 1e6),
+                6,
+            ).alias("mean_right"),
+            qround(F.col("gs") / (F.col("n").cast("double") * 1e12), 6).alias("stat"),
+        )
+    )

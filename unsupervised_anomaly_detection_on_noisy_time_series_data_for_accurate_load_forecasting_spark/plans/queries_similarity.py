@@ -1164,3 +1164,50 @@ def s_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.expr(e1), 6).alias("pc1"),
         qround(F.expr(e2), 6).alias("pc2"),
     )
+
+
+@register(
+    "s_ivf_cell_stats",
+    oracle=lambda: f"""
+    WITH {_LONG},
+    {_ivf_cells_ctes()},
+    per AS (SELECT cell, count(*) AS n_vecs FROM corpus GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n, count(*) AS n_cells,
+                   max(n_vecs) AS mx FROM per)
+    SELECT CAST(per.cell AS INTEGER) AS cell,
+           CAST(per.n_vecs AS BIGINT) AS n_vecs,
+           (floor((CAST(per.n_vecs AS DOUBLE) / (CAST(tot.n AS DOUBLE) / CAST(tot.n_cells AS DOUBLE)))
+                  * 1000000.0 + 0.5) / 1000000.0) AS load_factor,
+           CAST(tot.mx AS BIGINT) AS max_cell
+    FROM per, tot
+    """,
+    tags=("SIM-ivf", "A14", "A4"),
+    doc="IVF cell-balance diagnostics - the no-silent-caps visibility query "
+    "for the coarse quantizer (the LSH band-stats twin): per cell, its "
+    "population and load factor vs the uniform expectation, plus the "
+    "hottest cell - a skewed quantizer silently turns n_probe/n_lists "
+    "pruning into a full scan, and this is the query that says so before "
+    "the 100 TB run. One combinable count over the shared cell assignment "
+    "+ a broadcast 1-row total.",
+)
+def s_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, _ = SIM.ivf_cells(_emb(spark, sf_dir))
+    per = corpus.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = per.agg(
+        F.sum("n_vecs").cast("bigint").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n_vecs").cast("bigint").alias("mx"),
+    )
+    lf = F.expr(
+        "floor((CAST(n_vecs AS DOUBLE) / (CAST(n AS DOUBLE) / CAST(n_cells AS DOUBLE)))"
+        " * 1000000.0D + 0.5D) / 1000000.0D"
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            lf.alias("load_factor"),
+            F.col("mx").alias("max_cell"),
+        )
+    )
