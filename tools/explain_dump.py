@@ -285,7 +285,7 @@ PICKS = [
     ),
     (
         "d_ngram_jaccard_pairs",
-        "r9 hot-shingle df cap: the inverted-index self-join is preceded by "
+        "r10 map-only token hashing (the poly hash is inline per token instance — no vocabulary frame, no BroadcastExchange feeding the shingle window) + r9 hot-shingle df cap: the inverted-index self-join is preceded by "
         "a LeftAnti against the >cap document-frequency list (the only "
         "BroadcastNestedLoopJoin is the deliberate 1-row doc-count scalar "
         "carrying the relative cap) — C(df,2) rows per boilerplate shingle "
@@ -352,13 +352,6 @@ PICKS = [
         "Approximate kNN graph: bounded banded-LSH candidates, exact-cosine "
         "verify, per-source rank window (bounded by bands × cap — never a "
         "global sort).",
-    ),
-    (
-        "d_ngram_jaccard_pairs",
-        "r10 map-only token hashing: the poly hash is an inline expression "
-        "over token instances — NO vocabulary dimension frame, no join, no "
-        "BroadcastExchange before the shingle window (a crawl vocabulary is "
-        "10^8-10^9 rows; the old distinct+forced-broadcast shape OOMs).",
     ),
     (
         "d_bloom_new_docs",
