@@ -561,3 +561,49 @@ def test_token_hashing_is_map_only(spark, sf_dir):
         plan = _plan(df)
         assert "Join" not in plan, "vocabulary join reintroduced"
         assert "BroadcastExchange" not in plan
+
+
+def test_equidepth_histogram_has_no_global_window(spark, sf_dir):
+    """The exact ntile must come from value-bucketed parallel windows +
+    driver prefix offsets — never a single-partition global sort."""
+    plan = _plan(REGISTRY["a_equidepth_histogram"].spark(spark, sf_dir))
+    assert not _GLOBAL_WINDOW.search(plan), "single-task global Window reintroduced"
+
+
+def test_bloom_screen_broadcasts_only_the_bitmap(spark, sf_dir):
+    """The bloom probe must broadcast the ONE-ROW bitmap (kilobytes at any
+    corpus size); the exact-text truth join stays shuffle-side (corpus
+    texts grow with the corpus — no BroadcastExchange may carry text)."""
+    import re as _re
+
+    plan = _plan(REGISTRY["d_bloom_new_docs"].spark(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, "1-row bitmap cross join missing"
+    for m in _re.finditer(r"BroadcastExchange[^\n]*", plan):
+        assert "text#" not in m.group(0), "text column inside a broadcast"
+    assert "ShuffledHashJoin" in plan, "truth join must be shuffle-side"
+
+
+def test_cross_source_overlap_joins_on_shingle_only(spark, sf_dir):
+    """The between-source overlap self-join must be an equi-join on the
+    shingle key (volume ≤ C(n_sources, 2) per shingle) — no cartesian or
+    nested loop anywhere."""
+    plan = _plan(REGISTRY["d_cross_source_overlap"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_changepoint_windows_are_per_series(spark, sf_dir):
+    """Both the prefix-sum window and the argmax rank window must partition
+    by series — never a global sort."""
+    plan = _plan(REGISTRY["w_changepoint"].spark(spark, sf_dir))
+    assert not _GLOBAL_WINDOW.search(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_hill_tail_index_is_take_ordered(spark, sf_dir):
+    """The top-(k+1) order statistics must compile to TakeOrderedAndProject
+    (per-partition heaps merged at the driver) — never a global sort of
+    the orders table."""
+    plan = _plan(REGISTRY["a_hill_tail_index"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert not _GLOBAL_WINDOW.search(plan)
