@@ -1548,3 +1548,159 @@ def a_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("term").alias("chi2_contrib"),
         )
     )
+
+
+@register(
+    "a_mutual_information",
+    oracle=f"""
+    WITH obs AS (
+      SELECT c_nationkey AS nationkey, o_orderpriority AS pri, count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    rowm AS (SELECT nationkey, CAST(sum(n) AS BIGINT) AS rn FROM obs GROUP BY 1),
+    colm AS (SELECT pri, CAST(sum(n) AS BIGINT) AS cn FROM obs GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs),
+    terms AS (
+      SELECT o.nationkey, o.n,
+             {qround_sql(
+                 "(CAST(o.n AS DOUBLE) / CAST(tot.t AS DOUBLE))"
+                 " * ln(CAST(o.n AS DOUBLE) * CAST(tot.t AS DOUBLE)"
+                 " / (CAST(r.rn AS DOUBLE) * CAST(c.cn AS DOUBLE)))", 9)} AS term
+      FROM obs o JOIN rowm r ON o.nationkey = r.nationkey
+      JOIN colm c ON o.pri = c.pri, tot
+    )
+    SELECT nationkey, CAST(sum(n) AS BIGINT) AS n_orders,
+           {dsum_sql('term')} AS mi_contrib
+    FROM terms GROUP BY 1
+    """,
+    tags=("A10", "A13", "A4"),
+    doc="Mutual information between nation and order priority (the "
+    "chi-square screen's information-theoretic twin - the feature-"
+    "association statistic a stratified-sampling plan reads): per-nation "
+    "contributions sum(p_ij * ln(p_ij / p_i p_j)). Counts are exact "
+    "integers; each ln argument is the same IEEE ratio in both engines, "
+    "terms quantized at 1e-9 before the decimal-exact sum; marginals "
+    "broadcast.",
+)
+def a_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    obs = (
+        od.join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"), F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rowm = obs.groupBy("nationkey").agg(F.sum("n").cast("bigint").alias("rn"))
+    colm = obs.groupBy("pri").agg(F.sum("n").cast("bigint").alias("cn"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
+    term = qround(
+        (F.col("n").cast("double") / F.col("t").cast("double"))
+        * F.log(
+            F.col("n").cast("double")
+            * F.col("t").cast("double")
+            / (F.col("rn").cast("double") * F.col("cn").cast("double"))
+        ),
+        9,
+    )
+    return (
+        obs.join(F.broadcast(rowm), "nationkey")
+        .join(F.broadcast(colm), "pri")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("term", term)
+        .groupBy("nationkey")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            dsum("term").alias("mi_contrib"),
+        )
+    )
+
+
+NJ_CENTER_CAP = 64
+NJ_MIN_COMMON = 2
+NJ_MIN_JACCARD = 0.01
+
+
+@register(
+    "g_node_jaccard",
+    oracle=f"""
+    WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk),
+    deg AS (SELECT node, count(*) AS deg
+            FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY 1),
+    ctr AS (SELECT node FROM deg WHERE deg <= {NJ_CENTER_CAP}),
+    adj AS (
+      SELECT u AS c, v AS n FROM und WHERE u IN (SELECT node FROM ctr)
+      UNION ALL
+      SELECT v AS c, u AS n FROM und WHERE v IN (SELECT node FROM ctr)
+    ),
+    common AS (
+      SELECT a.n AS d1, b.n AS d2, count(*) AS common
+      FROM adj a JOIN adj b ON a.c = b.c AND a.n < b.n
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, CAST(common AS BIGINT) AS common,
+           CAST(g1.deg AS BIGINT) AS deg1, CAST(g2.deg AS BIGINT) AS deg2,
+           CAST(common AS DOUBLE) / CAST(g1.deg + g2.deg - common AS DOUBLE) AS jaccard
+    FROM common JOIN deg g1 ON d1 = g1.node JOIN deg g2 ON d2 = g2.node
+    WHERE common >= {NJ_MIN_COMMON}
+      AND CAST(common AS DOUBLE) / CAST(g1.deg + g2.deg - common AS DOUBLE) >= {NJ_MIN_JACCARD}
+    """,
+    tags=("DEDUP-cc", "J5", "A4"),
+    doc="Neighborhood-Jaccard node similarity over the co-purchase graph - "
+    "the classic link-prediction feature (common neighbors / union of "
+    "neighborhoods). A hub center of degree d emits d^2 wedge rows, so "
+    "common neighbors are counted through BOUNDED centers only (deg <= "
+    f"{NJ_CENTER_CAP}, the hot-shingle df-cap doctrine applied to graph "
+    "wedges: total wedge volume <= cap * m); Jaccard denominators use FULL "
+    "degrees, candidate pairs filtered at common >= 2 and jaccard >= 0.01 "
+    "(the co-purchase graph is neighbor-sparse). "
+    "Integer arithmetic end to end.",
+)
+def g_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .shared import copurchase_edges_df
+
+    und = copurchase_edges_df(spark, sf_dir)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ctr = deg.filter(F.col("deg") <= NJ_CENTER_CAP).select("node")
+    adj = (
+        und.join(ctr.withColumnRenamed("node", "u"), "u", "left_semi")
+        .select(F.col("u").alias("c"), F.col("v").alias("n"))
+        .unionAll(
+            und.join(ctr.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select(F.col("v").alias("c"), F.col("u").alias("n"))
+        )
+    )
+    a = adj.alias("a")
+    b = adj.alias("b")
+    common = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n")))
+        .groupBy(F.col("a.n").alias("d1"), F.col("b.n").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    g1 = deg.select(F.col("node").alias("d1"), F.col("deg").alias("deg1"))
+    g2 = deg.select(F.col("node").alias("d2"), F.col("deg").alias("deg2"))
+    jac = F.col("common").cast("double") / (
+        F.col("deg1") + F.col("deg2") - F.col("common")
+    ).cast("double")
+    return (
+        common.join(g1.hint("shuffle_hash"), "d1")
+        .join(g2.hint("shuffle_hash"), "d2")
+        .withColumn("jaccard", jac)
+        .filter((F.col("common") >= NJ_MIN_COMMON) & (F.col("jaccard") >= NJ_MIN_JACCARD))
+        .select(
+            "d1",
+            "d2",
+            F.col("common").cast("bigint").alias("common"),
+            F.col("deg1").cast("bigint").alias("deg1"),
+            F.col("deg2").cast("bigint").alias("deg2"),
+            "jaccard",
+        )
+    )

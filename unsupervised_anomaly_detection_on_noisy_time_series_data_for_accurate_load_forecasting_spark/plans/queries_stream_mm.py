@@ -1323,3 +1323,83 @@ def mm_wav_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         island, schema="media_id long, n_runs int, longest_run int, n_silent int"
     )
+
+
+def _mm_jpeg_resize_oracle() -> str:
+    """Mirror of the JPEG-real resize: rebuild the bit-exact decoded mosaic
+    (no codec), replay _grid_real's exact reductions on the decoder's
+    (h, w, 1) shape — fancy-index then mean(axis=2) over the single channel
+    — then the same left-fold sum."""
+    import numpy as np
+
+    docs = _docs_pd()
+    rows = []
+    out_w, out_h = 12, 12
+    for r in docs.itertuples():
+        img = _doc_tiles(r.text)[:, :, None].astype(np.float64) / 255.0
+        h, w, _ = img.shape
+        ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+        xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+        grid = img[np.ix_(ys, xs)].mean(axis=2).ravel()
+        rows.append(
+            f"({int(r.doc_id)}::BIGINT,{qround_py(_fold_sum(grid), 9)!r}::DOUBLE)"
+        )
+    return (
+        f"SELECT media_id, {out_w} AS width, {out_h} AS height, pix_sum FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, pix_sum)"
+    )
+
+
+@register(
+    "mm_jpeg_resize_real",
+    oracle=lambda: _mm_jpeg_resize_oracle(),
+    tags=("MM-decode", "MM-codec", "MM-schema"),
+    doc="REAL-codec resize through baseline JPEG (the thumbnail pipeline a "
+    "crawl runs on its most common image format): 8x8-constant mosaic -> "
+    "JFIF encode -> huffman+DCT decode -> true 2-D nearest-neighbor "
+    "resample on DECODED pixels -> 12x12 grid. Mosaics round-trip "
+    "bit-exactly at quality 90, so the oracle rebuilds the decoded plane "
+    "with no codec - both the JPEG round trip and the resampler's index "
+    "arithmetic are on trial.",
+)
+def mm_jpeg_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from ..operators import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                img = _doc_tiles(text)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "payload": bytearray(CX.encode_jpeg(img, quality=90)),
+                        "meta": {
+                            "mime": "image/jpeg",
+                            "width": int(img.shape[1]),
+                            "height": int(img.shape[0]),
+                            "n_frames": 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, schema=MM.MEDIA_SCHEMA)
+    grid = MM.resize(media, out_w=12, out_h=12, use_real_codecs=True)
+    return grid.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        qround(F.expr("aggregate(pixels, 0D, (a, x) -> a + x)"), 9).alias("pix_sum"),
+    )
