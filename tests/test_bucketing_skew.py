@@ -261,3 +261,39 @@ def test_compact_partitions_multilevel_escaped_and_null_specs(spark):
     assert spark.table("compact_tricky").where(F.col("city") == "new york").count() == 40
     assert spark.table("compact_tricky").where(F.col("city").isNull()).count() == 40
     spark.sql("DROP TABLE IF EXISTS compact_tricky")
+
+
+def test_expire_old_partitions_drops_below_cutoff_only(spark, sf_dir):
+    """Retention: partitions strictly below the cutoff are dropped as whole
+    directories (metadata delete, no rewrite), newer partitions and their
+    rows survive untouched, and the report accounts every dropped row."""
+    from pyspark.sql import functions as F
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.bucketing import (
+        expire_old_partitions,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+
+    od = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    spark.sql("DROP TABLE IF EXISTS retain_orders")
+    od.write.mode("overwrite").partitionBy("o_month").saveAsTable("retain_orders")
+    before = {
+        r["o_month"]: r["n"]
+        for r in spark.table("retain_orders").groupBy("o_month").agg(F.count("*").alias("n")).collect()
+    }
+    cutoff = sorted(before)[len(before) // 2]
+    stats = expire_old_partitions(spark, "retain_orders", "o_month", cutoff)
+    dropped = {spec.split("=", 1)[1]: n for spec, n in stats}
+    assert dropped, "nothing dropped"
+    assert all(m < cutoff for m in dropped)
+    assert all(dropped[m] == before[m] for m in dropped)
+    after = {
+        r["o_month"]: r["n"]
+        for r in spark.table("retain_orders").groupBy("o_month").agg(F.count("*").alias("n")).collect()
+    }
+    assert after == {m: n for m, n in before.items() if m >= cutoff}
+    spark.sql("DROP TABLE IF EXISTS retain_orders")

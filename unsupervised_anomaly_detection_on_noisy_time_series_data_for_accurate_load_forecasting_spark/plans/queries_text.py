@@ -2037,3 +2037,131 @@ def d_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def _compression_oracle() -> str:
+    """Single-node zlib mirror (zlib level 6 is deterministic for a given
+    input across platforms/builds — same DEFLATE encoder in CPython)."""
+    import zlib
+
+    from .queries_neural import _oracle_sf_dir
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{_oracle_sf_dir()}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    rows = []
+    for did, text in docs:
+        raw = text.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        ratio = int((comp / len(raw)) * 1e6 + 0.5) / 1e6 if raw else 0.0
+        rows.append(f"({did}::BIGINT,{len(raw)}::BIGINT,{comp}::BIGINT,{ratio!r}::DOUBLE)")
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(doc_id, n_bytes, n_compressed, ratio)"
+    )
+
+
+@register(
+    "t_compression_ratio",
+    oracle=lambda: _compression_oracle(),
+    tags=("TXT-quality", "A14", "MM-decode"),
+    doc="Per-document zlib compression ratio - the repetitiveness quality "
+    "signal LLM curation rules use (highly compressible text is "
+    "boilerplate/spam; incompressible is often binary junk): compressed "
+    "size / raw UTF-8 size at level 6, computed in one Arrow-batched "
+    "mapInPandas island (zlib is CPU work per doc, embarrassingly "
+    "parallel; only (id, 2 ints, 1 double) leave the island). Oracle = "
+    "single-node zlib mirror (DEFLATE level 6 is deterministic).",
+)
+def t_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        import zlib
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                comp = len(zlib.compress(raw, 6))
+                ratio = int((comp / len(raw)) * 1e6 + 0.5) / 1e6 if raw else 0.0
+                out.append((int(did), len(raw), comp, ratio))
+            yield pd.DataFrame(out, columns=["doc_id", "n_bytes", "n_compressed", "ratio"])
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, n_bytes long, n_compressed long, ratio double"
+    )
+
+
+@register(
+    "t_gopher_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(toks, x -> x IN ({_STOP}))) AS BIGINT) AS n_stop
+      FROM base
+    )
+    SELECT doc_id,
+           (n_tok >= 10 AND n_tok <= 100000) AS r_wordcount,
+           (3 * n_tok <= sum_len AND sum_len <= 10 * n_tok) AS r_meanlen,
+           (5 * n_alpha > 4 * n_tok) AS r_alpha,
+           (n_stop >= 2) AS r_stopwords,
+           ((n_tok >= 10 AND n_tok <= 100000)
+            AND (3 * n_tok <= sum_len AND sum_len <= 10 * n_tok)
+            AND (5 * n_alpha > 4 * n_tok)
+            AND (n_stop >= 2)) AS pass
+    FROM m
+    """,
+    tags=("TXT-quality", "A14", "P8"),
+    doc="Gopher-style quality-rule battery (Rae et al. 2021, adapted "
+    "thresholds for the short synthetic corpus): word-count bounds, mean-"
+    "word-length bounds, alphabetic-word fraction > 0.8, and stop-word "
+    "presence >= 2 - each rule reported individually plus the conjunction, "
+    "the curation gate a crawl pipeline applies before dedup. Every "
+    "comparison is integer cross-multiplied (no float boundaries); one "
+    "map-only pass of JVM HOFs, no shuffle at all.",
+)
+def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("bigint")
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("bigint")
+    sum_len = F.expr(
+        "aggregate(transform(split(text, ' '), x -> length(x)), 0L, (a, v) -> a + v)"
+    )
+    stop_arr = F.array(*[F.lit(w) for w in TX.STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("bigint")
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", n_tok.alias("n_tok"), n_alpha.alias("n_alpha"),
+                sum_len.alias("sum_len"), n_stop.alias("n_stop"))
+    )
+    r_wc = (F.col("n_tok") >= 10) & (F.col("n_tok") <= 100000)
+    r_ml = (3 * F.col("n_tok") <= F.col("sum_len")) & (F.col("sum_len") <= 10 * F.col("n_tok"))
+    r_al = 5 * F.col("n_alpha") > 4 * F.col("n_tok")
+    r_st = F.col("n_stop") >= 2
+    return d.select(
+        "doc_id",
+        r_wc.alias("r_wordcount"),
+        r_ml.alias("r_meanlen"),
+        r_al.alias("r_alpha"),
+        r_st.alias("r_stopwords"),
+        (r_wc & r_ml & r_al & r_st).alias("pass"),
+    )

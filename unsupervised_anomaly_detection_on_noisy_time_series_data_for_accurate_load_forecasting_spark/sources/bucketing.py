@@ -297,3 +297,52 @@ def compact_partitions(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return out
+
+
+def expire_old_partitions(
+    spark: SparkSession, table: str, partition_col: str, cutoff: str
+) -> list[tuple[str, int]]:
+    """Retention maintenance for a hive-partitioned managed table — the
+    companion job to :func:`compact_partitions`: a 100 TB table with a
+    retention policy must DROP whole partitions (metadata + directory
+    delete, no data rewrite), never run a DELETE that rewrites files.
+
+    Drops every partition of ``partition_col`` whose (unescaped) value
+    sorts strictly below ``cutoff`` — partition values are strings in the
+    metastore, so the caller's cutoff must use the same lexical form the
+    sink wrote (ISO dates sort correctly as strings; zero-padded ints do
+    too). Specs are parsed with the same typed rules as compaction
+    (multi-level, URL-escaped, __HIVE_DEFAULT_PARTITION__ — NULL never
+    matches a cutoff and is never dropped). Returns
+    [(partition_spec, n_rows_dropped)] — the no-silent-maintenance rule.
+    """
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    out: list[tuple[str, int]] = []
+    for prow in spark.sql(f"SHOW PARTITIONS {table}").collect():
+        spec = prow[0]
+        levels = []
+        target_val = None
+        for level in spec.split("/"):
+            pcol, raw = level.split("=", 1)
+            val = unquote(raw)
+            levels.append((pcol, val))
+            if pcol == partition_col and val != "__HIVE_DEFAULT_PARTITION__":
+                target_val = val
+        if target_val is None or not target_val < cutoff:
+            continue
+        pred = F.lit(True)
+        for pcol, val in levels:
+            if val == "__HIVE_DEFAULT_PARTITION__":
+                pred = pred & F.col(pcol).isNull()
+            else:
+                pred = pred & (F.col(pcol) == F.lit(val))
+        n_rows = spark.table(table).where(pred).count()
+        spec_sql = ", ".join(
+            f"{pcol} = '{val}'" for pcol, val in levels if val != "__HIVE_DEFAULT_PARTITION__"
+        )
+        spark.sql(f"ALTER TABLE {table} DROP PARTITION ({spec_sql})")
+        out.append((spec, n_rows))
+    return out

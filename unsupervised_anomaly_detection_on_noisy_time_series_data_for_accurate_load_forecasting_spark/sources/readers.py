@@ -263,3 +263,25 @@ def write_windows(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ()
 def read_windows(spark: SparkSession, path: str) -> DataFrame:
     """S7 window source (dataset_ad.py:27-35): plain parquet scan."""
     return spark.read.parquet(path)
+
+
+DOCUMENTS_SCHEMA = (
+    "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+)
+
+
+def write_jsonl_corpus(df: DataFrame, path: str) -> None:
+    """Corpus sink in the interchange format crawl pipelines actually
+    exchange: one JSON object per line (uncompressed here; Spark's json
+    writer composes with any codec option). Line-delimited JSON splits at
+    newlines, so a 100 TB corpus scans with full parallelism."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl_corpus(spark: SparkSession, path: str, schema: str = DOCUMENTS_SCHEMA) -> DataFrame:
+    """JSONL corpus source with a PINNED schema — never schema inference:
+    at crawl scale, inference is a full extra pass over 100 TB and a
+    correctness hazard (a single malformed line can widen a column for the
+    whole dataset). Malformed lines land in _corrupt_record instead of
+    failing the scan (PERMISSIVE), so ingest accounting can count them."""
+    return spark.read.schema(schema + ", _corrupt_record STRING").json(path)
