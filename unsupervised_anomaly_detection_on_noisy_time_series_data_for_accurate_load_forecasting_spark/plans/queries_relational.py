@@ -1224,3 +1224,87 @@ def p_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("diverse", F.col("l_distinct") >= 3)
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY 1
+    """,
+    tags=("J3", "A10", "P1"),
+    doc="TPC-H-Q4-shaped order-priority checking: per priority, the count "
+    "of one quarter's orders having at least one LATE line (shipped > 90 "
+    "days after the order date - the corpus has no commit/receipt dates, "
+    "so lateness against the order date is the EXISTS predicate). The "
+    "EXISTS compiles to a left-semi join with the date bound inside the "
+    "join condition; the quarter filter pushes to the orders scan.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = od.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+@register(
+    "q12_lateness_buckets",
+    oracle="""
+    SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 0 THEN 'EARLY'
+                WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN 'ON-TIME'
+                ELSE 'LATE' END AS ship_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("J1", "A10", "F4"),
+    doc="TPC-H-Q12-shaped shipping-mode summary: the corpus has no shipmode "
+    "column, so lines bucket by DERIVED shipping lateness (early / within "
+    "90 days / late vs the order date - exact integer day arithmetic), and "
+    "each bucket counts high- vs low-priority lines for one ship year. One "
+    "orderkey join with the year predicate pushed to the lineitem scan; "
+    "both counts are conditional aggregates in a single pass.",
+)
+def q12_lateness_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    gap = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(gap < 0, "EARLY").when(gap <= 90, "ON-TIME").otherwise("LATE")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("ship_bucket", bucket)
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
