@@ -94,6 +94,9 @@ QUERIES = [
     "w_changepoint",            # prefix-sum changepoint argmax (r10)
     "d_cross_source_overlap",   # source-bounded shingle overlap matrix (r10)
     "s_ivf_cell_stats",         # IVF quantizer balance diagnostics (r10)
+    "t_compression_ratio",      # per-doc zlib island (r10)
+    "g_node_jaccard",           # degree-capped wedge similarity (r10)
+    "q4_order_priority",        # EXISTS semi-join with date bound (r10)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
