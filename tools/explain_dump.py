@@ -377,6 +377,24 @@ PICKS = [
         "decode are mapInPandas stages over pre-spread partitions; only "
         "(media_id, 8 doubles) leave the island.",
     ),
+    (
+        "t_gopher_rules",
+        "Quality-rule battery as ONE map-only pass: every rule is a JVM "
+        "HOF + integer cross-multiplication inside WholeStageCodegen — no "
+        "shuffle, no join, no Python.",
+    ),
+    (
+        "g_node_jaccard",
+        "Degree-capped wedge similarity: adjacency restricted to bounded "
+        "centers (semi joins), the wedge self-join an equi-join on the "
+        "center key, full-degree denominators shuffle-side.",
+    ),
+    (
+        "q4_order_priority",
+        "EXISTS as a left-semi join with the 90-day date bound inside the "
+        "join condition; the quarter filter reaches the orders scan "
+        "(PushedFilters).",
+    ),
 ]
 
 
