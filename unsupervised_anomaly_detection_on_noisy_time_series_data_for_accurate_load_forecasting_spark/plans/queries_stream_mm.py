@@ -1403,3 +1403,58 @@ def mm_jpeg_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("int").alias("height"),
         qround(F.expr("aggregate(pixels, 0D, (a, x) -> a + x)"), 9).alias("pix_sum"),
     )
+
+
+@register(
+    "stream_quality_gate",
+    oracle=f"""
+    WITH base AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+      SELECT source,
+             len(toks) AS n_tok,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS n_stop
+      FROM base
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN (n_tok >= 10 AND n_tok <= 100000)
+                          AND (3 * n_tok <= sum_len AND sum_len <= 10 * n_tok)
+                          AND (5 * n_alpha > 4 * n_tok)
+                          AND (n_stop >= 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM m GROUP BY 1
+    """,
+    tags=("STREAM", "TXT-quality", "A14"),
+    doc="Streaming ingest quality gate: the Gopher-rule battery applied "
+    "per micro-batch over a document file stream, per-source pass "
+    "accounting rolled up in streaming state (complete mode; counts are "
+    "associative, so the result is micro-batch-slicing-independent and "
+    "equals the batch replay - which is exactly what the oracle runs). "
+    "The rules are map-only integer arithmetic, so the only state is one "
+    "row per source.",
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.score_stream import run_available_now, stream_documents
+
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("bigint")
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("bigint")
+    sum_len = F.expr(
+        "aggregate(transform(split(text, ' '), x -> length(x)), 0L, (a, v) -> a + v)"
+    )
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "is")])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("bigint")
+    ok = (
+        (n_tok >= 10) & (n_tok <= 100000)
+        & (3 * n_tok <= sum_len) & (sum_len <= 10 * n_tok)
+        & (5 * n_alpha > 4 * n_tok)
+        & (n_stop >= 2)
+    )
+    s = stream_documents(spark, sf_dir)
+    agg = s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias("n_pass"),
+    )
+    name = run_available_now(agg, "stream_qgate", output_mode="complete")
+    return spark.table(name)

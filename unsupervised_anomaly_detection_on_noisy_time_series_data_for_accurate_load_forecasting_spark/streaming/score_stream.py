@@ -295,3 +295,24 @@ def stream_upsert_sink(
     return spark.read.parquet(state_dir).select(
         "user_id", "event_type", "latest_value", "latest_ts", "n_versions"
     )
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the documents table (micro-batched parquet source) —
+    the ingest shape of a crawl pipeline: documents arrive as files, the
+    quality gate runs per micro-batch, accounting aggregates roll up in
+    state."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
