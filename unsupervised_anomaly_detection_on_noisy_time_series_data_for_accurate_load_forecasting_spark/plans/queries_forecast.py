@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum_sql, qround_sql
+from ..functions.exact import davg_sql, dsum_sql, qround_sql
 from ..operators import anomaly as AN
 from ..operators import forecast as FC
 from ..operators import timeseries as TSO
@@ -629,4 +629,119 @@ def w_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_right"),
             qround(F.col("gs") / (F.col("n").cast("double") * 1e12), 6).alias("stat"),
         )
+    )
+
+
+@register(
+    "w_load_duration_curve",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    r AS (
+      SELECT series_id, value,
+             row_number() OVER (PARTITION BY series_id ORDER BY value DESC, ts ASC) AS rn,
+             count(*) OVER (PARTITION BY series_id) AS n
+      FROM hourly
+    )
+    SELECT series_id, CAST(max(n) AS BIGINT) AS n_hours,
+           max(CASE WHEN rn = 1 THEN value END) AS peak,
+           max(CASE WHEN rn = (n - 1) // 10 + 1 THEN value END) AS v10,
+           max(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS v50,
+           max(CASE WHEN rn = (9 * (n - 1)) // 10 + 1 THEN value END) AS v90,
+           {qround_sql(f"{davg_sql('value')} / max(CASE WHEN rn = 1 THEN value END)", 9)} AS load_factor
+    FROM r GROUP BY series_id
+    """,
+    tags=("A1", "A6", "O1"),
+    doc="Load-duration curve per series - THE classic power-industry view "
+    "of a load signal (the reference's own domain): demand sorted "
+    "descending against duration, read at the 10/50/90% duration points, "
+    "plus the peak and the load factor (mean/peak - the capacity-"
+    "utilization number a utility quotes). Duration points are MEMBER "
+    "selections at integer `div` positions (no interpolation, so the "
+    "values are exact doubles in both engines); the sort window partitions "
+    "by series, never globally; load factor = decimal-exact mean over one "
+    "IEEE divide by the peak.",
+)
+def w_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import davg, qround
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    w = W.partitionBy("series_id").orderBy(F.col("value").desc(), F.col("ts").asc())
+    cw = W.partitionBy("series_id")
+    r = hourly.select(
+        "series_id",
+        "value",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(cw).cast("bigint").alias("n"),
+    )
+    # integer `div` positions — float division then cast diverges at exact
+    # integer quotients (the (n+1)/2 median pitfall)
+    p10 = F.expr("(n - 1) div 10") + 1
+    p50 = F.expr("(n - 1) div 2") + 1
+    p90 = F.expr("(9 * (n - 1)) div 10") + 1
+    return (
+        r.withColumn("_p10", p10)
+        .withColumn("_p50", p50)
+        .withColumn("_p90", p90)
+        .groupBy("series_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_hours"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("peak"),
+            F.max(F.when(F.col("rn") == F.col("_p10"), F.col("value"))).alias("v10"),
+            F.max(F.when(F.col("rn") == F.col("_p50"), F.col("value"))).alias("v50"),
+            F.max(F.when(F.col("rn") == F.col("_p90"), F.col("value"))).alias("v90"),
+            qround(
+                davg("value") / F.max(F.when(F.col("rn") == 1, F.col("value"))), 9
+            ).alias("load_factor"),
+        )
+    )
+
+
+@register(
+    "w_peak_coincidence",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    sys AS (
+      SELECT ts, {dsum_sql('value')} AS sys_load FROM hourly GROUP BY 1
+    ),
+    pk AS (SELECT ts AS peak_ts FROM sys ORDER BY sys_load DESC, ts ASC LIMIT 1)
+    SELECT h.series_id,
+           max(h.value) AS own_peak,
+           max(CASE WHEN h.ts = pk.peak_ts THEN h.value END) AS at_system_peak,
+           {qround_sql("max(CASE WHEN h.ts = pk.peak_ts THEN h.value END) / max(h.value)", 9)} AS coincidence
+    FROM hourly h, pk
+    GROUP BY 1
+    HAVING max(CASE WHEN h.ts = pk.peak_ts THEN h.value END) IS NOT NULL
+    """,
+    tags=("A1", "A5", "J1"),
+    doc="Peak-coincidence factor per series (the power-industry companion "
+    "to the load-duration curve): the system peak hour is the argmax of "
+    "the decimal-exact summed load (ties to the earliest hour, a "
+    "TakeOrdered-1), and each series reports its demand at that hour over "
+    "its own peak - the number that says whether a customer drives system "
+    "peak. One combinable system aggregate + a broadcast 1-row peak hour + "
+    "one per-series aggregate; series without a reading at the peak hour "
+    "are excluded (no imputation inside a measurement query).",
+)
+def w_peak_coincidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import dsum, qround
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    sys = hourly.groupBy("ts").agg(dsum("value").alias("sys_load"))
+    pk = (
+        sys.orderBy(F.col("sys_load").desc(), F.col("ts").asc())
+        .limit(1)
+        .select(F.col("ts").alias("peak_ts"))
+    )
+    at_pk = F.max(F.when(F.col("ts") == F.col("peak_ts"), F.col("value")))
+    return (
+        hourly.crossJoin(F.broadcast(pk))
+        .groupBy("series_id")
+        .agg(
+            F.max("value").alias("own_peak"),
+            at_pk.alias("at_system_peak"),
+            qround(at_pk / F.max("value"), 9).alias("coincidence"),
+        )
+        .filter(F.col("at_system_peak").isNotNull())
     )
