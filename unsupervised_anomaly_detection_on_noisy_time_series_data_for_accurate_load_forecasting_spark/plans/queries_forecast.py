@@ -745,3 +745,65 @@ def w_peak_coincidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("at_system_peak").isNotNull())
     )
+
+
+@register(
+    "a_pinball_loss",
+    oracle=f"""
+    WITH {FILLED_CTE},
+    p AS (
+      SELECT series_id, value AS y, lag(value, 168) OVER w AS yhat
+      FROM filled WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+    ),
+    u AS (SELECT * FROM p WHERE yhat IS NOT NULL),
+    t AS (
+      SELECT series_id, tau,
+             {qround_sql("CASE WHEN y >= yhat THEN tau * (y - yhat) ELSE (1.0 - tau) * (yhat - y) END", 9)} AS pl
+      FROM u, (SELECT unnest(CAST([0.1, 0.5, 0.9] AS DOUBLE[])) AS tau)
+    )
+    SELECT series_id, tau, CAST(count(*) AS BIGINT) AS n,
+           {qround_sql(f"{dsum_sql('pl')} / count(*)", 9)} AS mean_pinball
+    FROM t GROUP BY 1, 2
+    """,
+    tags=("A12", "W2", "M24"),
+    doc="Pinball (quantile) loss of the weekly seasonal-naive forecast at "
+    "tau = 0.1/0.5/0.9 - the evaluation a probabilistic load forecaster is "
+    "scored with (tau = 0.5 is half the MAE; the asymmetric taus say "
+    "whether the naive under- or over-shoots), over the regularized gap-"
+    "filled series (raw hourly is too short for the weekly lag at small "
+    "SF). One lag window per series, "
+    "a 3-row tau explode, per-term 1e-9 quantization before the decimal-"
+    "exact mean - order-independent.",
+)
+def a_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import dsum, qround
+    from .shared import prepared_df
+
+    hourly = prepared_df(spark, sf_dir)
+    ow = W.partitionBy("series_id").orderBy("ts")
+    u = (
+        hourly.select(
+            "series_id",
+            F.col("value").alias("y"),
+            F.lag("value", 168).over(ow).alias("yhat"),
+        )
+        .filter(F.col("yhat").isNotNull())
+    )
+    taus = F.explode(F.array(*[F.lit(t) for t in (0.1, 0.5, 0.9)])).alias("tau")
+    pl = qround(
+        F.when(
+            F.col("y") >= F.col("yhat"), F.col("tau") * (F.col("y") - F.col("yhat"))
+        ).otherwise((F.lit(1.0) - F.col("tau")) * (F.col("yhat") - F.col("y"))),
+        9,
+    )
+    return (
+        u.select("series_id", "y", "yhat", taus)
+        .withColumn("pl", pl)
+        .groupBy("series_id", "tau")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            qround(dsum("pl") / F.count(F.lit(1)), 9).alias("mean_pinball"),
+        )
+    )
