@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import numpy as np
+
 from pyspark.sql import functions as F
 
 from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.relational import (
@@ -263,3 +265,43 @@ def test_ngram_novelty_range_and_first_doc(spark, sf_dir):
         assert 0 <= r.n_novel <= r.n_shingles
     first = min(rows, key=lambda r: r.doc_id)
     assert first.novelty == 1.0
+
+
+def test_changepoint_negative_values_match_bruteforce(spark):
+    """A series that dips NEGATIVE: S_n must be sum(qv), not max of the
+    running prefix (which peaks mid-series here). Brute-force argmax of
+    (n*S_t - t*S_n)^2 / (t(n-t)) in Python is the independent mirror —
+    the DuckDB oracle shares the Spark formula, so only this test can
+    catch the max(st) shortcut."""
+    import datetime
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans.queries_forecast import (
+        changepoint_stats,
+    )
+
+    # level shift +2.0 -> -3.5 at t=8: the prefix max lands at t=8, the
+    # total sum is far below it
+    vals = [2.1, 1.9, 2.0, 2.2, 1.8, 2.0, 2.1, 1.9, -3.4, -3.6, -3.5, -3.3, -3.7, -3.5]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("s1", t0 + datetime.timedelta(hours=i), float(v)) for i, v in enumerate(vals)
+    ]
+    hourly = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    got = changepoint_stats(hourly).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    qv = [int(np.floor(v * 1e6 + 0.5)) for v in vals]
+    n, sn = len(qv), sum(qv)
+    assert max(np.cumsum(qv)) != sn, "fixture must make prefix-max != total"
+    best_t, best_g = None, -1.0
+    st = 0
+    for t, q in enumerate(qv[:-1], start=1):
+        st += q
+        d = float(n * st - t * sn)
+        g = d * d / float(t * (n - t))
+        if g > best_g:
+            best_t, best_g = t, g
+    assert r.cp_t == best_t == 8
+    assert r.n == n
+    assert abs(r.stat - best_g / (n * 1e12)) < 1e-6

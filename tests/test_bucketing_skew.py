@@ -297,3 +297,38 @@ def test_expire_old_partitions_drops_below_cutoff_only(spark, sf_dir):
     }
     assert after == {m: n for m, n in before.items() if m >= cutoff}
     spark.sql("DROP TABLE IF EXISTS retain_orders")
+
+
+def test_expire_old_partitions_exact_spec_null_and_quote_levels(spark):
+    """The DROP spec must name the EXACT partition: a NULL second level is
+    addressed by its catalog literal (a partial spec would silently drop
+    every sibling under the same day), and a value containing a single
+    quote is escaped, not interpolated raw into the ALTER statement."""
+    spark.sql("DROP TABLE IF EXISTS retain_tricky")
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01", None, 1),
+            ("2024-01-01", "a'b", 2),
+            ("2024-01-01", "keep", 3),
+            ("2024-06-01", None, 4),
+            ("2024-06-01", "a'b", 5),
+        ],
+        "day string, city string, v int",
+    )
+    df.write.mode("overwrite").partitionBy("day", "city").saveAsTable("retain_tricky")
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.bucketing import (
+        expire_old_partitions,
+    )
+
+    stats = expire_old_partitions(spark, "retain_tricky", "day", "2024-03-01")
+    # each dropped spec accounted exactly one row; the 2024-06 siblings
+    # (including the NULL and quoted cities) survive untouched
+    assert sorted(stats) == [
+        ("day=2024-01-01/city=__HIVE_DEFAULT_PARTITION__", 1),
+        ("day=2024-01-01/city=a%27b", 1),
+        ("day=2024-01-01/city=keep", 1),
+    ]
+    left = {(r["day"], r["city"]) for r in spark.table("retain_tricky").collect()}
+    assert left == {("2024-06-01", None), ("2024-06-01", "a'b")}
+    spark.sql("DROP TABLE IF EXISTS retain_tricky")

@@ -5,6 +5,8 @@ No Spark session — these pin the kernels the Arrow islands and oracles share."
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -202,18 +204,47 @@ def rgb3_images(draw):
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
 
 
+def _chroma420_reference(img: np.ndarray) -> np.ndarray:
+    """The analytically unavoidable part of 4:2:0 loss for THIS image:
+    RGB -> YCbCr, box-average Cb/Cr over 2x2 (edge-padded to even dims,
+    exactly as encode_jpeg does), box-upsample, YCbCr -> RGB with the
+    decoder's rounding and clipping — no DCT, no quantization. Comparing
+    the codec output against this isolates the quantization error, which
+    the 4:4:4 floor already bounds. A fixed absolute PSNR floor vs the
+    INPUT is mis-derived for 4:2:0: a 2x2 image whose whole signal is one
+    saturated chroma sample has an arbitrarily large, input-dependent
+    averaging error (Hypothesis shaved 15 -> 12 -> 11.9956 across rounds)."""
+    h, w = img.shape[:2]
+    r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+    ups = []
+    for c in (cb, cr):
+        p = np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
+        p = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        ups.append(np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)[:h, :w])
+    cb, cr = ups
+    rr = y + 1.402 * (cr - 128.0)
+    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bb = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.dstack([rr, gg, bb])), 0, 255).astype(np.uint8)
+
+
 @given(rgb3_images())
 @settings(max_examples=15, deadline=None)
 def test_jpeg_rgb_444_and_420_roundtrip(img):
-    """Color: both chroma layouts stay above a noise floor on adversarial
-    random-RGB images (4:2:0 drops 3/4 of the chroma samples, so its floor
-    is lower); the 4:2:0 path exercises the decoder's generic
-    sampling-factor MCU walk and box upsampling."""
+    """Color: 4:4:4 stays above the quantization noise floor vs the input;
+    4:2:0 is held to the same floor vs the analytic chroma-averaged
+    reference (the bound is derived from the exact image, so degenerate
+    chroma-saturated tiles cannot shave it); the 4:2:0 path exercises the
+    decoder's generic sampling-factor MCU walk and box upsampling."""
     full = CX.decode_jpeg(CX.encode_jpeg(img, quality=95, subsample=False))
     sub = CX.decode_jpeg(CX.encode_jpeg(img, quality=95, subsample=True))
     assert full.shape == img.shape and sub.shape == img.shape
     assert _psnr(full, img) > 25.0
-    assert _psnr(sub, img) > 12.0
+    assert _psnr(sub, _chroma420_reference(img)) > 25.0
 
 
 def test_jpeg_smooth_gradient_is_high_fidelity():
@@ -226,6 +257,37 @@ def test_jpeg_smooth_gradient_is_high_fidelity():
     rgb = np.dstack([g, g[::-1], np.full_like(g, 96)])
     out3 = CX.decode_jpeg(CX.encode_jpeg(rgb, quality=90, subsample=True))
     assert _psnr(out3, rgb) > 35.0
+
+
+def test_jpeg_corrupt_entropy_raises_valueerror_not_indexerror():
+    """The decoder's documented contract is ValueError for ANY corrupt
+    input. Two adversarial entropy streams that used to escape as
+    IndexError: (a) a scan truncated mid-stream (bit reader runs off the
+    buffer), (b) a crafted scan whose AC run-lengths walk k past
+    coefficient 63 (zigzag index out of range)."""
+    import pytest as _pytest
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = CX.encode_jpeg(img, quality=90)
+    sos = good.find(b"\xff\xda")
+    scan_start = sos + 2 + struct.unpack(">H", good[sos + 2 : sos + 4])[0]
+    # (a) cut the entropy stream mid-scan, no EOI
+    with _pytest.raises(ValueError):
+        CX.decode_jpeg(good[: scan_start + 1])
+    # (b) craft: DC size 0, three ZRLs (k=49), then run=15/size=1 so the
+    # coefficient lands at zigzag index 64 — out of range unless the
+    # decoder bounds the run before indexing
+    dc = CX._huff_encode_table(*CX._JPEG_HUFF_DC_LUM)
+    ac = CX._huff_encode_table(*CX._JPEG_HUFF_AC_LUM)
+    bw = CX._BitWriter()
+    bw.put(*dc[0])
+    for _ in range(3):
+        bw.put(*ac[0xF0])
+    bw.put(*ac[0xF1])
+    bw.put(1, 1)
+    bad = good[:scan_start] + bw.flush() + b"\xff\xd9"
+    with _pytest.raises(ValueError):
+        CX.decode_jpeg(bad)
 
 
 def test_jpeg_rejects_garbage_and_progressive():

@@ -97,6 +97,10 @@ QUERIES = [
     "t_compression_ratio",      # per-doc zlib island (r10)
     "g_node_jaccard",           # degree-capped wedge similarity (r10)
     "q4_order_priority",        # EXISTS semi-join with date bound (r10)
+    "stream_quality_gate",      # streaming Gopher gate, one state row/source (r10)
+    "w_load_duration_curve",    # per-series descending sort window (r10)
+    "w_peak_coincidence",       # TakeOrdered-1 system peak + broadcast back (r10)
+    "a_pinball_loss",           # 168-lag filled-series quantile loss (r10)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

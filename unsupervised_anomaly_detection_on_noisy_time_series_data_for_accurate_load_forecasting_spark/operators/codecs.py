@@ -1136,12 +1136,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                     continue
                                 break  # EOB
                             k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "corrupt JPEG scan: AC run past coefficient 63"
+                                )
                             blk[_JPEG_ZIGZAG[k]] = _jpeg_receive_extend(br, s)
                             k += 1
             mi += 1
     except _JpegMarker as m:
         if not (m.marker == 0xD9 and mi >= n_mcu):
             raise ValueError(f"JPEG scan truncated at MCU {mi}/{n_mcu}") from None
+    except IndexError:
+        # _BitReader ran off the end of a truncated entropy stream — the
+        # documented contract is ValueError for any corrupt input
+        raise ValueError(f"truncated JPEG scan at MCU {mi}/{n_mcu}") from None
 
     planes = []
     for o in order:

@@ -557,7 +557,7 @@ def a_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
       FROM q
     ),
-    tot AS (SELECT series_id, max(t) AS n, max(st) AS sn FROM pre GROUP BY 1),
+    tot AS (SELECT series_id, max(t) AS n, sum(qv) AS sn FROM q GROUP BY 1),
     g AS (
       SELECT p.series_id, p.ts, p.t, tot.n, tot.sn, p.st,
              CAST(tot.n * p.st - p.t * tot.sn AS DOUBLE)
@@ -587,11 +587,19 @@ def a_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-split recomputation, O(n) per series.",
 )
 def w_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    return changepoint_stats(hourly)
+
+
+def changepoint_stats(hourly: DataFrame) -> DataFrame:
+    """Core of w_changepoint over any (series_id, ts, value) frame —
+    factored so the negative-value regression test can drive it with a
+    synthetic series (the DuckDB oracle mirrors the same formula, so the
+    sweep alone can't distinguish sum(qv) from max(st))."""
     from pyspark.sql import Window as W
 
     from ..functions.exact import qround
 
-    hourly = TSO.hourly_series(_events(spark, sf_dir))
     ow = W.partitionBy("series_id").orderBy("ts")
     q = hourly.select(
         "series_id",
@@ -605,7 +613,10 @@ def w_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy("series_id").orderBy("t").rowsBetween(W.unboundedPreceding, 0)
         ),
     )
-    tot = pre.groupBy("series_id").agg(F.max("t").alias("n"), F.max("st").alias("sn"))
+    # S_n must be sum(qv), NOT max(st): the running prefix only peaks at
+    # the final row when every quantized value is non-negative, and noisy
+    # or anomaly-injected load series can dip below zero
+    tot = pre.groupBy("series_id").agg(F.max("t").alias("n"), F.sum("qv").alias("sn"))
     d = (F.col("n") * F.col("st") - F.col("t") * F.col("sn")).cast("double")
     g = (
         pre.join(tot.hint("shuffle_hash"), "series_id")
@@ -806,4 +817,197 @@ def a_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             qround(dsum("pl") / F.count(F.lit(1)), 9).alias("mean_pinball"),
         )
+    )
+
+
+@register(
+    "w_ramp_rates",
+    oracle=f"""
+    WITH {FILLED_CTE},
+    d AS (
+      SELECT series_id, ts,
+             value - lag(value) OVER (PARTITION BY series_id ORDER BY ts) AS ramp
+      FROM filled
+    ),
+    u AS (SELECT * FROM d WHERE ramp IS NOT NULL),
+    g AS (
+      SELECT series_id, CAST(count(*) AS BIGINT) AS n_ramps,
+             max(ramp) AS max_up, min(ramp) AS max_down,
+             {qround_sql(davg_sql('abs(ramp)'), 9)} AS mean_abs_ramp
+      FROM u GROUP BY 1
+    ),
+    r AS (
+      SELECT series_id, abs(ramp) AS ar,
+             row_number() OVER (PARTITION BY series_id ORDER BY abs(ramp) DESC, ts ASC) AS rn,
+             count(*) OVER (PARTITION BY series_id) AS n
+      FROM u
+    )
+    SELECT g.series_id, g.n_ramps, g.max_up, g.max_down, g.mean_abs_ramp,
+           r.ar AS p95_abs_ramp
+    FROM g JOIN r ON g.series_id = r.series_id AND r.rn = (r.n - 1) // 20 + 1
+    """,
+    tags=("W2", "A4", "O1"),
+    doc="Ramp-rate distribution per series - the grid-operator view of load "
+    "volatility (how fast demand climbs or falls hour to hour, the number "
+    "that sizes spinning reserve): max up-ramp, max down-ramp, decimal-"
+    "exact mean |ramp|, and the 95th-percentile |ramp| as a MEMBER "
+    "selection at the integer `div` duration position (ties broken by ts - "
+    "no interpolation, exact doubles in both engines). Over the regularized "
+    "gap-filled series so every delta spans exactly one hour. One lag "
+    "window + one agg + one rank window, all partitioned by series.",
+)
+def w_ramp_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import davg, qround
+    from .shared import prepared_df
+
+    hourly = prepared_df(spark, sf_dir)
+    ow = W.partitionBy("series_id").orderBy("ts")
+    u = (
+        hourly.select(
+            "series_id",
+            "ts",
+            (F.col("value") - F.lag("value", 1).over(ow)).alias("ramp"),
+        )
+        .filter(F.col("ramp").isNotNull())
+    )
+    g = u.groupBy("series_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ramps"),
+        F.max("ramp").alias("max_up"),
+        F.min("ramp").alias("max_down"),
+        qround(davg(F.abs(F.col("ramp"))), 9).alias("mean_abs_ramp"),
+    )
+    rw = W.partitionBy("series_id").orderBy(F.abs(F.col("ramp")).desc(), F.col("ts").asc())
+    cw = W.partitionBy("series_id")
+    p95 = (
+        u.withColumn("rn", F.row_number().over(rw))
+        .withColumn("n", F.count(F.lit(1)).over(cw))
+        .filter(F.col("rn") == F.expr("(n - 1) div 20 + 1"))
+        .select("series_id", F.abs(F.col("ramp")).alias("p95_abs_ramp"))
+    )
+    return g.join(p95, "series_id")
+
+
+@register(
+    "w_weekday_profile_divergence",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    h AS (
+      SELECT series_id, CAST(extract(hour FROM ts) AS INTEGER) AS hh,
+             extract(dow FROM ts) IN (0, 6) AS wkend, value
+      FROM hourly
+    ),
+    prof AS (
+      SELECT series_id, hh, wkend, {davg_sql('value')} AS mv
+      FROM h GROUP BY 1, 2, 3
+    ),
+    piv AS (
+      SELECT series_id, hh,
+             max(CASE WHEN wkend THEN mv END) AS we,
+             max(CASE WHEN NOT wkend THEN mv END) AS wd
+      FROM prof GROUP BY 1, 2
+    ),
+    ok AS (SELECT * FROM piv WHERE wd IS NOT NULL AND we IS NOT NULL),
+    gap AS (
+      SELECT series_id, CAST(count(*) AS BIGINT) AS n_hours,
+             {qround_sql(f"{dsum_sql('abs(wd - we)')} / count(*)", 9)} AS mean_abs_gap
+      FROM ok GROUP BY 1
+    ),
+    mx AS (SELECT series_id, max(wd) AS mwd, max(we) AS mwe FROM ok GROUP BY 1),
+    pk AS (
+      SELECT o.series_id,
+             CAST(min(CASE WHEN o.wd = m.mwd THEN o.hh END) AS INTEGER) AS wd_peak_hour,
+             CAST(min(CASE WHEN o.we = m.mwe THEN o.hh END) AS INTEGER) AS we_peak_hour
+      FROM ok o JOIN mx m ON o.series_id = m.series_id GROUP BY 1
+    )
+    SELECT g.series_id, g.n_hours, g.mean_abs_gap, p.wd_peak_hour, p.we_peak_hour
+    FROM gap g JOIN pk p ON g.series_id = p.series_id
+    """,
+    tags=("F4", "A2", "W8"),
+    doc="Weekday-vs-weekend hour-of-day profile divergence per series - the "
+    "calendar structure a load forecaster must model (the reference's "
+    "holiday/calendar filters exist because weekday and weekend shapes "
+    "differ): decimal-exact mean per (hour, weekend) cell, L1 gap averaged "
+    "over the hours present in BOTH regimes (each |wd-we| term quantized "
+    "before the exact decimal sum - order-independent), and each regime's "
+    "peak hour (argmax, ties to the earliest hour, via an explicit max-"
+    "join, not engine-dependent min_by). Three map-combinable aggs keyed "
+    "by series - no global state.",
+)
+def w_weekday_profile_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import davg, dsum, qround
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    h = hourly.select(
+        "series_id",
+        F.hour("ts").alias("hh"),
+        F.dayofweek("ts").isin(1, 7).alias("wkend"),
+        "value",
+    )
+    prof = h.groupBy("series_id", "hh", "wkend").agg(davg("value").alias("mv"))
+    piv = prof.groupBy("series_id", "hh").agg(
+        F.max(F.when(F.col("wkend"), F.col("mv"))).alias("we"),
+        F.max(F.when(~F.col("wkend"), F.col("mv"))).alias("wd"),
+    )
+    ok = piv.filter(F.col("wd").isNotNull() & F.col("we").isNotNull())
+    gap = ok.groupBy("series_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        qround(
+            dsum(F.abs(F.col("wd") - F.col("we"))) / F.count(F.lit(1)), 9
+        ).alias("mean_abs_gap"),
+    )
+    mx = ok.groupBy("series_id").agg(
+        F.max("wd").alias("mwd"), F.max("we").alias("mwe")
+    )
+    pk = (
+        ok.join(mx.hint("shuffle_hash"), "series_id")
+        .groupBy("series_id")
+        .agg(
+            F.min(F.when(F.col("wd") == F.col("mwd"), F.col("hh")))
+            .cast("int")
+            .alias("wd_peak_hour"),
+            F.min(F.when(F.col("we") == F.col("mwe"), F.col("hh")))
+            .cast("int")
+            .alias("we_peak_hour"),
+        )
+    )
+    return gap.join(pk, "series_id")
+
+
+@register(
+    "w_daily_peak_hour_hist",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    d AS (
+      SELECT series_id, ts, value,
+             row_number() OVER (PARTITION BY series_id, date_trunc('day', ts)
+                                ORDER BY value DESC, ts ASC) AS rn
+      FROM hourly
+    )
+    SELECT series_id, CAST(extract(hour FROM ts) AS INTEGER) AS peak_hour,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM d WHERE rn = 1 GROUP BY 1, 2
+    """,
+    tags=("O2", "W4", "F4"),
+    doc="When does each series peak? Histogram of the daily peak hour per "
+    "series - the demand-charge / time-of-use question (a morning-peaking "
+    "feeder and an evening-peaking one need different tariffs and "
+    "different forecast features). Daily argmax as a rank-1 window keyed "
+    "by (series, day) - ties to the earliest hour, deterministic in both "
+    "engines - then one map-combinable count. Never a global window; "
+    "window key cardinality is series x days, the natural partitioning.",
+)
+def w_daily_peak_hour_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    dw = W.partitionBy("series_id", F.date_trunc("day", F.col("ts"))).orderBy(
+        F.col("value").desc(), F.col("ts").asc()
+    )
+    return (
+        hourly.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .groupBy("series_id", F.hour("ts").cast("int").alias("peak_hour"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
     )

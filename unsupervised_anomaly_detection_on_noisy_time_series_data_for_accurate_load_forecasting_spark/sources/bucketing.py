@@ -312,8 +312,10 @@ def expire_old_partitions(
     metastore, so the caller's cutoff must use the same lexical form the
     sink wrote (ISO dates sort correctly as strings; zero-padded ints do
     too). Specs are parsed with the same typed rules as compaction
-    (multi-level, URL-escaped, __HIVE_DEFAULT_PARTITION__ — NULL never
-    matches a cutoff and is never dropped). Returns
+    (multi-level, URL-escaped, __HIVE_DEFAULT_PARTITION__ — a NULL
+    ``partition_col`` never matches a cutoff and is never dropped; a NULL
+    in ANY OTHER level is addressed in the DROP spec by its catalog
+    literal so the spec always names the exact partition). Returns
     [(partition_spec, n_rows_dropped)] — the no-silent-maintenance rule.
     """
     from urllib.parse import unquote
@@ -340,8 +342,12 @@ def expire_old_partitions(
             else:
                 pred = pred & (F.col(pcol) == F.lit(val))
         n_rows = spark.table(table).where(pred).count()
+        # the DROP spec must stay EXACT: a NULL level addressed by its
+        # catalog literal (dropping the level instead would make a partial
+        # spec that drops every sibling partition), quotes doubled so a
+        # value containing ' cannot break or widen the statement
         spec_sql = ", ".join(
-            f"{pcol} = '{val}'" for pcol, val in levels if val != "__HIVE_DEFAULT_PARTITION__"
+            f"""{pcol} = '{val.replace("'", "''")}'""" for pcol, val in levels
         )
         spark.sql(f"ALTER TABLE {table} DROP PARTITION ({spec_sql})")
         out.append((spec, n_rows))
