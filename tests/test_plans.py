@@ -607,3 +607,15 @@ def test_hill_tail_index_is_take_ordered(spark, sf_dir):
     plan = _plan(REGISTRY["a_hill_tail_index"].spark(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert not _GLOBAL_WINDOW.search(plan)
+
+
+def test_power_domain_windows_are_per_series(spark, sf_dir):
+    """The three r11 power-domain queries must keep every window keyed by
+    series (or series x day) — a 100 TB fleet of meters must never funnel
+    through one task — and the ramp p95 member selection must stay a rank
+    window, not a global sort."""
+    for q in ("w_ramp_rates", "w_weekday_profile_divergence", "w_daily_peak_hour_hist"):
+        plan = _plan(REGISTRY[q].spark(spark, sf_dir))
+        assert not _GLOBAL_WINDOW.search(plan), f"{q}: single-task global window"
+        assert "CartesianProduct" not in plan, f"{q}: cartesian join"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{q}: nested-loop join"

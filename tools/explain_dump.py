@@ -395,6 +395,40 @@ PICKS = [
         "join condition; the quarter filter reaches the orders scan "
         "(PushedFilters).",
     ),
+    (
+        "w_load_duration_curve",
+        "Descending-demand duration curve: the sort window partitions by "
+        "series (never SinglePartition); duration points are member "
+        "selections at integer div positions — no percentile interpolation.",
+    ),
+    (
+        "w_peak_coincidence",
+        "System peak via TakeOrderedAndProject(1) broadcast back to the "
+        "per-series agg — the global argmax never sorts the full frame.",
+    ),
+    (
+        "a_pinball_loss",
+        "Weekly-lag window per series over the filled spine, a 3-row tau "
+        "explode (Generate), then one map-combinable decimal-exact agg.",
+    ),
+    (
+        "w_ramp_rates",
+        "Hour-to-hour deltas via one per-series lag window; p95 |ramp| is a "
+        "rank-window member selection at an integer div position; all three "
+        "stages keyed by series.",
+    ),
+    (
+        "w_weekday_profile_divergence",
+        "Three stacked map-combinable aggs (series,hour,regime) -> "
+        "(series,hour) -> series; the peak-hour argmax is an explicit "
+        "max-join, no engine-dependent min_by, no global window.",
+    ),
+    (
+        "w_daily_peak_hour_hist",
+        "Daily argmax as a rank-1 window keyed by (series, day) — window "
+        "key cardinality grows with the data, so no task ever sees more "
+        "than one day of one series.",
+    ),
 ]
 
 

@@ -1297,3 +1297,114 @@ def _chunk_oracle() -> str:
 )
 def t_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.chunk_documents(_docs(spark, sf_dir))
+
+
+def _dsir_oracle() -> str:
+    from ..functions.exact import dsum_sql, qround_sql
+    from ..operators.textops import poly_hash_duck_expr
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ),
+    ti AS (
+      SELECT doc_id, source, ({poly_hash_duck_expr('tok')}) % 1024 AS b
+      FROM (SELECT doc_id, source, unnest(toks) AS tok FROM base)
+    ),
+    di AS (
+      SELECT doc_id, source,
+             source = (SELECT min(source) FROM documents) AS is_t,
+             b, CAST(count(*) AS BIGINT) AS k
+      FROM ti GROUP BY 1, 2, 3, 4
+    ),
+    bstats AS (
+      SELECT b, CAST(sum(k) AS BIGINT) AS cr,
+             CAST(sum(CASE WHEN is_t THEN k ELSE 0 END) AS BIGINT) AS ct
+      FROM di GROUP BY 1
+    ),
+    tots AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS rr, CAST(sum(ct) AS BIGINT) AS tt
+      FROM bstats
+    ),
+    lrs AS (
+      SELECT b,
+             ln(CAST(ct + 1 AS DOUBLE) / (CAST(tt AS DOUBLE) + 1024.0))
+               - ln(CAST(cr + 1 AS DOUBLE) / (CAST(rr AS DOUBLE) + 1024.0)) AS lr
+      FROM bstats, tots
+    )
+    SELECT di.doc_id, di.source, CAST(sum(di.k) AS BIGINT) AS n_tokens,
+           {qround_sql(dsum_sql('di.k * lrs.lr'), 6)} AS dsir_logweight
+    FROM di JOIN lrs ON di.b = lrs.b
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "t_dsir_importance",
+    oracle=_dsir_oracle,
+    tags=("TXT-quality", "DEDUP-token", "A2"),
+    doc="DSIR data-selection importance weights (Xie et al. 2023, the "
+    "hashed-n-gram importance-resampling recipe behind modern pretraining "
+    "data curation): per doc, the log likelihood ratio of its hashed "
+    "unigram stream under the target domain's bucket distribution vs the "
+    "raw corpus's (1024 buckets, add-one smoothing; the target domain is "
+    "the lexicographically first source - deterministic). 100 TB shape: "
+    "token hashing is the map-only inline char fold (no vocabulary frame), "
+    "bucket stats are ONE combinable 1024-row aggregate, the log-ratio "
+    "table broadcasts at kilobytes regardless of corpus size, and the only "
+    "doc-keyed shuffle is the final per-doc sum (each ln term is bit-"
+    "identical IEEE in both engines; contributions quantized by the "
+    "decimal-exact sum, so the per-doc total is order-independent).",
+)
+def t_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import dsum, qround
+    from ..operators.textops import poly_hash_sql_expr
+
+    docs = _docs(spark, sf_dir)
+    tgtf = docs.agg(F.min("source").alias("_tgt"))
+    d2 = docs.crossJoin(F.broadcast(tgtf)).select(
+        "doc_id",
+        "source",
+        (F.col("source") == F.col("_tgt")).alias("is_t"),
+        "text",
+    )
+    ti = d2.select(
+        "doc_id",
+        "source",
+        "is_t",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        "is_t",
+        F.pmod(F.expr(poly_hash_sql_expr("tok")), F.lit(1024)).alias("b"),
+    )
+    # (doc, bucket) instance counts FIRST: both the bucket stats and the
+    # per-doc score derive from this one shuffle, so Catalyst's
+    # ReuseExchange makes the corpus scan + token hashing happen ONCE
+    # (consuming ti directly in both branches re-hashes the whole corpus)
+    di = ti.groupBy("doc_id", "source", "is_t", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    bstats = di.groupBy("b").agg(
+        F.sum("k").cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("is_t"), F.col("k")).otherwise(0)).cast("bigint").alias("ct"),
+    )
+    tots = bstats.agg(
+        F.sum("cr").cast("bigint").alias("rr"), F.sum("ct").cast("bigint").alias("tt")
+    )
+    lrs = bstats.crossJoin(F.broadcast(tots)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1).cast("double") / (F.col("tt").cast("double") + 1024.0))
+            - F.log((F.col("cr") + 1).cast("double") / (F.col("rr").cast("double") + 1024.0))
+        ).alias("lr"),
+    )
+    return (
+        di.join(F.broadcast(lrs), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            qround(dsum(F.col("k") * F.col("lr")), 6).alias("dsir_logweight"),
+        )
+    )

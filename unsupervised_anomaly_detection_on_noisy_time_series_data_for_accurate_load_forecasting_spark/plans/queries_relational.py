@@ -1308,3 +1308,119 @@ def q12_lateness_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
         )
     )
+
+
+@register(
+    "p_t_closeness",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT c_nationkey AS nationkey,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS lvl
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cnt AS (SELECT nationkey, o_year, lvl, CAST(count(*) AS BIGINT) AS c
+            FROM rows_ GROUP BY 1, 2, 3),
+    grp AS (SELECT nationkey, o_year, CAST(sum(c) AS BIGINT) AS ng
+            FROM cnt GROUP BY 1, 2),
+    gl AS (SELECT lvl, CAST(sum(c) AS BIGINT) AS gc FROM cnt GROUP BY 1),
+    tot AS (SELECT CAST(sum(gc) AS BIGINT) AS nn FROM gl),
+    lv AS (SELECT unnest(range(1, 6)) AS lvl),
+    gpre AS (
+      SELECT a.lvl, CAST(sum(coalesce(b.gc, 0)) AS BIGINT) AS gp
+      FROM lv a LEFT JOIN gl b ON b.lvl <= a.lvl GROUP BY 1
+    ),
+    spine AS (SELECT g.nationkey, g.o_year, g.ng, l.lvl FROM grp g, lv l),
+    pre AS (
+      SELECT s.nationkey, s.o_year, s.ng, s.lvl,
+             sum(coalesce(c.c, 0)) OVER (PARTITION BY s.nationkey, s.o_year
+                                         ORDER BY s.lvl) AS pg
+      FROM spine s LEFT JOIN cnt c
+        ON s.nationkey = c.nationkey AND s.o_year = c.o_year AND s.lvl = c.lvl
+    ),
+    terms AS (
+      SELECT p.nationkey, p.o_year, p.ng,
+             abs(p.pg * t.nn - g.gp * p.ng) AS num, t.nn
+      FROM pre p JOIN gpre g ON p.lvl = g.lvl CROSS JOIN tot t
+      WHERE p.lvl <= 4
+    )
+    SELECT nationkey, o_year, CAST(max(ng) AS BIGINT) AS group_n,
+           CAST(sum(num) AS BIGINT) AS t_num,
+           {qround_sql("CAST(sum(num) AS DOUBLE) / (CAST(max(ng) AS DOUBLE) * CAST(max(nn) AS DOUBLE) * 4.0)", 9)} AS t_stat,
+           ({qround_sql("CAST(sum(num) AS DOUBLE) / (CAST(max(ng) AS DOUBLE) * CAST(max(nn) AS DOUBLE) * 4.0)", 9)} <= 0.2) AS close
+    FROM terms GROUP BY 1, 2
+    """,
+    tags=("A14", "P8", "TXT-pii"),
+    doc="t-closeness - the third privacy gate completing the "
+    "p_kanonymity / p_l_diversity trio: a diverse group still leaks when "
+    "its sensitive-value DISTRIBUTION diverges from the table's, so each "
+    "(nation, order-year) quasi-identifier group is scored by the ordinal "
+    "Earth-Mover's Distance between its order-priority distribution and "
+    "the global one (priorities 1-URGENT..5-LOW are ordered, so EMD = "
+    "mean |prefix-CDF gap|). Exactness: the per-level term "
+    "|P_g(l)*N - P(l)*n_g| is INTEGER (cross-multiplied - one double "
+    "divide at the very end), so the stat is deterministic in both "
+    "engines. Shape: one (QI, level) count, a 5-level dense spine (groups "
+    "x 5 rows), per-group prefix windows over <=5-row partitions, and the "
+    "5-row global CDF broadcast - never a global window or a "
+    "distribution-sized collect.",
+)
+def p_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import qround
+
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rows = od.join(cu, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("lvl"),
+    )
+    cnt = rows.groupBy("nationkey", "o_year", "lvl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grp = cnt.groupBy("nationkey", "o_year").agg(F.sum("c").cast("bigint").alias("ng"))
+    glob = cnt.groupBy("lvl").agg(F.sum("c").cast("bigint").alias("gc"))
+    tot = glob.agg(F.sum("gc").cast("bigint").alias("nn"))
+    lv = spark.range(1, 6).select(F.col("id").cast("int").alias("lvl"))
+    # global prefix CDF: 5x5 tiny self-join, no single-partition window
+    gpre = (
+        lv.alias("a")
+        .join(F.broadcast(glob.alias("b")), F.col("b.lvl") <= F.col("a.lvl"), "left")
+        .groupBy(F.col("a.lvl").alias("lvl"))
+        .agg(F.sum(F.coalesce(F.col("b.gc"), F.lit(0))).cast("bigint").alias("gp"))
+    )
+    spine = grp.crossJoin(F.broadcast(lv))
+    pre = (
+        spine.join(cnt, ["nationkey", "o_year", "lvl"], "left")
+        .withColumn(
+            "pg",
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).over(
+                W.partitionBy("nationkey", "o_year").orderBy("lvl")
+            ),
+        )
+    )
+    terms = (
+        pre.filter(F.col("lvl") <= 4)
+        .join(F.broadcast(gpre), "lvl")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nationkey",
+            "o_year",
+            "ng",
+            "nn",
+            F.abs(F.col("pg") * F.col("nn") - F.col("gp") * F.col("ng")).alias("num"),
+        )
+    )
+    t_stat = qround(
+        F.sum("num").cast("double")
+        / (F.max("ng").cast("double") * F.max("nn").cast("double") * F.lit(4.0)),
+        9,
+    )
+    return terms.groupBy("nationkey", "o_year").agg(
+        F.max("ng").cast("bigint").alias("group_n"),
+        F.sum("num").cast("bigint").alias("t_num"),
+        t_stat.alias("t_stat"),
+        (t_stat <= 0.2).alias("close"),
+    )
