@@ -101,6 +101,11 @@ QUERIES = [
     "w_load_duration_curve",    # per-series descending sort window (r10)
     "w_peak_coincidence",       # TakeOrdered-1 system peak + broadcast back (r10)
     "a_pinball_loss",           # 168-lag filled-series quantile loss (r10)
+    "w_ramp_rates",             # per-series lag deltas + rank-window p95 (r11)
+    "w_weekday_profile_divergence",  # stacked map-combinable profile aggs (r11)
+    "w_daily_peak_hour_hist",   # rank-1 window keyed by series x day (r11)
+    "t_dsir_importance",        # DSIR bucket LLR, map-only hashing (r11)
+    "p_t_closeness",            # ordinal-EMD privacy gate, 5-level spine (r11)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
