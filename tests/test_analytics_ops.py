@@ -305,3 +305,43 @@ def test_changepoint_negative_values_match_bruteforce(spark):
     assert r.cp_t == best_t == 8
     assert r.n == n
     assert abs(r.stat - best_g / (n * 1e12)) < 1e-6
+
+
+def test_t_closeness_matches_bruteforce_emd(spark, sf_dir):
+    """Independent float-formulated mirror: per (nation, year) group, the
+    ordinal EMD = mean over levels 1..4 of |CDF_group(l) - CDF_global(l)|
+    computed directly from the parquet rows in pandas — a DIFFERENT
+    formulation (float CDFs) than the query's integer cross-multiplied
+    statistic, so a formula error mirrored into the DuckDB oracle would
+    still be caught here."""
+    import pandas as pd
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans import (
+        REGISTRY,
+    )
+
+    got = {
+        (r.nationkey, r.o_year): r
+        for r in REGISTRY["p_t_closeness"].spark(spark, sf_dir).collect()
+    }
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_custkey", "o_orderdate", "o_orderpriority"]
+    ]
+    cu = pd.read_parquet(f"{sf_dir}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    m = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    m["o_year"] = pd.to_datetime(m["o_orderdate"]).dt.year
+    m["lvl"] = m["o_orderpriority"].str[0].astype(int)
+    n_total = len(m)
+    glob_cdf = [(m["lvl"] <= l).mean() for l in range(1, 5)]
+    assert got, "query returned nothing"
+    for (nk, yr), g in m.groupby(["c_nationkey", "o_year"]):
+        r = got[(nk, yr)]
+        assert r.group_n == len(g)
+        emd = sum(
+            abs((g["lvl"] <= l).mean() - glob_cdf[l - 1]) for l in range(1, 5)
+        ) / 4.0
+        assert abs(r.t_stat - emd) < 1e-6, (nk, yr, r.t_stat, emd)
+        assert r.close == (r.t_stat <= 0.2)
+    # the statistic must separate: not all groups identical to the global
+    stats = [r.t_stat for r in got.values()]
+    assert max(stats) > min(stats)
