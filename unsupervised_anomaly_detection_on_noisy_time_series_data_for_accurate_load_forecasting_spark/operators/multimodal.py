@@ -359,3 +359,56 @@ def silence_runs(samples: "np.ndarray") -> tuple[int, int, int]:
         n_runs += 1
         longest = max(longest, run)
     return n_runs, longest, n_silent
+
+
+SCENE_CUT_THRESHOLD = 0.08
+
+
+def scene_cuts(media: DataFrame, threshold: float = SCENE_CUT_THRESHOLD) -> DataFrame:
+    """Shot-boundary (scene-cut) detection for multi-frame payloads — the
+    video-pipeline primitive behind clip segmentation and frame-dedup in a
+    crawl: REALLY decode every frame with the stdlib codecs (animated GIF
+    LZW / AVI MS-RLE8), take the mean absolute gray-plane difference
+    between consecutive frames, and flag a cut where the jump exceeds
+    ``threshold``. One Arrow island row per consecutive frame PAIR —
+    payloads never leave the executor, frames never materialize as Spark
+    rows, and per-media work is O(n_frames · h · w), embarrassingly
+    media-parallel (reference contract: the frame-walk shape of
+    frame_sample above)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_diff", T.DoubleType()),
+            T.StructField("is_cut", T.BooleanType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from . import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                mime = meta["mime"]
+                if mime == "image/gif":
+                    raw = CX.decode_gif_frames(bytes(payload))
+                elif mime == "video/x-msvideo":
+                    raw = CX.decode_avi_frames(bytes(payload))
+                else:
+                    raise NotImplementedError(
+                        f"no stdlib multi-frame codec for mime {mime!r}"
+                    )
+                g = (raw.astype(np.float64) / 255.0).mean(axis=3)  # (n, h, w)
+                d = np.abs(np.diff(g, axis=0)).mean(axis=(1, 2))
+                rows += [
+                    (int(mid), int(fi), float(dv), bool(dv > threshold))
+                    for fi, dv in enumerate(d, start=1)
+                ]
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_diff", "is_cut"])
+
+    return media.mapInPandas(gen, schema=schema)

@@ -1458,3 +1458,85 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = run_available_now(agg, "stream_qgate", output_mode="complete")
     return spark.table(name)
+
+
+def _mm_scene_cuts_oracle() -> str:
+    """Mirror for the AVI scene-cut detector: rebuild the decoded frame
+    stack with no container/codec (the bit-exact _doc_avi_frames spec) and
+    replay the island's exact numpy reductions — same /255, same gray
+    plane, same |diff| mean, same threshold compare on the raw double."""
+    import numpy as np
+
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        f8 = _doc_avi_frames(r.text)
+        frames = np.stack([f8, f8, f8], axis=3).astype(np.float64) / 255.0
+        g = frames.mean(axis=3)
+        d = np.abs(np.diff(g, axis=0)).mean(axis=(1, 2))
+        for fi, dv in enumerate(d, start=1):
+            rows.append(
+                f"({int(r.doc_id)}::BIGINT,{fi}::INTEGER,"
+                f"{qround_py(float(dv), 9)!r}::DOUBLE,"
+                f"{bool(dv > MM.SCENE_CUT_THRESHOLD)})"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, frame_idx, frame_diff, is_cut)"
+    )
+
+
+@register(
+    "mm_avi_scene_cuts",
+    oracle=lambda: _mm_scene_cuts_oracle(),
+    tags=("MM-decode", "MM-codec", "MM-video"),
+    doc="Shot-boundary detection through the REAL video path — the "
+    "clip-segmentation primitive of a crawl video pipeline: per doc, the "
+    "deterministic 6-frame clip is encoded as a true AVI (RIFF + MS-RLE8) "
+    "and every consecutive frame pair is scored with the mean absolute "
+    "gray-plane difference inside one Arrow island (operators/"
+    "multimodal.scene_cuts); a cut fires where the jump exceeds the "
+    "threshold. The oracle rebuilds the frame planes with NO container or "
+    "codec and replays the identical numpy reductions, so the RIFF walk, "
+    "the RLE8 round trip, and the diff math are all hash-verified. 100 TB "
+    "shape: payloads stay executor-side, one row per frame pair, "
+    "media-parallel.",
+)
+def mm_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from ..operators import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = _doc_avi_frames(text)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "payload": bytearray(CX.encode_avi_rle8(frames)),
+                        "meta": {
+                            "mime": "video/x-msvideo",
+                            "width": _AVI_FRAME_W,
+                            "height": _AVI_FRAME_H,
+                            "n_frames": _AVI_N_FRAMES,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(gen, schema=MM.MEDIA_SCHEMA)
+    cuts = MM.scene_cuts(media)
+    return cuts.select(
+        "media_id", "frame_idx", qround(F.col("frame_diff"), 9).alias("frame_diff"), "is_cut"
+    )
