@@ -1011,3 +1011,100 @@ def w_daily_peak_hour_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("series_id", F.hour("ts").cast("int").alias("peak_hour"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
     )
+
+
+@register(
+    "w_ljung_box",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    mu AS (SELECT series_id, {davg_sql('value')} AS m FROM hourly GROUP BY 1),
+    lagged AS (
+      SELECT h.series_id, h.value AS x, mu.m,
+             lag(h.value, 1) OVER w AS x1, lag(h.value, 2) OVER w AS x2,
+             lag(h.value, 3) OVER w AS x3, lag(h.value, 4) OVER w AS x4,
+             lag(h.value, 5) OVER w AS x5
+      FROM hourly h JOIN mu ON h.series_id = mu.series_id
+      WINDOW w AS (PARTITION BY h.series_id ORDER BY h.ts)
+    ),
+    agg AS (
+      SELECT series_id, CAST(count(*) AS BIGINT) AS n,
+             {dsum_sql('(x - m) * (x - m)')} AS den,
+             {dsum_sql('CASE WHEN x1 IS NOT NULL THEN (x - m) * (x1 - m) ELSE 0.0 END')} AS c1,
+             {dsum_sql('CASE WHEN x2 IS NOT NULL THEN (x - m) * (x2 - m) ELSE 0.0 END')} AS c2,
+             {dsum_sql('CASE WHEN x3 IS NOT NULL THEN (x - m) * (x3 - m) ELSE 0.0 END')} AS c3,
+             {dsum_sql('CASE WHEN x4 IS NOT NULL THEN (x - m) * (x4 - m) ELSE 0.0 END')} AS c4,
+             {dsum_sql('CASE WHEN x5 IS NOT NULL THEN (x - m) * (x5 - m) ELSE 0.0 END')} AS c5
+      FROM lagged GROUP BY 1
+    ),
+    rho AS (
+      SELECT series_id, n,
+             c1 / den AS r1, c2 / den AS r2, c3 / den AS r3,
+             c4 / den AS r4, c5 / den AS r5
+      FROM agg WHERE den > 0.0 AND n > 5
+    )
+    SELECT series_id, n,
+           {qround_sql('r1', 9)} AS rho1, {qround_sql('r2', 9)} AS rho2,
+           {qround_sql('r3', 9)} AS rho3, {qround_sql('r4', 9)} AS rho4,
+           {qround_sql('r5', 9)} AS rho5,
+           {qround_sql("CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * (r1 * r1 / (CAST(n AS DOUBLE) - 1.0) + r2 * r2 / (CAST(n AS DOUBLE) - 2.0) + r3 * r3 / (CAST(n AS DOUBLE) - 3.0) + r4 * r4 / (CAST(n AS DOUBLE) - 4.0) + r5 * r5 / (CAST(n AS DOUBLE) - 5.0))", 6)} AS q_stat,
+           ({qround_sql("CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * (r1 * r1 / (CAST(n AS DOUBLE) - 1.0) + r2 * r2 / (CAST(n AS DOUBLE) - 2.0) + r3 * r3 / (CAST(n AS DOUBLE) - 3.0) + r4 * r4 / (CAST(n AS DOUBLE) - 4.0) + r5 * r5 / (CAST(n AS DOUBLE) - 5.0))", 6)} > 11.0705) AS reject_white_noise
+    FROM rho
+    """,
+    tags=("A12", "W2", "A4"),
+    doc="Ljung-Box portmanteau test (h=5) per series - the white-noise "
+    "diagnostic a forecaster runs on its RESIDUALS (and the reference's "
+    "noisy-series setting runs on the raw signal to prove structure "
+    "exists): Q = n(n+2) * sum_k rho_k^2/(n-k) against the chi-square(5) "
+    "95% point. Exactness: the mean and every autocovariance sum are "
+    "decimal-exact; each rho_k is ONE double divide; Q's 5-term sum is a "
+    "FIXED left-associated expression written identically in both engines "
+    "(never a grouped sum over k, whose accumulation order differs). One "
+    "mean join, one 5-lag window pass, one combinable agg - all keyed by "
+    "series.",
+)
+def w_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import davg, dsum, qround
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    mu = hourly.groupBy("series_id").agg(davg("value").alias("m"))
+    ow = W.partitionBy("series_id").orderBy("ts")
+    lagged = hourly.join(mu.hint("shuffle_hash"), "series_id").select(
+        "series_id",
+        F.col("value").alias("x"),
+        "m",
+        *[F.lag("value", k).over(ow).alias(f"x{k}") for k in range(1, 6)],
+    )
+
+    def cterm(k: int):
+        xk = F.col(f"x{k}")
+        return dsum(
+            F.when(xk.isNotNull(), (F.col("x") - F.col("m")) * (xk - F.col("m"))).otherwise(0.0)
+        ).alias(f"c{k}")
+
+    agg = lagged.groupBy("series_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias("den"),
+        *[cterm(k) for k in range(1, 6)],
+    )
+    rho = agg.filter((F.col("den") > 0.0) & (F.col("n") > 5)).select(
+        "series_id",
+        "n",
+        *[(F.col(f"c{k}") / F.col("den")).alias(f"r{k}") for k in range(1, 6)],
+    )
+    nd = F.col("n").cast("double")
+    q = nd * (nd + 2.0) * (
+        F.col("r1") * F.col("r1") / (nd - 1.0)
+        + F.col("r2") * F.col("r2") / (nd - 2.0)
+        + F.col("r3") * F.col("r3") / (nd - 3.0)
+        + F.col("r4") * F.col("r4") / (nd - 4.0)
+        + F.col("r5") * F.col("r5") / (nd - 5.0)
+    )
+    return rho.select(
+        "series_id",
+        "n",
+        *[qround(F.col(f"r{k}"), 9).alias(f"rho{k}") for k in range(1, 6)],
+        qround(q, 6).alias("q_stat"),
+        (qround(q, 6) > 11.0705).alias("reject_white_noise"),
+    )

@@ -1211,3 +1211,79 @@ def s_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mx").alias("max_cell"),
         )
     )
+
+
+def _bf_at_dim(d: int) -> str:
+    """Brute-force cosine top-5 program over the FIRST ``d`` dimensions —
+    the _BF_SQL program with the long form truncated to i <= d (the
+    Matryoshka prefix), norms and dots both over the prefix."""
+    return f"""
+    WITH longd AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(1, {d + 1})) AS i)
+    ),
+    nm AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM longd GROUP BY 1),
+    dots AS (
+      SELECT q.vec_id AS qid, t.vec_id AS nid, {dsum_sql('q.x * t.x')} AS dot
+      FROM longd q JOIN longd t ON q.i = t.i AND q.vec_id < 100 AND q.vec_id != t.vec_id
+      GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT qid, nid, dot / sqrt(qn.sq * tn.sq) AS cosine
+      FROM dots JOIN nm qn ON qid = qn.vec_id JOIN nm tn ON nid = tn.vec_id
+      WHERE qn.sq > 0 AND tn.sq > 0
+    ),
+    rk AS (
+      SELECT qid, nid,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS INTEGER) AS rk
+      FROM cos
+    )
+    SELECT qid, nid FROM rk WHERE rk <= 5
+    """
+
+
+@register(
+    "s_matryoshka_recall",
+    oracle=lambda: "\nUNION ALL\n".join(
+        f"""
+    SELECT {d} AS dim, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(count(*) AS DOUBLE) / 500.0 AS recall_at_5
+    FROM ({_BF_SQL}) b JOIN ({_bf_at_dim(d)}) v ON b.qid = v.qid AND b.nid = v.nid
+    """
+        for d in (64, 32, 16)
+    ),
+    tags=("SIM-bruteforce", "M24", "A2"),
+    doc="Matryoshka truncation ablation - the evaluation behind MRL-style "
+    "embedding deployments (store 64 dims, serve 32 or 16): recall@5 of "
+    "exact cosine search over the FIRST d dimensions against the full-"
+    "dimension exact top-5, one row per truncation (d=64 is the 1.0 "
+    "sanity anchor). Both sides are deterministic decimal-dot rankings, "
+    "so the recall numbers themselves are hash-verified. Same broadcast-"
+    "query/streaming-corpus shape as every brute-force pass - truncation "
+    "only SHRINKS the per-pair work; nothing new shuffles.",
+)
+def s_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    full = SIM.cosine_topk(emb, n_queries=100, k=5).select("qid", "nid")
+    parts = []
+    for d in (64, 32, 16):
+        te = emb.withColumn("embedding", F.slice("embedding", 1, d))
+        tk = SIM.cosine_topk(te, n_queries=100, k=5).select(
+            F.col("qid").alias("v_qid"), F.col("nid").alias("v_nid")
+        )
+        hits = full.join(
+            tk,
+            (F.col("qid") == F.col("v_qid")) & (F.col("nid") == F.col("v_nid")),
+            "left_semi",
+        )
+        parts.append(
+            hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_matches")).select(
+                F.lit(d).alias("dim"),
+                "n_matches",
+                (F.col("n_matches").cast("double") / F.lit(500.0)).alias("recall_at_5"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
