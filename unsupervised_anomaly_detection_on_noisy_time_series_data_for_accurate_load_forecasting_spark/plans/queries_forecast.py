@@ -1108,3 +1108,337 @@ def w_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(q, 6).alias("q_stat"),
         (qround(q, 6) > 11.0705).alias("reject_white_noise"),
     )
+
+
+def _dft_tables() -> tuple[list[tuple[int, float, float]], list[tuple[int, float, float]]]:
+    """Literal (phase, cos, sin) tables for the 24 h and 168 h DFT bins,
+    generated ONCE in Python so the Spark plan and the DuckDB oracle embed
+    the SAME IEEE doubles — no cross-engine libm trig ever executes."""
+    import math
+
+    def tab(period: int) -> list[tuple[int, float, float]]:
+        return [
+            (p, math.cos(2.0 * math.pi * p / period), math.sin(2.0 * math.pi * p / period))
+            for p in range(period)
+        ]
+
+    return tab(24), tab(168)
+
+
+_PH24, _PH168 = _dft_tables()
+_PH24_SQL = ", ".join(f"({p}, {c!r}, {s!r})" for p, c, s in _PH24)
+_PH168_SQL = ", ".join(f"({p}, {c!r}, {s!r})" for p, c, s in _PH168)
+
+
+@register(
+    "w_dft_power",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    ph24(p, c, s) AS (VALUES {_PH24_SQL}),
+    ph168(p, c, s) AS (VALUES {_PH168_SQL}),
+    mu AS (SELECT series_id, {davg_sql('value')} AS m,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM hourly GROUP BY 1),
+    t AS (
+      SELECT h.series_id, h.value - mu.m AS dv, mu.n,
+             CAST((CAST(epoch(h.ts) AS BIGINT) // 3600) % 24 AS INTEGER) AS p24,
+             CAST((CAST(epoch(h.ts) AS BIGINT) // 3600) % 168 AS INTEGER) AS p168
+      FROM hourly h JOIN mu ON h.series_id = mu.series_id
+    ),
+    agg AS (
+      SELECT series_id, any_value(n) AS n,
+             {dsum_sql('t.dv * a.c')} AS c24, {dsum_sql('t.dv * a.s')} AS s24,
+             {dsum_sql('t.dv * b.c')} AS c168, {dsum_sql('t.dv * b.s')} AS s168
+      FROM t JOIN ph24 a ON t.p24 = a.p JOIN ph168 b ON t.p168 = b.p
+      GROUP BY 1
+    )
+    SELECT series_id, n,
+           {qround_sql('2.0 * sqrt(c24 * c24 + s24 * s24) / CAST(n AS DOUBLE)', 9)} AS amp24,
+           {qround_sql('2.0 * sqrt(c168 * c168 + s168 * s168) / CAST(n AS DOUBLE)', 9)} AS amp168,
+           CAST(CASE WHEN {qround_sql('2.0 * sqrt(c24 * c24 + s24 * s24) / CAST(n AS DOUBLE)', 9)}
+                       >= {qround_sql('2.0 * sqrt(c168 * c168 + s168 * s168) / CAST(n AS DOUBLE)', 9)}
+                     THEN 24 ELSE 168 END AS INTEGER) AS dominant_period
+    FROM agg
+    """,
+    tags=("M7", "A3", "F7"),
+    doc="Single-bin DFT (Goertzel) amplitude at the daily and weekly "
+    "periods per series - the spectral twin of a_seasonal_strength (which "
+    "load shape dominates: the diurnal cycle or the work-week cycle?). "
+    "Cross-engine trig is the landmine here: JVM StrictMath and DuckDB "
+    "libm may differ by an ulp, so NEITHER engine ever calls cos/sin - "
+    "the 24- and 168-entry (phase, cos, sin) tables are generated once in "
+    "Python and embedded as IDENTICAL double literals in both plans "
+    "(Spark: constant-folded array lookups, fully map-only after the mean "
+    "join; oracle: two VALUES-table joins). Products route through the "
+    "decimal-exact sum; amplitude 2*|X_k|/n is one fixed IEEE expression. "
+    "100 TB shape: one mean agg + one combinable 4-moment agg per series.",
+)
+def w_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import davg, dsum, qround
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    mu = hourly.groupBy("series_id").agg(
+        davg("value").alias("m"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    c24a = F.array(*[F.lit(c) for _, c, _ in _PH24])
+    s24a = F.array(*[F.lit(s) for _, _, s in _PH24])
+    c168a = F.array(*[F.lit(c) for _, c, _ in _PH168])
+    s168a = F.array(*[F.lit(s) for _, _, s in _PH168])
+    hr = (F.unix_timestamp("ts") / F.lit(3600)).cast("bigint")
+    p24 = F.pmod(hr, F.lit(24)).cast("int")
+    p168 = F.pmod(hr, F.lit(168)).cast("int")
+    t = hourly.join(mu.hint("shuffle_hash"), "series_id").select(
+        "series_id",
+        "n",
+        (F.col("value") - F.col("m")).alias("dv"),
+        F.element_at(c24a, p24 + 1).alias("c24v"),
+        F.element_at(s24a, p24 + 1).alias("s24v"),
+        F.element_at(c168a, p168 + 1).alias("c168v"),
+        F.element_at(s168a, p168 + 1).alias("s168v"),
+    )
+    agg = t.groupBy("series_id").agg(
+        F.first("n").alias("n"),
+        dsum(F.col("dv") * F.col("c24v")).alias("c24"),
+        dsum(F.col("dv") * F.col("s24v")).alias("s24"),
+        dsum(F.col("dv") * F.col("c168v")).alias("c168"),
+        dsum(F.col("dv") * F.col("s168v")).alias("s168"),
+    )
+    nd = F.col("n").cast("double")
+    amp24 = qround(
+        2.0 * F.sqrt(F.col("c24") * F.col("c24") + F.col("s24") * F.col("s24")) / nd, 9
+    )
+    amp168 = qround(
+        2.0 * F.sqrt(F.col("c168") * F.col("c168") + F.col("s168") * F.col("s168")) / nd,
+        9,
+    )
+    return agg.select(
+        "series_id",
+        "n",
+        amp24.alias("amp24"),
+        amp168.alias("amp168"),
+        F.when(amp24 >= amp168, F.lit(24))
+        .otherwise(F.lit(168))
+        .cast("int")
+        .alias("dominant_period"),
+    )
+
+
+_TS_LAGS = (24, 48, 72, 96, 120, 144, 168)
+
+
+@register(
+    "w_theil_sen",
+    oracle=f"""
+    WITH {FILLED_CTE},
+    lagged AS (
+      SELECT series_id, value,
+             {', '.join(f'lag(value, {k}) OVER w AS x{k}' for k in _TS_LAGS)}
+      FROM filled WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+    ),
+    slopes AS (
+      {' UNION ALL '.join(
+          f"SELECT series_id, CAST(floor((value - x{k}) / {float(k)} * 1000000.0 + 0.5) AS BIGINT) AS qs "
+          f"FROM lagged WHERE x{k} IS NOT NULL"
+          for k in _TS_LAGS
+      )}
+    ),
+    g AS (SELECT series_id, list_sort(list(qs)) AS arr FROM slopes GROUP BY 1)
+    SELECT series_id, CAST(len(arr) AS BIGINT) AS n_slopes,
+           CAST(arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS DOUBLE) / 1000000.0
+             AS ts_slope
+    FROM g
+    """,
+    tags=("W2", "A1", "F7"),
+    doc="Theil-Sen robust trend estimate per series - the median of "
+    "pairwise slopes, immune to the spikes/level-shifts the anomaly "
+    "injectors plant (an OLS trend is dragged by one outlier; the median "
+    "slope has a 29% breakdown point). The full O(n^2) pair set is "
+    "cluster-hostile, so this is the BOUNDED-lag variant (the standard "
+    "streaming compromise): slopes only at the 7 day-multiple lags "
+    "24..168 h over the gap-filled grid, giving <= 7n pairs and day-scale "
+    "trend sensitivity without weekday-cycle aliasing (every lag is a "
+    "whole number of days). Exactness: slopes quantize to the 1e-6 "
+    "lattice BEFORE the sort (the mad_outliers doctrine), the median is "
+    "the lower median - one spec, no interpolation. One 7-lag window "
+    "pass + one bounded per-series collect.",
+)
+def w_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .shared import prepared_df
+
+    hourly = prepared_df(spark, sf_dir)
+    ow = W.partitionBy("series_id").orderBy("ts")
+    lagged = hourly.select(
+        "series_id",
+        "value",
+        *[F.lag("value", k).over(ow).alias(f"x{k}") for k in _TS_LAGS],
+    )
+    stack_expr = "stack({n}, {args}) AS (k, xk)".format(
+        n=len(_TS_LAGS),
+        args=", ".join(f"{float(k)}D, x{k}" for k in _TS_LAGS),
+    )
+    slopes = (
+        lagged.select("series_id", "value", F.expr(stack_expr))
+        .filter(F.col("xk").isNotNull())
+        .select(
+            "series_id",
+            F.floor((F.col("value") - F.col("xk")) / F.col("k") * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("qs"),
+        )
+    )
+    g = slopes.groupBy("series_id").agg(
+        F.sort_array(F.collect_list("qs")).alias("arr")
+    )
+    med = "element_at(arr, cast((size(arr) + 1) div 2 as int))"
+    return g.select(
+        "series_id",
+        F.size("arr").cast("bigint").alias("n_slopes"),
+        (F.expr(med).cast("double") / F.lit(1e6)).alias("ts_slope"),
+    )
+
+
+@register(
+    "w_system_corr",
+    oracle=f"""
+    WITH {FILLED_CTE},
+    sys AS (SELECT ts, {dsum_sql('value')} AS sysv FROM filled GROUP BY 1),
+    t AS (
+      SELECT f.series_id, f.value AS x, sys.sysv AS y
+      FROM filled f JOIN sys ON f.ts = sys.ts
+    ),
+    agg AS (
+      SELECT series_id, CAST(count(*) AS BIGINT) AS n_hours,
+             {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
+             {dsum_sql('x * y')} AS sxy,
+             {dsum_sql('x * x')} AS sxx, {dsum_sql('y * y')} AS syy
+      FROM t GROUP BY 1
+    )
+    SELECT series_id, n_hours,
+           {qround_sql('(CAST(n_hours AS DOUBLE) * sxy - sx * sy) / sqrt((CAST(n_hours AS DOUBLE) * sxx - sx * sx) * (CAST(n_hours AS DOUBLE) * syy - sy * sy))', 9)} AS corr_system,
+           {qround_sql('(CAST(n_hours AS DOUBLE) * sxy - sx * sy) / (CAST(n_hours AS DOUBLE) * syy - sy * sy)', 9)} AS beta_system
+    FROM agg
+    """,
+    tags=("A4", "J1", "A12"),
+    doc="Per-series correlation and regression beta against TOTAL system "
+    "load on the gap-filled hourly grid - the coincidence question behind "
+    "w_peak_coincidence made continuous (which feeders move WITH the "
+    "system and therefore drive capacity cost, vs counter-cyclical loads "
+    "that provide free diversity). The system series is one combinable "
+    "per-hour sum (grid cardinality = hours, tiny vs rows), joined back "
+    "shuffle-hash on ts; Pearson r and OLS beta come from five decimal-"
+    "exact moments per series with the final arithmetic a fixed IEEE "
+    "expression. No window, no driver state, two shuffles total.",
+)
+def w_system_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import dsum, qround
+    from .shared import prepared_df
+
+    hourly = prepared_df(spark, sf_dir)
+    sysd = hourly.groupBy("ts").agg(dsum("value").alias("sysv"))
+    t = hourly.join(sysd.hint("shuffle_hash"), "ts").select(
+        "series_id", F.col("value").alias("x"), F.col("sysv").alias("y")
+    )
+    agg = t.groupBy("series_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n_hours").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "series_id",
+        "n_hours",
+        qround(num / F.sqrt(denx * deny), 9).alias("corr_system"),
+        qround(num / deny, 9).alias("beta_system"),
+    )
+
+
+@register(
+    "a_forecast_combo",
+    oracle=f"""
+    WITH {FILLED_CTE},
+    t AS (
+      SELECT series_id, ts, value,
+             lag(value, 168) OVER w AS f1, lag(value, 24) OVER w AS f2,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY series_id) AS cnt
+      FROM filled WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+    ),
+    u AS (
+      SELECT *, (rn <= floor(0.8 * cnt / 24) * 24) AS is_train
+      FROM t WHERE f1 IS NOT NULL AND f2 IS NOT NULL
+    ),
+    wts AS (
+      SELECT series_id,
+             coalesce({davg_sql('CASE WHEN is_train THEN abs(f2 - value) END')}
+               / nullif({davg_sql('CASE WHEN is_train THEN abs(f1 - value) END')}
+                        + {davg_sql('CASE WHEN is_train THEN abs(f2 - value) END')}, 0.0),
+               0.5) AS w1
+      FROM u GROUP BY 1
+    )
+    SELECT u.series_id, CAST(count(*) AS BIGINT) AS n_eval,
+           {qround_sql('any_value(wts.w1)', 9)} AS w_sn,
+           {qround_sql(davg_sql('abs(f1 - value)'), 9)} AS mae_sn,
+           {qround_sql(davg_sql('abs(f2 - value)'), 9)} AS mae_n24,
+           {qround_sql(davg_sql('abs(wts.w1 * f1 + (1.0 - wts.w1) * f2 - value)'), 9)} AS mae_combo
+    FROM u JOIN wts ON u.series_id = wts.series_id
+    WHERE NOT u.is_train
+    GROUP BY 1
+    """,
+    tags=("A12", "M20", "M24", "W2"),
+    doc="Bates-Granger forecast combination: blend the seasonal-naive "
+    "(lag-168) and daily-naive (lag-24) forecasters with inverse-MAE "
+    "weights fitted on the train split, evaluate all three on the test "
+    "split - the classic result that a simple convex combination beats "
+    "its components when their errors decorrelate, and the cheapest "
+    "accuracy win a forecast deployment ships. Weight w1 = mae2 / (mae1 "
+    "+ mae2) from decimal-exact train MAEs (singular series fall back to "
+    "0.5 identically in both engines); the blend and test MAEs are fixed "
+    "IEEE expressions over per-term-quantized sums. Same 80% train "
+    "convention as a12_seasonal_naive_metrics. Two window passes + two "
+    "combinable aggs, all keyed by series.",
+)
+def a_forecast_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import davg, qround
+    from .shared import prepared_df
+
+    hourly = prepared_df(spark, sf_dir)
+    ow = W.partitionBy("series_id").orderBy("ts")
+    cw = W.partitionBy("series_id")
+    t = hourly.select(
+        "series_id",
+        "value",
+        F.lag("value", 168).over(ow).alias("f1"),
+        F.lag("value", 24).over(ow).alias("f2"),
+        F.row_number().over(ow).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
+    )
+    u = t.filter(F.col("f1").isNotNull() & F.col("f2").isNotNull()).withColumn(
+        "is_train",
+        F.col("rn") <= F.floor(F.lit(0.8) * F.col("cnt") / F.lit(24)) * F.lit(24),
+    )
+    tr1 = davg(F.when(F.col("is_train"), F.abs(F.col("f1") - F.col("value"))))
+    tr2 = davg(F.when(F.col("is_train"), F.abs(F.col("f2") - F.col("value"))))
+    wts = u.groupBy("series_id").agg(
+        F.coalesce(
+            F.try_divide(tr2, F.nullif(tr1 + tr2, F.lit(0.0))), F.lit(0.5)
+        ).alias("w1")
+    )
+    te = u.filter(~F.col("is_train")).join(wts.hint("shuffle_hash"), "series_id")
+    combo = F.col("w1") * F.col("f1") + (F.lit(1.0) - F.col("w1")) * F.col("f2")
+    return te.groupBy("series_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        qround(F.first("w1"), 9).alias("w_sn"),
+        qround(davg(F.abs(F.col("f1") - F.col("value"))), 9).alias("mae_sn"),
+        qround(davg(F.abs(F.col("f2") - F.col("value"))), 9).alias("mae_n24"),
+        qround(davg(F.abs(combo - F.col("value"))), 9).alias("mae_combo"),
+    )

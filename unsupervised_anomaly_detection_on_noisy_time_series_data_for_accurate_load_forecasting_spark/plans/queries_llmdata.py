@@ -1408,3 +1408,94 @@ def t_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(dsum(F.col("k") * F.col("lr")), 6).alias("dsir_logweight"),
         )
     )
+
+
+def _kl_unigram_oracle() -> str:
+    from ..functions.exact import qround_sql
+    from ..operators.textops import poly_hash_duck_expr
+
+    return f"""
+    WITH ti AS (
+      SELECT source, ({poly_hash_duck_expr('tok')}) % 1024 AS b
+      FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+    ),
+    sb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS k FROM ti GROUP BY 1, 2),
+    bs AS (SELECT b, CAST(sum(k) AS BIGINT) AS cb FROM sb GROUP BY 1),
+    st AS (SELECT source, CAST(sum(k) AS BIGINT) AS ns FROM sb GROUP BY 1),
+    tot AS (SELECT CAST(sum(cb) AS BIGINT) AS n FROM bs),
+    grid AS (
+      SELECT st.source, st.ns, bs.b, bs.cb, coalesce(sb.k, 0) AS k
+      FROM st CROSS JOIN bs
+      LEFT JOIN sb ON sb.source = st.source AND sb.b = bs.b
+    ),
+    terms AS (
+      SELECT source, ns,
+             CAST(floor(
+               (CAST(k + 1 AS DOUBLE) / (CAST(ns AS DOUBLE) + 1024.0))
+               * (ln(CAST(k + 1 AS DOUBLE) / (CAST(ns AS DOUBLE) + 1024.0))
+                  - ln(CAST(cb + 1 AS DOUBLE) / (CAST(tot.n AS DOUBLE) + 1024.0)))
+               * 1000000000000.0 + 0.5) AS BIGINT) AS ti
+      FROM grid, tot
+    )
+    SELECT source, CAST(any_value(ns) AS BIGINT) AS n_tokens,
+           {qround_sql('CAST(sum(ti) AS DOUBLE) / 1000000000000.0', 9)} AS kl_nats
+    FROM terms GROUP BY 1
+    """
+
+
+@register(
+    "t_kl_unigram",
+    oracle=_kl_unigram_oracle,
+    tags=("TXT-quality", "DEDUP-token", "A2"),
+    doc="Per-source unigram KL divergence vs the whole corpus over the "
+    "hashed 1024-bucket distribution (the DSIR feature space) - the domain-"
+    "shift ranking a pretraining mixer reads before setting source weights "
+    "(a source with high KL is lexically unlike the rest and dilutes or "
+    "diversifies, depending on intent). Add-one smoothing keeps every "
+    "bucket finite; the sum runs over the FULL source x 1024 grid (zero-"
+    "count buckets still carry smoothed mass), built from one sources-"
+    "frame cross join against the kilobyte bucket table - never a "
+    "vocabulary frame. Exactness: each p*ln(p/q) term quantizes to the "
+    "1e-12 lattice BEFORE an exact BIGINT term-sum (the a_value_entropy "
+    "doctrine at KL precision; each ln input is the same IEEE double in "
+    "both engines). 100 TB shape: map-only token hashing, one (source, "
+    "bucket) combinable agg, everything after is bounded by 1024 x "
+    "n_sources rows.",
+)
+def t_kl_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+    from ..operators.textops import poly_hash_sql_expr
+
+    docs = _docs(spark, sf_dir)
+    ti = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select(
+        "source", F.pmod(F.expr(poly_hash_sql_expr("tok")), F.lit(1024)).alias("b")
+    )
+    sb = ti.groupBy("source", "b").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    bs = sb.groupBy("b").agg(F.sum("k").cast("bigint").alias("cb"))
+    st = sb.groupBy("source").agg(F.sum("k").cast("bigint").alias("ns"))
+    tot = bs.agg(F.sum("cb").cast("bigint").alias("n"))
+    grid = (
+        st.crossJoin(F.broadcast(bs))
+        .join(sb.hint("shuffle_hash"), ["source", "b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "ns",
+            "cb",
+            "n",
+            F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+        )
+    )
+    p = (F.col("k") + 1).cast("double") / (F.col("ns").cast("double") + 1024.0)
+    q = (F.col("cb") + 1).cast("double") / (F.col("n").cast("double") + 1024.0)
+    term = F.floor(p * (F.log(p) - F.log(q)) * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+    return (
+        grid.withColumn("ti", term)
+        .groupBy("source")
+        .agg(
+            F.first("ns").alias("n_tokens"),
+            qround(F.sum("ti").cast("double") / F.lit(1e12), 9).alias("kl_nats"),
+        )
+    )

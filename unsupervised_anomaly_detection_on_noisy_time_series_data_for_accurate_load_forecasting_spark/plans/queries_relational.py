@@ -1424,3 +1424,124 @@ def p_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_stat.alias("t_stat"),
         (t_stat <= 0.2).alias("close"),
     )
+
+
+_RR_P = 0.75  # keep-truth probability of the randomized-response coin
+
+
+def _rr_oracle() -> str:
+    from ..functions.exact import qround_sql as _q
+    from ..functions.rng import rng_uniform_sql
+
+    u1 = rng_uniform_sql("event_id", salt=101)
+    u2 = rng_uniform_sql("event_id", salt=102)
+    est = _q(
+        f"(CAST(coalesce(obs.n_obs, 0) AS DOUBLE)"
+        f" - CAST(nf.n AS DOUBLE) * {1.0 - _RR_P} / CAST(kf.k AS DOUBLE)) / {_RR_P}",
+        6,
+    )
+    return f"""
+    WITH types AS (
+      SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS idx
+      FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    kf AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+    ev AS (
+      SELECT event_id, event_type,
+             {u1} AS u1, {u2} AS u2
+      FROM events
+    ),
+    rep AS (
+      SELECT ev.event_id,
+             CASE WHEN ev.u1 < {_RR_P} THEN ev.event_type ELSE t.event_type END AS reported
+      FROM ev CROSS JOIN kf
+      JOIN types t ON t.idx = CAST(floor(ev.u2 * CAST(kf.k AS DOUBLE)) AS BIGINT) + 1
+    ),
+    obs AS (SELECT reported AS event_type, CAST(count(*) AS BIGINT) AS n_obs FROM rep GROUP BY 1),
+    tru AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true FROM events GROUP BY 1),
+    nf AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+    SELECT t.event_type,
+           coalesce(tru.n_true, 0) AS n_true,
+           coalesce(obs.n_obs, 0) AS n_observed,
+           {est} AS n_estimated
+    FROM types t
+    LEFT JOIN tru ON t.event_type = tru.event_type
+    LEFT JOIN obs ON t.event_type = obs.event_type
+    CROSS JOIN kf CROSS JOIN nf
+    """
+
+
+@register(
+    "p_randomized_response",
+    oracle=_rr_oracle,
+    tags=("P-privacy", "F8", "A10"),
+    doc="Randomized response (Warner 1965), the LOCAL-DP counterpart of "
+    "p_dp_counts' central Laplace mechanism: each event keeps its true "
+    f"type with p = {_RR_P} or swaps to a uniform draw from the K observed "
+    "types, and the debiased estimator (n_obs - N(1-p)/K) / p recovers the "
+    "true histogram without any row ever being trusted. Both coins come "
+    "from the seeded cross-engine RNG keyed on event_id, so the perturbed "
+    "release itself is bit-reproducible in the oracle. The type dictionary "
+    "is a K-row frame (its row_number window is bounded by type "
+    "cardinality, broadcast everywhere); the events side is one map pass "
+    "+ two combinable counts. Estimator arithmetic is one fixed IEEE "
+    "expression over exact integer counts.",
+)
+def p_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import qround
+    from ..functions.rng import rng_uniform
+
+    ev0 = _t(spark, sf_dir, "events")
+    types = (
+        ev0.select("event_type")
+        .distinct()
+        .withColumn(
+            "idx", F.row_number().over(W.orderBy("event_type")).cast("bigint")
+        )
+    )
+    kf = types.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    ev = ev0.select(
+        "event_id",
+        "event_type",
+        rng_uniform("event_id", salt=101).alias("u1"),
+        rng_uniform("event_id", salt=102).alias("u2"),
+    )
+    rep = (
+        ev.crossJoin(F.broadcast(kf))
+        .withColumn(
+            "ridx",
+            F.floor(F.col("u2") * F.col("k").cast("double")).cast("bigint") + 1,
+        )
+        .join(
+            F.broadcast(types.select(F.col("idx").alias("ridx"), F.col("event_type").alias("repl"))),
+            "ridx",
+        )
+        .select(
+            F.when(F.col("u1") < F.lit(_RR_P), F.col("event_type"))
+            .otherwise(F.col("repl"))
+            .alias("reported")
+        )
+    )
+    obs = rep.groupBy(F.col("reported").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tru = ev0.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    nf = ev0.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    est = (
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+        - F.col("n").cast("double") * F.lit(1.0 - _RR_P) / F.col("k").cast("double")
+    ) / F.lit(_RR_P)
+    return (
+        types.join(tru.hint("shuffle_hash"), "event_type", "left")
+        .join(obs.hint("shuffle_hash"), "event_type", "left")
+        .crossJoin(F.broadcast(kf))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "event_type",
+            F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_observed"),
+            qround(est, 6).alias("n_estimated"),
+        )
+    )

@@ -1704,3 +1704,176 @@ def g_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+@register(
+    "g_assortativity",
+    oracle="""
+    WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk),
+    deg AS (SELECT node, count(*) AS deg
+            FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY 1),
+    dir AS (SELECT u AS s, v AS d FROM und UNION ALL SELECT v AS s, u AS d FROM und),
+    ed AS (
+      SELECT CAST(gs.deg AS DOUBLE) AS dx, CAST(gd.deg AS DOUBLE) AS dy
+      FROM dir JOIN deg gs ON dir.s = gs.node JOIN deg gd ON dir.d = gd.node
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS DOUBLE) AS m2,
+             CAST(sum(CAST(dx AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(dx * dy AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(dx * dx AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+      FROM ed
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+           floor(((sxy / m2 - (sx / m2) * (sx / m2))
+                  / (sxx / m2 - (sx / m2) * (sx / m2))) * 1000000000.0 + 0.5)
+             / 1000000000.0 AS assortativity
+    FROM agg
+    """,
+    tags=("DEDUP-cc", "A4", "J1"),
+    doc="Degree assortativity coefficient of the co-purchase graph (Newman "
+    "2002): the Pearson correlation of endpoint degrees over the "
+    "symmetrized edge list - do hub parts co-purchase with hubs "
+    "(assortative, r > 0) or with leaves (disassortative, r < 0)? "
+    "Exactness: degrees are exact integers, so the endpoint products are "
+    "dyadic-exact doubles routed through the decimal-exact sum (order-"
+    "independent; never BIGINT products, whose m*maxdeg^2 bound overflows "
+    "at scale), and r is ONE fixed IEEE expression over the four moments, "
+    "written identically in both engines. 100 TB shape: one degree agg, "
+    "two shuffle-hash joins edge->degree, one combinable 4-moment "
+    "aggregate - a single scalar out, no window, no driver state.",
+)
+def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .shared import copurchase_edges_df
+
+    und = copurchase_edges_df(spark, sf_dir)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dirs = und.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
+        und.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    gs = deg.select(F.col("node").alias("s"), F.col("deg").alias("dgs"))
+    gd = deg.select(F.col("node").alias("d"), F.col("deg").alias("dgd"))
+    ed = (
+        dirs.join(gs.hint("shuffle_hash"), "s")
+        .join(gd.hint("shuffle_hash"), "d")
+        .select(
+            F.col("dgs").cast("double").alias("dx"),
+            F.col("dgd").cast("double").alias("dy"),
+        )
+    )
+    agg = ed.agg(
+        F.count(F.lit(1)).cast("double").alias("m2"),
+        dsum("dx").alias("sx"),
+        dsum(F.col("dx") * F.col("dy")).alias("sxy"),
+        dsum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    counts = und.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    ).crossJoin(deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
+    mean = F.col("sx") / F.col("m2")
+    r = (F.col("sxy") / F.col("m2") - mean * mean) / (
+        F.col("sxx") / F.col("m2") - mean * mean
+    )
+    return counts.crossJoin(F.broadcast(agg)).select(
+        "n_nodes", "n_edges", qround(r, 9).alias("assortativity")
+    )
+
+
+LCC_CENTER_CAP = 64
+
+
+@register(
+    "g_local_clustering",
+    oracle=f"""
+    WITH pr AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk),
+    deg AS (SELECT node, count(*) AS deg
+            FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY 1),
+    ctr AS (SELECT node, deg FROM deg WHERE deg BETWEEN 2 AND {LCC_CENTER_CAP}),
+    adj AS (
+      SELECT u AS c, v AS n FROM und WHERE u IN (SELECT node FROM ctr)
+      UNION ALL
+      SELECT v AS c, u AS n FROM und WHERE v IN (SELECT node FROM ctr)
+    ),
+    wedge AS (
+      SELECT a.c, a.n AS d1, b.n AS d2
+      FROM adj a JOIN adj b ON a.c = b.c AND a.n < b.n
+    ),
+    tri AS (
+      SELECT w.c, count(*) AS n_tri
+      FROM wedge w JOIN und e ON w.d1 = e.u AND w.d2 = e.v
+      GROUP BY 1
+    )
+    SELECT ctr.node, CAST(ctr.deg AS BIGINT) AS degree,
+           CAST(coalesce(tri.n_tri, 0) AS BIGINT) AS n_triangles,
+           floor((2.0 * CAST(coalesce(tri.n_tri, 0) AS DOUBLE)
+                  / (CAST(ctr.deg AS DOUBLE) * CAST(ctr.deg - 1 AS DOUBLE)))
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS clustering
+    FROM ctr LEFT JOIN tri ON ctr.node = tri.c
+    """,
+    tags=("DEDUP-cc", "A4", "J5"),
+    doc="Local clustering coefficient per node (Watts-Strogatz): closed "
+    "wedges / possible wedges around each center - the community-embedding "
+    "signal that separates parts inside dense co-purchase cliques from "
+    "bridge parts. Same wedge-volume doctrine as g_node_jaccard: centers "
+    f"are degree-capped (2 <= deg <= {LCC_CENTER_CAP}), so wedge rows are "
+    "bounded by cap * m regardless of hub skew; closure is ONE shuffle-hash "
+    "equi-join of wedges against the canonical (u < v) edge list, then a "
+    "combinable per-center count. Zero-triangle centers survive via the "
+    "left join. Integer counts; the coefficient is one fixed IEEE division.",
+)
+def g_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .shared import copurchase_edges_df
+
+    und = copurchase_edges_df(spark, sf_dir)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ctr = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= LCC_CENTER_CAP))
+    adj = (
+        und.join(ctr.select(F.col("node").alias("u")), "u", "left_semi")
+        .select(F.col("u").alias("c"), F.col("v").alias("n"))
+        .unionAll(
+            und.join(ctr.select(F.col("node").alias("v")), "v", "left_semi")
+            .select(F.col("v").alias("c"), F.col("u").alias("n"))
+        )
+    )
+    a = adj.alias("a")
+    b = adj.alias("b")
+    wedge = a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n"))).select(
+        F.col("a.c").alias("c"), F.col("a.n").alias("d1"), F.col("b.n").alias("d2")
+    )
+    tri = (
+        wedge.join(
+            und.hint("shuffle_hash"),
+            (F.col("d1") == F.col("u")) & (F.col("d2") == F.col("v")),
+        )
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    lcc = 2.0 * F.col("n_triangles").cast("double") / (
+        F.col("degree").cast("double") * (F.col("degree") - 1).cast("double")
+    )
+    return (
+        ctr.join(tri.withColumnRenamed("c", "node").hint("shuffle_hash"), "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+        .withColumn("clustering", qround(lcc, 9))
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum_sql
+from ..functions.exact import dsum_sql, qround_sql
 from ..functions.rng import rng_uniform_sql
 from ..operators import similarity as SIM
 from ..sources.readers import load_table
@@ -1287,3 +1287,70 @@ def s_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _ndcg_weights() -> tuple[list[float], float]:
+    """Rank-discount weights 1/log2(rank+1) for NDCG@5, generated once in
+    Python and embedded as identical double literals in both plans — the
+    w_dft_power trig-table doctrine applied to logs."""
+    import math
+
+    w = [1.0 / math.log2(r + 1) for r in range(1, 6)]
+    return w, sum(w)
+
+
+_NDCG_W, _NDCG_IDCG = _ndcg_weights()
+
+
+@register(
+    "s_ndcg_eval",
+    oracle=lambda: f"""
+    WITH appr AS ({_ivf_oracle()}),
+    exact AS ({_BF_SQL}),
+    j AS (
+      SELECT a.qid, a.rk,
+             CASE WHEN e.nid IS NULL THEN 0.0
+                  ELSE CASE a.rk {' '.join(f'WHEN {r + 1} THEN {w!r}' for r, w in enumerate(_NDCG_W))} END
+             END AS gain,
+             CASE WHEN e.nid IS NULL THEN 0 ELSE 1 END AS hit
+      FROM appr a LEFT JOIN exact e ON a.qid = e.qid AND a.nid = e.nid
+    )
+    SELECT qid, CAST(sum(hit) AS BIGINT) AS n_hits,
+           {qround_sql(f"{dsum_sql('gain')} / {_NDCG_IDCG!r}", 9)} AS ndcg_at_5
+    FROM j GROUP BY 1
+    """,
+    tags=("SIM-ivf", "SIM-bruteforce", "M24", "A11"),
+    doc="Rank-aware ANN quality: NDCG@5 of the IVF index against the exact "
+    "brute-force ranking - recall counts hits, NDCG also charges the index "
+    "for returning them in the wrong ORDER (a hit surfaced at rank 5 "
+    "earns 0.39, at rank 1 earns 1.0). Binary relevance = membership in "
+    "the exact top-5; the 1/log2(rank+1) discounts and the ideal DCG are "
+    "Python-generated literals embedded identically in both plans (no "
+    "cross-engine log2 ever runs), gains route through the decimal-exact "
+    "sum. Composes two existing oracle programs; same bounded shapes as "
+    "s_ann_recall_eval.",
+)
+def s_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import dsum, qround
+
+    emb = _emb(spark, sf_dir)
+    bf = SIM.cosine_topk(emb, n_queries=100, k=5).select(
+        F.col("qid").alias("e_qid"), F.col("nid").alias("e_nid")
+    )
+    appr = SIM.ivf_topk(emb, n_queries=100, k=5).select("qid", "nid", "rk")
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+    j = appr.join(
+        bf,
+        (F.col("qid") == F.col("e_qid")) & (F.col("nid") == F.col("e_nid")),
+        "left",
+    ).select(
+        "qid",
+        F.when(F.col("e_nid").isNull(), F.lit(0.0))
+        .otherwise(F.element_at(warr, F.col("rk")))
+        .alias("gain"),
+        F.when(F.col("e_nid").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("hit"),
+    )
+    return j.groupBy("qid").agg(
+        F.sum("hit").cast("bigint").alias("n_hits"),
+        qround(dsum("gain") / F.lit(_NDCG_IDCG), 9).alias("ndcg_at_5"),
+    )
