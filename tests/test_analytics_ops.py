@@ -345,3 +345,90 @@ def test_t_closeness_matches_bruteforce_emd(spark, sf_dir):
     # the statistic must separate: not all groups identical to the global
     stats = [r.t_stat for r in got.values()]
     assert max(stats) > min(stats)
+
+
+def test_hits_matches_python_replay(spark):
+    """The integer-lattice HITS fold is exact: a direct Python replay of the
+    recurrence over the same edge set must agree bit-for-bit (the
+    holt-winters replica discipline applied to the graph fixed point)."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        hits_fixed_point,
+    )
+
+    edges = [
+        ("c1", "s1"), ("c1", "s2"), ("c2", "s2"), ("c2", "s3"),
+        ("c3", "s1"), ("c3", "s2"), ("c3", "s3"), ("c4", "s3"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.role, r.node): r.score_q for r in hits_fixed_point(df, iters=4).collect()}
+
+    h = {c: 10**9 for c in {e[0] for e in edges}}
+    a = {}
+    for _ in range(4):
+        a = {}
+        for c, s in edges:
+            a[s] = a.get(s, 0) + h[c]
+        sa = sum(a.values())
+        a = {s: v // max(1, sa // 10**9) for s, v in a.items()}
+        h = {}
+        for c, s in edges:
+            h[c] = h.get(c, 0) + a[s]
+        sh = sum(h.values())
+        h = {c: v // max(1, sh // 10**9) for c, v in h.items()}
+
+    want = {("hub", c): v for c, v in h.items()} | {("auth", s): v for s, v in a.items()}
+    assert got == want
+
+
+def test_dft_power_matches_numpy_goertzel(spark, sf_dir):
+    """Independent single-node replay of w_dft_power: collect the hourly
+    series, mean-center with the same decimal-exact mean, multiply by the
+    SAME literal trig tables, and fold with Python's exact Decimal — the
+    amplitudes must match the distributed query to the 1e-9 quantum."""
+    from decimal import Decimal
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans import (
+        REGISTRY,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans.queries_forecast import (
+        _PH24,
+        _PH168,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.timeseries import (
+        hourly_series,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+
+    got = {
+        r.series_id: (r.amp24, r.amp168)
+        for r in REGISTRY["w_dft_power"].spark(spark, sf_dir).collect()
+    }
+
+    hourly = hourly_series(load_table(spark, sf_dir, "events")).collect()
+    import collections
+    import math
+
+    series = collections.defaultdict(list)
+    for r in hourly:
+        series[r.series_id].append((r.ts, r.value))
+
+    def q6(x: float) -> Decimal:
+        return Decimal(math.floor(x * 1e6 + 0.5)) / Decimal(10**6)
+
+    for sid, pts in series.items():
+        n = len(pts)
+        m = float(sum(q6(v) for _, v in pts) / n)
+        c24 = s24 = c168 = s168 = Decimal(0)
+        for ts, v in pts:
+            hr = int(ts.timestamp()) // 3600
+            dv = v - m
+            c24 += q6(dv * _PH24[hr % 24][1])
+            s24 += q6(dv * _PH24[hr % 24][2])
+            c168 += q6(dv * _PH168[hr % 168][1])
+            s168 += q6(dv * _PH168[hr % 168][2])
+        def amp(c, s):
+            val = 2.0 * math.sqrt(float(c) ** 2 + float(s) ** 2) / n
+            return math.floor(val * 1e9 + 0.5) / 1e9
+        assert got[sid] == (amp(c24, s24), amp(c168, s168)), sid

@@ -619,3 +619,84 @@ def test_power_domain_windows_are_per_series(spark, sf_dir):
         assert not _GLOBAL_WINDOW.search(plan), f"{q}: single-task global window"
         assert "CartesianProduct" not in plan, f"{q}: cartesian join"
         assert "BroadcastNestedLoopJoin" not in plan, f"{q}: nested-loop join"
+
+
+def test_graph_moment_queries_stay_equi_joined(spark, sf_dir):
+    """Assortativity and local clustering must route every edge/degree/wedge
+    combination through equi-joins (volume bounded by cap * m) — never a
+    cartesian product — and keep windows off the hot path entirely."""
+    for q in ("g_assortativity", "g_local_clustering"):
+        plan = _plan(REGISTRY[q].spark(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{q}: cartesian join"
+        assert not _GLOBAL_WINDOW.search(plan), f"{q}: single-task global window"
+
+
+def test_dft_power_phase_tables_are_literals_not_joins(spark, sf_dir):
+    """The trig tables must be constant-folded array lookups, not dimension
+    joins: exactly ONE join in the whole plan (the per-series mean), zero
+    broadcast exchanges, zero windows."""
+    plan = _plan(REGISTRY["w_dft_power"].spark(spark, sf_dir))
+    assert plan.count("ShuffledHashJoin") == 1, "expected only the mean join"
+    assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_series_trend_and_corr_windows_are_per_series(spark, sf_dir):
+    """Theil–Sen, the forecast combination, and the system-correlation
+    query must keep every window partitioned by series and every join an
+    equi-join — no global sort, no cartesian."""
+    for q in ("w_theil_sen", "a_forecast_combo", "w_system_corr"):
+        plan = _plan(REGISTRY[q].spark(spark, sf_dir))
+        assert not _GLOBAL_WINDOW.search(plan), f"{q}: single-task global window"
+        assert "CartesianProduct" not in plan, f"{q}: cartesian join"
+
+
+def test_kl_unigram_never_broadcasts_corpus_text(spark, sf_dir):
+    """The KL grid must be built from the kilobyte bucket table — any
+    BroadcastExchange carrying text or raw token columns means the
+    vocabulary-frame OOM shape came back."""
+    plan = _plan(REGISTRY["t_kl_unigram"].spark(spark, sf_dir))
+    for m in re.finditer(r"BroadcastExchange[^\n]*", plan):
+        assert "text#" not in m.group(0), "document text inside a broadcast"
+        assert "tok#" not in m.group(0), "token instances inside a broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_ndcg_rank_windows_are_per_query(spark, sf_dir):
+    """NDCG composes the brute-force and IVF rankings; every row_number
+    must stay partitioned by query id — never a global sort of the
+    candidate set."""
+    plan = _plan(REGISTRY["s_ndcg_eval"].spark(spark, sf_dir))
+    assert not _GLOBAL_WINDOW.search(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_randomized_response_never_broadcasts_events(spark, sf_dir):
+    """The K-row type dictionary broadcasts; the events side must never
+    appear in a BroadcastExchange (it is corpus-sized)."""
+    plan = _plan(REGISTRY["p_randomized_response"].spark(spark, sf_dir))
+    for m in re.finditer(r"BroadcastExchange[^\n]*", plan):
+        assert "event_id#" not in m.group(0), "events frame inside a broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_drift_broadcasts_only_totals(spark, sf_dir):
+    """The drift monitor's only nested-loop join must be the 1-row totals
+    broadcast; cell assignment must never cartesian the corpus."""
+    plan = _plan(REGISTRY["s_embedding_drift"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # nested loops may only be unconditioned scalar crosses (the 1-row
+    # totals and the quantizer's margin/need scalars) — a CONDITIONED
+    # nested loop would mean an all-pairs candidate scan came back
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert m.group(0).rstrip().endswith("Cross"), f"conditioned nested loop: {m.group(0)}"
+
+
+def test_hits_rounds_are_joins_plus_combinable_sums(spark, sf_dir):
+    """Every HITS round must be hash joins + partial-aggregated sums on the
+    integer lattice — no window, no cartesian, no float sum anywhere."""
+    plan = _plan(REGISTRY["g_hits"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert not _GLOBAL_WINDOW.search(plan)

@@ -429,6 +429,88 @@ PICKS = [
         "key cardinality grows with the data, so no task ever sees more "
         "than one day of one series.",
     ),
+    (
+        "w_ljung_box",
+        "Five lag columns off ONE per-series window pass, one mean join, "
+        "one combinable 7-moment agg; the Q statistic is a fixed "
+        "left-associated expression, never a grouped float sum over k.",
+    ),
+    (
+        "t_dsir_importance",
+        "DSIR importance: map-only inline token hashing (zero vocabulary "
+        "joins), ONE (doc, bucket) shuffle reused by both the bucket stats "
+        "and the per-doc score via ReuseExchange, kilobyte LLR broadcast.",
+    ),
+    (
+        "p_t_closeness",
+        "Ordinal EMD over a 5-level spine: running-CDF gap as a bounded "
+        "window over the levels frame, group cardinality never exceeds "
+        "levels x groups.",
+    ),
+    (
+        "w_dft_power",
+        "Goertzel bins with constant-folded literal trig arrays: exactly "
+        "one join (the per-series mean) and zero broadcasts — phase "
+        "lookup is element_at on a folded constant, fully inside codegen.",
+    ),
+    (
+        "g_assortativity",
+        "Degree assortativity: two shuffle-hash edge->degree joins, one "
+        "combinable 4-moment agg, single scalar out — no window anywhere.",
+    ),
+    (
+        "g_local_clustering",
+        "Wedge closure as an equi-join of degree-capped wedges against the "
+        "canonical edge list (volume <= cap * m); zero-triangle centers "
+        "kept by a left join.",
+    ),
+    (
+        "w_theil_sen",
+        "Bounded-lag median slope: one 7-lag window pass, a stack() "
+        "Generate (no shuffle), then one per-series sorted-array collect — "
+        "the mad_outliers bounded-state contract.",
+    ),
+    (
+        "w_system_corr",
+        "Per-series moments against the hour-keyed system sum: the grid "
+        "cardinality side shuffles on ts (hours, tiny vs rows), Pearson/beta "
+        "from five decimal-exact sums.",
+    ),
+    (
+        "a_forecast_combo",
+        "Inverse-MAE blend: one lag window pass shared by train weights and "
+        "test eval, weights joined back shuffle-hash by series.",
+    ),
+    (
+        "t_kl_unigram",
+        "Source KL over the hashed 1024-bucket space: map-only token "
+        "hashing, one (source, bucket) combinable agg, kilobyte bucket "
+        "table broadcast into the smoothed grid — never a vocabulary frame.",
+    ),
+    (
+        "s_ndcg_eval",
+        "Rank-aware ANN eval: composes the brute-force broadcast scan and "
+        "the IVF probe, discount weights as literal array lookups, one "
+        "per-query agg.",
+    ),
+    (
+        "p_randomized_response",
+        "Local-DP release: K-row type dictionary broadcast twice (index "
+        "draw + debias), events side map-only + two combinable counts — "
+        "the corpus never broadcasts.",
+    ),
+    (
+        "s_embedding_drift",
+        "Cohort PSI over IVF cells: shared decimal-exact cell assignment, "
+        "one combinable conditional count per cell, 1-row totals broadcast "
+        "— nested loops are scalar crosses only.",
+    ),
+    (
+        "g_hits",
+        "Integer-lattice HITS: per round two hash joins + two map-side-"
+        "combinable sums + two 1-row normalizer broadcasts; no window, no "
+        "float reduction anywhere.",
+    ),
 ]
 
 

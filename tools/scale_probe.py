@@ -106,6 +106,21 @@ QUERIES = [
     "w_daily_peak_hour_hist",   # rank-1 window keyed by series x day (r11)
     "t_dsir_importance",        # DSIR bucket LLR, map-only hashing (r11)
     "p_t_closeness",            # ordinal-EMD privacy gate, 5-level spine (r11)
+    "w_ljung_box",              # 5-lag autocovariance portmanteau (r11)
+    "s_matryoshka_recall",      # prefix-dim recall curve (r11)
+    "mm_avi_scene_cuts",        # shot-boundary detection over AVI frames (r11)
+    "g_assortativity",          # degree-moment edge aggregate (r11)
+    "g_local_clustering",       # degree-capped wedge closure (r11)
+    "w_dft_power",              # literal-table Goertzel bins (r11)
+    "w_theil_sen",              # bounded-lag median-slope trend (r11)
+    "w_system_corr",            # per-series moments vs system total (r11)
+    "a_forecast_combo",         # inverse-MAE forecast blend (r11)
+    "t_kl_unigram",             # hashed-bucket source KL (r11)
+    "s_ndcg_eval",              # rank-discounted ANN quality (r11)
+    "p_randomized_response",    # local-DP perturb + debias (r11)
+    "stream_volatility_alerts", # windowed max-min spread alerts (r11)
+    "s_embedding_drift",        # PSI over IVF cells, cohort drift (r11)
+    "g_hits",                   # integer-lattice HITS fixed point (r11)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

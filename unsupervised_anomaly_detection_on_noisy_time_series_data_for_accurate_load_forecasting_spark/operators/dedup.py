@@ -1174,3 +1174,72 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
     )
+
+
+def hits_fixed_point(
+    pairs: DataFrame, iters: int = 4, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg 1999) over a directed edge list — the
+    hub/authority member of the iterative-graph family next to
+    :func:`pagerank_fixed_point` (reference anchor: the same join+agg-per-
+    round Pregel shape; compare src/anomaly_detection/ has no graph code —
+    this is §2.12 extension surface).
+
+    Scores live on an integer lattice: h0 = 10^9 per source node, and each
+    half-round renormalizes by the INTEGER scale factor
+    ``score div greatest(1, total div 10^9)`` — every operand nonnegative
+    BIGINT, so truncating division floors identically in both engines and
+    the whole fixed point is partition-independent and replayable by
+    unrolled SQL CTEs (the pagerank oracle discipline; float L2
+    normalization would order-diverge).
+
+    Scale shape per round: two hash joins (scores⋈edges on src, then on
+    dst) and two map-side-combinable sums; the normalizer is a broadcast
+    1-row aggregate, never a driver collect. The edge frame is
+    localCheckpointed once; score vectors stay kilobytes-per-node skinny.
+    """
+    e = pairs.select(src, dst).localCheckpoint(eager=True)
+    hubs = (
+        e.select(F.col(src).alias("node")).distinct().select("node", F.lit(10**9).cast("bigint").alias("h"))
+    )
+    auths = None
+    for _ in range(iters):
+        a = (
+            e.join(hubs, F.col(src) == F.col("node"))
+            .groupBy(F.col(dst).alias("anode"))
+            .agg(F.sum("h").alias("a"))
+        )
+        sa = a.agg(F.sum("a").alias("sa"))
+        auths = (
+            a.crossJoin(F.broadcast(sa))
+            .select(
+                F.col("anode"),
+                F.expr("a div greatest(1L, sa div 1000000000L)").alias("a"),
+            )
+        )
+        h = (
+            e.join(auths, F.col(dst) == F.col("anode"))
+            .groupBy(F.col(src).alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        sh = h.agg(F.sum("h").alias("sh"))
+        hubs = (
+            h.crossJoin(F.broadcast(sh))
+            .select(
+                "node",
+                F.expr("h div greatest(1L, sh div 1000000000L)").alias("h"),
+            )
+        )
+    hub_rows = hubs.select(
+        F.lit("hub").alias("role"),
+        "node",
+        F.col("h").cast("bigint").alias("score_q"),
+        (F.col("h").cast("double") / F.lit(1e9)).alias("score"),
+    )
+    auth_rows = auths.select(
+        F.lit("auth").alias("role"),
+        F.col("anode").alias("node"),
+        F.col("a").cast("bigint").alias("score_q"),
+        (F.col("a").cast("double") / F.lit(1e9)).alias("score"),
+    )
+    return hub_rows.unionByName(auth_rows)

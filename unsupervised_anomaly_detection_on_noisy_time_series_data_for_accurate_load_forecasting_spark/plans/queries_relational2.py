@@ -1877,3 +1877,81 @@ def g_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("clustering", qround(lcc, 9))
     )
+
+
+def _hits_oracle(iters: int = 4) -> str:
+    """Unrolled-iteration replay of the integer-lattice HITS fixed point
+    (every operand nonnegative BIGINT, so // floors identically)."""
+    ctes = [
+        """pairs AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )""",
+        "h0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(1000000000 AS BIGINT) AS h FROM pairs)",
+    ]
+    # AS MATERIALIZED everywhere: each round references the previous one
+    # TWICE (the join and the normalizer's scalar subquery), so DuckDB's
+    # default CTE inlining re-expands the whole chain 2^depth times —
+    # 4 rounds of HITS spin for minutes where the materialized form takes
+    # milliseconds. (Spark needs no analog: the DataFrame DAG is shared.)
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i}r AS MATERIALIZED (
+      SELECT e.dst AS anode, sum(h.h) AS a
+      FROM pairs e JOIN h{i - 1} h ON e.src = h.node GROUP BY 1
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT anode, a // greatest(1, (SELECT sum(a) FROM a{i}r) // 1000000000) AS a
+      FROM a{i}r
+    ),
+    h{i}r AS MATERIALIZED (
+      SELECT e.src AS node, sum(a.a) AS h
+      FROM pairs e JOIN a{i} a ON e.dst = a.anode GROUP BY 1
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT node, h // greatest(1, (SELECT sum(h) FROM h{i}r) // 1000000000) AS h
+      FROM h{i}r
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT 'hub' AS role, node, CAST(h AS BIGINT) AS score_q,
+           CAST(h AS DOUBLE) / 1000000000.0 AS score
+    FROM h{iters}
+    UNION ALL
+    SELECT 'auth', anode, CAST(a AS BIGINT), CAST(a AS DOUBLE) / 1000000000.0
+    FROM a{iters}
+    """
+    )
+
+
+@register(
+    "g_hits",
+    oracle=_hits_oracle,
+    tags=("DEDUP-cc", "J1", "A4"),
+    doc="HITS hubs and authorities (Kleinberg 1999, 4 rounds) over the "
+    "DIRECTED customer->supplier trading graph - the centrality that "
+    "separates broad buyers (hubs: customers whose orders touch the "
+    "strongest suppliers) from widely-demanded suppliers (authorities), "
+    "where PageRank's single score cannot. Scores on the 1e9 integer "
+    "lattice with an integer renormalization each half-round (score div "
+    "greatest(1, total div 1e9)) - no float reduction anywhere, so the "
+    "fixed point is partition-independent and replayed exactly by the "
+    "oracle's unrolled CTEs. Per round: two hash joins + two combinable "
+    "sums + two broadcast 1-row normalizers.",
+)
+def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hits_fixed_point
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_fixed_point(pairs, iters=4)

@@ -1354,3 +1354,72 @@ def s_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hit").cast("bigint").alias("n_hits"),
         qround(dsum("gain") / F.lit(_NDCG_IDCG), 9).alias("ndcg_at_5"),
     )
+
+
+@register(
+    "s_embedding_drift",
+    oracle=lambda: f"""
+    WITH {_LONG},
+    {_ivf_cells_ctes()},
+    per AS (
+      SELECT cell,
+             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM corpus GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS na, CAST(sum(n_b) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS k
+      FROM per
+    )
+    SELECT CAST(per.cell AS INTEGER) AS cell, per.n_a, per.n_b,
+           {qround_sql(
+               "(CAST(per.n_a + 1 AS DOUBLE) / CAST(tot.na + tot.k AS DOUBLE)"
+               " - CAST(per.n_b + 1 AS DOUBLE) / CAST(tot.nb + tot.k AS DOUBLE))"
+               " * (ln(CAST(per.n_a + 1 AS DOUBLE) / CAST(tot.na + tot.k AS DOUBLE))"
+               "    - ln(CAST(per.n_b + 1 AS DOUBLE) / CAST(tot.nb + tot.k AS DOUBLE)))",
+               9,
+           )} AS psi_term
+    FROM per, tot
+    """,
+    tags=("SIM-ivf", "A14", "A2"),
+    doc="Embedding-distribution drift monitor: PSI between two embedding "
+    "cohorts (even vs odd vec_id - the stand-in for yesterday's corpus vs "
+    "today's delta) over the IVF coarse-cell histogram - the a_psi_drift "
+    "recipe lifted from scalar bins to quantizer cells, the check an "
+    "embedding deployment runs before trusting that a refreshed encoder "
+    "or a new crawl slice still populates the index the same way (cell "
+    "drift silently degrades every n_probe recall bound). Per-cell "
+    "add-one-smoothed (p_a - p_b) * ln(p_a / p_b) contributions, quantized "
+    "1e-9; cell assignment is the shared decimal-exact quantizer, so the "
+    "whole monitor is hash-verified. One combinable conditional count per "
+    "cell + a broadcast 1-row total.",
+)
+def s_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+
+    corpus, _ = SIM.ivf_cells(_emb(spark, sf_dir))
+    per = corpus.groupBy("cell").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    tot = per.agg(
+        F.sum("n_a").cast("bigint").alias("na"),
+        F.sum("n_b").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("na") + F.col("k")).cast("double")
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("nb") + F.col("k")).cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "n_a",
+            "n_b",
+            qround((pa - pb) * (F.log(pa) - F.log(pb)), 9).alias("psi_term"),
+        )
+    )

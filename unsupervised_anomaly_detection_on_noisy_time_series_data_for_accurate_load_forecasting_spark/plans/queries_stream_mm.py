@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg_sql, dstd_sql, dsum_sql, qround, qround_py
+from ..functions.exact import davg_sql, dstd_sql, dsum_sql, qround, qround_py, qround_sql
 from ..functions.rng import rng_uniform_sql
 from ..ml import imputer as IM
 from ..operators import anomaly as AN
@@ -1539,4 +1539,60 @@ def mm_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = MM.scene_cuts(media)
     return cuts.select(
         "media_id", "frame_idx", qround(F.col("frame_diff"), 9).alias("frame_diff"), "is_cut"
+    )
+
+
+@register(
+    "stream_volatility_alerts",
+    oracle=f"""
+    WITH stats AS (
+      SELECT user_id, {dstd_sql('value')} AS std_v FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT e.user_id,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + ((CAST(epoch(e.ts) AS BIGINT) // 10800) * 10800) * INTERVAL 1 SECOND
+               AS window_start,
+             e.value, s.std_v
+      FROM events e JOIN stats s ON e.user_id = s.user_id
+    )
+    SELECT CAST(user_id AS VARCHAR) AS series_id, window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {qround_sql('max(value) - min(value)', 6)} AS spread,
+           (({qround_sql('max(value) - min(value)', 6)}) > 4.0 * any_value(std_v)) AS alert
+    FROM w GROUP BY 1, 2
+    """,
+    tags=("STREAM", "A4", "W6", "M14"),
+    doc="Streaming volatility alerting: per (series, tumbling 3 h window) "
+    "max-min spread vs 4x the batch-fitted per-series std (stream-static "
+    "broadcast join, the stream_window_flags pattern) - the intra-window "
+    "swing alarm a grid operator pages on, complementary to the z-score "
+    "flags (a window can swing violently while every point stays inside "
+    "the 2.5-sigma band). max/min are associative, so the watermark-"
+    "bounded windowed agg is micro-batch-slicing-independent and "
+    "Trigger.AvailableNow replay equals batch semantics exactly; spread "
+    "quantized 1e-6 BEFORE the threshold comparison so the alert boolean "
+    "is cross-engine stable. State is one (max, min, count) triple per "
+    "open window per series.",
+)
+def stream_volatility_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.score_stream import run_available_now, series_stats, stream_events
+
+    stream = stream_events(spark, sf_dir).withWatermark("ts", "1 day")
+    stats = series_stats(spark, sf_dir).select("user_id", "std_v")
+    joined = stream.join(F.broadcast(stats), "user_id")
+    agg = joined.groupBy(
+        F.col("user_id"), F.window("ts", "3 hours").alias("w")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        qround(F.max("value") - F.min("value"), 6).alias("spread"),
+        F.first("std_v").alias("std_v"),
+    )
+    name = run_available_now(agg, "stream_vol")
+    return spark.table(name).select(
+        F.col("user_id").cast("string").alias("series_id"),
+        F.col("w.start").alias("window_start"),
+        "n_events",
+        "spread",
+        (F.col("spread") > F.lit(4.0) * F.col("std_v")).alias("alert"),
     )
