@@ -108,14 +108,27 @@ def collect_train(windows: DataFrame) -> pd.DataFrame:
     ).toPandas()
 
 
+def _q6(a: np.ndarray) -> np.ndarray:
+    """Canonicalize a window matrix onto the 1e-6 value lattice before any
+    model consumes it. The training dynamics are chaotic amplifiers: a
+    sub-ulp difference in ONE cleaned value (the imputation chain runs in
+    Arrow islands whose batch shapes vary with session state) grew into a
+    1.3e-3 weight divergence and a deterministic 1e-8 metric mismatch
+    against the mirror at sf0.1 (r11). Snapping both engines' windows to
+    the same lattice BEFORE the fit/forward makes the whole experiment a
+    function of quantized inputs — engine- and session-independent."""
+    return np.floor(a * 1e6 + 0.5) / 1e6
+
+
 def fit_ab_models(train_pdf: pd.DataFrame) -> dict[tuple[str, str], dict[str, np.ndarray]]:
     """Train 4 models: {seq2seq, scinet} × {cleaned, contam}. Deterministic:
-    seeded inits, key-sorted full-batch data, fixed schedules."""
+    seeded inits, key-sorted full-batch data, fixed schedules, inputs
+    canonicalized to the 1e-6 lattice (see :func:`_q6`)."""
     out: dict[tuple[str, str], dict[str, np.ndarray]] = {}
     for variant in VARIANTS:
         suffix = "clean" if variant == "cleaned" else "contam"
-        X = np.stack(train_pdf["in_" + suffix].to_numpy())
-        Y = np.stack(train_pdf["tgt_" + suffix].to_numpy())
+        X = _q6(np.stack(train_pdf["in_" + suffix].to_numpy()))
+        Y = _q6(np.stack(train_pdf["tgt_" + suffix].to_numpy()))
         gru = GRUSeq2Seq(n_in=N_IN, n_out=N_OUT, hidden=GRU_HIDDEN, fc_units=GRU_FC, seed=0)
         gru.fit(X, Y, epochs=GRU_EPOCHS, patience=GRU_PATIENCE)
         sci = SCINetNP(n_in=N_IN, n_out=N_OUT, levels=2, seed=0)
@@ -165,7 +178,7 @@ def predict_test(windows: DataFrame, weights: dict[tuple[str, str], dict]) -> Da
                 continue
             if models is None:
                 models = _models_from_weights(b.value)
-            X = np.stack(pdf["in_clean"].to_numpy())
+            X = _q6(np.stack(pdf["in_clean"].to_numpy()))
             A = np.stack(pdf["tgt_clean"].to_numpy())
             bsz = len(X)
             for (m, v), mod in sorted(models.items()):
@@ -277,7 +290,7 @@ def mirror_predictions(w: pd.DataFrame) -> pd.DataFrame:
     weights = fit_ab_models(mirror_train_windows(w))
     models = _models_from_weights(weights)
     te = w[w["is_test"]].sort_values(["series_id", "wid"]).reset_index(drop=True)
-    X = np.stack(te["in_clean"].to_numpy())
+    X = _q6(np.stack(te["in_clean"].to_numpy()))
     A = np.stack(te["tgt_clean"].to_numpy())
     frames = []
     for (m, v), mod in sorted(models.items()):

@@ -1195,8 +1195,14 @@ def hits_fixed_point(
 
     Scale shape per round: two hash joins (scores⋈edges on src, then on
     dst) and two map-side-combinable sums; the normalizer is a broadcast
-    1-row aggregate, never a driver collect. The edge frame is
-    localCheckpointed once; score vectors stay kilobytes-per-node skinny.
+    1-row aggregate, never a driver collect. Each half-round's raw sum
+    frame is localCheckpointed BEFORE its normalizer broadcasts: the
+    1-row aggregate and the normalized frame both consume the raw sums,
+    and without the lineage cut each consumer re-executes the entire
+    upstream chain — the same 2^depth re-expansion the oracle's
+    MATERIALIZED CTEs prevent (measured: 4 rounds ran ~28 s at EVERY SF
+    un-checkpointed, ~2 s with the cuts; score frames are node-count
+    skinny, so the checkpoints are kilobytes).
     """
     e = pairs.select(src, dst).localCheckpoint(eager=True)
     hubs = (
@@ -1208,6 +1214,7 @@ def hits_fixed_point(
             e.join(hubs, F.col(src) == F.col("node"))
             .groupBy(F.col(dst).alias("anode"))
             .agg(F.sum("h").alias("a"))
+            .localCheckpoint(eager=True)
         )
         sa = a.agg(F.sum("a").alias("sa"))
         auths = (
@@ -1221,6 +1228,7 @@ def hits_fixed_point(
             e.join(auths, F.col(dst) == F.col("anode"))
             .groupBy(F.col(src).alias("node"))
             .agg(F.sum("a").alias("h"))
+            .localCheckpoint(eager=True)
         )
         sh = h.agg(F.sum("h").alias("sh"))
         hubs = (

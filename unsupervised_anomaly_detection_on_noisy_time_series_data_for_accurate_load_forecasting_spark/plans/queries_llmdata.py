@@ -1452,10 +1452,12 @@ def _kl_unigram_oracle() -> str:
     "shift ranking a pretraining mixer reads before setting source weights "
     "(a source with high KL is lexically unlike the rest and dilutes or "
     "diversifies, depending on intent). Add-one smoothing keeps every "
-    "bucket finite; the sum runs over the FULL source x 1024 grid (zero-"
-    "count buckets still carry smoothed mass), built from one sources-"
-    "frame cross join against the kilobyte bucket table - never a "
-    "vocabulary frame. Exactness: each p*ln(p/q) term quantizes to the "
+    "bucket finite; the sum runs over the source x observed-bucket grid "
+    "(a bucket some OTHER source hit still contributes this source's "
+    "smoothed mass; buckets unseen corpus-wide are excluded by definition, "
+    "mirrored in the oracle), built from one sources-frame cross join "
+    "against the kilobyte bucket table - never a vocabulary frame. "
+    "Exactness: each p*ln(p/q) term quantizes to the "
     "1e-12 lattice BEFORE an exact BIGINT term-sum (the a_value_entropy "
     "doctrine at KL precision; each ln input is the same IEEE double in "
     "both engines). 100 TB shape: map-only token hashing, one (source, "

@@ -1550,8 +1550,12 @@ def mm_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT e.user_id,
+             -- floor BEFORE the cast: epoch() is a DOUBLE with fractional
+             -- seconds and CAST(double AS BIGINT) ROUNDS in DuckDB, so an
+             -- event in the last half-second before a boundary would land
+             -- one window late vs Spark's flooring window()
              TIMESTAMP '1970-01-01 00:00:00'
-               + ((CAST(epoch(e.ts) AS BIGINT) // 10800) * 10800) * INTERVAL 1 SECOND
+               + ((CAST(floor(epoch(e.ts)) AS BIGINT) // 10800) * 10800) * INTERVAL 1 SECOND
                AS window_start,
              e.value, s.std_v
       FROM events e JOIN stats s ON e.user_id = s.user_id
