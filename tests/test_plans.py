@@ -700,3 +700,20 @@ def test_hits_rounds_are_joins_plus_combinable_sums(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert not _GLOBAL_WINDOW.search(plan)
+
+
+def test_acf_pacf_is_map_only_after_moments(spark, sf_dir):
+    """The Durbin-Levinson levels are pure column math: exactly one join
+    (the per-series mean) and no window beyond the per-series lag pass."""
+    plan = _plan(REGISTRY["w_acf_pacf"].spark(spark, sf_dir))
+    assert plan.count("ShuffledHashJoin") == 1, "expected only the mean join"
+    assert not _GLOBAL_WINDOW.search(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_wav_band_energy_is_single_island_pass(spark, sf_dir):
+    """The audio fingerprint must stay one Arrow-island map pass — no join,
+    no window, no aggregation-side shuffle."""
+    plan = _plan(REGISTRY["mm_wav_band_energy"].spark(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan

@@ -511,6 +511,18 @@ PICKS = [
         "combinable sums + two 1-row normalizer broadcasts; no window, no "
         "float reduction anywhere.",
     ),
+    (
+        "w_acf_pacf",
+        "ACF/PACF: the Ljung-Box 5-lag window pass + one combinable agg, "
+        "then the Durbin-Levinson levels as pure map-side column math — "
+        "nothing shuffles after the moments.",
+    ),
+    (
+        "mm_wav_band_energy",
+        "Goertzel band energies through the real WAV round trip: one "
+        "Arrow-island pass over repartitioned docs — no join, no window, "
+        "no shuffle after the repartition.",
+    ),
 ]
 
 

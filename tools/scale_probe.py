@@ -121,6 +121,8 @@ QUERIES = [
     "stream_volatility_alerts", # windowed max-min spread alerts (r11)
     "s_embedding_drift",        # PSI over IVF cells, cohort drift (r11)
     "g_hits",                   # integer-lattice HITS fixed point (r11)
+    "w_acf_pacf",               # unrolled Durbin-Levinson PACF (r11)
+    "mm_wav_band_energy",       # Goertzel bands through real WAV (r11)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

@@ -412,3 +412,31 @@ def scene_cuts(media: DataFrame, threshold: float = SCENE_CUT_THRESHOLD) -> Data
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_diff", "is_cut"])
 
     return media.mapInPandas(gen, schema=schema)
+
+
+BAND_FREQS_HZ = (500.0, 1000.0, 2000.0)
+
+
+def band_energies(samples: "np.ndarray", rate: int = 8000) -> list[float]:
+    """Single-bin DFT (Goertzel-equivalent) band energies of an int16
+    sample vector at the fixed :data:`BAND_FREQS_HZ` probe frequencies —
+    the cheap spectral fingerprint an audio-curation pass uses to separate
+    speech-band content from hum/noise. Per frequency:
+    ``(Σ s·cos(2πfn/r))² + (Σ s·sin(2πfn/r))²`` normalized by n², with s
+    scaled to [-1, 1). Deterministic across island and mirror: the trig
+    vectors come from the same numpy/libm on identical (n, rate) inputs,
+    ``np.sum`` is shape-deterministic pairwise summation, and the result
+    is quantized to the 1e-9 lattice before leaving the function."""
+    import math
+
+    s = samples.astype(np.float64) / 32768.0
+    n = len(s)
+    t = np.arange(n, dtype=np.float64)
+    out = []
+    for f in BAND_FREQS_HZ:
+        w = 2.0 * math.pi * f / float(rate)
+        c = float(np.sum(s * np.cos(w * t)))
+        d = float(np.sum(s * np.sin(w * t)))
+        e = (c * c + d * d) / (float(n) * float(n))
+        out.append(math.floor(e * 1e9 + 0.5) / 1e9)
+    return out

@@ -1442,3 +1442,185 @@ def a_forecast_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(davg(F.abs(F.col("f2") - F.col("value"))), 9).alias("mae_n24"),
         qround(davg(F.abs(combo - F.col("value"))), 9).alias("mae_combo"),
     )
+
+
+def _acf_pacf_oracle() -> str:
+    """Mirror of the unrolled Durbin-Levinson recursion. Every arithmetic
+    step is written in the SAME textual order as the Spark columns (left-
+    associated sums, one nullif-guarded division per level), so the float
+    sequences are bit-identical."""
+    rho = f"""
+    WITH {HOURLY_CTE},
+    mu AS (SELECT series_id, {davg_sql('value')} AS m FROM hourly GROUP BY 1),
+    lagged AS (
+      SELECT h.series_id, h.value AS x, mu.m,
+             lag(h.value, 1) OVER w AS x1, lag(h.value, 2) OVER w AS x2,
+             lag(h.value, 3) OVER w AS x3, lag(h.value, 4) OVER w AS x4,
+             lag(h.value, 5) OVER w AS x5
+      FROM hourly h JOIN mu ON h.series_id = mu.series_id
+      WINDOW w AS (PARTITION BY h.series_id ORDER BY h.ts)
+    ),
+    agg AS (
+      SELECT series_id, CAST(count(*) AS BIGINT) AS n,
+             {dsum_sql('(x - m) * (x - m)')} AS den,
+             {dsum_sql('CASE WHEN x1 IS NOT NULL THEN (x - m) * (x1 - m) ELSE 0.0 END')} AS c1,
+             {dsum_sql('CASE WHEN x2 IS NOT NULL THEN (x - m) * (x2 - m) ELSE 0.0 END')} AS c2,
+             {dsum_sql('CASE WHEN x3 IS NOT NULL THEN (x - m) * (x3 - m) ELSE 0.0 END')} AS c3,
+             {dsum_sql('CASE WHEN x4 IS NOT NULL THEN (x - m) * (x4 - m) ELSE 0.0 END')} AS c4,
+             {dsum_sql('CASE WHEN x5 IS NOT NULL THEN (x - m) * (x5 - m) ELSE 0.0 END')} AS c5
+      FROM lagged GROUP BY 1
+    ),
+    rho AS (
+      SELECT series_id, n,
+             c1 / den AS r1, c2 / den AS r2, c3 / den AS r3,
+             c4 / den AS r4, c5 / den AS r5
+      FROM agg WHERE den > 0.0 AND n > 5
+    )"""
+    return f"""{rho},
+    l2 AS (
+      SELECT *, r1 AS p11,
+             (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) AS p22
+      FROM rho
+    ),
+    l2b AS (SELECT *, p11 - p22 * p11 AS p21 FROM l2),
+    l3 AS (
+      SELECT *,
+             (r3 - (p21 * r2 + p22 * r1)) / nullif(1.0 - (p21 * r1 + p22 * r2), 0.0) AS p33
+      FROM l2b
+    ),
+    l3b AS (SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM l3),
+    l4 AS (
+      SELECT *,
+             (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+               / nullif(1.0 - (p31 * r1 + p32 * r2 + p33 * r3), 0.0) AS p44
+      FROM l3b
+    ),
+    l4b AS (
+      SELECT *, p31 - p44 * p33 AS p41, p32 - p44 * p32 AS p42,
+             p33 - p44 * p31 AS p43
+      FROM l4
+    ),
+    l5 AS (
+      SELECT *,
+             (r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1))
+               / nullif(1.0 - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4), 0.0) AS p55
+      FROM l4b
+    )
+    SELECT series_id, n,
+           {qround_sql('r1', 9)} AS acf1, {qround_sql('r2', 9)} AS acf2,
+           {qround_sql('r3', 9)} AS acf3, {qround_sql('r4', 9)} AS acf4,
+           {qround_sql('r5', 9)} AS acf5,
+           {qround_sql('p11', 9)} AS pacf1, {qround_sql('p22', 9)} AS pacf2,
+           {qround_sql('p33', 9)} AS pacf3, {qround_sql('p44', 9)} AS pacf4,
+           {qround_sql('p55', 9)} AS pacf5
+    FROM l5
+    """
+
+
+@register(
+    "w_acf_pacf",
+    oracle=_acf_pacf_oracle,
+    tags=("A12", "W2", "M7"),
+    doc="ACF + PACF at lags 1-5 per series via the unrolled Durbin-Levinson "
+    "recursion - the Box-Jenkins order-selection diagnostic (an AR(p) "
+    "cuts the PACF off after lag p, an MA(q) cuts the ACF; w_ljung_box "
+    "says WHETHER structure exists, this says WHICH model shape). The "
+    "autocovariances ride the same decimal-exact 5-lag window pass as the "
+    "Ljung-Box query; each D-L level is a FIXED left-associated IEEE "
+    "expression with one nullif-guarded division, written textually "
+    "identically in both engines (a grouped float sum over j would be "
+    "order-divergent; the unrolled form is not). Map-only after the one "
+    "mean join + one combinable agg.",
+)
+def w_acf_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import davg, dsum, qround
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    mu = hourly.groupBy("series_id").agg(davg("value").alias("m"))
+    ow = W.partitionBy("series_id").orderBy("ts")
+    lagged = hourly.join(mu.hint("shuffle_hash"), "series_id").select(
+        "series_id",
+        F.col("value").alias("x"),
+        "m",
+        *[F.lag("value", k).over(ow).alias(f"x{k}") for k in range(1, 6)],
+    )
+
+    def cterm(k: int):
+        xk = F.col(f"x{k}")
+        return dsum(
+            F.when(xk.isNotNull(), (F.col("x") - F.col("m")) * (xk - F.col("m"))).otherwise(0.0)
+        ).alias(f"c{k}")
+
+    agg = lagged.groupBy("series_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias("den"),
+        *[cterm(k) for k in range(1, 6)],
+    )
+    rho = agg.filter((F.col("den") > 0.0) & (F.col("n") > 5)).select(
+        "series_id",
+        "n",
+        *[(F.col(f"c{k}") / F.col("den")).alias(f"r{k}") for k in range(1, 6)],
+    )
+    r = {k: F.col(f"r{k}") for k in range(1, 6)}
+    p11 = r[1]
+    d = rho.withColumn("p11", p11).withColumn(
+        "p22",
+        (r[2] - F.col("p11") * r[1]) / F.nullif(F.lit(1.0) - F.col("p11") * r[1], F.lit(0.0)),
+    )
+    d = d.withColumn("p21", F.col("p11") - F.col("p22") * F.col("p11"))
+    d = d.withColumn(
+        "p33",
+        (r[3] - (F.col("p21") * r[2] + F.col("p22") * r[1]))
+        / F.nullif(F.lit(1.0) - (F.col("p21") * r[1] + F.col("p22") * r[2]), F.lit(0.0)),
+    )
+    d = d.withColumn("p31", F.col("p21") - F.col("p33") * F.col("p22")).withColumn(
+        "p32", F.col("p22") - F.col("p33") * F.col("p21")
+    )
+    d = d.withColumn(
+        "p44",
+        (r[4] - (F.col("p31") * r[3] + F.col("p32") * r[2] + F.col("p33") * r[1]))
+        / F.nullif(
+            F.lit(1.0)
+            - (F.col("p31") * r[1] + F.col("p32") * r[2] + F.col("p33") * r[3]),
+            F.lit(0.0),
+        ),
+    )
+    d = (
+        d.withColumn("p41", F.col("p31") - F.col("p44") * F.col("p33"))
+        .withColumn("p42", F.col("p32") - F.col("p44") * F.col("p32"))
+        .withColumn("p43", F.col("p33") - F.col("p44") * F.col("p31"))
+    )
+    d = d.withColumn(
+        "p55",
+        (
+            r[5]
+            - (
+                F.col("p41") * r[4]
+                + F.col("p42") * r[3]
+                + F.col("p43") * r[2]
+                + F.col("p44") * r[1]
+            )
+        )
+        / F.nullif(
+            F.lit(1.0)
+            - (
+                F.col("p41") * r[1]
+                + F.col("p42") * r[2]
+                + F.col("p43") * r[3]
+                + F.col("p44") * r[4]
+            ),
+            F.lit(0.0),
+        ),
+    )
+    return d.select(
+        "series_id",
+        "n",
+        *[qround(F.col(f"r{k}"), 9).alias(f"acf{k}") for k in range(1, 6)],
+        qround(F.col("p11"), 9).alias("pacf1"),
+        qround(F.col("p22"), 9).alias("pacf2"),
+        qround(F.col("p33"), 9).alias("pacf3"),
+        qround(F.col("p44"), 9).alias("pacf4"),
+        qround(F.col("p55"), 9).alias("pacf5"),
+    )

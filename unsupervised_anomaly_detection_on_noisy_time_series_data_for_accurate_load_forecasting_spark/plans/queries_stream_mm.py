@@ -1600,3 +1600,79 @@ def stream_volatility_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spread",
         (F.col("spread") > F.lit(4.0) * F.col("std_v")).alias("alert"),
     )
+
+
+def _mm_band_oracle() -> str:
+    """Mirror that never touches WAV: same int16 samples, same quantized
+    band-energy helper — the stdlib-codec round trip is what's on trial."""
+    from ..operators.multimodal import band_energies
+
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        e = band_energies(_doc_samples(r.text))
+        rows.append(
+            f"({int(r.doc_id)}::BIGINT,{e[0]!r}::DOUBLE,{e[1]!r}::DOUBLE,{e[2]!r}::DOUBLE)"
+        )
+    return (
+        "SELECT media_id, e500, e1000, e2000,"
+        " CAST(CASE WHEN e500 >= e1000 AND e500 >= e2000 THEN 500"
+        "           WHEN e1000 >= e2000 THEN 1000 ELSE 2000 END AS INTEGER)"
+        " AS dominant_hz FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, e500, e1000, e2000)"
+    )
+
+
+@register(
+    "mm_wav_band_energy",
+    oracle=_mm_band_oracle,
+    tags=("MM-codec", "M7", "F7"),
+    doc="Audio band-energy fingerprint through the REAL WAV round trip: "
+    "per doc, int16 samples encode to WAV and decode back through the "
+    "stdlib codec inside Arrow islands, then single-bin DFT (Goertzel) "
+    "energies at 500/1000/2000 Hz - the spectral screen an audio-curation "
+    "pass runs to separate speech-band content from hum before paying for "
+    "transcription (the w_dft_power doctrine applied to audio). The "
+    "shared helper quantizes each energy to the 1e-9 lattice INSIDE the "
+    "kernel, so island and mirror emit identical doubles; the dominant "
+    "band is integer CASE logic over quantized values in both engines. "
+    "Map-only: one Arrow island pass, no shuffle, no window.",
+)
+def mm_wav_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def island(batches):
+        from ..operators import codecs as CX
+        from ..operators.multimodal import band_energies
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                wav = CX.encode_wav(_doc_samples(text), rate=8000)
+                samples, rate = CX.decode_wav(bytes(wav))
+                e = band_energies(samples, rate=rate)
+                dom = 500 if (e[0] >= e[1] and e[0] >= e[2]) else (1000 if e[1] >= e[2] else 2000)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "e500": e[0],
+                        "e1000": e[1],
+                        "e2000": e[2],
+                        "dominant_hz": dom,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        island,
+        schema="media_id long, e500 double, e1000 double, e2000 double, dominant_hz int",
+    )
