@@ -380,6 +380,20 @@ def test_hits_matches_python_replay(spark):
     assert got == want
 
 
+def test_hits_rejects_nonpositive_iters(spark):
+    """iters < 1 has no defined fixed point (auths never assigned) — the
+    operator must fail fast with a clear contract error, not AttributeError."""
+    import pytest
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        hits_fixed_point,
+    )
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iters >= 1"):
+        hits_fixed_point(df, iters=0)
+
+
 def test_dft_power_matches_numpy_goertzel(spark, sf_dir):
     """Independent single-node replay of w_dft_power: collect the hourly
     series, mean-center with the same decimal-exact mean, multiply by the

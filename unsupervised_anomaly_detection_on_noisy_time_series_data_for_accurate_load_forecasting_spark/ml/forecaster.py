@@ -179,7 +179,9 @@ def predict_test(windows: DataFrame, weights: dict[tuple[str, str], dict]) -> Da
             if models is None:
                 models = _models_from_weights(b.value)
             X = _q6(np.stack(pdf["in_clean"].to_numpy()))
-            A = np.stack(pdf["tgt_clean"].to_numpy())
+            # targets feed the metric path — quantize them too, so the whole
+            # experiment (fit AND eval) is a function of lattice inputs
+            A = _q6(np.stack(pdf["tgt_clean"].to_numpy()))
             bsz = len(X)
             for (m, v), mod in sorted(models.items()):
                 P = mod.predict(X)
@@ -291,7 +293,7 @@ def mirror_predictions(w: pd.DataFrame) -> pd.DataFrame:
     models = _models_from_weights(weights)
     te = w[w["is_test"]].sort_values(["series_id", "wid"]).reset_index(drop=True)
     X = _q6(np.stack(te["in_clean"].to_numpy()))
-    A = np.stack(te["tgt_clean"].to_numpy())
+    A = _q6(np.stack(te["tgt_clean"].to_numpy()))
     frames = []
     for (m, v), mod in sorted(models.items()):
         P = mod.predict(X)

@@ -1204,6 +1204,8 @@ def hits_fixed_point(
     un-checkpointed, ~2 s with the cuts; score frames are node-count
     skinny, so the checkpoints are kilobytes).
     """
+    if iters < 1:
+        raise ValueError(f"hits_fixed_point requires iters >= 1, got {iters}")
     e = pairs.select(src, dst).localCheckpoint(eager=True)
     hubs = (
         e.select(F.col(src).alias("node")).distinct().select("node", F.lit(10**9).cast("bigint").alias("h"))

@@ -1316,8 +1316,8 @@ def w_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t GROUP BY 1
     )
     SELECT series_id, n_hours,
-           {qround_sql('(CAST(n_hours AS DOUBLE) * sxy - sx * sy) / sqrt((CAST(n_hours AS DOUBLE) * sxx - sx * sx) * (CAST(n_hours AS DOUBLE) * syy - sy * sy))', 9)} AS corr_system,
-           {qround_sql('(CAST(n_hours AS DOUBLE) * sxy - sx * sy) / (CAST(n_hours AS DOUBLE) * syy - sy * sy)', 9)} AS beta_system
+           {qround_sql('(CAST(n_hours AS DOUBLE) * sxy - sx * sy) / nullif(sqrt((CAST(n_hours AS DOUBLE) * sxx - sx * sx) * (CAST(n_hours AS DOUBLE) * syy - sy * sy)), 0.0)', 9)} AS corr_system,
+           {qround_sql('(CAST(n_hours AS DOUBLE) * sxy - sx * sy) / nullif(CAST(n_hours AS DOUBLE) * syy - sy * sy, 0.0)', 9)} AS beta_system
     FROM agg
     """,
     tags=("A4", "J1", "A12"),
@@ -1352,11 +1352,16 @@ def w_system_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
     denx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    # Constant series make denx (or deny) exactly 0.0; ANSI double division
+    # raises DIVIDE_BY_ZERO where DuckDB would emit inf/NaN. try_divide over
+    # a nullif'd denominator yields NULL in both engines identically.
     return agg.select(
         "series_id",
         "n_hours",
-        qround(num / F.sqrt(denx * deny), 9).alias("corr_system"),
-        qround(num / deny, 9).alias("beta_system"),
+        qround(
+            F.try_divide(num, F.nullif(F.sqrt(denx * deny), F.lit(0.0))), 9
+        ).alias("corr_system"),
+        qround(F.try_divide(num, F.nullif(deny, F.lit(0.0))), 9).alias("beta_system"),
     )
 
 

@@ -1729,8 +1729,11 @@ def g_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
            CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
-           floor(((sxy / m2 - (sx / m2) * (sx / m2))
-                  / (sxx / m2 - (sx / m2) * (sx / m2))) * 1000000000.0 + 0.5)
+           floor(((sxy / nullif(m2, 0.0)
+                   - (sx / nullif(m2, 0.0)) * (sx / nullif(m2, 0.0)))
+                  / nullif(sxx / nullif(m2, 0.0)
+                           - (sx / nullif(m2, 0.0)) * (sx / nullif(m2, 0.0)),
+                           0.0)) * 1000000000.0 + 0.5)
              / 1000000000.0 AS assortativity
     FROM agg
     """,
@@ -1779,10 +1782,15 @@ def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = und.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_edges")
     ).crossJoin(deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
-    mean = F.col("sx") / F.col("m2")
-    r = (F.col("sxy") / F.col("m2") - mean * mean) / (
-        F.col("sxx") / F.col("m2") - mean * mean
-    )
+    # A degree-regular graph zeroes the variance denominator exactly (degree
+    # arithmetic is integer-exact in doubles) and an empty edge set zeroes
+    # m2; ANSI double division would raise DIVIDE_BY_ZERO where DuckDB emits
+    # NaN. try_divide over nullif'd denominators yields NULL in both engines.
+    m2n = F.nullif(F.col("m2"), F.lit(0.0))
+    mean = F.try_divide(F.col("sx"), m2n)
+    num = F.try_divide(F.col("sxy"), m2n) - mean * mean
+    den = F.try_divide(F.col("sxx"), m2n) - mean * mean
+    r = F.try_divide(num, F.nullif(den, F.lit(0.0)))
     return counts.crossJoin(F.broadcast(agg)).select(
         "n_nodes", "n_edges", qround(r, 9).alias("assortativity")
     )

@@ -1546,7 +1546,11 @@ def mm_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_volatility_alerts",
     oracle=f"""
     WITH stats AS (
-      SELECT user_id, {dstd_sql('value')} AS std_v FROM events GROUP BY 1
+      -- HAVING >= 2 mirrors series_stats(min_events=2): a singleton user's
+      -- std is NULL under Spark's try_divide but 0.0/0.0 = NaN under the
+      -- IEEE (n-1) divisor here, which would flip the alert boolean.
+      SELECT user_id, {dstd_sql('value')} AS std_v FROM events
+      GROUP BY 1 HAVING count(*) >= 2
     ),
     w AS (
       SELECT e.user_id,
@@ -1583,7 +1587,7 @@ def stream_volatility_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.score_stream import run_available_now, series_stats, stream_events
 
     stream = stream_events(spark, sf_dir).withWatermark("ts", "1 day")
-    stats = series_stats(spark, sf_dir).select("user_id", "std_v")
+    stats = series_stats(spark, sf_dir, min_events=2).select("user_id", "std_v")
     joined = stream.join(F.broadcast(stats), "user_id")
     agg = joined.groupBy(
         F.col("user_id"), F.window("ts", "3 hours").alias("w")

@@ -55,17 +55,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def series_stats(spark: SparkSession, sf_dir: str, min_events: int = 1) -> DataFrame:
     """Batch-fitted per-series mean/std — the static side of the join.
     Exact-moment arithmetic (functions/exact.py) so the streaming flags are
-    oracle-reproducible."""
+    oracle-reproducible. ``min_events=2`` drops singleton users, whose std
+    is NULL under Spark's try_divide but NaN under an IEEE (n-1) divisor —
+    consumers comparing against std must exclude them identically in both
+    engines (mirror with HAVING count(*) >= 2 in the oracle)."""
     from ..functions.exact import davg, dstd
     from ..sources.readers import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(F.col("user_id")).agg(
-        davg("value").alias("mean_v"), dstd("value").alias("std_v")
+    agg = ev.groupBy(F.col("user_id")).agg(
+        davg("value").alias("mean_v"),
+        dstd("value").alias("std_v"),
+        F.count(F.lit(1)).alias("_n_fit"),
     )
+    if min_events > 1:
+        agg = agg.filter(F.col("_n_fit") >= F.lit(min_events))
+    return agg.drop("_n_fit")
 
 
 def stream_window_flags(
