@@ -217,6 +217,51 @@ def holt_winters_fixed_point(df: DataFrame, period: int = 24) -> DataFrame:
     )
 
 
+def ets_damped_fixed_point(df: DataFrame) -> DataFrame:
+    """Damped-trend exponential smoothing — ETS(A,Ad,N), the Holt's-linear
+    variant practitioners reach for first on load data because the damping
+    keeps long-horizon forecasts from extrapolating a transient ramp —
+    per series on the 1e-6 fixed-point lattice (the Holt-Winters
+    discipline minus the seasonal state):
+
+        pb  = floor(9·b / 10)                      (φ = 0.9 damped trend)
+        l'  = floor((2·x + 8·(l + pb)) / 10)        (α = 0.2)
+        b'  = floor(((l' − l) + 9·pb) / 10)         (β = 0.1)
+
+    Every divide is a pmod-reduced floor division (:func:`_fd`), so the
+    recurrence is integer-exact and replayable by a recursive CTE. Init is
+    the classic Holt pair l₀ = x₂, b₀ = x₂ − x₁ (series shorter than 3
+    points are dropped — no defined trend). Outputs the final state, the
+    one-step forecast l + pb, and the damped asymptote l + 9·b (for
+    φ = 0.9 the geometric sum φ/(1−φ) is exactly 9 — an integer
+    expression, no float pow). One aggregate-HOF fold per series,
+    per-series parallel, no per-row Python."""
+    arr = F.array_sort(F.collect_list(F.struct(TS, VAL)))
+    g = df.groupBy(SID).agg(arr.alias("pts")).filter(F.size("pts") > 2)
+    q = f"transform(pts, s -> cast(floor(s.{VAL} * 1000000.0D + 0.5D) as bigint))"
+    pb = _fd("9 * acc.b", 10)
+    l_new = _fd(f"2 * x + 8 * (acc.l + ({pb}))", 10)
+    b_new = _fd(f"(({l_new}) - acc.l) + 9 * ({pb})", 10)
+    fold = (
+        f"aggregate(slice({q}, 3, size({q}) - 2), "
+        f"named_struct('l', element_at({q}, 2), "
+        f"'b', element_at({q}, 2) - element_at({q}, 1)), "
+        f"(acc, x) -> named_struct('l', {l_new}, 'b', {b_new}))"
+    )
+    out = g.select(SID, F.expr(fold).alias("ets"), F.size("pts").alias("n_points"))
+    pbf = _fd("9 * ets.b", 10)
+    return out.select(
+        SID,
+        F.col("ets.l").alias("level_q"),
+        F.col("ets.b").alias("trend_q"),
+        F.expr(f"ets.l + ({pbf})").alias("forecast1_q"),
+        F.expr("ets.l + 9 * ets.b").alias("forecast_inf_q"),
+        (F.col("ets.l").cast("double") / F.lit(1e6)).alias("level"),
+        (F.expr(f"ets.l + ({pbf})").cast("double") / F.lit(1e6)).alias("forecast1"),
+        F.col("n_points").cast("bigint").alias("n_points"),
+    )
+
+
 def cusum_flags_fixed_point(
     df: DataFrame, k_milli: int = 500, h_units: int = 4
 ) -> DataFrame:

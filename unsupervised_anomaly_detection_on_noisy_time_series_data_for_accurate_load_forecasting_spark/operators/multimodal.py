@@ -332,6 +332,43 @@ def ahash_bands(img: "np.ndarray") -> tuple[int, int, int, int]:
     return tuple(bands)
 
 
+def phash_bands(img: "np.ndarray") -> tuple[int, int, int, int]:
+    """64-bit DCT perceptual hash (pHash) of a grayscale/luma image as FOUR
+    16-bit band ints — the frequency-domain sibling of :func:`ahash_bands`
+    (aHash fingerprints brightness layout; pHash fingerprints low-frequency
+    structure, so it survives contrast shifts aHash misses).
+
+    Spec (deterministic given identical pixels): luma = channel 0 for 3-D
+    input (the JPEG decoder's (h, w, 1) grayscale), the array itself for
+    2-D; sample a 32×32 grid at nearest-index rows/cols (the ahash_bands
+    linspace convention); block-average each 4×4 cell to an 8×8 matrix
+    (integer-sum / 16 — exact in doubles); apply the 8×8 orthonormal DCT-II
+    from the JPEG codec (operators/codecs.py `_JPEG_DCT` — the round trip's
+    own basis); bit j (row-major) = 1 iff coeff_j > median, where the
+    median is the 32nd-smallest of the 63 AC coefficients (odd count — an
+    exact element, never an average of two floats). Floats appear only
+    inside this one shared kernel, so the engine island and the oracle
+    mirror emit bit-identical bands."""
+    from .codecs import _JPEG_DCT
+
+    g = (img if img.ndim == 2 else img[:, :, 0]).astype(np.float64)
+    h, w = g.shape
+    ri = np.linspace(0, h - 1, 32).astype(int)
+    ci = np.linspace(0, w - 1, 32).astype(int)
+    s = g[np.ix_(ri, ci)]
+    blocks = s.reshape(8, 4, 8, 4).sum(axis=(1, 3)) / 16.0
+    coeffs = (_JPEG_DCT @ blocks @ _JPEG_DCT.T).ravel()
+    med = float(np.sort(coeffs[1:])[31])
+    bits = (coeffs > med).astype(int)
+    bands = []
+    for k in range(4):
+        v = 0
+        for j in range(16):
+            v = (v << 1) | int(bits[16 * k + j])
+        bands.append(v)
+    return tuple(bands)
+
+
 SILENCE_THRESHOLD = 8192  # |int16 sample| below this counts as silence
 SILENCE_MIN_RUN = 4
 

@@ -212,6 +212,58 @@ def w_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FC.holt_winters_fixed_point(hourly, period=24)
 
 
+def _ets_oracle() -> str:
+    """Recursive-CTE replay of the damped-trend ETS recurrence (the
+    Holt-Winters oracle pattern minus the seasonal list state)."""
+    fd = _hw_duck_fd
+    x = "qs[t + 1]"
+    pb = fd("9 * b", 10)
+    l_new = fd(f"2 * ({x}) + 8 * (l + ({pb}))", 10)
+    b_new = fd(f"(({l_new}) - l) + 9 * ({pb})", 10)
+    return f"""
+    WITH RECURSIVE {{HOURLY}},
+    arr AS (
+      SELECT series_id,
+             list(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) ORDER BY ts) AS qs
+      FROM hourly GROUP BY 1
+    ),
+    base AS (SELECT series_id, qs, len(qs) AS n FROM arr WHERE len(qs) > 2),
+    step AS (
+      SELECT series_id, qs, n, qs[2] AS l, qs[2] - qs[1] AS b, 2 AS t
+      FROM base
+      UNION ALL
+      SELECT series_id, qs, n, {l_new}, {b_new}, t + 1
+      FROM step WHERE t < n
+    )
+    SELECT series_id, l AS level_q, b AS trend_q,
+           l + ({pb}) AS forecast1_q,
+           l + 9 * b AS forecast_inf_q,
+           CAST(l AS DOUBLE) / 1000000.0 AS level,
+           CAST(l + ({pb}) AS DOUBLE) / 1000000.0 AS forecast1,
+           CAST(n AS BIGINT) AS n_points
+    FROM step WHERE t = n
+    """.replace("{HOURLY}", HOURLY_CTE)
+
+
+@register(
+    "w_ets_damped",
+    oracle=_ets_oracle,
+    tags=("W3", "M20", "A12"),
+    doc="Damped-trend exponential smoothing ETS(A,Ad,N), φ=0.9 α=0.2 β=0.1 "
+    "on the 1e-6 fixed-point lattice — the forecaster practitioners reach "
+    "for first on load data when a transient ramp must not extrapolate "
+    "linearly (next to w_holt_winters, which carries the seasonal state "
+    "instead). Every smoothing step is an exact rational update with "
+    "pmod-reduced floor division, so the fold is bit-exact in any engine; "
+    "the damped asymptote uses φ/(1−φ) = 9 exactly (integer, no float "
+    "pow). One aggregate-HOF fold per series; oracle replays the "
+    "recurrence with a recursive CTE.",
+)
+def w_ets_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    return FC.ets_damped_fixed_point(hourly)
+
+
 
 def _cusum_oracle() -> str:
     """Recursive-CTE replay of the integer CUSUM fold (same discipline as

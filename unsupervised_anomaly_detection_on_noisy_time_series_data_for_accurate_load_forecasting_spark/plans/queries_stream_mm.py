@@ -1226,6 +1226,151 @@ def mm_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_phash_oracle() -> str:
+    """Mirror that never touches JPEG: rebuilds the block-constant mosaic
+    (bit-exact through baseline JPEG at q90, the mm_jpeg_real_features
+    argument) and derives the same 4×16-bit pHash bands via the shared
+    kernel; DuckDB itself re-runs the banded candidate join and the Hamming
+    arithmetic — the codec round trip AND the pair logic are both on
+    trial."""
+    from ..operators.multimodal import phash_bands
+
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        b0, b1, b2, b3 = phash_bands(_doc_tiles(r.text))
+        rows.append(f"({int(r.doc_id)}::BIGINT,{b0},{b1},{b2},{b3})")
+    ham = " + ".join(f"bit_count(xor(ha.b{k}, hb.b{k}))" for k in range(4))
+    return f"""
+    WITH h(media_id, b0, b1, b2, b3) AS (VALUES {",".join(rows)}),
+    bands AS (
+      SELECT media_id, k AS band_id,
+             CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+      FROM h, (SELECT unnest([0, 1, 2, 3]) AS k)
+    ),
+    ranked AS (
+      SELECT media_id, band_id, bv,
+             row_number() OVER (PARTITION BY band_id, bv ORDER BY media_id) AS rk
+      FROM bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS ida, b.media_id AS idb
+      FROM ranked a JOIN ranked b
+        ON a.band_id = b.band_id AND a.bv = b.bv
+       AND b.rk - a.rk BETWEEN 1 AND {_AHASH_WINDOW}
+    )
+    SELECT ida, idb, CAST({ham} AS INTEGER) AS hamming,
+           ({ham} <= 6) AS is_near
+    FROM cand JOIN h ha ON ha.media_id = ida JOIN h hb ON hb.media_id = idb
+    """
+
+
+@register(
+    "mm_phash_near_dup",
+    oracle=_mm_phash_oracle,
+    tags=("MM-codec", "DEDUP-simhash", "J5"),
+    doc="Image near-dup via 64-bit DCT perceptual hash over the REAL JPEG "
+    "round trip: each doc's block-constant mosaic encodes to baseline "
+    "JFIF and decodes back through the stdlib huffman+DCT codec inside "
+    "Arrow islands, hashes to 4x16-bit pHash bands (the codec's own 8x8 "
+    "DCT basis applied to a 32x32->8x8 block-averaged luma grid, bits "
+    "against the exact AC median - the frequency-domain complement of "
+    "mm_ahash_near_dup), and candidate pairs form ONLY on band equality "
+    "with sorted-neighborhood rank capping (never all-pairs) before the "
+    "exact Hamming check. Block-constant mosaics round-trip bit-exactly "
+    "through q90 baseline JPEG, so the oracle rebuilds the same pixels "
+    "WITHOUT any JPEG and replays the band join + Hamming itself.",
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def enc(batches):
+        from ..operators import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                img = _doc_tiles(text)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "payload": bytearray(CX.encode_jpeg(img, quality=90)),
+                        "meta": {
+                            "mime": "image/jpeg",
+                            "width": int(img.shape[1]),
+                            "height": int(img.shape[0]),
+                            "n_frames": 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    def hash_island(batches):
+        from ..operators import codecs as CX
+        from ..operators.multimodal import phash_bands
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b0, b1, b2, b3 = phash_bands(CX.decode_jpeg(bytes(payload)))
+                out.append(
+                    {"media_id": int(mid), "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(enc, schema=MM.MEDIA_SCHEMA)
+    # three consumers (band explode + both Hamming sides) would re-run the
+    # JPEG encode→decode islands 3× without a lineage cut; the hash frame
+    # is skinny (id + four 16-bit ints), so the checkpoint is kilobytes
+    hashes = media.mapInPandas(
+        hash_island, schema="media_id long, b0 int, b1 int, b2 int, b3 int"
+    ).localCheckpoint(eager=True)
+    bands = hashes.select(
+        "media_id", F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_id", "bv")
+    )
+    from pyspark.sql import Window as W
+
+    wspec = W.partitionBy("band_id", "bv").orderBy("media_id")
+    ranked = bands.withColumn("rk", F.row_number().over(wspec))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("b.rk") - F.col("a.rk")).between(1, _AHASH_WINDOW),
+        )
+        .select(F.col("a.media_id").alias("ida"), F.col("b.media_id").alias("idb"))
+        .distinct()
+    )
+    ha = hashes.select(F.col("media_id").alias("ida"), *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)])
+    hb = hashes.select(F.col("media_id").alias("idb"), *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)])
+    ham = None
+    for k in range(4):
+        term = F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}")))
+        ham = term if ham is None else ham + term
+    return (
+        cand.join(ha, "ida")
+        .join(hb, "idb")
+        .select(
+            "ida",
+            "idb",
+            ham.cast("int").alias("hamming"),
+            (ham <= F.lit(6)).alias("is_near"),
+        )
+    )
+
+
 @register(
     "stream_upsert_sink",
     oracle="""
