@@ -1681,3 +1681,409 @@ def w_acf_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.col("p44"), 9).alias("pacf4"),
         qround(F.col("p55"), 9).alias("pacf5"),
     )
+
+
+@register(
+    "w_kpss_stat",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    q AS (
+      SELECT series_id, ts, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM hourly
+    ),
+    w AS (
+      SELECT series_id, qv,
+             row_number() OVER pw AS t,
+             sum(qv) OVER (PARTITION BY series_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS cs,
+             sum(qv) OVER (PARTITION BY series_id) AS totq,
+             count(*) OVER (PARTITION BY series_id) AS n
+      FROM q WINDOW pw AS (PARTITION BY series_id ORDER BY ts)
+    ),
+    d AS (
+      SELECT series_id, n,
+             CAST(cs AS DOUBLE) / 1000000.0
+               - CAST(t AS DOUBLE) * (CAST(totq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)) AS sdev,
+             CAST(qv AS DOUBLE) / 1000000.0
+               - CAST(totq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS edev
+      FROM w
+    ),
+    agg AS (
+      SELECT series_id, CAST(any_value(n) AS BIGINT) AS n_points,
+             {dsum_sql('sdev * sdev')} AS ss2, {dsum_sql('edev * edev')} AS se2
+      FROM d GROUP BY 1
+    )
+    SELECT series_id, n_points,
+           {qround_sql('ss2 / nullif(CAST(n_points AS DOUBLE) * se2, 0.0)', 9)} AS kpss_eta,
+           ({qround_sql('ss2 / nullif(CAST(n_points AS DOUBLE) * se2, 0.0)', 9)} <= 0.463)
+             AS level_stationary
+    FROM agg
+    """,
+    tags=("A12", "W6", "A4"),
+    doc="KPSS level-stationarity statistic per series (Kwiatkowski et al. "
+    "1992, lag-0 long-run variance): eta = sum(S_t^2) / (n^2 * s^2) with "
+    "S_t the cumulative demeaned partial sum - the diagnostic a forecaster "
+    "runs BEFORE differencing (eta above the 5% critical value 0.463 "
+    "rejects level stationarity; complements w_acf_pacf, which picks the "
+    "order AFTER that decision). Exactness: the partial sums accumulate "
+    "QUANTIZED BIGINTs (a float window-cumsum would be association-"
+    "ordered differently by DuckDB's segment tree vs Spark's running "
+    "fold), and every derived per-row double is one fixed IEEE expression "
+    "over exact integers; eta's final divide is nullif-guarded for "
+    "constant series identically in both engines. One window pass + one "
+    "combinable two-moment agg.",
+)
+def w_kpss_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import dsum, qround
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    q = hourly.select(
+        "series_id",
+        "ts",
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("qv"),
+    )
+    ow = W.partitionBy("series_id").orderBy("ts")
+    pw = W.partitionBy("series_id")
+    w = q.select(
+        "series_id",
+        "qv",
+        F.row_number().over(ow).alias("t"),
+        F.sum("qv").over(ow.rowsBetween(W.unboundedPreceding, 0)).alias("cs"),
+        F.sum("qv").over(pw).alias("totq"),
+        F.count(F.lit(1)).over(pw).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("totq").cast("double") / (nd * F.lit(1000000.0))
+    d = w.select(
+        "series_id",
+        "n",
+        (F.col("cs").cast("double") / F.lit(1000000.0) - F.col("t").cast("double") * mean).alias("sdev"),
+        (F.col("qv").cast("double") / F.lit(1000000.0) - mean).alias("edev"),
+    )
+    agg = d.groupBy("series_id").agg(
+        F.first("n").cast("bigint").alias("n_points"),
+        dsum(F.col("sdev") * F.col("sdev")).alias("ss2"),
+        dsum(F.col("edev") * F.col("edev")).alias("se2"),
+    )
+    eta = qround(
+        F.col("ss2") / F.nullif(F.col("n_points").cast("double") * F.col("se2"), F.lit(0.0)),
+        9,
+    )
+    return agg.select(
+        "series_id", "n_points", eta.alias("kpss_eta"), (eta <= F.lit(0.463)).alias("level_stationary")
+    )
+
+
+@register(
+    "w_perm_census",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    t AS (
+      SELECT series_id, value AS x1,
+             lead(value, 1) OVER w AS x2, lead(value, 2) OVER w AS x3
+      FROM hourly WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+    ),
+    u AS (
+      SELECT series_id,
+             4 * CASE WHEN x2 > x1 THEN 1 ELSE 0 END
+               + 2 * CASE WHEN x3 > x2 THEN 1 ELSE 0 END
+               + CASE WHEN x3 > x1 THEN 1 ELSE 0 END AS pattern_code
+      FROM t WHERE x3 IS NOT NULL
+    )
+    SELECT series_id, CAST(pattern_code AS INTEGER) AS pattern_code,
+           CAST(count(*) AS BIGINT) AS n,
+           {qround_sql('CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER (PARTITION BY series_id) AS DOUBLE)', 9)} AS share
+    FROM u GROUP BY 1, 2
+    """,
+    tags=("A4", "W2", "M7"),
+    doc="Ordinal-pattern census (the counting core of permutation entropy, "
+    "Bandt-Pompe 2002, order 3): per series, classify every consecutive "
+    "value triple by its strict-inequality pattern (3 comparison bits -> "
+    "8 codes; a monotone ramp concentrates on one code, noise spreads "
+    "over all) and emit per-pattern counts and shares. Integer "
+    "comparisons only - no entropy log ever crosses engines; downstream "
+    "can take -sum(p*log p) on the shares. Two lead windows + one "
+    "combinable count + one tiny share window over the 8-row-per-series "
+    "group frame.",
+)
+def w_perm_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import qround
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    ow = W.partitionBy("series_id").orderBy("ts")
+    t = hourly.select(
+        "series_id",
+        F.col("value").alias("x1"),
+        F.lead("value", 1).over(ow).alias("x2"),
+        F.lead("value", 2).over(ow).alias("x3"),
+    ).filter(F.col("x3").isNotNull())
+    code = (
+        F.lit(4) * (F.col("x2") > F.col("x1")).cast("int")
+        + F.lit(2) * (F.col("x3") > F.col("x2")).cast("int")
+        + (F.col("x3") > F.col("x1")).cast("int")
+    )
+    g = t.select("series_id", code.alias("pattern_code")).groupBy(
+        "series_id", "pattern_code"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    share_w = W.partitionBy("series_id")
+    return g.select(
+        "series_id",
+        F.col("pattern_code").cast("int").alias("pattern_code"),
+        "n",
+        qround(
+            F.col("n").cast("double") / F.sum("n").over(share_w).cast("double"), 9
+        ).alias("share"),
+    )
+
+
+_HURST_SCALES = (32, 64, 128)
+
+
+@register(
+    "w_hurst_rs",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    q AS (
+      SELECT series_id, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS qv,
+             row_number() OVER (PARTITION BY series_id ORDER BY ts) - 1 AS rn
+      FROM hourly
+    ),
+    sc(scale) AS (VALUES {", ".join(f"({s})" for s in _HURST_SCALES)}),
+    ch AS (
+      SELECT series_id, scale, rn // scale AS chunk, qv,
+             row_number() OVER cw AS t,
+             sum(qv) OVER (PARTITION BY series_id, scale, rn // scale ORDER BY rn
+                           ROWS UNBOUNDED PRECEDING) AS cs,
+             sum(qv) OVER pw AS totq,
+             count(*) OVER pw AS cn
+      FROM q CROSS JOIN sc
+      WINDOW cw AS (PARTITION BY series_id, scale, rn // scale ORDER BY rn),
+             pw AS (PARTITION BY series_id, scale, rn // scale)
+    ),
+    d AS (
+      SELECT series_id, scale, chunk,
+             CAST(cs AS DOUBLE) / 1000000.0
+               - CAST(t AS DOUBLE) * (CAST(totq AS DOUBLE) / (CAST(scale AS DOUBLE) * 1000000.0)) AS sdev,
+             CAST(qv AS DOUBLE) / 1000000.0
+               - CAST(totq AS DOUBLE) / (CAST(scale AS DOUBLE) * 1000000.0) AS edev
+      FROM ch WHERE cn = scale
+    ),
+    chag AS (
+      SELECT series_id, scale, chunk,
+             max(sdev) - min(sdev) AS r,
+             sqrt({dsum_sql('edev * edev')} / CAST(any_value(scale) AS DOUBLE)) AS sigma
+      FROM d GROUP BY 1, 2, 3
+    ),
+    ok AS (SELECT series_id, scale, r / sigma AS rs FROM chag WHERE sigma > 0.0)
+    SELECT series_id, CAST(scale AS INTEGER) AS scale,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           {qround_sql(dsum_sql('rs') + ' / CAST(count(*) AS DOUBLE)', 9)} AS rs_avg
+    FROM ok GROUP BY 1, 2
+    """,
+    tags=("A4", "W1", "A3"),
+    doc="Rescaled-range (R/S) statistic per series at dyadic chunk scales "
+    "32/64/128 h - the raw material of the Hurst exponent (Hurst 1951; "
+    "H = slope of log R/S vs log n, so downstream takes log2(rs_128/"
+    "rs_32)/2 WITHOUT any cross-engine libm log here): long-memory load "
+    "series show R/S growing faster than sqrt(n), mean-reverting noise "
+    "slower. Per chunk, the range of the demeaned cumulative deviation "
+    "over the population std; partial sums accumulate QUANTIZED BIGINTs "
+    "(the w_kpss_stat discipline - float window-cumsums associate "
+    "differently across engines), every derived double one fixed IEEE "
+    "expression, constant chunks (sigma = 0) excluded identically in "
+    "both engines. Shape: one window pass per (series x 3 scales) + two "
+    "combinable aggs - chunk counts shrink 32-128x before the final agg.",
+)
+def w_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import dsum, qround
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    q = hourly.select(
+        "series_id",
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("qv"),
+        (F.row_number().over(W.partitionBy("series_id").orderBy("ts")) - 1).alias("rn"),
+    )
+    scales = q.sparkSession.createDataFrame(
+        [(s,) for s in _HURST_SCALES], "scale int"
+    )
+    t = q.crossJoin(F.broadcast(scales)).withColumn(
+        "chunk", F.expr("rn div scale")
+    )
+    cw = W.partitionBy("series_id", "scale", "chunk").orderBy("rn")
+    pw = W.partitionBy("series_id", "scale", "chunk")
+    ch = t.select(
+        "series_id",
+        "scale",
+        "chunk",
+        "qv",
+        F.row_number().over(cw).alias("t"),
+        F.sum("qv").over(cw.rowsBetween(W.unboundedPreceding, 0)).alias("cs"),
+        F.sum("qv").over(pw).alias("totq"),
+        F.count(F.lit(1)).over(pw).alias("cn"),
+    ).filter(F.col("cn") == F.col("scale"))
+    sd = F.col("scale").cast("double")
+    mean = F.col("totq").cast("double") / (sd * F.lit(1000000.0))
+    d = ch.select(
+        "series_id",
+        "scale",
+        "chunk",
+        (F.col("cs").cast("double") / F.lit(1000000.0) - F.col("t").cast("double") * mean).alias("sdev"),
+        (F.col("qv").cast("double") / F.lit(1000000.0) - mean).alias("edev"),
+    )
+    chag = d.groupBy("series_id", "scale", "chunk").agg(
+        (F.max("sdev") - F.min("sdev")).alias("r"),
+        F.sqrt(
+            dsum(F.col("edev") * F.col("edev")) / F.first("scale").cast("double")
+        ).alias("sigma"),
+    )
+    ok = chag.filter(F.col("sigma") > 0.0).select(
+        "series_id", "scale", (F.col("r") / F.col("sigma")).alias("rs")
+    )
+    n = F.count(F.lit(1))
+    return ok.groupBy("series_id", "scale").agg(
+        n.cast("bigint").alias("n_chunks"),
+        qround(dsum("rs") / n.cast("double"), 9).alias("rs_avg"),
+    ).select(
+        "series_id", F.col("scale").cast("int").alias("scale"), "n_chunks", "rs_avg"
+    )
+
+
+def _harm_strings() -> dict[str, str]:
+    """Shared SQL expression strings for the 3-parameter harmonic OLS
+    (Cramer's rule over the decimal-exact moment columns) — the SAME text
+    is parsed by Spark's F.expr and embedded in the DuckDB oracle, so both
+    engines evaluate the identical fixed IEEE expression tree. Division
+    guards are `/(nullif(., 0.0))` (valid in both dialects; try_divide is
+    Spark-only)."""
+    det = (
+        "(n3 * (sss * scc - ssc * ssc)"
+        " - ss * (ss * scc - ssc * sc)"
+        " + sc * (ss * ssc - sss * sc))"
+    )
+    det0 = (
+        "(sy * (sss * scc - ssc * ssc)"
+        " - ss * (sys * scc - ssc * syc)"
+        " + sc * (sys * ssc - sss * syc))"
+    )
+    det1 = (
+        "(n3 * (sys * scc - ssc * syc)"
+        " - sy * (ss * scc - ssc * sc)"
+        " + sc * (ss * syc - sys * sc))"
+    )
+    det2 = (
+        "(n3 * (sss * syc - sys * ssc)"
+        " - ss * (ss * syc - sys * sc)"
+        " + sy * (ss * ssc - sss * sc))"
+    )
+    return {
+        "b0": f"({det0} / nullif({det}, 0.0))",
+        "bs": f"({det1} / nullif({det}, 0.0))",
+        "bc": f"({det2} / nullif({det}, 0.0))",
+        "amp": "sqrt(bs * bs + bc * bc)",
+        "sse": "(syy - b0 * sy - bs * sys - bc * syc)",
+        "sst": "(syy - sy * sy / n3)",
+        "r2": "(1.0 - (syy - b0 * sy - bs * sys - bc * syc)"
+        " / nullif(syy - sy * sy / n3, 0.0))",
+    }
+
+
+_HARM = _harm_strings()
+
+
+@register(
+    "a_harmonic_regression",
+    oracle=f"""
+    WITH {HOURLY_CTE},
+    ph24(p, c, s) AS (VALUES {_PH24_SQL}),
+    t AS (
+      SELECT h.series_id, h.value AS y, a.s AS sv, a.c AS cv
+      FROM hourly h
+      JOIN ph24 a ON CAST((CAST(epoch(h.ts) AS BIGINT) // 3600) % 24 AS INTEGER) = a.p
+    ),
+    m AS (
+      SELECT series_id, CAST(count(*) AS DOUBLE) AS n3,
+             CAST(count(*) AS BIGINT) AS n_points,
+             {dsum_sql('sv')} AS ss, {dsum_sql('cv')} AS sc,
+             {dsum_sql('sv * sv')} AS sss, {dsum_sql('cv * cv')} AS scc,
+             {dsum_sql('sv * cv')} AS ssc,
+             {dsum_sql('y')} AS sy, {dsum_sql('y * sv')} AS sys,
+             {dsum_sql('y * cv')} AS syc, {dsum_sql('y * y')} AS syy
+      FROM t GROUP BY 1
+    ),
+    fit AS (
+      SELECT series_id, n_points, n3, sy, sys, syc, syy,
+             {_HARM['b0']} AS b0, {_HARM['bs']} AS bs, {_HARM['bc']} AS bc
+      FROM m
+    )
+    SELECT series_id, n_points,
+           {qround_sql('b0', 9)} AS intercept,
+           {qround_sql(_HARM['amp'], 9)} AS diurnal_amp,
+           {qround_sql(_HARM['r2'], 9)} AS r2
+    FROM fit
+    """,
+    tags=("A12", "M7", "F7"),
+    doc="Closed-form harmonic regression per series: OLS of load on "
+    "[1, sin(2*pi*h/24), cos(2*pi*h/24)] via Cramer's rule over ten "
+    "decimal-exact moments - the parametric twin of w_dft_power (the DFT "
+    "measures the diurnal amplitude on the residual-free grid; this fits "
+    "it jointly with an intercept and reports goodness-of-fit, the "
+    "calendar-feature baseline every load forecaster starts from). The "
+    "trig features come from the SAME 24-entry literal table as "
+    "w_dft_power (no cross-engine libm), and the Cramer/amp/R2 arithmetic "
+    "is ONE shared expression string parsed by both engines, so the IEEE "
+    "evaluation trees are identical; degenerate designs (constant series, "
+    "<3 distinct hours) yield NULL via nullif in both. 100 TB shape: "
+    "map-only feature lookup + one combinable 10-moment agg per series.",
+)
+def a_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import dsum, qround
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    sa = F.array(*[F.lit(s) for _, _, s in _PH24])
+    ca = F.array(*[F.lit(c) for _, c, _ in _PH24])
+    hr = (F.unix_timestamp("ts") / F.lit(3600)).cast("bigint")
+    p24 = F.pmod(hr, F.lit(24)).cast("int")
+    t = hourly.select(
+        "series_id",
+        F.col("value").alias("y"),
+        F.element_at(sa, p24 + 1).alias("sv"),
+        F.element_at(ca, p24 + 1).alias("cv"),
+    )
+    m = t.groupBy("series_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n3"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        dsum("sv").alias("ss"),
+        dsum("cv").alias("sc"),
+        dsum(F.col("sv") * F.col("sv")).alias("sss"),
+        dsum(F.col("cv") * F.col("cv")).alias("scc"),
+        dsum(F.col("sv") * F.col("cv")).alias("ssc"),
+        dsum("y").alias("sy"),
+        dsum(F.col("y") * F.col("sv")).alias("sys"),
+        dsum(F.col("y") * F.col("cv")).alias("syc"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    fit = m.select(
+        "series_id",
+        "n_points",
+        "n3",
+        "sy",
+        "sys",
+        "syc",
+        "syy",
+        F.expr(_HARM["b0"]).alias("b0"),
+        F.expr(_HARM["bs"]).alias("bs"),
+        F.expr(_HARM["bc"]).alias("bc"),
+    )
+    return fit.select(
+        "series_id",
+        "n_points",
+        qround(F.col("b0"), 9).alias("intercept"),
+        qround(F.expr(_HARM["amp"]), 9).alias("diurnal_amp"),
+        qround(F.expr(_HARM["r2"]), 9).alias("r2"),
+    )
