@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum_sql
+from ..functions.exact import dsum_sql, qround_sql
 from ..functions.rng import M, rng_draw, rng_draw_sql, rng_uniform, rng_uniform_sql
 from ..operators import dedup as DD
 from ..operators import textops as TX
@@ -2164,4 +2164,87 @@ def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_al.alias("r_alpha"),
         r_st.alias("r_stopwords"),
         (r_wc & r_ml & r_al & r_st).alias("pass"),
+    )
+
+
+_TTR_SEG = 50  # tokens per MSTTR segment
+
+
+@register(
+    "t_ttr_hapax",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, toks, len(toks) AS n_tokens,
+             list_distinct(toks) AS types
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(types) AS BIGINT) AS n_types,
+           {qround_sql('CAST(len(types) AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0.0)', 9)} AS ttr,
+           CAST(len(list_filter(types, ty -> len(list_filter(toks, x -> x = ty)) = 1)) AS BIGINT)
+             AS n_hapax,
+           {qround_sql('CAST(len(list_filter(types, ty -> len(list_filter(toks, x -> x = ty)) = 1)) AS DOUBLE) / nullif(CAST(len(types) AS DOUBLE), 0.0)', 9)} AS hapax_ratio,
+           {qround_sql(f'''CASE WHEN n_tokens >= {_TTR_SEG} THEN
+             list_sum(list_transform(range(0, CAST(n_tokens // {_TTR_SEG} AS INTEGER)),
+               i -> CAST(len(list_distinct(toks[i * {_TTR_SEG} + 1 : i * {_TTR_SEG} + {_TTR_SEG}])) AS DOUBLE) / {float(_TTR_SEG)}))
+             / CAST(n_tokens // {_TTR_SEG} AS DOUBLE) END''', 9)} AS msttr{_TTR_SEG}
+    FROM m
+    """,
+    tags=("TXT-tokens", "TXT-quality"),
+    doc="Lexical-diversity triple per document: raw type-token ratio, "
+    "hapax-legomenon ratio (share of types occurring exactly once - the "
+    "vocabulary-breadth signal length-normalized corpora filters use), "
+    f"and MSTTR-{_TTR_SEG} (mean TTR over consecutive full {_TTR_SEG}-"
+    "token segments - the classic fix for TTR's length bias). All three "
+    "are integer counting + one fixed IEEE division; the per-segment mean "
+    "folds left-to-right over a bounded segment list in both engines "
+    "(docs are kilobytes, so the per-doc quadratic hapax scan is cheap "
+    "and the whole query is map-only - no shuffle, no window).",
+)
+def t_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    m = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+        F.array_distinct(toks).alias("types"),
+    )
+    hapax = F.size(
+        F.filter(
+            F.col("types"),
+            lambda ty: F.size(F.filter(F.col("toks"), lambda x: x == ty)) == 1,
+        )
+    )
+    nseg = F.expr(f"n_tokens div {_TTR_SEG}")
+    seg_ttrs = F.transform(
+        F.sequence(F.lit(0), nseg.cast("int") - 1),
+        lambda i: F.size(
+            F.array_distinct(F.slice(F.col("toks"), i * _TTR_SEG + 1, _TTR_SEG))
+        ).cast("double")
+        / F.lit(float(_TTR_SEG)),
+    )
+    msttr = F.when(
+        F.col("n_tokens") >= _TTR_SEG,
+        F.aggregate(seg_ttrs, F.lit(0.0), lambda a, x: a + x) / nseg.cast("double"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.size("types").cast("bigint").alias("n_types"),
+        qround(
+            F.size("types").cast("double")
+            / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+            9,
+        ).alias("ttr"),
+        hapax.cast("bigint").alias("n_hapax"),
+        qround(
+            hapax.cast("double") / F.nullif(F.size("types").cast("double"), F.lit(0.0)),
+            9,
+        ).alias("hapax_ratio"),
+        qround(msttr, 9).alias(f"msttr{_TTR_SEG}"),
     )
