@@ -2248,3 +2248,133 @@ def t_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hapax_ratio"),
         qround(msttr, 9).alias(f"msttr{_TTR_SEG}"),
     )
+
+
+_WIN_K = 8  # k-gram length (chars)
+_WIN_W = 16  # winnowing window (grams)
+_WIN_NEIGH = 8  # sorted-neighborhood span within a fingerprint bucket
+
+
+@register(
+    "t_winnowing_fp",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < {_WIN_K} THEN CAST([] AS BIGINT[])
+             ELSE list_transform(range(1, length(text) - {_WIN_K - 2}),
+               i -> list_reduce(list_concat([CAST(7 AS BIGINT)],
+                      list_transform(range(0, {_WIN_K}),
+                        j -> CAST(unicode(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT))),
+                    (a, c) -> (a * 31 + c) % {M}))
+             END AS grams
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN len(grams) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(grams) < {_WIN_W} THEN [list_aggregate(grams, 'min')]
+                  ELSE list_distinct(list_transform(range(1, len(grams) - {_WIN_W - 2}),
+                         j -> list_aggregate(grams[j : j + {_WIN_W - 1}], 'min')))
+             END AS fps
+      FROM g
+    ),
+    cnt AS (SELECT doc_id, len(fps) AS nfp FROM f),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    r AS (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+      FROM e
+    ),
+    cand AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS n_shared
+      FROM r a JOIN r b ON a.fp = b.fp AND b.rk - a.rk BETWEEN 1 AND {_WIN_NEIGH}
+      GROUP BY 1, 2
+    )
+    SELECT ida, idb, CAST(n_shared AS BIGINT) AS n_shared,
+           {qround_sql('CAST(n_shared AS DOUBLE) / CAST(ca.nfp + cb.nfp - n_shared AS DOUBLE)', 9)} AS jaccard_est
+    FROM cand JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+    WHERE n_shared >= 2
+    """,
+    tags=("TXT-fingerprint", "DEDUP-minhash", "J5"),
+    doc="Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003, "
+    "the MOSS algorithm): per doc, polynomial hashes of all 8-char grams, "
+    "then the minimum hash of every 16-gram window - winnowing guarantees "
+    "any shared substring of length >= k + w - 1 produces a shared "
+    "fingerprint, the detection guarantee MinHash lacks. Near-dup pairs "
+    "form ONLY inside equal-fingerprint buckets with the sorted-"
+    "neighborhood rank cap (the LSH doctrine - never all-pairs), scored "
+    "by shared-fingerprint count and the containment-style Jaccard "
+    "estimate over distinct fingerprint sets. All hashing is exact "
+    "integer arithmetic in both engines (the poly_hash fold); per-doc "
+    "gram lists are bounded by doc length, so the HOF pass is map-only "
+    "and the only shuffles are the fingerprint bucket join and the two "
+    "count joins.",
+)
+def t_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+
+    d = _docs(spark, sf_dir)
+    # decompose the string into a code array in its OWN projection: an
+    # inline split/substring inside the gram lambda is re-evaluated per
+    # invocation (substring re-seeks from the head, split re-allocates the
+    # whole array) — O(len²) per doc, a measured multi-minute hang even at
+    # sf0.001; with the hoisted column the same work is ~4 s
+    codes_expr = "transform(split(text, ''), ch -> cast(ascii(ch) as bigint))"
+    grams_expr = (
+        f"CASE WHEN size(codes) < {_WIN_K} THEN array() "
+        f"ELSE transform(sequence(1, size(codes) - {_WIN_K - 1}), "
+        f"i -> aggregate(slice(codes, i, {_WIN_K}), "
+        f"7L, (a, c) -> pmod(a * 31 + c, {M}L))) END"
+    )
+    fps_expr = (
+        "CASE WHEN size(grams) = 0 THEN array() "
+        f"WHEN size(grams) < {_WIN_W} THEN array(array_min(grams)) "
+        f"ELSE array_distinct(transform(sequence(1, size(grams) - {_WIN_W - 1}), "
+        f"j -> array_min(slice(grams, j, {_WIN_W})))) END"
+    )
+    # localCheckpoint is load-bearing twice over: (1) the fingerprint frame
+    # is consumed by both the bucket explode and the per-doc counts, and
+    # (2) WITHOUT a barrier Catalyst's CollapseProject merges these three
+    # projections back into one, substituting `codes` textually into the
+    # per-gram lambda — re-splitting the string per gram, the exact O(len²)
+    # this staging exists to avoid (measured: minutes vs ~4 s at sf0.001).
+    # One row per doc with a ~dozen-entry int list — kilobytes.
+    f_df = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.expr(codes_expr).alias("codes"))
+        .select("doc_id", F.expr(grams_expr).alias("grams"))
+        .select("doc_id", F.expr(fps_expr).alias("fps"))
+        .localCheckpoint(eager=True)
+    )
+    cnt = f_df.select("doc_id", F.size("fps").alias("nfp"))
+    e = f_df.select("doc_id", F.explode("fps").alias("fp"))
+    r = e.withColumn(
+        "rk", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    )
+    a, b = r.alias("a"), r.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("b.rk") - F.col("a.rk")).between(1, _WIN_NEIGH),
+        )
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    ca = cnt.select(F.col("doc_id").alias("ida"), F.col("nfp").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("idb"), F.col("nfp").alias("nb"))
+    return (
+        cand.join(ca, "ida")
+        .join(cb, "idb")
+        .select(
+            "ida",
+            "idb",
+            "n_shared",
+            qround(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
+                9,
+            ).alias("jaccard_est"),
+        )
+    )
