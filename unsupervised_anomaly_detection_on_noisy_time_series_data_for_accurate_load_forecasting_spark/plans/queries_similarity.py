@@ -1423,3 +1423,146 @@ def s_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround((pa - pb) * (F.log(pa) - F.log(pb)), 9).alias("psi_term"),
         )
     )
+
+
+_RP_K = 16  # projected dimensions
+_RP_SALT = 300  # rng salt for the sign matrix (distinct from LSH planes' 100)
+
+
+def _rp_signs() -> "list[list[float]]":
+    """Deterministic 16×64 Rademacher sign matrix (±1.0) from the shared
+    counter RNG keyed (out_dim, in_dim) — generated ONCE in Python and
+    embedded as identical literals in both plans (the _plane_matrix / trig-
+    table doctrine). ±1 entries make every projection an exact signed sum
+    of the input coordinates: no float weights enter the fold."""
+    import numpy as np
+
+    from ..functions.rng import rng_draw_np
+
+    js, is_ = np.meshgrid(
+        np.arange(_RP_K, dtype=np.int64),
+        np.arange(1, SIM.DIM + 1, dtype=np.int64),
+        indexing="ij",
+    )
+    d = rng_draw_np([js.ravel(), is_.ravel()], salt=_RP_SALT)
+    return (1.0 - 2.0 * (d % 2)).reshape(_RP_K, SIM.DIM).tolist()
+
+
+def _rp_oracle() -> str:
+    signs = _rp_signs()
+    rows = ", ".join(
+        f"({j}, {i + 1}, {s!r})"
+        for j, row in enumerate(signs)
+        for i, s in enumerate(row)
+    )
+    lfold = lambda terms: (
+        f"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], {terms}), (acc, v) -> acc + v)"
+    )
+    pd_terms = f"list_transform(range(1, {_RP_K + 1}), j -> a.ps[j] * b.ps[j])"
+    pn_terms = lambda t: f"list_transform(range(1, {_RP_K + 1}), j -> {t}.ps[j] * {t}.ps[j])"
+    return f"""
+    WITH signs(j, i, s) AS (VALUES {rows}),
+    {_LONG},
+    nm AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM long GROUP BY 1),
+    proj AS (
+      SELECT l.vec_id, sg.j, {dsum_sql('l.x * sg.s')} AS p
+      FROM long l JOIN signs sg ON l.i = sg.i
+      GROUP BY 1, 2
+    ),
+    parr AS (SELECT vec_id, list(p ORDER BY j) AS ps FROM proj GROUP BY 1),
+    dots AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb, {dsum_sql('a.x * b.x')} AS dot
+      FROM long a JOIN long b ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT d.ida, d.idb,
+             {qround_sql('d.dot / nullif(sqrt(na.sq * nb.sq), 0.0)', 9)} AS cos_orig,
+             {qround_sql(f'{lfold(pd_terms)} / nullif(sqrt(({lfold(pn_terms("a"))}) * ({lfold(pn_terms("b"))})), 0.0)', 9)} AS cos_proj
+      FROM dots d
+      JOIN nm na ON d.ida = na.vec_id JOIN nm nb ON d.idb = nb.vec_id
+      JOIN parr a ON d.ida = a.vec_id JOIN parr b ON d.idb = b.vec_id
+    )
+    SELECT ida, idb, cos_orig, cos_proj, abs(cos_proj - cos_orig) AS abs_err
+    FROM c
+    """
+
+
+@register(
+    "s_random_projection",
+    oracle=_rp_oracle,
+    tags=("ANN", "J5", "F8"),
+    doc="Johnson-Lindenstrauss sanity probe: project the 64-d embeddings to "
+    f"{_RP_K}-d with a deterministic Rademacher (±1) matrix from the shared "
+    "counter RNG, then compare original vs projected cosine on consecutive-"
+    "id pairs - the measurement a pipeline runs BEFORE committing to a "
+    "cheaper projected index (is 4x compression's cosine error acceptable "
+    "for this corpus?). Exactness: ±1 signs mean each projection is a "
+    "signed sum routed through the decimal-exact fold; the 16-term "
+    "projected dot/norm sums fold LEFT-TO-RIGHT from an explicit 0.0 seed "
+    "in both engines (identical IEEE order), and both cosines are 1e-9-"
+    "quantized before the error difference. 100 TB shape: projection is "
+    "map-only per vector; the pair comparison is one 1-to-1 equi-join on "
+    "adjacent ids - no quadratic anywhere.",
+)
+def s_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+    from ..operators.similarity import ddot_expr, dnorm_sq
+
+    signs = _rp_signs()
+    sg_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{s!r}D" for s in row) + ")" for row in signs
+        )
+        + ")"
+    )
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        dnorm_sq("embedding").alias("sq"),
+        F.expr(
+            f"transform({sg_lit}, sj -> {ddot_expr('embedding', 'sj')})"
+        ).alias("ps"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("sq").alias("sqa"),
+        F.col("ps").alias("pa"),
+    )
+    b = e.select(
+        (F.col("vec_id") - 1).alias("ida"),
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("sq").alias("sqb"),
+        F.col("ps").alias("pb"),
+    )
+    lfold = lambda arr: f"aggregate({arr}, cast(0.0 as double), (acc, v) -> acc + v)"
+    j = a.join(b, "ida").select(
+        "ida",
+        "idb",
+        qround(
+            F.expr(ddot_expr("ea", "eb"))
+            / F.nullif(F.sqrt(F.col("sqa") * F.col("sqb")), F.lit(0.0)),
+            9,
+        ).alias("cos_orig"),
+        qround(
+            F.expr(lfold("zip_with(pa, pb, (x, y) -> x * y)"))
+            / F.nullif(
+                F.sqrt(
+                    F.expr(lfold("zip_with(pa, pa, (x, y) -> x * y)"))
+                    * F.expr(lfold("zip_with(pb, pb, (x, y) -> x * y)"))
+                ),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("cos_proj"),
+    )
+    return j.select(
+        "ida",
+        "idb",
+        "cos_orig",
+        "cos_proj",
+        F.abs(F.col("cos_proj") - F.col("cos_orig")).alias("abs_err"),
+    )
