@@ -1825,3 +1825,80 @@ def mm_wav_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         island,
         schema="media_id long, e500 double, e1000 double, e2000 double, dominant_hz int",
     )
+
+
+def _ewma_control_oracle() -> str:
+    """Recursive-CTE replay of the streaming EWMA control fold: DuckDB steps
+    the exact (e, Σq, Σq², alerts) recurrence itself per user in event_id
+    order — the stateful operator's whole trajectory is on trial, not just
+    its final smoothed value (the Holt-Winters oracle discipline applied to
+    a stream)."""
+    fd = "(((x2) - ((x2) % 10 + 10) % 10) // 10)"
+    e_new = fd.replace("x2", "2 * qs[t + 1] + 8 * e")
+    var_prev = (
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(t AS DOUBLE)) / CAST(t - 1 AS DOUBLE)"
+    )
+    mu_prev = "CAST(s1 AS DOUBLE) / CAST(t AS DOUBLE)"
+    return f"""
+    WITH RECURSIVE arr AS (
+      SELECT user_id,
+             list(CAST(floor(value * 1000.0 + 0.5) AS BIGINT) ORDER BY event_id) AS qs
+      FROM events GROUP BY 1
+    ),
+    base AS (SELECT user_id, qs, len(qs) AS n FROM arr),
+    step AS (
+      SELECT user_id, qs, n, 1 AS t,
+             qs[1] AS e, qs[1] AS s1, qs[1] * qs[1] AS s2,
+             CAST(0 AS BIGINT) AS alerts
+      FROM base
+      UNION ALL
+      SELECT user_id, qs, n, t + 1,
+             {e_new},
+             s1 + qs[t + 1],
+             s2 + qs[t + 1] * qs[t + 1],
+             alerts + CASE WHEN t >= 30 AND ({var_prev}) > 0.0
+                            AND abs(CAST({e_new} AS DOUBLE) - ({mu_prev}))
+                                > sqrt({var_prev})
+                           THEN 1 ELSE 0 END
+      FROM step WHERE t < n
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events, e AS ewma_q,
+           alerts AS n_alerts
+    FROM step WHERE t = n
+    """
+
+
+@register(
+    "stream_ewma_control",
+    oracle=_ewma_control_oracle,
+    tags=("STREAM", "W3", "W6", "M14"),
+    doc="Streaming EWMA control chart (Roberts 1959) per user: the W3 "
+    "integer smoothing fold (alpha = 0.2 on the 1e-3 lattice) runs as "
+    "applyInPandasWithState with O(1) state (count, fixed-point EWMA, two "
+    "exact prefix moments, alert count), alerting when the smoothed value "
+    "leaves the mu +- 3*sigma*sqrt(alpha/(2-alpha)) band - which for "
+    "alpha = 0.2 is EXACTLY mu +- sigma, so no float constant enters the "
+    "comparison. The chart catches small sustained drifts the per-point "
+    "z-score flags (stream_online_flags) miss - the complementary half of "
+    "the SPC pair. mu/sigma come from exact integer moments of strictly "
+    "preceding values; the whole trajectory is a function of event_id "
+    "order, replayed step-for-step by the oracle's recursive CTE.",
+)
+def stream_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.score_stream import run_available_now, stream_events
+    from ..streaming.stateful import stream_ewma_control as sec
+
+    s = stream_events(spark, sf_dir)
+    out = sec(s)
+    name = run_available_now(out, "stream_ewma", output_mode="append")
+    t = spark.table(name)
+    m = t.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "ewma_q", "n_alerts")).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.col("m.n_events").alias("n_events"),
+        F.col("m.ewma_q").alias("ewma_q"),
+        F.col("m.n_alerts").alias("n_alerts"),
+    )

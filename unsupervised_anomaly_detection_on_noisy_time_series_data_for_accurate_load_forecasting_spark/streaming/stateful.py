@@ -214,3 +214,97 @@ def stream_theta_users(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming EWMA control chart -------------------------------------------
+
+EWMA_WARMUP = 30  # alerts need >= this many PRIOR observations
+
+EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma_q", T.LongType()),
+        T.StructField("n_alerts", T.LongType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("e", T.LongType()),  # fixed-point EWMA (1e-3 lattice)
+        T.StructField("s1", T.StringType()),  # exact Σq as decimal text
+        T.StructField("s2", T.StringType()),  # exact Σq² as decimal text
+        T.StructField("alerts", T.LongType()),
+    ]
+)
+
+
+def _ewma_control(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user EWMA control chart (Roberts 1959) on the 1e-3 lattice.
+
+    The smoothing step is the W3 integer fold (e' = ⌊(2q + 8e)/10⌋, α = 0.2,
+    floor division — Python // floors exactly like the engines'
+    pmod-reduced div), and the control limit is the classic
+    L·σ·sqrt(α/(2−α)) with L = 3: for α = 0.2 the factor is exactly 1/3,
+    so the alert test collapses to |e − μ| > σ — no float constant enters
+    the comparison. μ/σ come from the exact integer prefix moments of the
+    STRICTLY PRECEDING values (the online_zscore_flags convention), so the
+    whole fold is a function of (event_id-ordered values) — deterministic
+    at any partitioning and replayable by a recursive CTE."""
+    n0, e0, s1_0, s2_0, a0 = (
+        state.get if state.exists else (0, 0, "0", "0", 0)
+    )
+    n, e, s1, s2, alerts = int(n0), int(e0), int(s1_0), int(s2_0), int(a0)
+
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    v = pdf["value"].to_numpy(dtype=np.float64)
+    qs = np.floor(v * 1000.0 + 0.5).astype(np.int64)
+
+    for q in qs:
+        q = int(q)
+        if n == 0:
+            e = q
+        else:
+            # Python // floors for negatives too — identical to the engines'
+            # pmod-reduced floor division
+            e = (2 * q + 8 * e) // 10
+            if n >= EWMA_WARMUP:
+                var = (float(s2) - float(s1) * float(s1) / float(n)) / float(n - 1)
+                if var > 0.0 and abs(float(e) - float(s1) / float(n)) > var ** 0.5:
+                    alerts += 1
+        s1 += q
+        s2 += q * q
+        n += 1
+
+    state.update((n, e, str(s1), str(s2), alerts))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": int(key[0]),
+                "n_events": n,
+                "ewma_q": e,
+                "n_alerts": alerts,
+            }
+        ]
+    )
+
+
+def stream_ewma_control(stream: DataFrame) -> DataFrame:
+    """Per-user streaming EWMA control chart over the event stream: state is
+    five scalars per user (count, fixed-point EWMA, two exact prefix
+    moments, alert count) — O(1) regardless of stream length."""
+    return (
+        stream.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_control,
+            outputStructType=EWMA_OUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
