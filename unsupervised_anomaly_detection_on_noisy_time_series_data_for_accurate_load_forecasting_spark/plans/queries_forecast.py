@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg_sql, dsum_sql, qround_sql
+from ..functions.exact import davg_sql, dec_sql, dsum_sql, qround_sql
 from ..operators import anomaly as AN
 from ..operators import forecast as FC
 from ..operators import timeseries as TSO
@@ -2086,4 +2086,180 @@ def a_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.col("b0"), 9).alias("intercept"),
         qround(F.expr(_HARM["amp"]), 9).alias("diurnal_amp"),
         qround(F.expr(_HARM["r2"]), 9).alias("r2"),
+    )
+
+
+@register(
+    "w_seasonal_strength",
+    oracle=f"""
+    WITH {FILLED_CTE},
+    w AS (
+      SELECT series_id, value,
+             CAST(sum({dec_sql('value')}) OVER mw AS DOUBLE) / 25.0 AS trend,
+             count(*) OVER mw AS wn,
+             CAST((CAST(epoch(ts) AS BIGINT) // 3600) % 24 AS INTEGER) AS hod
+      FROM filled
+      WINDOW mw AS (PARTITION BY series_id ORDER BY ts
+                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    d AS (SELECT series_id, hod, value, value - trend AS det FROM w WHERE wn = 25),
+    s AS (SELECT series_id, hod, {davg_sql('det')} AS seas FROM d GROUP BY 1, 2),
+    r AS (
+      SELECT d.series_id, d.det, d.det - s.seas AS rem, d.value - s.seas AS deseas
+      FROM d JOIN s ON d.series_id = s.series_id AND d.hod = s.hod
+    ),
+    agg AS (
+      SELECT series_id, CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(*) AS BIGINT) AS n_points,
+             {dsum_sql('det')} AS sd, {dsum_sql('det * det')} AS sd2,
+             {dsum_sql('rem')} AS sr, {dsum_sql('rem * rem')} AS sr2,
+             {dsum_sql('deseas')} AS su, {dsum_sql('deseas * deseas')} AS su2
+      FROM r GROUP BY 1
+    )
+    SELECT series_id, n_points,
+           {qround_sql('greatest(0.0, 1.0 - (sr2 - sr * sr / n) / nullif(sd2 - sd * sd / n, 0.0))', 9)} AS seasonal_strength,
+           {qround_sql('greatest(0.0, 1.0 - (sr2 - sr * sr / n) / nullif(su2 - su * su / n, 0.0))', 9)} AS trend_strength
+    FROM agg WHERE n >= 2.0
+    """,
+    tags=("A4", "M7", "W1"),
+    doc="STL-lite seasonal/trend strength per series (Wang-Smith-Hyndman "
+    "2006, the measures behind the 'feasts' feature set): detrend with a "
+    "centered 25 h moving average on the gap-filled grid (full windows "
+    "only), estimate the diurnal component as the per-(series, hour) mean "
+    "of the detrended values, then strength_seasonal = 1 - SS(remainder)/"
+    "SS(detrended) and strength_trend = 1 - SS(remainder)/SS(deseasoned) "
+    "- the pair of [0, 1] scores a forecasting pipeline uses to ROUTE "
+    "series (strong-seasonal -> Holt-Winters/harmonic, strong-trend -> "
+    "damped ETS, neither -> naive). The (n-1) divisors cancel in the "
+    "ratios, so each strength is one fixed IEEE expression over six "
+    "decimal-exact sums; the moving average accumulates QUANTIZED "
+    "decimals in the window (float window sums associate differently "
+    "across engines). Shape: one rows-window pass, one 24-row-per-series "
+    "agg + shuffle-hash join back, one combinable 6-moment agg.",
+)
+def w_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import davg, dec, dsum, qround
+    from .shared import prepared_df
+
+    filled = prepared_df(spark, sf_dir)
+    mw = W.partitionBy("series_id").orderBy("ts").rowsBetween(-12, 12)
+    hr = (F.unix_timestamp("ts") / F.lit(3600)).cast("bigint")
+    w = filled.select(
+        "series_id",
+        "value",
+        (F.sum(dec("value")).over(mw).cast("double") / F.lit(25.0)).alias("trend"),
+        F.count(F.lit(1)).over(mw).alias("wn"),
+        F.pmod(hr, F.lit(24)).cast("int").alias("hod"),
+    )
+    d = w.filter(F.col("wn") == 25).select(
+        "series_id", "hod", "value", (F.col("value") - F.col("trend")).alias("det")
+    )
+    s = d.groupBy("series_id", "hod").agg(davg("det").alias("seas"))
+    r = d.join(s.hint("shuffle_hash"), ["series_id", "hod"]).select(
+        "series_id",
+        "det",
+        (F.col("det") - F.col("seas")).alias("rem"),
+        (F.col("value") - F.col("seas")).alias("deseas"),
+    )
+    agg = r.groupBy("series_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        dsum("det").alias("sd"),
+        dsum(F.col("det") * F.col("det")).alias("sd2"),
+        dsum("rem").alias("sr"),
+        dsum(F.col("rem") * F.col("rem")).alias("sr2"),
+        dsum("deseas").alias("su"),
+        dsum(F.col("deseas") * F.col("deseas")).alias("su2"),
+    )
+    n = F.col("n")
+    ss_rem = F.col("sr2") - F.col("sr") * F.col("sr") / n
+    ss_det = F.col("sd2") - F.col("sd") * F.col("sd") / n
+    ss_des = F.col("su2") - F.col("su") * F.col("su") / n
+    return agg.filter(n >= 2.0).select(
+        "series_id",
+        "n_points",
+        qround(
+            F.greatest(F.lit(0.0), F.lit(1.0) - ss_rem / F.nullif(ss_det, F.lit(0.0))), 9
+        ).alias("seasonal_strength"),
+        qround(
+            F.greatest(F.lit(0.0), F.lit(1.0) - ss_rem / F.nullif(ss_des, F.lit(0.0))), 9
+        ).alias("trend_strength"),
+    )
+
+
+def _crps_exprs() -> tuple[str, str]:
+    """Shared CRPS expression strings over the 7 lag columns (identical
+    text parsed by both engines — left-to-right IEEE order fixed by
+    construction). For the empirical CDF of m ensemble members:
+    CRPS = mean_i |x_i − y| − (1/(2m²))·Σ_{i,j} |x_i − x_j|, and the
+    double sum over unordered pairs is twice the i<j sum, so the second
+    term is (i<j sum)/m² = /49."""
+    lags = _TS_LAGS
+    t1 = "(" + " + ".join(f"abs(x{k} - value)" for k in lags) + ") / 7.0"
+    pairs = [
+        f"abs(x{a} - x{b})" for idx, a in enumerate(lags) for b in lags[idx + 1 :]
+    ]
+    t2 = "(" + " + ".join(pairs) + ") / 49.0"
+    return t1, t2
+
+
+@register(
+    "a_crps_ensemble",
+    oracle=lambda: f"""
+    WITH {FILLED_CTE},
+    lagged AS (
+      SELECT series_id, value,
+             {', '.join(f'lag(value, {k}) OVER w AS x{k}' for k in _TS_LAGS)}
+      FROM filled WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+    ),
+    u AS (
+      SELECT series_id,
+             ({_crps_exprs()[0]}) - ({_crps_exprs()[1]}) AS crps
+      FROM lagged WHERE {' AND '.join(f'x{k} IS NOT NULL' for k in _TS_LAGS)}
+    )
+    SELECT series_id, CAST(count(*) AS BIGINT) AS n_eval,
+           {qround_sql(dsum_sql('crps') + ' / CAST(count(*) AS DOUBLE)', 9)} AS crps_mean
+    FROM u GROUP BY 1
+    """,
+    tags=("A12", "M24", "W2"),
+    doc="CRPS of the 7-member seasonal-lag ensemble per series: treat the "
+    "day-multiple lags 24..168 h as an empirical forecast distribution "
+    "and score it with the continuous ranked probability score "
+    "CRPS = mean|x_i - y| - (1/(2m^2))SUM|x_i - x_j| (Gneiting-Raftery "
+    "2007) - the proper scoring rule that generalizes MAE to "
+    "distributions and the standard metric for probabilistic load "
+    "forecasts (complements a_pinball_loss, which scores three fixed "
+    "quantiles; CRPS integrates over ALL of them). The 7+21 absolute-"
+    "difference terms are ONE shared expression string in both engines "
+    "(fixed IEEE order), per-row CRPS routes through the decimal-exact "
+    "mean. Shape: 7 lag windows + one combinable agg per series - no "
+    "explode, no join.",
+)
+def a_crps_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import dsum, qround
+    from .shared import prepared_df
+
+    filled = prepared_df(spark, sf_dir)
+    ow = W.partitionBy("series_id").orderBy("ts")
+    lagged = filled.select(
+        "series_id",
+        "value",
+        *[F.lag("value", k).over(ow).alias(f"x{k}") for k in _TS_LAGS],
+    )
+    cond = None
+    for k in _TS_LAGS:
+        c = F.col(f"x{k}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    t1, t2 = _crps_exprs()
+    u = lagged.filter(cond).select(
+        "series_id", (F.expr(t1) - F.expr(t2)).alias("crps")
+    )
+    n = F.count(F.lit(1))
+    return u.groupBy("series_id").agg(
+        n.cast("bigint").alias("n_eval"),
+        qround(dsum("crps") / n.cast("double"), 9).alias("crps_mean"),
     )
