@@ -2378,3 +2378,139 @@ def t_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_est"),
         )
     )
+
+
+_CDC_MASK = 64  # boundary when gram hash % 64 == 0 -> ~64-char expected chunks
+
+
+@register(
+    "d_cdc_chunks",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+               i -> CAST(unicode(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS codes
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, codes,
+             CASE WHEN len(codes) < {_WIN_K} THEN CAST([] AS BIGINT[])
+             ELSE list_transform(range(1, len(codes) - {_WIN_K - 2}),
+               i -> list_reduce(list_concat([CAST(7 AS BIGINT)], codes[i : i + {_WIN_K - 1}]),
+                    (a, ch) -> (a * 31 + ch) % {M}))
+             END AS grams
+      FROM c
+    ),
+    st AS (
+      SELECT doc_id, codes,
+             list_sort(list_distinct(list_concat([CAST(1 AS BIGINT)],
+               list_filter(list_transform(range(1, len(grams) + 1),
+                 i -> CASE WHEN grams[i] % {_CDC_MASK} = 0
+                            AND i + {_WIN_K} <= len(codes)
+                           THEN i + {_WIN_K} ELSE CAST(-1 AS BIGINT) END),
+                 p -> p > 0)))) AS starts
+      FROM g
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(starts) + 1),
+               t -> list_reduce(list_concat([CAST(7 AS BIGINT)],
+                      codes[starts[t] : CASE WHEN t < len(starts)
+                                             THEN starts[t + 1] - 1
+                                             ELSE len(codes) END]),
+                    (a, ch2) -> (a * 31 + ch2) % {M}))) AS chunk_hash,
+             unnest(list_transform(range(1, len(starts) + 1),
+               t -> CASE WHEN t < len(starts) THEN starts[t + 1] - starts[t]
+                         ELSE len(codes) - starts[t] + 1 END)) AS chunk_len
+      FROM st
+    )
+    SELECT chunk_hash, CAST(chunk_len AS BIGINT) AS chunk_len,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST((count(*) - 1) * chunk_len AS BIGINT) AS dup_bytes
+    FROM ch
+    WHERE chunk_len > 0
+    GROUP BY chunk_hash, chunk_len
+    HAVING count(*) >= 2
+    """,
+    tags=("DEDUP-exact", "TXT-fingerprint"),
+    doc="Content-defined chunking dedup (the rsync/LBFS/FastCDC family, "
+    "Muthitacharoen et al. 2001): cut every document where the rolling "
+    f"8-char gram hash hits 0 mod {_CDC_MASK} (boundaries move WITH the "
+    "content, so an insertion resynchronizes after one chunk - fixed-size "
+    "blocks would misalign every later block), hash each chunk, and "
+    "report corpus-wide duplicated chunks with occurrence/doc counts and "
+    "the dedup-savings estimate (n-1)*len. This is sub-document "
+    "granularity the doc-level dedup family can't see (shared "
+    "boilerplate inside otherwise-distinct docs). Exact integer hashing "
+    "end to end; per-doc HOF work is O(len * k) map-only; the only "
+    "shuffle is the final combinable group-by chunk hash.",
+)
+def d_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    codes_expr = "transform(split(text, ''), ch -> cast(ascii(ch) as bigint))"
+    grams_expr = (
+        f"CASE WHEN size(codes) < {_WIN_K} THEN array() "
+        f"ELSE transform(sequence(1, size(codes) - {_WIN_K - 1}), "
+        f"i -> aggregate(slice(codes, i, {_WIN_K}), "
+        f"7L, (a, c) -> pmod(a * 31 + c, {M}L))) END"
+    )
+    starts_expr = (
+        "array_sort(array_distinct(concat(array(1L), "
+        "filter(transform(sequence(1, size(grams)), "
+        f"i -> IF(element_at(grams, i) % {_CDC_MASK} = 0 "
+        f"AND i + {_WIN_K} <= size(codes), cast(i + {_WIN_K} as bigint), -1L)), "
+        "p -> p > 0))))"
+    )
+    hash_expr = (
+        "transform(sequence(1, size(starts)), "
+        "t -> aggregate(slice(codes, cast(element_at(starts, t) as int), "
+        "cast(IF(t < size(starts), element_at(starts, t + 1) - element_at(starts, t), "
+        "size(codes) - element_at(starts, t) + 1) as int)), "
+        f"7L, (a, c) -> pmod(a * 31 + c, {M}L)))"
+    )
+    len_expr = (
+        "transform(sequence(1, size(starts)), "
+        "t -> IF(t < size(starts), element_at(starts, t + 1) - element_at(starts, t), "
+        "size(codes) - element_at(starts, t) + 1))"
+    )
+    # the localCheckpoint before the explode is load-bearing: pulling the
+    # generator over this projection chain re-expands the staged arrays
+    # inside the per-chunk lambdas (the t_winnowing_fp pathology — measured
+    # minutes vs seconds at sf0.001). The frame is one row per doc with
+    # ~len/64 (hash, len) pairs — far smaller than the text itself.
+    staged = (
+        d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", F.expr(codes_expr).alias("codes"))
+        .select("doc_id", "codes", F.expr(grams_expr).alias("grams"))
+        .select("doc_id", "codes", F.expr(starts_expr).alias("starts"))
+        .select(
+            "doc_id",
+            F.arrays_zip(F.expr(hash_expr), F.expr(len_expr)).alias("chs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ch = staged.select(
+        "doc_id", F.explode("chs").alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.0").alias("chunk_hash"),
+        F.col("c.1").cast("bigint").alias("chunk_len"),
+    ).filter(F.col("chunk_len") > 0)
+    return (
+        ch.groupBy("chunk_hash", "chunk_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .select(
+            "chunk_hash",
+            "chunk_len",
+            "n_occurrences",
+            "n_docs",
+            ((F.col("n_occurrences") - 1) * F.col("chunk_len"))
+            .cast("bigint")
+            .alias("dup_bytes"),
+        )
+    )
