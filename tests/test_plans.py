@@ -717,3 +717,148 @@ def test_wav_band_energy_is_single_island_pass(spark, sf_dir):
     plan = _plan(REGISTRY["mm_wav_band_energy"].spark(spark, sf_dir))
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+# --- r12 operators -----------------------------------------------------------
+
+
+def test_ets_damped_is_one_fold_per_series(spark, sf_dir):
+    """The damped-trend recurrence is an aggregate-HOF fold: one combinable
+    groupBy per series, zero windows, zero joins."""
+    plan = _plan(REGISTRY["w_ets_damped"].spark(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_near_dup_pairs_form_only_in_bands(spark, sf_dir):
+    """pHash candidates must come from the (band, value) bucket join with
+    the rank window partitioned per bucket — never a cartesian or a global
+    sort of the hash frame."""
+    plan = _plan(REGISTRY["mm_phash_near_dup"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _GLOBAL_WINDOW.search(plan), "global window over hash frame"
+
+
+def test_stationarity_diagnostics_windows_stay_per_series(spark, sf_dir):
+    """KPSS / Hurst / ordinal-census / seasonal-strength / CRPS: every
+    window must be partitioned (by series, or series × scale × chunk) and
+    every join an equi-join — these are per-series diagnostics, a single-
+    task global sort would serialize the whole fleet."""
+    for q in (
+        "w_kpss_stat",
+        "w_hurst_rs",
+        "w_perm_census",
+        "w_seasonal_strength",
+        "a_crps_ensemble",
+    ):
+        plan = _plan(REGISTRY[q].spark(spark, sf_dir))
+        assert not _GLOBAL_WINDOW.search(plan), f"{q}: single-task global window"
+        assert "CartesianProduct" not in plan, f"{q}: cartesian join"
+        # hurst deliberately crosses each row with the broadcast 3-row scale
+        # table — an UNCONDITIONED cross; anything conditioned is a bug
+        for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+            assert m.group(0).rstrip().endswith("Cross"), (
+                f"{q}: conditioned nested loop: {m.group(0)}"
+            )
+
+
+def test_harmonic_regression_is_join_free_map_agg(spark, sf_dir):
+    """The trig features are constant-folded literal-array lookups and the
+    OLS solve is column math over one combinable agg: no join, no window
+    anywhere in the plan."""
+    plan = _plan(REGISTRY["a_harmonic_regression"].spark(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_resource_alloc_wedges_stay_equi_joined(spark, sf_dir):
+    """RA link prediction routes wedges and the non-edge filter through
+    equi/anti hash joins (volume bounded by cap · m) — never a cartesian."""
+    plan = _plan(REGISTRY["g_resource_alloc"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert not _GLOBAL_WINDOW.search(plan)
+
+
+def test_ttr_hapax_is_map_only(spark, sf_dir):
+    """Lexical diversity is pure per-doc HOF arithmetic: no join, no window,
+    no aggregation shuffle at all."""
+    plan = _plan(REGISTRY["t_ttr_hapax"].spark(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan, "map-only query grew a shuffle"
+
+
+def test_winnowing_and_cdc_pair_logic_is_bounded(spark, sf_dir):
+    """Winnowing buckets pair under a rank window partitioned per
+    fingerprint; CDC chunks group by hash — neither may cartesian, and
+    neither may sort globally."""
+    for q in ("t_winnowing_fp", "d_cdc_chunks"):
+        plan = _plan(REGISTRY[q].spark(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{q}: cartesian join"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{q}: nested-loop join"
+        assert not _GLOBAL_WINDOW.search(plan), f"{q}: single-task global window"
+
+
+def test_random_projection_joins_are_adjacent_id_equi(spark, sf_dir):
+    """The JL probe's only joins are 1-to-1 equi-joins on adjacent vec ids;
+    the projection itself is map-only literal-array math."""
+    plan = _plan(REGISTRY["s_random_projection"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_stream_attribution_join_state_is_bounded(spark, sf_dir):
+    """The stream-stream attribution join (bench cost row #1) must carry a
+    watermark on BOTH sides and bound event time in BOTH directions — the
+    two conditions Spark needs to evict state; losing either silently turns
+    a 100 TB feed into an unbounded state store."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.streaming.score_stream import (
+        stream_attribution_join,
+    )
+
+    sdf = stream_attribution_join(spark, sf_dir)
+    analyzed = sdf._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("EventTimeWatermark") == 2, "watermark missing on one side"
+    assert "v_ts#" in analyzed and "p_ts#" in analyzed
+    cond = re.search(r"Join Inner, \(*(.*)\)*\n", analyzed)
+    assert cond, "no inner join in analyzed plan"
+    c = cond.group(1)
+    assert ">=" in c and "<=" in c, f"interval not bounded both ways: {c}"
+
+
+def test_cc_clusters_rounds_are_joins_plus_aggs(spark, sf_dir):
+    """BSP connected components (bench cost row #4): every round must be
+    hash joins + combinable min-aggregations — no window, no cartesian, no
+    global sort anywhere in the final plan."""
+    plan = _plan(REGISTRY["d_cc_clusters"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert not _GLOBAL_WINDOW.search(plan)
+
+
+def test_stream_upsert_state_table_is_bucket_partitioned(spark, sf_dir, tmp_path):
+    """The CDC upsert sink's state table must be hive-partitioned on the
+    bucket key — that layout IS the partition-pruning contract that lets
+    each micro-batch read back only the buckets it touches."""
+    df = REGISTRY["stream_upsert_sink"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan or "bucket=" in plan or "bucket#" in plan, (
+        "state-table scan lost its partition column"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_stream_ewma_control_state_is_scalar(spark):
+    """The EWMA control chart's state schema must stay five scalars — a
+    list/map column here would mean per-user state growing with the
+    stream."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.streaming.stateful import (
+        EWMA_STATE_SCHEMA,
+    )
+
+    import pyspark.sql.types as T
+
+    for f in EWMA_STATE_SCHEMA.fields:
+        assert isinstance(f.dataType, (T.LongType, T.StringType)), f
