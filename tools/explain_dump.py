@@ -523,6 +523,106 @@ PICKS = [
         "Arrow-island pass over repartitioned docs — no join, no window, "
         "no shuffle after the repartition.",
     ),
+    (
+        "w_ets_damped",
+        "Damped-trend ETS: one aggregate-HOF fold per series — no window, no "
+        "join; the recurrence is codegen'd integer arithmetic.",
+    ),
+    (
+        "mm_phash_near_dup",
+        "DCT pHash near-dup over the real JPEG path: hash frame "
+        "localCheckpointed so the codec islands run once; candidates form "
+        "only inside (band, value) buckets under a per-bucket rank window.",
+    ),
+    (
+        "w_kpss_stat",
+        "KPSS stationarity: quantized-BIGINT window cumsum (order-"
+        "independent), one combinable two-moment agg; nullif-guarded eta.",
+    ),
+    (
+        "w_hurst_rs",
+        "Rescaled-range R/S: 3-row scale table crossed broadcast "
+        "(unconditioned BNLJ), per-(series, scale, chunk) windows, chunk "
+        "counts shrink 32-128x before the final agg.",
+    ),
+    (
+        "w_perm_census",
+        "Ordinal-pattern census: two lead windows per series, combinable "
+        "count, 8-row-per-series share window — integer comparisons only.",
+    ),
+    (
+        "a_harmonic_regression",
+        "Harmonic OLS: constant-folded literal trig lookups (no dim join), "
+        "one combinable 10-moment agg, Cramer solve as pure column math — "
+        "join-free, window-free.",
+    ),
+    (
+        "w_seasonal_strength",
+        "STL-lite strengths: decimal-quantized 25h moving-average window, "
+        "24-row-per-series seasonal agg joined back shuffle-hash, one "
+        "combinable 6-moment agg.",
+    ),
+    (
+        "a_crps_ensemble",
+        "CRPS of the 7-lag ensemble: seven lag windows per series + one "
+        "combinable agg — the 28 |.|-term row expression is codegen'd, no "
+        "explode, no join.",
+    ),
+    (
+        "g_resource_alloc",
+        "Resource-Allocation link prediction: degree-capped wedge equi-joins "
+        "(volume <= cap*m), anti join for the non-edge filter, decimal-exact "
+        "contribution sum.",
+    ),
+    (
+        "t_ttr_hapax",
+        "Lexical diversity: map-only per-doc HOF arithmetic — the plan must "
+        "show zero exchanges.",
+    ),
+    (
+        "t_winnowing_fp",
+        "Winnowing fingerprints: staged HOF chain behind a localCheckpoint "
+        "barrier (generator re-expansion pathology), bucket join with rank "
+        "cap, two count joins.",
+    ),
+    (
+        "s_random_projection",
+        "JL Rademacher probe: literal sign-matrix projection is map-only; "
+        "the comparison joins are 1-to-1 equi on adjacent ids.",
+    ),
+    (
+        "d_cdc_chunks",
+        "Content-defined chunking: per-doc HOF boundary/hash pass behind the "
+        "pre-explode barrier, then one combinable group-by-chunk-hash.",
+    ),
+    (
+        "stream_ewma_control",
+        "Streaming EWMA control chart (post-replay compaction shown): the "
+        "stateful fold keeps five scalars per user; the batch finisher is "
+        "one combinable struct-max per user.",
+    ),
+    (
+        "stream_join_attrib",
+        "Stream-stream attribution join, bench cost row #1 (post-replay sink "
+        "read shown; the streaming plan carries EventTimeWatermark on BOTH "
+        "sides and a two-way-bounded interval — asserted in "
+        "tests/test_plans.py::test_stream_attribution_join_state_is_bounded). "
+        "SCALING.md shows it FLAT across x10 SF steps: a fixed streaming-"
+        "machinery floor, not a data-dependent cost.",
+    ),
+    (
+        "d_cc_clusters",
+        "BSP connected components, bench cost row #4: per round one hash "
+        "join + one combinable min-agg, pointer jumping halves the diameter, "
+        "localCheckpoint truncates lineage — log-diameter rounds total.",
+    ),
+    (
+        "stream_upsert_sink",
+        "CDC upsert sink, bench cost row #11: final compacted state table — "
+        "the scan keeps the bucket partition column (hive layout), which is "
+        "the per-batch partition-pruning contract; per-batch merge is "
+        "map-side pre-compaction + keep-latest struct-max.",
+    ),
 ]
 
 
