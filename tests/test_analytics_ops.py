@@ -446,3 +446,97 @@ def test_dft_power_matches_numpy_goertzel(spark, sf_dir):
             val = 2.0 * math.sqrt(float(c) ** 2 + float(s) ** 2) / n
             return math.floor(val * 1e9 + 0.5) / 1e9
         assert got[sid] == (amp(c24, s24), amp(c168, s168)), sid
+
+
+def test_ets_damped_matches_python_replay(spark):
+    """The damped-trend integer fold is exact: a direct Python replay of the
+    recurrence over the same values must agree bit-for-bit (the HITS/HW
+    replica discipline)."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.forecast import (
+        ets_damped_fixed_point,
+    )
+
+    import datetime as dt
+
+    vals = [10.0, 12.5, 11.25, -3.0, 0.0078125, 42.424242, 8.0, 9.9]
+    base = dt.datetime(2024, 1, 1)
+    rows = [("s1", base + dt.timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    got = ets_damped_fixed_point(df).collect()[0]
+
+    q = [int(__import__("math").floor(v * 1e6 + 0.5)) for v in vals]
+    l, b = q[1], q[1] - q[0]
+    for x in q[2:]:
+        pb = (9 * b) // 10
+        l_new = (2 * x + 8 * (l + pb)) // 10
+        b = ((l_new - l) + 9 * pb) // 10
+        l = l_new
+    assert got.level_q == l and got.trend_q == b
+    assert got.forecast1_q == l + (9 * b) // 10
+    assert got.forecast_inf_q == l + 9 * b
+
+
+def test_phash_bands_contrast_invariance_vs_ahash():
+    """pHash must key on low-frequency STRUCTURE: adding a constant
+    brightness offset leaves every bit unchanged (the DCT shifts only the
+    DC coefficient, which is compared against the AC median it doesn't
+    enter... the AC coefficients are offset-invariant), while a structural
+    flip changes bands."""
+    import numpy as np
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.multimodal import (
+        phash_bands,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 200, size=(64, 64), dtype=np.uint8)
+    base = phash_bands(img)
+    brighter = phash_bands((img.astype(np.int64) + 40).clip(0, 255).astype(np.uint8))
+    # AC coefficients are shift-invariant where no clipping occurs; with
+    # headroom 200+40 < 256 there is no clipping at all
+    assert base[1:] == brighter[1:]
+    flipped = phash_bands(img[::-1].copy())
+    assert base != flipped
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark, sf_dir):
+    """The CDC property: inserting a prefix changes only the chunks up to
+    the first boundary after the edit — the chunk-hash multiset of the
+    suffix is preserved (fixed-size blocks would shift everything)."""
+    import duckdb
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans import (
+        REGISTRY,
+    )
+
+    # varied pseudo-random words so the 45-char-period pathology can't
+    # starve the gram stream of boundaries (a short repeating sentence can
+    # contain NO gram ≡ 0 mod 64 at all — then each doc is one giant chunk)
+    import random
+
+    rng = random.Random(42)
+    words = (
+        "alpha beta gamma delta epsilon zeta theta kappa lambda sigma "
+        "omega load forecast anomaly series window"
+    ).split()
+    text = " ".join(rng.choice(words) for _ in range(400))
+    edited = "INSERTED PREAMBLE >> " + text
+    df = spark.createDataFrame(
+        [(1, text), (2, edited)], "doc_id long, text string"
+    )
+    # run the registered spark callable against a temp dir-shaped frame by
+    # monkey-wiring load_table? Simpler: replicate via the oracle SQL on a
+    # DuckDB VALUES relation — the two engines are hash-verified equal by
+    # the driver, so the property holds for both if it holds for one.
+    sql = REGISTRY["d_cdc_chunks"].oracle
+    sql = sql() if callable(sql) else sql
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": [1, 2], "text": [text, edited]})
+    )
+    dup = con.execute(sql).fetchall()
+    # the shared suffix must produce duplicated chunks across the two docs
+    assert len(dup) >= 3, f"no resynchronization: {dup}"
+    assert all(r[3] == 2 for r in dup), "duplicated chunks must span both docs"

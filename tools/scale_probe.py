@@ -123,6 +123,20 @@ QUERIES = [
     "g_hits",                   # integer-lattice HITS fixed point (r11)
     "w_acf_pacf",               # unrolled Durbin-Levinson PACF (r11)
     "mm_wav_band_energy",       # Goertzel bands through real WAV (r11)
+    "w_ets_damped",             # damped-trend ETS fold (r12)
+    "mm_phash_near_dup",        # DCT pHash over real JPEG, banded (r12)
+    "w_kpss_stat",              # KPSS stationarity, integer cumsums (r12)
+    "w_hurst_rs",               # rescaled-range R/S at 3 scales (r12)
+    "w_perm_census",            # ordinal-pattern census (r12)
+    "a_harmonic_regression",    # literal-trig OLS, map-only + agg (r12)
+    "w_seasonal_strength",      # STL-lite strengths, MA window (r12)
+    "a_crps_ensemble",          # 7-lag ensemble CRPS (r12)
+    "g_resource_alloc",         # RA link prediction, capped wedges (r12)
+    "t_ttr_hapax",              # lexical diversity, map-only (r12)
+    "t_winnowing_fp",           # winnowing fingerprints + bucket pairs (r12)
+    "s_random_projection",      # JL Rademacher probe (r12)
+    "d_cdc_chunks",             # content-defined chunking dedup (r12)
+    "stream_ewma_control",      # streaming EWMA control chart (r12)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
