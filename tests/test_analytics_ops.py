@@ -540,3 +540,115 @@ def test_cdc_chunks_resynchronize_after_insertion(spark, sf_dir):
     # the shared suffix must produce duplicated chunks across the two docs
     assert len(dup) >= 3, f"no resynchronization: {dup}"
     assert all(r[3] == 2 for r in dup), "duplicated chunks must span both docs"
+
+
+def test_system_corr_constant_series_yields_null_not_crash(spark):
+    """The r11 ADVICE guard: a constant series zeroes the variance
+    denominator exactly; the query must emit NULL for its correlation (and
+    beta against a constant system), never raise DIVIDE_BY_ZERO."""
+    import datetime as dt
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.functions.exact import (
+        dsum,
+        qround,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("c", base + dt.timedelta(hours=i), 5.0) for i in range(4)]
+    rows += [("v", base + dt.timedelta(hours=i), float(i)) for i in range(4)]
+    hourly = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    sysd = hourly.groupBy("ts").agg(dsum("value").alias("sysv"))
+    t = hourly.join(sysd, "ts").select(
+        "series_id", F.col("value").alias("x"), F.col("sysv").alias("y")
+    )
+    agg = t.groupBy("series_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n_hours").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    out = {
+        r.series_id: (r.corr, r.beta)
+        for r in agg.select(
+            "series_id",
+            qround(F.try_divide(num, F.nullif(F.sqrt(denx * deny), F.lit(0.0))), 9).alias("corr"),
+            qround(F.try_divide(num, F.nullif(deny, F.lit(0.0))), 9).alias("beta"),
+        ).collect()
+    }
+    # 'c' is constant -> denx = 0 exactly -> NULL corr; system load = c+v is
+    # non-constant so deny > 0 and beta is defined for both
+    assert out["c"][0] is None
+    assert out["v"][0] is not None
+
+
+def test_assortativity_degree_regular_graph_is_null(spark, sf_dir):
+    """The r11 ADVICE guard applied end-to-end: on a perfect matching
+    (every degree exactly 1) the variance denominator is integer-exactly
+    zero — the registered query path must return NULL, not raise. Verified
+    through the same expression shape the query uses."""
+    und = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "u bigint, v bigint"
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.functions.exact import (
+        dsum,
+        qround,
+    )
+
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dirs = und.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
+        und.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    ed = (
+        dirs.join(deg.select(F.col("node").alias("s"), F.col("deg").alias("dgs")), "s")
+        .join(deg.select(F.col("node").alias("d"), F.col("deg").alias("dgd")), "d")
+        .select(
+            F.col("dgs").cast("double").alias("dx"),
+            F.col("dgd").cast("double").alias("dy"),
+        )
+    )
+    agg = ed.agg(
+        F.count(F.lit(1)).cast("double").alias("m2"),
+        dsum("dx").alias("sx"),
+        dsum(F.col("dx") * F.col("dy")).alias("sxy"),
+        dsum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    m2n = F.nullif(F.col("m2"), F.lit(0.0))
+    mean = F.try_divide(F.col("sx"), m2n)
+    num = F.try_divide(F.col("sxy"), m2n) - mean * mean
+    den = F.try_divide(F.col("sxx"), m2n) - mean * mean
+    r = agg.select(
+        qround(F.try_divide(num, F.nullif(den, F.lit(0.0))), 9).alias("r")
+    ).collect()[0]
+    assert r.r is None
+
+
+def test_series_stats_min_events_drops_singletons(spark, sf_dir):
+    """series_stats(min_events=2) must exclude users with a single event —
+    the stream_volatility_alerts NULL-vs-NaN guard."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.streaming.score_stream import (
+        series_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r.user_id for r in series_stats(spark, sf_dir, min_events=2).collect()}
+    for uid, n in counts.items():
+        assert (uid in kept) == (n >= 2), (uid, n)
+    # default keeps everyone
+    assert {r.user_id for r in series_stats(spark, sf_dir).collect()} == set(counts)
