@@ -43,18 +43,17 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
     Items build CONCURRENTLY as a dependency DAG (driver threads submitting
     separate Spark jobs — local[32] has idle cores during any single
     small-SF job): each item starts the moment its dependencies finish, so
-    prepare wall ≈ the longest dependency chain, not the sum. The two graph
-    edge views (copurchase, bipartite) are NOT warmed here anymore — only
-    one registry query consumes each, so they build lazily at first (and
-    only) touch; warming them charged every bench run ~5 s of prepare for
-    no reuse."""
+    prepare wall ≈ the longest dependency chain, not the sum. The copurchase
+    edge view is warmed again as of r12 — seven graph queries now share it
+    (it was dropped when it had a single consumer); the bipartite view still
+    has one consumer and builds lazily at its only touch."""
     import time
     from concurrent.futures import Future, ThreadPoolExecutor
 
     from pyspark.sql import DataFrame as _DF
 
     from . import queries_ml, queries_neural, queries_similarity, queries_text
-    from .shared import hourly_df, prepared_df, shingles_df
+    from .shared import copurchase_edges_df, hourly_df, prepared_df, shingles_df
 
     out: dict[str, float] = {}
     futs: dict[str, Future] = {}
@@ -93,6 +92,12 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
         ("prepared", prepared_df, ("hourly",)),
         ("ae_weights", queries_neural.ensure_ae_weights, ("hourly", "prepared")),
         ("fc_weights", queries_neural.ensure_fc_weights, ("prepared",)),
+        # co-purchase edge view: removed from prepare when it had ONE
+        # consumer, re-added now that the whole graph family shares it
+        # (pagerank, triangles, k-core, assortativity, local clustering,
+        # node-Jaccard, resource-allocation — r12) — first-toucher billing
+        # was charging whichever graph query ran first ~5 s of shared build
+        ("copurchase_edges", copurchase_edges_df, ()),
     )
     with ThreadPoolExecutor(max_workers=len(dag)) as ex:
         for name, build, deps in dag:
