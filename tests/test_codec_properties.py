@@ -301,3 +301,30 @@ def test_jpeg_rejects_garbage_and_progressive():
     b[i + 1] = 0xC2
     with _pytest.raises(ValueError):
         CX.decode_jpeg(bytes(b))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.binary(min_size=4, max_size=64),
+)
+def test_phash_bands_survive_jpeg_roundtrip_on_mosaics(data):
+    """The mm_phash_near_dup contract: for 8×8-block-constant mosaics the
+    baseline-JPEG q90 round trip is bit-exact, so the pHash bands computed
+    from the DECODED image must equal the bands of the ORIGINAL mosaic —
+    the exact equality the oracle mirror relies on, fuzzed over arbitrary
+    byte content (the registered query only ever sees UTF-8 text bytes;
+    this is strictly harsher)."""
+    import numpy as np
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        codecs as CX,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.multimodal import (
+        phash_bands,
+    )
+
+    b = data + b"\0" * ((-len(data)) % 4)
+    tiles = np.frombuffer(b, dtype=np.uint8).reshape(len(b) // 4, 4)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    decoded = CX.decode_jpeg(CX.encode_jpeg(img, quality=90))
+    assert phash_bands(decoded) == phash_bands(img)
