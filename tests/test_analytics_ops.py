@@ -652,3 +652,50 @@ def test_series_stats_min_events_drops_singletons(spark, sf_dir):
         assert (uid in kept) == (n >= 2), (uid, n)
     # default keeps everyone
     assert {r.user_id for r in series_stats(spark, sf_dir).collect()} == set(counts)
+
+
+def test_ets_damped_minimum_length_boundaries(spark):
+    """Series of length 2 are dropped (no defined trend from the Holt init);
+    length 3 runs exactly one fold step — pinned against the hand recurrence."""
+    import datetime as dt
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.forecast import (
+        ets_damped_fixed_point,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("short", base + dt.timedelta(hours=i), float(i)) for i in range(2)]
+    rows += [("three", base + dt.timedelta(hours=i), v) for i, v in enumerate([2.0, 4.0, 10.0])]
+    df = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    out = {r.series_id: r for r in ets_damped_fixed_point(df).collect()}
+    assert "short" not in out
+    q = [2_000_000, 4_000_000, 10_000_000]
+    l, b = q[1], q[1] - q[0]
+    pb = (9 * b) // 10
+    l1 = (2 * q[2] + 8 * (l + pb)) // 10
+    b1 = ((l1 - l) + 9 * pb) // 10
+    assert (out["three"].level_q, out["three"].trend_q) == (l1, b1)
+
+
+def test_stream_ewma_control_singleton_user(spark):
+    """A user with ONE event initializes e = q with zero alerts — the t=1
+    base case both the stateful fold and the recursive-CTE oracle share."""
+    import pandas as pd
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.streaming.stateful import (
+        _ewma_control,
+    )
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    st = _FakeState()
+    pdf = pd.DataFrame({"user_id": [7], "event_id": [1], "value": [3.25]})
+    out = list(_ewma_control((7,), iter([pdf]), st))[0]
+    assert out.iloc[0]["n_events"] == 1
+    assert out.iloc[0]["ewma_q"] == 3250  # floor(3.25 * 1000 + 0.5)
+    assert out.iloc[0]["n_alerts"] == 0
+    assert st.value == (1, 3250, "3250", str(3250 * 3250), 0)
