@@ -542,6 +542,42 @@ def test_cdc_chunks_resynchronize_after_insertion(spark, sf_dir):
     assert all(r[3] == 2 for r in dup), "duplicated chunks must span both docs"
 
 
+def test_cdc_chunks_empty_docs_agree_across_engines(spark, tmp_path):
+    """r12 ADVICE: Spark's split('', '') yields [''] so two empty docs used
+    to produce a phantom duplicated length-1 chunk the DuckDB oracle never
+    emits. Both engines must now agree an empty doc has no chunks."""
+    import duckdb
+    import pandas as pd
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans import (
+        REGISTRY,
+    )
+
+    text = "alpha beta gamma delta " * 40
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["", "", text, text],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [0, 0, len(text), len(text)],
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    spec = REGISTRY["d_cdc_chunks"]
+    got = spec.spark(spark, str(tmp_path)).collect()
+    sql = spec.oracle() if callable(spec.oracle) else spec.oracle
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(sql).fetchall()
+    eng = sorted((r["chunk_hash"], r["chunk_len"], r["n_occurrences"]) for r in got)
+    ora = sorted((r[0], r[1], r[2]) for r in want)
+    assert eng == ora
+    assert all(ln > 0 for _, ln, _ in eng), "no phantom empty-doc chunk"
+
+
 def test_system_corr_constant_series_yields_null_not_crash(spark):
     """The r11 ADVICE guard: a constant series zeroes the variance
     denominator exactly; the query must emit NULL for its correlation (and

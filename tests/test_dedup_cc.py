@@ -263,3 +263,44 @@ def test_kcore_cascade_needs_multiple_rounds(spark):
     assert kcore_peel(path, k=2, rounds=8).count() == 0
     one_round = kcore_peel(path, k=2, rounds=1)
     assert {r.node for r in one_round.collect()} == {2, 3, 4, 5}
+
+
+def test_bfs_hops_distances_and_min_hub_attribution(spark):
+    """Hand-built graph: hubs are the two highest-degree vertices; every
+    reached node reports its true BFS distance and the SMALLEST hub id
+    among those at that minimal distance (not a path accident)."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        bfs_hops,
+    )
+
+    # star around 1 (deg 4) and around 9 (deg 3), bridge 4-9, chain 9-6-7-8
+    und = [(1, 2), (1, 3), (1, 4), (1, 5), (9, 4), (9, 6), (9, 10), (6, 7), (7, 8)]
+    edges = spark.createDataFrame(
+        und + [(v, u) for u, v in und], "src long, dst long"
+    )
+    got = {r.node: (r.hop, r.hub) for r in bfs_hops(edges, n_sources=2, rounds=4).collect()}
+    # degrees: 1->4, 9->4 (4,6,10,plus bridge), 4->2, rest lower; hubs = {1, 9}
+    assert got[1] == (0, 1) and got[9] == (0, 9)
+    # node 4 touches both hubs at hop 1 -> min hub id 1 wins the tie
+    assert got[4] == (1, 1)
+    assert got[2] == (1, 1) and got[6] == (1, 9) and got[10] == (1, 9)
+    assert got[7] == (2, 9)
+    assert got[8] == (3, 9)
+
+
+def test_bfs_hops_round_cap_and_unreached(spark):
+    """Vertices beyond the round budget stay unassigned; an isolated
+    component with no hub never appears."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        bfs_hops,
+    )
+
+    chain = [(i, i + 1) for i in range(1, 8)]  # 1-2-...-8, hub = highest-degree
+    iso = [(100, 101)]
+    und = chain + iso
+    edges = spark.createDataFrame(
+        und + [(v, u) for u, v in und], "src long, dst long"
+    )
+    got = {r.node: r.hop for r in bfs_hops(edges, n_sources=1, rounds=2).collect()}
+    # single hub = smallest id among max-degree (deg 2): node 2
+    assert got == {2: 0, 1: 1, 3: 1, 4: 2}

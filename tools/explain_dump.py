@@ -623,6 +623,21 @@ PICKS = [
         "the per-batch partition-pruning contract; per-batch merge is "
         "map-side pre-compaction + keep-latest struct-max.",
     ),
+    (
+        "g_bfs_hops",
+        "r13 traversal member of the graph family: the returned frame is the "
+        "final assigned checkpoint, so the visible plan is flat scan+union — "
+        "the per-round frontier⋈edges hash join + combinable min + anti join "
+        "all ran eagerly behind localCheckpoint barriers (the PageRank "
+        "lineage discipline; per-round shape pinned in tests).",
+    ),
+    (
+        "w_spectral_peak_share",
+        "r13 spectral concentration: ONE shuffle-hash mean join + ONE "
+        "combinable 12-moment aggregate; the six harmonics' trig lookups are "
+        "constant-folded array element_at's inside WholeStageCodegen — no "
+        "libm, no extra shuffle vs the 2-moment w_dft_power.",
+    ),
 ]
 
 

@@ -100,6 +100,71 @@ def qround_py(x: float, digits: int) -> float:
     return math.floor(x * p + 0.5) / p
 
 
+_LIT_CACHE: dict[float, str] = {}
+_LIT_CON = None
+
+
+def _lit_con():
+    global _LIT_CON
+    if _LIT_CON is None:
+        import duckdb
+
+        _LIT_CON = duckdb.connect()
+    return _LIT_CON
+
+
+def lit_double(x: float) -> str:
+    """Bit-exact SQL double expression, safe in BOTH Spark and DuckDB.
+
+    Two traps make naive float embedding cross-engine-unsound:
+
+    * **Bare decimal literals are DECIMAL, not DOUBLE**, in both Spark and
+      DuckDB — ``CAST(0.1000000000000000055511151231257827 AS DOUBLE)``
+      detours through fixed-point and loses bits (or overflows 38 digits).
+    * **DuckDB's string→double parse is not correctly rounded**: it reads
+      ``-360288.51238950004`` one ulp off (``…d545`` vs Python/Java's
+      ``…d546``). Any oracle-SQL literal emitted as ``{x!r}`` risks a silent
+      value shift whenever the misparse lands the wrong side of a 1e-6
+      quantizer lattice boundary.
+
+    So this helper emits ``CAST('<digits>' AS DOUBLE)`` — the string-parse
+    path, which Java (Spark's side) correctly rounds by spec — choosing the
+    first digit string that DuckDB *verifiably* parses back to the identical
+    64 bits (one cached ``SELECT`` per distinct float, process-lifetime
+    memo):
+
+    1. ``repr(x)`` — shortest correctly-rounding form, almost always fine;
+    2. the exact decimal expansion ``format(Decimal(x), 'f')`` — the value
+       is exactly representable, so a parser that reads all digits needs no
+       rounding at all.
+
+    Raises if neither survives — loudly, instead of a silent one-ulp oracle
+    skew. Pinned counterexample lives in tests/test_exact_quantizer.py.
+    """
+    if x != x:  # NaN
+        return "CAST('NaN' AS DOUBLE)"
+    if x in (float("inf"), float("-inf")):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    hit = _LIT_CACHE.get(x)
+    # 0.0 == -0.0 hits the same cache slot; both digit strings parse
+    # sign-exactly, and no oracle compares signed zeros, so it's harmless.
+    if hit is not None:
+        return hit
+    from decimal import Decimal
+
+    con = _lit_con()
+    for s in (repr(x), format(Decimal(x), "f")):
+        cand = f"CAST('{s}' AS DOUBLE)"
+        try:
+            got = con.execute(f"SELECT {cand}").fetchone()[0]
+        except Exception:
+            continue
+        if got == x:
+            _LIT_CACHE[x] = cand
+            return cand
+    raise ValueError(f"no DuckDB-bit-exact literal form found for {x!r}")
+
+
 def dsum_sql(expr: str) -> str:
     return f"CAST(sum({dec_sql(expr)}) AS DOUBLE)"
 

@@ -1176,6 +1176,71 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    n_sources: int = 8,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round multi-source BFS with nearest-hub attribution — the
+    reachability/traversal member of the graph family (CC = components,
+    PageRank = centrality, LPA = community, triangles = clustering,
+    k-core = density).
+
+    Sources are the ``n_sources`` highest-degree vertices (out-degree over
+    the symmetric edge list, ties to the smaller id — fully deterministic).
+    Output: ``(node, hop, hub)`` for every vertex reached within ``rounds``
+    hops, where ``hop`` is the true BFS distance to the NEAREST hub and
+    ``hub`` is the smallest hub id among those at that minimal distance.
+
+    The min-hub attribution is consistent under per-round min-propagation:
+    if hub h achieves dist(n) = r through neighbor m, then dist(m) = r-1
+    and m's attributed hub h' <= h also reaches n in r hops — so taking
+    ``min(neighbor hubs)`` over the round-(r-1) frontier yields exactly
+    ``min{h : dist(n, h) = dist(n)}`` by induction, never a path-dependent
+    accident.
+
+    Scale shape per round: one hash join frontier⋈edges on the source key,
+    one map-side-combinable groupBy(dst) min, and one anti join against the
+    assigned set — frontier and assigned are both O(V), never O(V·hubs).
+    Frontier and assigned localCheckpoint each round (the PageRank lineage
+    discipline), and an empty frontier early-exits: no new vertex this
+    round means none later, so stopping returns exactly what the full
+    unroll (and the oracle's CTE chain) would.
+    """
+    from pyspark.sql import Window
+
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
+    hubs = (
+        deg.withColumn(
+            "_rn",
+            F.row_number().over(Window.orderBy(F.desc("_d"), F.asc(src))),
+        )
+        .filter(F.col("_rn") <= n_sources)
+        .select(F.col(src).alias("node"))
+    )
+    assigned = hubs.select(
+        "node", F.lit(0).cast("int").alias("hop"), F.col("node").alias("hub")
+    ).localCheckpoint(eager=True)
+    frontier = assigned.select("node", "hub")
+    for r in range(1, rounds + 1):
+        cand = (
+            edges.join(frontier, edges[src] == frontier["node"])
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.min("hub").alias("hub"))
+        )
+        new = cand.join(assigned.select("node"), "node", "left_anti").select(
+            "node", F.lit(r).cast("int").alias("hop"), "hub"
+        )
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        assigned = assigned.unionAll(new).localCheckpoint(eager=True)
+        frontier = new.select("node", "hub")
+    return assigned
+
+
 def hits_fixed_point(
     pairs: DataFrame, iters: int = 4, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -451,6 +451,68 @@ def scene_cuts(media: DataFrame, threshold: float = SCENE_CUT_THRESHOLD) -> Data
     return media.mapInPandas(gen, schema=schema)
 
 
+def motion_energy(media: DataFrame) -> DataFrame:
+    """Per-clip motion-energy profile through the REAL multi-frame codecs —
+    the ranking signal a video curation pipeline sorts on (static slates
+    and freeze-frames score ~0, hard cuts and busy motion score high),
+    complementary to :func:`scene_cuts` which only emits the boundary
+    booleans. Per consecutive frame pair the energy is the mean SQUARED
+    gray-plane difference (diff² weights large jumps quadratically — the
+    standard motion-energy kernel, vs scene_cuts' |diff| mean), reduced
+    inside the island to ONE row per media: pair count, total energy, and
+    the argmax pair (ties to the earliest index, so the peak is
+    deterministic). Payloads never leave the executor; per-media work is
+    O(n_frames · h · w); output is O(1) per media."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_pairs", T.IntegerType()),
+            T.StructField("total_energy", T.DoubleType()),
+            T.StructField("peak_idx", T.IntegerType()),
+            T.StructField("peak_energy", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from . import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                mime = meta["mime"]
+                if mime == "image/gif":
+                    raw = CX.decode_gif_frames(bytes(payload))
+                elif mime == "video/x-msvideo":
+                    raw = CX.decode_avi_frames(bytes(payload))
+                else:
+                    raise NotImplementedError(
+                        f"no stdlib multi-frame codec for mime {mime!r}"
+                    )
+                g = (raw.astype(np.float64) / 255.0).mean(axis=3)  # (n, h, w)
+                d = np.diff(g, axis=0)
+                e = (d * d).mean(axis=(1, 2))  # per-pair mean squared diff
+                peak = int(np.argmax(e)) if len(e) else 0  # first max wins
+                rows.append(
+                    (
+                        int(mid),
+                        int(len(e)),
+                        float(e.sum()),
+                        int(peak + 1) if len(e) else 0,
+                        float(e[peak]) if len(e) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_pairs", "total_energy", "peak_idx", "peak_energy"],
+            )
+
+    return media.mapInPandas(gen, schema=schema)
+
+
 BAND_FREQS_HZ = (500.0, 1000.0, 2000.0)
 
 

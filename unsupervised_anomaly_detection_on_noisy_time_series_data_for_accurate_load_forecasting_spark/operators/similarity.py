@@ -514,12 +514,15 @@ def d2i_expr(vec: str, cent: str) -> str:
 
 
 def _cents_literal(cents: list[tuple[int, list[float]]]) -> str:
-    """SQL array-of-structs literal for the centroid set. repr() emits the
-    shortest round-trip decimal string, so Java parses back the identical
-    double."""
+    """SQL array-of-structs literal for the centroid set. Each weight goes
+    through ``lit_double`` so the emitted text parses to the identical
+    double in every engine (see functions/exact.py — DuckDB's literal
+    parser is not correctly rounded)."""
+    from ..functions.exact import lit_double
+
     items = ", ".join(
         f"named_struct('cell', {cell}, 'c', array("
-        + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec)
+        + ", ".join(lit_double(float(v)) for v in vec)
         + "))"
         for cell, vec in cents
     )
@@ -1233,7 +1236,9 @@ def pca_fit(emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"):
     mu = [0.0] * d
     for r in mrows:
         mu[r["i"]] = float(r["s"]) / n
-    mu_arr = "array(" + ", ".join(f"CAST('{m!r}' AS DOUBLE)" for m in mu) + ")"
+    from ..functions.exact import lit_double
+
+    mu_arr = "array(" + ", ".join(lit_double(float(m)) for m in mu) + ")"
     a = long.select(F.col(id_col).alias("_v"), F.col("i").alias("ii"), F.col("x").alias("xa"))
     b = long.select(F.col(id_col).alias("_v"), F.col("i").alias("jj"), F.col("x").alias("xb"))
     prod = F.expr(
@@ -1277,16 +1282,18 @@ def pca_project_exprs(mu, components, emb_col: str = "embedding"):
     same sequential IEEE adds the mirror's Python loop performs), with the
     constant Σ mu_k·w_k folded driver-side (same order). The fold length is
     the fitted component's width, not a hardcoded dimension."""
+    from ..functions.exact import lit_double
+
     exprs = []
     for comp in components:
         d = len(comp)
-        w_arr = "array(" + ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in comp) + ")"
+        w_arr = "array(" + ", ".join(lit_double(float(w)) for w in comp) + ")"
         off = 0.0
         for m, w in zip(mu, comp):
             off += m * w
         exprs.append(
             f"aggregate(transform(sequence(0, {d - 1}), k -> "
             f"element_at(CAST({emb_col} AS ARRAY<DOUBLE>), k + 1) * element_at({w_arr}, k + 1)), "
-            f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) - CAST('{off!r}' AS DOUBLE)"
+            f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) - {lit_double(float(off))}"
         )
     return exprs

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg_sql, dec_sql, dsum_sql, qround_sql
+from ..functions.exact import davg_sql, dec_sql, dsum_sql, lit_double, qround_sql
 from ..operators import anomaly as AN
 from ..operators import forecast as FC
 from ..operators import timeseries as TSO
@@ -1178,8 +1178,15 @@ def _dft_tables() -> tuple[list[tuple[int, float, float]], list[tuple[int, float
 
 
 _PH24, _PH168 = _dft_tables()
-_PH24_SQL = ", ".join(f"({p}, {c!r}, {s!r})" for p, c, s in _PH24)
-_PH168_SQL = ", ".join(f"({p}, {c!r}, {s!r})" for p, c, s in _PH168)
+# lit_double, not {c!r}: DuckDB's bare-literal parser is not correctly
+# rounded (functions/exact.py), and a one-ulp trig-table skew breaks the
+# shared-constant doctrine these queries rest on.
+_PH24_SQL = ", ".join(
+    f"({p}, {lit_double(c)}, {lit_double(s)})" for p, c, s in _PH24
+)
+_PH168_SQL = ", ".join(
+    f"({p}, {lit_double(c)}, {lit_double(s)})" for p, c, s in _PH168
+)
 
 
 @register(
@@ -1272,6 +1279,121 @@ def w_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(168))
         .cast("int")
         .alias("dominant_period"),
+    )
+
+
+_SPK_HARMONICS = 6  # daily fundamental + 5 overtones (12h, 8h, 6h, 4.8h, 4h)
+
+# Shared share/argmax arithmetic, emitted as ONE expression text evaluated
+# by both engines on identically-named c_k/s_k columns — the w_dft_power
+# doctrine extended: not just the trig constants but every downstream IEEE
+# op is textually identical, so association order can't drift.
+_SPK_POW = {k: f"(c{k} * c{k} + s{k} * s{k})" for k in range(1, _SPK_HARMONICS + 1)}
+_SPK_TOTAL = _SPK_POW[1]
+for _k in range(2, _SPK_HARMONICS + 1):
+    _SPK_TOTAL = f"({_SPK_TOTAL} + {_SPK_POW[_k]})"
+_SPK_MAX = f"greatest({', '.join(_SPK_POW.values())})"
+_SPK_ARGMAX = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_SPK_POW[k]} = {_SPK_MAX} THEN {k}"
+        for k in range(1, _SPK_HARMONICS + 1)
+    )
+    + " END"
+)
+_SPK_SHARE = f"CASE WHEN {_SPK_TOTAL} = 0.0 THEN NULL ELSE {_SPK_MAX} / {_SPK_TOTAL} END"
+
+
+def _spectral_peak_oracle() -> str:
+    moments = ",\n             ".join(
+        f"{dsum_sql(f't.dv * h{k}.c')} AS c{k}, {dsum_sql(f't.dv * h{k}.s')} AS s{k}"
+        for k in range(1, _SPK_HARMONICS + 1)
+    )
+    joins = " ".join(
+        f"JOIN ph24 h{k} ON (t.p24 * {k}) % 24 = h{k}.p"
+        for k in range(1, _SPK_HARMONICS + 1)
+    )
+    return f"""
+    WITH {HOURLY_CTE},
+    ph24(p, c, s) AS (VALUES {_PH24_SQL}),
+    mu AS (SELECT series_id, {davg_sql('value')} AS m,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM hourly GROUP BY 1),
+    t AS (
+      SELECT h.series_id, h.value - mu.m AS dv, mu.n,
+             CAST((CAST(epoch(h.ts) AS BIGINT) // 3600) % 24 AS INTEGER) AS p24
+      FROM hourly h JOIN mu ON h.series_id = mu.series_id
+    ),
+    agg AS (
+      SELECT series_id, any_value(n) AS n,
+             {moments}
+      FROM t {joins}
+      GROUP BY 1
+    )
+    SELECT series_id, n,
+           CAST({_SPK_ARGMAX} AS INTEGER) AS peak_harmonic,
+           {qround_sql(_SPK_SHARE, 9)} AS peak_share
+    FROM agg
+    """
+
+
+@register(
+    "w_spectral_peak_share",
+    oracle=_spectral_peak_oracle,
+    tags=("M7", "A3", "F7"),
+    doc=f"Spectral peak share over the first {_SPK_HARMONICS} harmonics of "
+    "the daily cycle per series - how concentrated the load spectrum is "
+    "(a pure diurnal profile puts ~all its line power in one bin; a "
+    "two-shift industrial profile splits it). Reuses w_dft_power's "
+    "no-libm doctrine with ZERO new trig constants: cos(2*pi*k*p/24) is "
+    "the SAME 24-entry literal table indexed at (k*p) mod 24, so every "
+    "harmonic's Goertzel moments come from one constant-folded array. "
+    "Share, argmax (ties to the lowest harmonic), and the zero-power "
+    "guard are ONE expression text evaluated by both engines on the "
+    "decimal-exact moments. 100 TB shape: one mean agg + one combinable "
+    f"{2 * _SPK_HARMONICS}-moment agg per series, map-only in between.",
+)
+def w_spectral_peak_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import davg, dsum
+    from ..operators import timeseries as TSO
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    mu = hourly.groupBy("series_id").agg(
+        davg("value").alias("m"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    c24a = F.array(*[F.lit(c) for _, c, _ in _PH24])
+    s24a = F.array(*[F.lit(s) for _, _, s in _PH24])
+    hr = (F.unix_timestamp("ts") / F.lit(3600)).cast("bigint")
+    p24 = F.pmod(hr, F.lit(24)).cast("int")
+    proj = [
+        c
+        for k in range(1, _SPK_HARMONICS + 1)
+        for c in (
+            F.element_at(c24a, F.pmod(p24 * k, F.lit(24)) + 1).alias(f"cv{k}"),
+            F.element_at(s24a, F.pmod(p24 * k, F.lit(24)) + 1).alias(f"sv{k}"),
+        )
+    ]
+    t = hourly.join(mu.hint("shuffle_hash"), "series_id").select(
+        "series_id", "n", (F.col("value") - F.col("m")).alias("dv"), *proj
+    )
+    agg = t.groupBy("series_id").agg(
+        F.first("n").alias("n"),
+        *[
+            a
+            for k in range(1, _SPK_HARMONICS + 1)
+            for a in (
+                dsum(F.col("dv") * F.col(f"cv{k}")).alias(f"c{k}"),
+                dsum(F.col("dv") * F.col(f"sv{k}")).alias(f"s{k}"),
+            )
+        ],
+    )
+    from ..functions.exact import qround
+
+    return agg.select(
+        "series_id",
+        "n",
+        F.expr(_SPK_ARGMAX).cast("int").alias("peak_harmonic"),
+        qround(F.expr(_SPK_SHARE), 9).alias("peak_share"),
     )
 
 

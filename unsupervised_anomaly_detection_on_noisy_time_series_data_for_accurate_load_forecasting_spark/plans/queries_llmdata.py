@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import lit_double
 from ..functions.rng import rng_draw_sql
 from ..operators import corpus as CO
 from ..operators.dedup import DUP_SPAN_HOT_CAP
@@ -290,7 +291,7 @@ def _hll_oracle() -> str:
         .agg(SF.approx_count_distinct("tok", _HLL_RSD).alias("est"))
         .collect()
     )
-    vals = ", ".join(f"('{r['lang']}', {float(r['est'])!r})" for r in ests)
+    vals = ", ".join(f"('{r['lang']}', {lit_double(float(r['est']))})" for r in ests)
     return f"""
     WITH est(lang, est) AS (VALUES {vals}),
     ex AS (
@@ -1044,9 +1045,9 @@ def _bm25_oracle() -> str:
              floor(
                ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(dfreq AS DOUBLE) + 0.5)
                         / (CAST(dfreq AS DOUBLE) + 0.5))
-               * CAST(tf AS DOUBLE) * {k1 + 1.0!r}
+               * CAST(tf AS DOUBLE) * {lit_double(k1 + 1.0)}
                / (CAST(tf AS DOUBLE)
-                  + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(dl AS DOUBLE) / avgdl))
+                  + {lit_double(k1)} * ({lit_double(1.0 - b)} + {lit_double(b)} * CAST(dl AS DOUBLE) / avgdl))
                * 1000000000.0 + 0.5) / 1000000000.0 AS s
       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
     ),

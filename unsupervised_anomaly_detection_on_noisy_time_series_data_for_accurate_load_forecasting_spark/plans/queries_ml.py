@@ -17,6 +17,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import lit_double
 from ..ml.softpatch import SoftPatchConfig, softpatch_scores
 from ..ml.windows import day_windows
 from ..operators import anomaly as AN
@@ -44,7 +45,7 @@ def _scores_oracle(cfg: SoftPatchConfig | None = None) -> str:
 
     s = _mirror_scored(cfg)
     rows = ",".join(
-        f"('{r.series_id}',{_ts_lit(r.eday)},{int(r.window_label)},{qround_py(float(r.score_norm), 9)!r}::DOUBLE)"
+        f"('{r.series_id}',{_ts_lit(r.eday)},{int(r.window_label)},{lit_double(qround_py(float(r.score_norm), 9))})"
         for r in s.itertuples()
     )
     return (
@@ -84,7 +85,7 @@ def _eval_oracle() -> str:
     auroc = (rank_pos - p_tot * (p_tot + 1) / 2) / (p_tot * n_tot)
     return (
         f"SELECT {tp}::BIGINT AS tp, {fp}::BIGINT AS fp, {fn}::BIGINT AS fn, "
-        f"{tn}::BIGINT AS tn, {auroc!r}::DOUBLE AS auroc"
+        f"{tn}::BIGINT AS tn, {lit_double(auroc)} AS auroc"
     )
 
 
@@ -227,7 +228,7 @@ def _ann_oracle() -> str:
     emb = embed_pd(day_windows_pd(pts, cfg.day_size), cfg)
     s = det_ann_scores_pd(emb)
     rows = ",".join(
-        f"('{r.series_id}',{_ts_lit(r.eday)},{qround_py(float(r.score), 9)!r}::DOUBLE)"
+        f"('{r.series_id}',{_ts_lit(r.eday)},{lit_double(qround_py(float(r.score), 9))})"
         for r in s.itertuples()
     )
     return (
@@ -267,14 +268,55 @@ def ml_ann_scores_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination-rate threshold (A6) → confusion counts + exact AUROC.",
 )
 def ml_softpatch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from ..operators.forecast import auroc
 
     scored = _scores(spark, sf_dir)
-    contam = scored.agg(F.avg("window_label")).collect()[0][0] or 0.0
-    thresh = scored.agg(
-        F.percentile("score", F.lit(1.0 - float(contam))).alias("t")
-    ).collect()[0]["t"]
-    flagged = scored.withColumn("pred", (F.col("score") > F.lit(float(thresh))).cast("int"))
+    # Contamination rate and the (1-contam)-percentile threshold used to be
+    # two driver .collect() round-trips (three Spark jobs); both now live in
+    # the plan as broadcast 1-row frames (r12 verdict #6). The percentile is
+    # replicated exactly as the mirror's spark_percentile: pos = q*(n-1),
+    # v[i] + (pos-i)*(v[i+1]-v[i]) — each double op correctly rounded, so
+    # the in-plan threshold is bit-identical to the old percentile() one.
+    # The row_number window is global by construction (an exact percentile
+    # is a global order statistic — percentile() itself reduces to one
+    # partition); the scored frame is windows-per-series-day sized, not
+    # data-sized.
+    pos_f = (
+        (F.lit(1.0) - F.col("pos_cnt") / F.col("n")) * (F.col("n") - F.lit(1.0))
+    ).alias("pos")
+    stats = scored.agg(
+        F.sum("window_label").cast("double").alias("pos_cnt"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ).select(pos_f, "n")
+    ranked = scored.select(
+        "score",
+        (F.row_number().over(Window.orderBy("score")) - 1).cast("double").alias("rn"),
+    )
+    thresh_df = (
+        ranked.crossJoin(F.broadcast(stats))
+        .where(
+            (F.col("rn") == F.floor("pos"))
+            | (F.col("rn") == F.floor("pos") + 1)
+        )
+        .groupBy("pos")
+        .agg(
+            F.max(F.when(F.col("rn") == F.floor("pos"), F.col("score"))).alias("lo"),
+            F.max(F.when(F.col("rn") == F.floor("pos") + 1, F.col("score"))).alias("hi"),
+        )
+        .select(
+            F.when(F.col("hi").isNull(), F.col("lo"))
+            .otherwise(
+                F.col("lo")
+                + (F.col("pos") - F.floor("pos")) * (F.col("hi") - F.col("lo"))
+            )
+            .alias("thresh")
+        )
+    )
+    flagged = scored.crossJoin(F.broadcast(thresh_df)).withColumn(
+        "pred", (F.col("score") > F.col("thresh")).cast("int")
+    )
     confusion = flagged.agg(
         F.sum((F.col("pred") * F.col("window_label"))).cast("bigint").alias("tp"),
         F.sum(F.col("pred") * (1 - F.col("window_label"))).cast("bigint").alias("fp"),

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.exact import dsum, dsum_sql
+from ..functions.exact import dsum, dsum_sql, lit_double
 from ..functions.rng import rng_uniform_sql
 from ..ml import imputer as IM
 from ..ml.neural_np import DenoisingAE
@@ -325,7 +325,7 @@ def _ae_mirror_sql() -> str:
     imps = out[sel]
     assert np.isfinite(imps).all(), "mirror produced non-finite imputations"
     rows = ",".join(
-        f"('{s}',{v!r}::DOUBLE,{i!r}::DOUBLE)" for s, v, i in zip(sids, vals, imps)
+        f"('{s}',{lit_double(v)},{lit_double(i)})" for s, v, i in zip(sids, vals, imps)
     )
     return f"""
     WITH imp(series_id, value, imputed) AS (VALUES {rows})
@@ -447,7 +447,7 @@ def _ab_mirror_sql() -> str:
     preds = FC.mirror_predictions(w)
     assert np.isfinite(preds["pred"].to_numpy()).all(), "mirror predictions not finite"
     rows = ",".join(
-        f"('{m}','{v}',{p!r}::DOUBLE,{a!r}::DOUBLE)"
+        f"('{m}','{v}',{lit_double(p)},{lit_double(a)})"
         for m, v, p, a in zip(preds["model"], preds["train_data"], preds["pred"], preds["actual"])
     )
     n = "CAST(count(*) AS DOUBLE)"

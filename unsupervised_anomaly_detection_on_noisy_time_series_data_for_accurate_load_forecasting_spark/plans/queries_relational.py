@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg_sql, dsum_sql, qround_sql
+from ..functions.exact import davg_sql, dsum_sql, lit_double, qround_sql
 from ..operators import relational as R
 from ..sources.readers import load_table
 from .registry import register
@@ -210,7 +210,7 @@ def _benford_oracle() -> str:
     from ..operators.relational import _benford_expected
 
     e_list = ", ".join(
-        f"({d}, CAST({x!r} AS DOUBLE))" for d, x in enumerate(_benford_expected(), start=1)
+        f"({d}, {lit_double(x)})" for d, x in enumerate(_benford_expected(), start=1)
     )
     return f"""
     WITH v AS (
@@ -1544,4 +1544,112 @@ def p_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_observed"),
             qround(est, 6).alias("n_estimated"),
         )
+    )
+
+
+# Fixed a-priori threshold grid (local DP never looks at the data to pick
+# it) and exact-dyadic RR constants: p = 3/4, so 1-p = 0.25 and 2p-1 = 0.5
+# and every debias constant is exactly representable — no lit_double needed.
+_DPQ_GRID = (4, 8, 16, 24, 32, 40, 48, 64, 80, 96, 128, 160, 192, 256, 384, 512)
+_DPQ_P = 0.75
+_DPQ_QS = (0.25, 0.5, 0.75)
+_DPQ_SALT = 113
+
+
+def _dp_quantile_oracle() -> str:
+    from ..functions.rng import rng_uniform_sql
+
+    u = rng_uniform_sql("event_id", "tidx", salt=_DPQ_SALT)
+    grid = ", ".join(f"({i}, {t})" for i, t in enumerate(_DPQ_GRID, start=1))
+    qs = ", ".join(f"({q})" for q in _DPQ_QS)
+    est = "(((CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) - 0.25) / 0.5)"
+    true_cdf = "(CAST(nt AS DOUBLE) / CAST(n AS DOUBLE))"
+    return f"""
+    WITH grid(tidx, tval) AS (VALUES {grid}),
+    qs(q) AS (VALUES {qs}),
+    bits AS (
+      SELECT g.tidx, g.tval,
+             CASE WHEN e.value <= g.tval THEN 1 ELSE 0 END AS b,
+             CASE WHEN {u} < {_DPQ_P}
+                  THEN CASE WHEN e.value <= g.tval THEN 1 ELSE 0 END
+                  ELSE CASE WHEN e.value <= g.tval THEN 0 ELSE 1 END
+             END AS ob
+      FROM events e CROSS JOIN grid g
+    ),
+    agg AS (
+      SELECT tval, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ob) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS nt
+      FROM bits GROUP BY 1
+    )
+    SELECT CAST(q.q AS DOUBLE) AS q,
+           CAST(min(CASE WHEN {est} >= q.q THEN tval END) AS BIGINT) AS est_threshold,
+           {qround_sql(f"min_by({est}, CASE WHEN {est} >= q.q THEN tval ELSE NULL END)", 6)}
+             AS est_cdf_at,
+           CAST(min(CASE WHEN {true_cdf} >= q.q THEN tval END) AS BIGINT) AS true_threshold
+    FROM agg CROSS JOIN qs q
+    GROUP BY 1
+    """
+
+
+@register(
+    "p_dp_quantile",
+    oracle=_dp_quantile_oracle,
+    tags=("P-privacy", "F8", "A1", "A6"),
+    doc="Local-DP quantile estimation (the RAPPOR-family threshold-bit "
+    "mechanism): every event answers 'is my value <= t' for each of the "
+    f"{len(_DPQ_GRID)} FIXED grid thresholds through a randomized-response "
+    f"coin (keep-truth p = {_DPQ_P}, keyed on (event_id, t) by the seeded "
+    "cross-engine RNG), the per-threshold debias (rate - (1-p)) / (2p-1) "
+    "rebuilds the CDF without trusting any row, and each requested "
+    "quantile reports the smallest grid threshold whose debiased CDF "
+    "clears it (true-CDF pick alongside, as the utility reference). All "
+    "RR constants are exact dyadics so the debias is one fixed IEEE "
+    "expression over exact integer counts - binomial noise only, no "
+    "log/laplace libm anywhere. 100 TB shape: map-only 16x bit expansion, "
+    "ONE combinable 16-group count agg, then constant-size frames.",
+)
+def p_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+    from ..functions.rng import rng_uniform
+
+    ev = _t(spark, sf_dir, "events")
+    grid = F.array(*[F.lit(int(t)) for t in _DPQ_GRID])
+    bits = ev.select(
+        "event_id",
+        "value",
+        F.posexplode(grid).alias("ti0", "tval"),
+    ).select(
+        "tval",
+        (F.col("value") <= F.col("tval")).cast("int").alias("b"),
+        (F.col("ti0") + 1).alias("tidx"),
+        "event_id",
+    )
+    u = rng_uniform("event_id", "tidx", salt=_DPQ_SALT)
+    bits = bits.withColumn(
+        "ob", F.when(u < F.lit(_DPQ_P), F.col("b")).otherwise(1 - F.col("b"))
+    )
+    agg = bits.groupBy("tval").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ob").cast("bigint").alias("n1"),
+        F.sum("b").cast("bigint").alias("nt"),
+    )
+    est = ((F.col("n1").cast("double") / F.col("n").cast("double")) - F.lit(0.25)) / F.lit(0.5)
+    true_cdf = F.col("nt").cast("double") / F.col("n").cast("double")
+    qf = spark.createDataFrame([(q,) for q in _DPQ_QS], "q double")
+    j = agg.crossJoin(F.broadcast(qf)).select(
+        "q",
+        "tval",
+        est.alias("est"),
+        true_cdf.alias("tc"),
+    )
+    return j.groupBy("q").agg(
+        F.min(F.when(F.col("est") >= F.col("q"), F.col("tval")))
+        .cast("bigint")
+        .alias("est_threshold"),
+        qround(
+            F.expr("min_by(est, CASE WHEN est >= q THEN tval ELSE NULL END)"), 6
+        ).alias("est_cdf_at"),
+        F.min(F.when(F.col("tc") >= F.col("q"), F.col("tval")))
+        .cast("bigint")
+        .alias("true_threshold"),
     )

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, davg_sql, dsum, dsum_sql, qround, qround_sql
+from ..functions.exact import davg, davg_sql, dsum, dsum_sql, lit_double, qround, qround_sql
 from ..functions.rng import rng_uniform, rng_uniform_sql
 from ..operators import anomaly as AN
 from ..operators import timeseries as TSO
@@ -335,7 +335,7 @@ def _m6_oracle() -> str:
         )
         rows.append(
             f"('{sid}',{len(v)}::BIGINT,{n_was_null}::BIGINT,{n_still}::BIGINT,"
-            f"{total_q / 10**6!r}::DOUBLE)"
+            f"{lit_double(total_q / 10**6)})"
         )
     return (
         "SELECT * FROM (VALUES "
@@ -1065,6 +1065,78 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").cast("bigint").alias("part_id"), "core_deg")
 
 
+BFS_HUBS = 8
+BFS_ROUNDS = 4
+
+
+def _bfs_oracle() -> str:
+    """Unrolled-round replay of the multi-source BFS: same deterministic
+    hub pick (degree DESC, node ASC), same per-round min-hub frontier
+    expansion — the PageRank/LPA iteration-replay discipline."""
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )""",
+        "edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs)",
+        "deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1)",
+        f"""hubs AS (
+      SELECT node FROM (
+        SELECT node, row_number() OVER (ORDER BY d DESC, node ASC) AS rn FROM deg
+      ) WHERE rn <= {BFS_HUBS}
+    )""",
+        "a0 AS (SELECT node, 0 AS hop, node AS hub FROM hubs)",
+        "f0 AS (SELECT node, hub FROM a0)",
+    ]
+    for i in range(1, BFS_ROUNDS + 1):
+        ctes.append(
+            f"""c{i} AS (
+      SELECT e.dst AS node, min(f.hub) AS hub
+      FROM edges e JOIN f{i - 1} f ON e.src = f.node
+      GROUP BY 1
+    ),
+    n{i} AS (
+      SELECT c.node, {i} AS hop, c.hub
+      FROM c{i} c LEFT JOIN a{i - 1} a USING (node)
+      WHERE a.node IS NULL
+    ),
+    a{i} AS (SELECT * FROM a{i - 1} UNION ALL SELECT * FROM n{i}),
+    f{i} AS (SELECT node, hub FROM n{i})"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT node, CAST(hop AS INTEGER) AS hop, hub FROM a{BFS_ROUNDS}
+    """
+    )
+
+
+@register(
+    "g_bfs_hops",
+    oracle=_bfs_oracle,
+    tags=("DEDUP-cc", "J1", "O3"),
+    doc=f"Multi-source BFS ({BFS_ROUNDS} rounds) from the {BFS_HUBS} "
+    "highest-degree hubs of the customer-supplier bipartite graph - the "
+    "traversal/reachability member of the graph family the other nine "
+    "operators lacked. Every reached vertex reports its true hop distance "
+    "to the NEAREST hub plus the smallest hub id achieving it (min-hub "
+    "propagation is order-independent by induction, so the attribution is "
+    "a graph property, not a schedule accident). Per round: one "
+    "frontier-by-source hash join, one map-side-combinable groupBy(dst) "
+    "min, one anti join against the assigned set; frontier state is O(V); "
+    "lineage cut per round and empty-frontier early-exit, replayed exactly "
+    "by the oracle's unrolled CTE chain.",
+)
+def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import bfs_hops
+    from .shared import bipartite_edges_df
+
+    out = bfs_hops(
+        bipartite_edges_df(spark, sf_dir), n_sources=BFS_HUBS, rounds=BFS_ROUNDS
+    )
+    return out.select("node", F.col("hop").cast("int").alias("hop"), "hub")
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
@@ -1142,7 +1214,7 @@ def _poisson_weight_case(u_expr: str) -> str:
     cum, term, cases = 0.0, 1.0, []
     for k in range(6):
         cum += e1 * term
-        cases.append(f"WHEN ({u_expr}) < {cum!r} THEN {k}")
+        cases.append(f"WHEN ({u_expr}) < {lit_double(cum)} THEN {k}")
         term /= k + 1
     return "CASE " + " ".join(cases) + " ELSE 6 END"
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum_sql, qround_sql
+from ..functions.exact import dsum_sql, lit_double, qround_sql
 from ..functions.rng import rng_uniform_sql
 from ..operators import similarity as SIM
 from ..sources.readers import load_table
@@ -490,7 +490,7 @@ def _cents_values_sql() -> str:
     X = [r[1] for r in rows]
     cents, _ = kmeans_mirror(ids, X, k=KMEANS_K, iters=KMEANS_ITERS)
     return ", ".join(
-        f"({cell}, [" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + "])"
+        f"({cell}, [" + ", ".join(f"{lit_double(v)}" for v in vec) + "])"
         for cell, vec in cents
     )
 
@@ -560,7 +560,7 @@ def _pq_sql_literals() -> tuple[str, str]:
     con.close()
     books = pq_codebooks([r[0] for r in rows], [r[1] for r in rows])
     cb_vals = ", ".join(
-        f"({j}, {code}, [" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + "])"
+        f"({j}, {code}, [" + ", ".join(f"{lit_double(v)}" for v in c) + "])"
         for j, cents in enumerate(books)
         for code, c in cents
     )
@@ -729,7 +729,7 @@ def _sem_cents_values_sql() -> tuple[str, int]:
         [r[0] for r in rows], [r[1] for r in rows], k=k, iters=SEMDEDUP_ITERS
     )
     vals = ", ".join(
-        f"({cell}, [" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + "])"
+        f"({cell}, [" + ", ".join(f"{lit_double(v)}" for v in vec) + "])"
         for cell, vec in cents
     )
     return vals, k
@@ -976,7 +976,7 @@ def _mmr_oracle() -> str:
     con.close()
     res = mmr_mirror([r[0] for r in rows], [r[1] for r in rows])
     vals = ", ".join(
-        f"({rk}, {vid}, CAST({score!r} AS DOUBLE))" for rk, vid, _cos, score in res
+        f"({rk}, {vid}, {lit_double(score)})" for rk, vid, _cos, score in res
     )
     micro = (
         "list_sum(list_transform(range(1, len({a}) + 1), "
@@ -1133,7 +1133,7 @@ def _pca_oracle() -> str:
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     rows = ",".join(
-        f"({vid}, {qround_py(p1, 6)!r}::DOUBLE, {qround_py(p2, 6)!r}::DOUBLE)"
+        f"({vid}, {lit_double(qround_py(p1, 6))}, {lit_double(qround_py(p2, 6))})"
         for vid, p1, p2 in _pca_mirror(sf_dir)
     )
     return "SELECT * FROM (VALUES " + rows + ") AS t(vec_id, pc1, pc2)"
@@ -1310,13 +1310,13 @@ _NDCG_W, _NDCG_IDCG = _ndcg_weights()
     j AS (
       SELECT a.qid, a.rk,
              CASE WHEN e.nid IS NULL THEN 0.0
-                  ELSE CASE a.rk {' '.join(f'WHEN {r + 1} THEN {w!r}' for r, w in enumerate(_NDCG_W))} END
+                  ELSE CASE a.rk {' '.join(f'WHEN {r + 1} THEN {lit_double(w)}' for r, w in enumerate(_NDCG_W))} END
              END AS gain,
              CASE WHEN e.nid IS NULL THEN 0 ELSE 1 END AS hit
       FROM appr a LEFT JOIN exact e ON a.qid = e.qid AND a.nid = e.nid
     )
     SELECT qid, CAST(sum(hit) AS BIGINT) AS n_hits,
-           {qround_sql(f"{dsum_sql('gain')} / {_NDCG_IDCG!r}", 9)} AS ndcg_at_5
+           {qround_sql(f"{dsum_sql('gain')} / {lit_double(_NDCG_IDCG)}", 9)} AS ndcg_at_5
     FROM j GROUP BY 1
     """,
     tags=("SIM-ivf", "SIM-bruteforce", "M24", "A11"),
@@ -1451,7 +1451,7 @@ def _rp_signs() -> "list[list[float]]":
 def _rp_oracle() -> str:
     signs = _rp_signs()
     rows = ", ".join(
-        f"({j}, {i + 1}, {s!r})"
+        f"({j}, {i + 1}, {lit_double(float(s))})"
         for j, row in enumerate(signs)
         for i, s in enumerate(row)
     )
@@ -1513,7 +1513,7 @@ def s_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sg_lit = (
         "array("
         + ", ".join(
-            "array(" + ", ".join(f"{s!r}D" for s in row) + ")" for row in signs
+            "array(" + ", ".join(lit_double(float(s)) for s in row) + ")" for row in signs
         )
         + ")"
     )

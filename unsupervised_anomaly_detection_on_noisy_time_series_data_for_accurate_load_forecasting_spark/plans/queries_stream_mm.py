@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg_sql, dstd_sql, dsum_sql, qround, qround_py, qround_sql
+from ..functions.exact import davg_sql, dstd_sql, dsum_sql, lit_double, qround, qround_py, qround_sql
 from ..functions.rng import rng_uniform_sql
 from ..ml import imputer as IM
 from ..operators import anomaly as AN
@@ -116,7 +116,7 @@ def _mm_features_oracle() -> str:
     for r in docs.itertuples():
         payload = r.text.encode("utf-8")
         feat = MM._fake_decode(payload)
-        rows.append(f"({int(r.doc_id)}::BIGINT,{len(payload)}::INTEGER,{qround_py(_fold_sum(feat), 9)!r}::DOUBLE)")
+        rows.append(f"({int(r.doc_id)}::BIGINT,{len(payload)}::INTEGER,{lit_double(qround_py(_fold_sum(feat), 9))})")
     return "SELECT * FROM (VALUES " + ",".join(rows) + ") AS t(media_id, n_bytes, feat_sum)"
 
 
@@ -130,7 +130,7 @@ def _mm_frames_oracle() -> str:
         n_frames = len(r.text) % 16 + 1
         for fi in range(0, n_frames, 4):
             chunk = payload[fi::n_frames] or b"\0"
-            frame_rows.append(f"({int(r.doc_id)}::BIGINT,{_fold_sum(MM._fake_decode(chunk))!r}::DOUBLE)")
+            frame_rows.append(f"({int(r.doc_id)}::BIGINT,{lit_double(_fold_sum(MM._fake_decode(chunk)))})")
     return f"""
     WITH frames(media_id, fsum) AS (VALUES {",".join(frame_rows)})
     SELECT media_id, count(*) AS n_frames_sampled,
@@ -236,7 +236,7 @@ def _mm_resize_oracle() -> str:
         payload = r.text.encode("utf-8") or b"\0"
         arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) / 255.0
         idx = np.linspace(0, len(arr) - 1, n_px).astype(int)
-        rows.append(f"({int(r.doc_id)}::BIGINT,{qround_py(_fold_sum(arr[idx]), 9)!r}::DOUBLE)")
+        rows.append(f"({int(r.doc_id)}::BIGINT,{lit_double(qround_py(_fold_sum(arr[idx]), 9))})")
     return (
         "SELECT media_id, 32 AS width, 32 AS height, pix_sum FROM (VALUES "
         + ",".join(rows)
@@ -291,7 +291,7 @@ def _mm_png_oracle() -> str:
         f = [*means, *stds, h / 1000.0, w / 1000.0]
         rows.append(
             f"({int(r.doc_id)}::BIGINT,"
-            + ",".join(f"{qround_py(float(x), 9)!r}::DOUBLE" for x in f)
+            + ",".join(f"{lit_double(qround_py(float(x), 9))}" for x in f)
             + ")"
         )
     return (
@@ -384,7 +384,7 @@ def _mm_wav_oracle() -> str:
              s.min(), s.max(), len(s) / 8000.0, 8000.0 / 48000.0]
         rows.append(
             f"({int(r.doc_id)}::BIGINT,"
-            + ",".join(f"{qround_py(float(x), 9)!r}::DOUBLE" for x in f)
+            + ",".join(f"{lit_double(qround_py(float(x), 9))}" for x in f)
             + ")"
         )
     return (
@@ -484,7 +484,7 @@ def _mm_jpeg_oracle() -> str:
         f = [*means, *stds, h / 1000.0, w / 1000.0]
         rows.append(
             f"({int(r.doc_id)}::BIGINT,"
-            + ",".join(f"{qround_py(float(x), 9)!r}::DOUBLE" for x in f)
+            + ",".join(f"{lit_double(qround_py(float(x), 9))}" for x in f)
             + ")"
         )
     return (
@@ -589,7 +589,7 @@ def _mm_gif_oracle() -> str:
         f = [*means, *stds, h / 1000.0, w / 1000.0]
         rows.append(
             f"({int(r.doc_id)}::BIGINT,"
-            + ",".join(f"{qround_py(float(x), 9)!r}::DOUBLE" for x in f)
+            + ",".join(f"{lit_double(qround_py(float(x), 9))}" for x in f)
             + ")"
         )
     return (
@@ -673,7 +673,7 @@ def _mm_resize_real_oracle() -> str:
         xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
         grid = img[np.ix_(ys, xs)].mean(axis=2).ravel()
         rows.append(
-            f"({int(r.doc_id)}::BIGINT,{qround_py(_fold_sum(grid), 9)!r}::DOUBLE)"
+            f"({int(r.doc_id)}::BIGINT,{lit_double(qround_py(_fold_sum(grid), 9))})"
         )
     return (
         f"SELECT media_id, {out_w} AS width, {out_h} AS height, pix_sum FROM (VALUES "
@@ -778,7 +778,7 @@ def _mm_gif_frames_oracle() -> str:
             ]
             rows.append(
                 f"({int(r.doc_id)}::BIGINT,{fi}::INTEGER,"
-                + ",".join(f"{qround_py(float(x), 9)!r}::DOUBLE" for x in f)
+                + ",".join(f"{lit_double(qround_py(float(x), 9))}" for x in f)
                 + ")"
             )
     return (
@@ -887,7 +887,7 @@ def _mm_avi_frames_oracle() -> str:
             ]
             rows.append(
                 f"({int(r.doc_id)}::BIGINT,{fi}::INTEGER,"
-                + ",".join(f"{qround_py(float(x), 9)!r}::DOUBLE" for x in f)
+                + ",".join(f"{lit_double(qround_py(float(x), 9))}" for x in f)
                 + ")"
             )
     return (
@@ -1487,7 +1487,7 @@ def _mm_jpeg_resize_oracle() -> str:
         xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
         grid = img[np.ix_(ys, xs)].mean(axis=2).ravel()
         rows.append(
-            f"({int(r.doc_id)}::BIGINT,{qround_py(_fold_sum(grid), 9)!r}::DOUBLE)"
+            f"({int(r.doc_id)}::BIGINT,{lit_double(qround_py(_fold_sum(grid), 9))})"
         )
     return (
         f"SELECT media_id, {out_w} AS width, {out_h} AS height, pix_sum FROM (VALUES "
@@ -1622,7 +1622,7 @@ def _mm_scene_cuts_oracle() -> str:
         for fi, dv in enumerate(d, start=1):
             rows.append(
                 f"({int(r.doc_id)}::BIGINT,{fi}::INTEGER,"
-                f"{qround_py(float(dv), 9)!r}::DOUBLE,"
+                f"{lit_double(qround_py(float(dv), 9))},"
                 f"{bool(dv > MM.SCENE_CUT_THRESHOLD)})"
             )
     return (
@@ -1632,23 +1632,10 @@ def _mm_scene_cuts_oracle() -> str:
     )
 
 
-@register(
-    "mm_avi_scene_cuts",
-    oracle=lambda: _mm_scene_cuts_oracle(),
-    tags=("MM-decode", "MM-codec", "MM-video"),
-    doc="Shot-boundary detection through the REAL video path — the "
-    "clip-segmentation primitive of a crawl video pipeline: per doc, the "
-    "deterministic 6-frame clip is encoded as a true AVI (RIFF + MS-RLE8) "
-    "and every consecutive frame pair is scored with the mean absolute "
-    "gray-plane difference inside one Arrow island (operators/"
-    "multimodal.scene_cuts); a cut fires where the jump exceeds the "
-    "threshold. The oracle rebuilds the frame planes with NO container or "
-    "codec and replays the identical numpy reductions, so the RIFF walk, "
-    "the RLE8 round trip, and the diff math are all hash-verified. 100 TB "
-    "shape: payloads stay executor-side, one row per frame pair, "
-    "media-parallel.",
-)
-def mm_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _avi_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared REAL-AVI media frame for the video queries: per doc, the
+    deterministic 6-frame clip encoded as a true RIFF + MS-RLE8 payload
+    inside an Arrow island (payloads never leave the executor)."""
     import pandas as pd
 
     docs = (
@@ -1680,10 +1667,89 @@ def mm_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    media = docs.mapInPandas(gen, schema=MM.MEDIA_SCHEMA)
+    return docs.mapInPandas(gen, schema=MM.MEDIA_SCHEMA)
+
+
+@register(
+    "mm_avi_scene_cuts",
+    oracle=lambda: _mm_scene_cuts_oracle(),
+    tags=("MM-decode", "MM-codec", "MM-video"),
+    doc="Shot-boundary detection through the REAL video path — the "
+    "clip-segmentation primitive of a crawl video pipeline: per doc, the "
+    "deterministic 6-frame clip is encoded as a true AVI (RIFF + MS-RLE8) "
+    "and every consecutive frame pair is scored with the mean absolute "
+    "gray-plane difference inside one Arrow island (operators/"
+    "multimodal.scene_cuts); a cut fires where the jump exceeds the "
+    "threshold. The oracle rebuilds the frame planes with NO container or "
+    "codec and replays the identical numpy reductions, so the RIFF walk, "
+    "the RLE8 round trip, and the diff math are all hash-verified. 100 TB "
+    "shape: payloads stay executor-side, one row per frame pair, "
+    "media-parallel.",
+)
+def mm_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _avi_media_df(spark, sf_dir)
     cuts = MM.scene_cuts(media)
     return cuts.select(
         "media_id", "frame_idx", qround(F.col("frame_diff"), 9).alias("frame_diff"), "is_cut"
+    )
+
+
+def _mm_motion_energy_oracle() -> str:
+    """Mirror for the motion-energy profiler: rebuild the decoded frame
+    stack with no container/codec and replay the island's exact numpy
+    reductions — same /255, same gray plane, same diff², same first-argmax
+    peak — then quantize the two energies on the 1e-9 lattice."""
+    import numpy as np
+
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        f8 = _doc_avi_frames(r.text)
+        frames = np.stack([f8, f8, f8], axis=3).astype(np.float64) / 255.0
+        g = frames.mean(axis=3)
+        d = np.diff(g, axis=0)
+        e = (d * d).mean(axis=(1, 2))
+        peak = int(np.argmax(e)) if len(e) else 0
+        rows.append(
+            f"({int(r.doc_id)}::BIGINT,{len(e)}::INTEGER,"
+            f"{lit_double(qround_py(float(e.sum()), 9))},"
+            f"{peak + 1 if len(e) else 0}::INTEGER,"
+            f"{lit_double(qround_py(float(e[peak]) if len(e) else 0.0, 9))})"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, n_pairs, total_energy, peak_idx, peak_energy)"
+    )
+
+
+@register(
+    "mm_avi_motion_energy",
+    oracle=lambda: _mm_motion_energy_oracle(),
+    tags=("MM-decode", "MM-codec", "MM-video"),
+    doc="Per-clip motion-energy profile through the REAL video path - the "
+    "curation signal that ranks clips by how much actually happens in "
+    "them (static slates ~0, busy motion high), reusing the scene-cut "
+    "plumbing: the same RIFF + MS-RLE8 encode island feeds operators/"
+    "multimodal.motion_energy, which scores every consecutive frame pair "
+    "with the mean SQUARED gray-plane difference (quadratic in the jump, "
+    "vs scene_cuts' |diff|) and reduces in-island to one row per media: "
+    "pair count, total energy, first-argmax peak pair. The oracle "
+    "rebuilds the frame planes with no container or codec and replays "
+    "the identical numpy reductions, so the codec round trip and the "
+    "energy math are hash-verified. 100 TB shape: payloads stay "
+    "executor-side, output is O(1) per media, embarrassingly "
+    "media-parallel.",
+)
+def mm_avi_motion_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _avi_media_df(spark, sf_dir)
+    e = MM.motion_energy(media)
+    return e.select(
+        "media_id",
+        "n_pairs",
+        qround(F.col("total_energy"), 9).alias("total_energy"),
+        "peak_idx",
+        qround(F.col("peak_energy"), 9).alias("peak_energy"),
     )
 
 
@@ -1761,7 +1827,7 @@ def _mm_band_oracle() -> str:
     for r in docs.itertuples():
         e = band_energies(_doc_samples(r.text))
         rows.append(
-            f"({int(r.doc_id)}::BIGINT,{e[0]!r}::DOUBLE,{e[1]!r}::DOUBLE,{e[2]!r}::DOUBLE)"
+            f"({int(r.doc_id)}::BIGINT,{lit_double(e[0])},{lit_double(e[1])},{lit_double(e[2])})"
         )
     return (
         "SELECT media_id, e500, e1000, e2000,"
@@ -1848,15 +1914,20 @@ def _ewma_control_oracle() -> str:
     ),
     base AS (SELECT user_id, qs, len(qs) AS n FROM arr),
     step AS (
+      -- s1/s2 accumulate as HUGEINT: the engine's stateful fold keeps the
+      -- prefix moments as arbitrary-precision integers, and Sq^2 near
+      -- 9.2e18 (~1e5 events at q~1e7) would overflow a BIGINT accumulator
+      -- on the oracle side only (r12 ADVICE).
       SELECT user_id, qs, n, 1 AS t,
-             qs[1] AS e, qs[1] AS s1, qs[1] * qs[1] AS s2,
+             qs[1] AS e, CAST(qs[1] AS HUGEINT) AS s1,
+             CAST(qs[1] AS HUGEINT) * CAST(qs[1] AS HUGEINT) AS s2,
              CAST(0 AS BIGINT) AS alerts
       FROM base
       UNION ALL
       SELECT user_id, qs, n, t + 1,
              {e_new},
-             s1 + qs[t + 1],
-             s2 + qs[t + 1] * qs[t + 1],
+             s1 + CAST(qs[t + 1] AS HUGEINT),
+             s2 + CAST(qs[t + 1] AS HUGEINT) * CAST(qs[t + 1] AS HUGEINT),
              alerts + CASE WHEN t >= 30 AND ({var_prev}) > 0.0
                             AND abs(CAST({e_new} AS DOUBLE) - ({mu_prev}))
                                 > sqrt({var_prev})

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum_sql, qround_sql
+from ..functions.exact import dsum_sql, lit_double, qround_py, qround_sql
 from ..functions.rng import M, rng_draw, rng_draw_sql, rng_uniform, rng_uniform_sql
 from ..operators import dedup as DD
 from ..operators import textops as TX
@@ -2057,7 +2057,7 @@ def _compression_oracle() -> str:
         raw = text.encode("utf-8")
         comp = len(zlib.compress(raw, 6))
         ratio = int((comp / len(raw)) * 1e6 + 0.5) / 1e6 if raw else 0.0
-        rows.append(f"({did}::BIGINT,{len(raw)}::BIGINT,{comp}::BIGINT,{ratio!r}::DOUBLE)")
+        rows.append(f"({did}::BIGINT,{len(raw)}::BIGINT,{comp}::BIGINT,{lit_double(ratio)})")
     return (
         "SELECT * FROM (VALUES "
         + ",".join(rows)
@@ -2247,6 +2247,132 @@ def t_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("hapax_ratio"),
         qround(msttr, 9).alias(f"msttr{_TTR_SEG}"),
+    )
+
+
+_MTLD_NUM = 72  # factor-complete threshold: TTR < 0.72 as the integer
+_MTLD_DEN = 100  # cross-multiplication 100*types < 72*tokens (no float 0.72)
+
+
+def _mtld_py(toks: list[str]) -> tuple[int, int, float | None]:
+    """The MTLD forward walk on content tokens — the single shared model
+    both engines replay (the Spark HOF fold is this loop verbatim)."""
+    seen: set[str] = set()
+    tk = ty = fc = 0
+    for x in toks:
+        nty = ty + (0 if x in seen else 1)
+        if _MTLD_DEN * nty < _MTLD_NUM * (tk + 1):
+            seen.clear()
+            tk = ty = 0
+            fc += 1
+        else:
+            seen.add(x)
+            tk += 1
+            ty = nty
+    partial = (1.0 - ty / tk) / 0.28 if tk > 0 else 0.0
+    denom = float(fc) + partial
+    mtld = len(toks) / denom if denom != 0.0 else None
+    return len(toks), fc, mtld
+
+
+def _lexical_density_oracle() -> str:
+    """Python-mirror oracle (the t_compression_ratio pattern): replay the
+    stopword filter + MTLD factor walk single-node and emit VALUES — the
+    sequential fold has no tractable recursive-SQL twin, but the replay is
+    on the identical token stream, so the whole HOF fold is on trial."""
+    import duckdb as _dd
+
+    from ..operators.textops import STOPWORDS
+    from .queries_neural import _oracle_sf_dir
+
+    con = _dd.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{_oracle_sf_dir()}/documents.parquet')"
+        " ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    rows = []
+    for did, text in docs:
+        toks = text.split(" ")
+        content = [x for x in toks if x not in STOPWORDS]
+        n_content, fc, mtld = _mtld_py(content)
+        dens = len(content) / len(toks) if len(toks) else None
+        rows.append(
+            f"({did}::BIGINT,{len(toks)}::BIGINT,{n_content}::BIGINT,"
+            + (f"{lit_double(qround_py(dens, 9))}," if dens is not None else "CAST(NULL AS DOUBLE),")
+            + f"{fc}::BIGINT,"
+            + (f"{lit_double(qround_py(mtld, 9))})" if mtld is not None else "CAST(NULL AS DOUBLE))")
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(doc_id, n_tokens, n_content, lex_density, mtld_factors, mtld_fwd)"
+    )
+
+
+@register(
+    "t_lexical_density",
+    oracle=lambda: _lexical_density_oracle(),
+    tags=("TXT-tokens", "TXT-quality"),
+    doc="Lexical density + forward MTLD (McCarthy & Jarvis 2010) per "
+    "document over the STOPWORD-FREE token stream - the length-robust "
+    "diversity pair t_ttr_hapax's MSTTR can't give (MSTTR wastes the "
+    "tail segment; MTLD's sequential factor count uses every token): "
+    "walk content tokens left to right keeping a running type set; when "
+    "the running TTR drops below 0.72 a factor completes and the state "
+    "resets; MTLD = n / (factors + partial), partial = (1 - ttr_end)/0.28. "
+    f"The threshold test is the INTEGER cross-multiplication {_MTLD_DEN}"
+    f"*types < {_MTLD_NUM}*tokens (no float 0.72 exists anywhere), so the "
+    "fold state is exact and the only float math is the final fixed IEEE "
+    "expression - the Spark aggregate() HOF and the oracle's Python "
+    "replay run the identical walk. Map-only per doc (state is the "
+    "factor-local type set, O(vocab-per-factor)); no shuffle, no window.",
+)
+def t_lexical_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import qround
+
+    stop = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+    content = f"filter(split(text, ' '), x -> x NOT IN ({stop}))"
+    # aggregate() fold = _mtld_py verbatim: struct state (seen, tk, ty, fc);
+    # the CASE arms mirror the factor-complete / extend branches exactly.
+    nty = "s.ty + IF(array_contains(s.seen, x), 0, 1)"
+    fold = f"""
+    aggregate({content},
+      named_struct('seen', cast(array() as array<string>), 'tk', 0, 'ty', 0, 'fc', 0),
+      (s, x) -> CASE
+        WHEN {_MTLD_DEN} * ({nty}) < {_MTLD_NUM} * (s.tk + 1)
+        THEN named_struct('seen', cast(array() as array<string>),
+                          'tk', 0, 'ty', 0, 'fc', s.fc + 1)
+        ELSE named_struct('seen',
+               IF(array_contains(s.seen, x), s.seen, array_append(s.seen, x)),
+               'tk', s.tk + 1, 'ty', {nty}, 'fc', s.fc)
+      END)
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.size(F.expr(content)).cast("bigint").alias("n_content"),
+        F.expr(fold).alias("st"),
+    )
+    partial = F.when(
+        F.col("st.tk") > 0,
+        (F.lit(1.0) - F.col("st.ty").cast("double") / F.col("st.tk").cast("double"))
+        / F.lit(0.28),
+    ).otherwise(F.lit(0.0))
+    denom = F.col("st.fc").cast("double") + partial
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_content",
+        qround(
+            F.col("n_content").cast("double")
+            / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+            9,
+        ).alias("lex_density"),
+        F.col("st.fc").cast("bigint").alias("mtld_factors"),
+        qround(
+            F.col("n_content").cast("double") / F.nullif(denom, F.lit(0.0)), 9
+        ).alias("mtld_fwd"),
     )
 
 
@@ -2448,19 +2574,31 @@ _CDC_MASK = 64  # boundary when gram hash % 64 == 0 -> ~64-char expected chunks
 )
 def d_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    codes_expr = "transform(split(text, ''), ch -> cast(ascii(ch) as bigint))"
+    # empty-doc guard: Spark's split('', '') yields [''] (codes=[0], a
+    # phantom length-1 chunk) while the oracle's range(1, 0+1) yields no
+    # codes — guard to array() so both engines agree a zero-length doc has
+    # no chunks (r12 ADVICE).
+    codes_expr = (
+        "CASE WHEN length(text) = 0 THEN array() "
+        "ELSE transform(split(text, ''), ch -> cast(ascii(ch) as bigint)) END"
+    )
     grams_expr = (
         f"CASE WHEN size(codes) < {_WIN_K} THEN array() "
         f"ELSE transform(sequence(1, size(codes) - {_WIN_K - 1}), "
         f"i -> aggregate(slice(codes, i, {_WIN_K}), "
         f"7L, (a, c) -> pmod(a * 31 + c, {M}L))) END"
     )
+    # size(grams) = 0 guard: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+    # (not empty like DuckDB's range), so an unguarded transform would
+    # element_at an empty array — an ANSI crash for any doc shorter than
+    # the gram width (latent until the empty-doc guard above exposed it).
     starts_expr = (
-        "array_sort(array_distinct(concat(array(1L), "
+        "CASE WHEN size(grams) = 0 THEN array(1L) "
+        "ELSE array_sort(array_distinct(concat(array(1L), "
         "filter(transform(sequence(1, size(grams)), "
         f"i -> IF(element_at(grams, i) % {_CDC_MASK} = 0 "
         f"AND i + {_WIN_K} <= size(codes), cast(i + {_WIN_K} as bigint), -1L)), "
-        "p -> p > 0))))"
+        "p -> p > 0)))) END"
     )
     hash_expr = (
         "transform(sequence(1, size(starts)), "

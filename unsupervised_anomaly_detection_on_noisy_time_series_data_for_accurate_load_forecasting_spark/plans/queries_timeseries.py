@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg_sql, dsum, dsum_sql, dvar_sql
+from ..functions.exact import davg_sql, dsum, dsum_sql, dvar_sql, lit_double
 from ..functions.rng import rng_uniform, rng_uniform_sql
 from ..operators import anomaly as AN
 from ..operators import timeseries as TSO
@@ -453,10 +453,10 @@ def _a1_approx_oracle() -> str:
     checks = []
     for p, name, q in zip(_A1_PROBS, _A1_NAMES, [float(v) for v in row["qs"]]):
         checks.append(
-            f"(sum(CASE WHEN l_extendedprice < {q!r} THEN 1 ELSE 0 END)"
-            f" <= count(*) * {p!r} + (count(*) / {float(_A1_ACC)!r} + 1.0)"
-            f" AND sum(CASE WHEN l_extendedprice <= {q!r} THEN 1 ELSE 0 END)"
-            f" >= count(*) * {p!r} - (count(*) / {float(_A1_ACC)!r} + 1.0)) AS {name}"
+            f"(sum(CASE WHEN l_extendedprice < {lit_double(q)} THEN 1 ELSE 0 END)"
+            f" <= count(*) * {lit_double(p)} + (count(*) / {lit_double(float(_A1_ACC))} + 1.0)"
+            f" AND sum(CASE WHEN l_extendedprice <= {lit_double(q)} THEN 1 ELSE 0 END)"
+            f" >= count(*) * {lit_double(p)} - (count(*) / {lit_double(float(_A1_ACC))} + 1.0)) AS {name}"
         )
     return "SELECT " + ", ".join(checks) + " FROM lineitem"
 
