@@ -499,6 +499,30 @@ def test_phash_bands_contrast_invariance_vs_ahash():
     assert base != flipped
 
 
+def test_phash_coarse_band_sees_global_structure():
+    """The multi-resolution recall argument: the coarse 4x4-DCT band is a
+    16-bit int in range, structure-sensitive (vertical flip changes it),
+    and stable under small LOCAL perturbation (one 4x4 tile nudged by one
+    gray level) that the data-dependent fine bands may react to."""
+    import numpy as np
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.multimodal import (
+        phash_coarse_band,
+    )
+
+    rng = np.random.default_rng(11)
+    # block-constant mosaic (the query's image family): 8x8 tiles of 8px
+    tiles = rng.integers(10, 240, size=(8, 8), dtype=np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    cb = phash_coarse_band(img)
+    assert 0 <= cb < 2**16
+    assert phash_coarse_band(img.copy()) == cb  # deterministic
+    assert phash_coarse_band(img[::-1].copy()) != cb  # structural flip
+    local = img.copy().astype(np.int64)
+    local[:8, :8] += 1  # one-tile, one-level local nudge
+    assert phash_coarse_band(local.clip(0, 255).astype(np.uint8)) == cb
+
+
 def test_cdc_chunks_resynchronize_after_insertion(spark, sf_dir):
     """The CDC property: inserting a prefix changes only the chunks up to
     the first boundary after the edit — the chunk-hash multiset of the

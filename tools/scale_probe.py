@@ -137,6 +137,12 @@ QUERIES = [
     "s_random_projection",      # JL Rademacher probe (r12)
     "d_cdc_chunks",             # content-defined chunking dedup (r12)
     "stream_ewma_control",      # streaming EWMA control chart (r12)
+    "g_bfs_hops",               # multi-source BFS, per-round join+min (r13)
+    "mm_avi_motion_energy",     # diff^2 energy through real AVI (r13)
+    "w_spectral_peak_share",    # 6-harmonic single-table Goertzel (r13)
+    "p_dp_quantile",            # local-DP threshold-bit CDF (r13)
+    "t_lexical_density",        # MTLD factor walk, map-only HOF fold (r13)
+    "mm_phash_multires",        # two-scale pHash recall channel (r13)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

@@ -369,6 +369,36 @@ def phash_bands(img: "np.ndarray") -> tuple[int, int, int, int]:
     return tuple(bands)
 
 
+def phash_coarse_band(img: "np.ndarray") -> int:
+    """Coarse-scale companion of :func:`phash_bands`: ONE 16-bit band from
+    a 16×16 luma sample block-averaged to 4×4 and transformed with the 4×4
+    orthonormal DCT-II (same construction as the JPEG codec's 8×8 basis).
+    Bit j (row-major over all 16 coefficients, DC included) = 1 iff
+    coeff_j > median of the 15 AC coefficients (odd count — an exact
+    element). The coarse grid sees only global structure, so two crops or
+    re-encodes whose fine 32×32 hashes disagree in every band can still
+    collide here — the extra recall channel of the multi-resolution
+    near-dup query. Floats stay inside this one shared kernel (both the
+    island and the oracle mirror call it), so the emitted band is an
+    exact integer everywhere."""
+    k = np.arange(4)
+    d = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 8) * np.sqrt(2.0 / 4.0)
+    d[0, :] = np.sqrt(1.0 / 4.0)
+    g = (img if img.ndim == 2 else img[:, :, 0]).astype(np.float64)
+    h, w = g.shape
+    ri = np.linspace(0, h - 1, 16).astype(int)
+    ci = np.linspace(0, w - 1, 16).astype(int)
+    s = g[np.ix_(ri, ci)]
+    blocks = s.reshape(4, 4, 4, 4).sum(axis=(1, 3)) / 16.0
+    coeffs = (d @ blocks @ d.T).ravel()
+    med = float(np.sort(coeffs[1:])[7])
+    bits = (coeffs > med).astype(int)
+    v = 0
+    for j in range(16):
+        v = (v << 1) | int(bits[j])
+    return v
+
+
 SILENCE_THRESHOLD = 8192  # |int16 sample| below this counts as silence
 SILENCE_MIN_RUN = 4
 

@@ -1371,6 +1371,187 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_phash_multires_oracle() -> str:
+    """No-JPEG mirror (the _mm_phash_oracle argument extended): rebuild the
+    mosaics, derive BOTH resolutions' bands via the shared kernels, and let
+    DuckDB replay the two-channel candidate union + both Hamming sums."""
+    from ..operators.multimodal import phash_bands, phash_coarse_band
+
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        img = _doc_tiles(r.text)
+        b0, b1, b2, b3 = phash_bands(img)
+        cb = phash_coarse_band(img)
+        rows.append(f"({int(r.doc_id)}::BIGINT,{b0},{b1},{b2},{b3},{cb})")
+    hamf = " + ".join(f"bit_count(xor(ha.b{k}, hb.b{k}))" for k in range(4))
+    hamc = "bit_count(xor(ha.cb, hb.cb))"
+    return f"""
+    WITH h(media_id, b0, b1, b2, b3, cb) AS (VALUES {",".join(rows)}),
+    bands AS (
+      SELECT media_id, k AS band_id,
+             CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+                    WHEN 3 THEN b3 ELSE cb END AS bv
+      FROM h, (SELECT unnest([0, 1, 2, 3, 4]) AS k)
+    ),
+    ranked AS (
+      SELECT media_id, band_id, bv,
+             row_number() OVER (PARTITION BY band_id, bv ORDER BY media_id) AS rk
+      FROM bands
+    ),
+    cand AS (
+      SELECT a.media_id AS ida, b.media_id AS idb,
+             bool_or(a.band_id < 4) AS via_fine,
+             bool_or(a.band_id = 4) AS via_coarse
+      FROM ranked a JOIN ranked b
+        ON a.band_id = b.band_id AND a.bv = b.bv
+       AND b.rk - a.rk BETWEEN 1 AND {_AHASH_WINDOW}
+      GROUP BY 1, 2
+    )
+    SELECT ida, idb, CAST({hamf} AS INTEGER) AS hamming_fine,
+           CAST({hamc} AS INTEGER) AS hamming_coarse,
+           via_fine, via_coarse,
+           ({hamf} <= 6) AS is_near
+    FROM cand JOIN h ha ON ha.media_id = ida JOIN h hb ON hb.media_id = idb
+    """
+
+
+@register(
+    "mm_phash_multires",
+    oracle=_mm_phash_multires_oracle,
+    tags=("MM-codec", "DEDUP-simhash", "J5"),
+    doc="Multi-resolution pHash near-dup over the REAL JPEG round trip: "
+    "each decoded mosaic hashes at TWO grid scales - the standard 32x32->"
+    "8x8 DCT (four 16-bit bands) plus a coarse 16x16->4x4 DCT single band "
+    "that sees only global structure - and candidate pairs form on band "
+    "equality in EITHER channel (sorted-neighborhood rank-capped in each, "
+    "never all-pairs), tagged with which channel found them before the "
+    "exact fine+coarse Hamming verify. The coarse channel is the recall "
+    "path: a global perturbation can flip a bit in all four fine bands "
+    "yet leave the 4x4 spectrum intact, and such pairs are invisible to "
+    "mm_phash_near_dup by construction. Same no-JPEG mirror argument as "
+    "the single-scale query: block-constant mosaics round-trip bit-"
+    "exactly through q90 baseline JPEG, so the oracle rebuilds the "
+    "pixels codec-free and replays both band joins and both Hamming "
+    "sums itself.",
+)
+def mm_phash_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def enc(batches):
+        from ..operators import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                img = _doc_tiles(text)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "payload": bytearray(CX.encode_jpeg(img, quality=90)),
+                        "meta": {
+                            "mime": "image/jpeg",
+                            "width": int(img.shape[1]),
+                            "height": int(img.shape[0]),
+                            "n_frames": 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    def hash_island(batches):
+        from ..operators import codecs as CX
+        from ..operators.multimodal import phash_bands, phash_coarse_band
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = CX.decode_jpeg(bytes(payload))
+                b0, b1, b2, b3 = phash_bands(img)
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "b0": b0,
+                        "b1": b1,
+                        "b2": b2,
+                        "b3": b3,
+                        "cb": phash_coarse_band(img),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(enc, schema=MM.MEDIA_SCHEMA)
+    # skinny hash frame checkpointed once: three consumers (band explode +
+    # both Hamming sides) must not re-run the JPEG islands (the
+    # mm_phash_near_dup lineage-cut discipline)
+    hashes = media.mapInPandas(
+        hash_island,
+        schema="media_id long, b0 int, b1 int, b2 int, b3 int, cb int",
+    ).localCheckpoint(eager=True)
+    bands = hashes.select(
+        "media_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3", "cb")).alias("band_id", "bv"),
+    )
+    from pyspark.sql import Window as W
+
+    wspec = W.partitionBy("band_id", "bv").orderBy("media_id")
+    ranked = bands.withColumn("rk", F.row_number().over(wspec))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("b.rk") - F.col("a.rk")).between(1, _AHASH_WINDOW),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("ida"), F.col("b.media_id").alias("idb")
+        )
+        .agg(
+            F.bool_or(F.col("a.band_id") < 4).alias("via_fine"),
+            F.bool_or(F.col("a.band_id") == 4).alias("via_coarse"),
+        )
+    )
+    ha = hashes.select(
+        F.col("media_id").alias("ida"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+        F.col("cb").alias("ca"),
+    )
+    hb = hashes.select(
+        F.col("media_id").alias("idb"),
+        *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)],
+        F.col("cb").alias("cc"),
+    )
+    hamf = None
+    for k in range(4):
+        term = F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}")))
+        hamf = term if hamf is None else hamf + term
+    hamc = F.bit_count(F.col("ca").bitwiseXOR(F.col("cc")))
+    return (
+        cand.join(ha, "ida")
+        .join(hb, "idb")
+        .select(
+            "ida",
+            "idb",
+            hamf.cast("int").alias("hamming_fine"),
+            hamc.cast("int").alias("hamming_coarse"),
+            "via_fine",
+            "via_coarse",
+            (hamf <= F.lit(6)).alias("is_near"),
+        )
+    )
+
+
 @register(
     "stream_upsert_sink",
     oracle="""
