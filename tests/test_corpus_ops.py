@@ -287,3 +287,55 @@ def test_theta_kmv_merge_property_and_estimates(spark, sf_dir):
     B = {rng.randrange(1, 2**31 - 1) for _ in range(400)}
     ska, skb = sorted(A)[:k], sorted(B)[:k]
     assert sorted(set(ska) | set(skb))[:k] == sorted(A | B)[:k]
+
+
+def test_lexical_density_engine_matches_mirror_on_adversarial_docs(
+    spark, tmp_path, monkeypatch
+):
+    """Edge docs for the MTLD fold: empty text, all-stopwords (empty
+    content stream), constant token (TTR never drops -> zero factors,
+    zero partial -> NULL MTLD), and a high-diversity stream. The Spark
+    HOF fold and the Python-replay oracle must agree cell-for-cell."""
+    import duckdb
+    import pandas as pd
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans import (
+        REGISTRY,
+    )
+
+    texts = [
+        "",
+        "the a of and is the a of",
+        "x x x x x x x x x x x x",
+        " ".join(f"w{i}" for i in range(60)),
+        ("alpha beta gamma alpha beta delta " * 12).strip(),
+        "solo",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", str(tmp_path))
+    spec = REGISTRY["t_lexical_density"]
+    got = {r["doc_id"]: r.asDict() for r in spec.spark(spark, str(tmp_path)).collect()}
+    sql = spec.oracle() if callable(spec.oracle) else spec.oracle
+    con = duckdb.connect()
+    cols = ["doc_id", "n_tokens", "n_content", "lex_density", "mtld_factors", "mtld_fwd"]
+    for row in con.execute(sql).fetchall():
+        want = dict(zip(cols, row))
+        assert got[want["doc_id"]] == want, (got[want["doc_id"]], want)
+    # constant tokens: TTR hits 1/2 < 0.72 on every repeat, so a factor
+    # completes every 2 tokens -> MTLD = 12/6 = 2, the canonical
+    # low-diversity floor
+    assert got[3]["mtld_factors"] == 6 and got[3]["mtld_fwd"] == 2.0
+    # the all-stopword doc has an empty content stream
+    assert got[2]["n_content"] == 0 and got[2]["lex_density"] == 0.0
+    # a single content token: no factor, ttr_end = 1 -> partial exactly 0,
+    # denominator 0 -> NULL MTLD by contract
+    assert got[6]["mtld_factors"] == 0 and got[6]["mtld_fwd"] is None
