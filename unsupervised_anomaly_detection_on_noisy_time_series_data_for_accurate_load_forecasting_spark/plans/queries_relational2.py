@@ -118,6 +118,142 @@ def j3_holiday_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared holiday-effect arithmetic: ONE expression text over the decimal-
+# exact conditional moments (nh, sh, qh / nw, sw, qw — all named columns),
+# evaluated verbatim by both engines so association order can't drift.
+_HE_MU_H = "(sh / nh)"
+_HE_MU_W = "(sw / nw)"
+_HE_VAR_H = "((qh - sh * sh / nh) / (nh - 1.0))"
+_HE_VAR_W = "((qw - sw * sw / nw) / (nw - 1.0))"
+_HE_SE2 = f"({_HE_VAR_H} / nh + {_HE_VAR_W} / nw)"
+_HE_T = (
+    f"CASE WHEN {_HE_SE2} <= 0.0 THEN NULL "
+    f"ELSE ({_HE_MU_H} - {_HE_MU_W}) / sqrt({_HE_SE2}) END"
+)
+_HE_EFF = (
+    f"CASE WHEN {_HE_MU_W} = 0.0 THEN NULL "
+    f"ELSE ({_HE_MU_H} - {_HE_MU_W}) / {_HE_MU_W} END"
+)
+
+
+def _holiday_effect_oracle() -> str:
+    import duckdb
+
+    from ..operators.calendar import french_holidays
+    from .queries_neural import _oracle_sf_dir
+
+    con = duckdb.connect()
+    yr = con.execute(
+        f"SELECT min(extract(year FROM ts)) lo, max(extract(year FROM ts)) hi "
+        f"FROM read_parquet('{_oracle_sf_dir()}/events.parquet')"
+    ).fetchone()
+    con.close()
+    hol = french_holidays(range(int(yr[0]), int(yr[1]) + 1))
+    days = ",".join(f"(TIMESTAMP '{d:%Y-%m-%d} 00:00:00')" for d, _ in hol)
+    return f"""
+    WITH hol(day) AS (VALUES {days}),
+    ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS series_id, value,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    cls AS (
+      SELECT series_id, value,
+             CASE WHEN day IN (SELECT day FROM hol) THEN 'hol'
+                  WHEN (isodow(day) - 1) >= 5 THEN 'wend'
+                  ELSE 'wd' END AS c
+      FROM ev
+    ),
+    agg AS (
+      SELECT series_id,
+             CAST(sum(CASE WHEN c = 'hol' THEN 1 ELSE 0 END) AS DOUBLE) AS nh,
+             {dsum_sql("CASE WHEN c = 'hol' THEN value END")} AS sh,
+             {dsum_sql("CASE WHEN c = 'hol' THEN value * value END")} AS qh,
+             CAST(sum(CASE WHEN c = 'wd' THEN 1 ELSE 0 END) AS DOUBLE) AS nw,
+             {dsum_sql("CASE WHEN c = 'wd' THEN value END")} AS sw,
+             {dsum_sql("CASE WHEN c = 'wd' THEN value * value END")} AS qw
+      FROM cls GROUP BY 1
+      HAVING sum(CASE WHEN c = 'hol' THEN 1 ELSE 0 END) >= 2
+         AND sum(CASE WHEN c = 'wd' THEN 1 ELSE 0 END) >= 2
+    )
+    SELECT series_id,
+           CAST(nh AS BIGINT) AS n_hol, CAST(nw AS BIGINT) AS n_wd,
+           {qround_sql(_HE_MU_H, 6)} AS mu_hol,
+           {qround_sql(_HE_MU_W, 6)} AS mu_wd,
+           {qround_sql(_HE_EFF, 6)} AS effect_pct,
+           {qround_sql(_HE_T, 6)} AS t_stat
+    FROM agg
+    """
+
+
+@register(
+    "a_holiday_effect",
+    oracle=lambda: _holiday_effect_oracle(),
+    tags=("F5", "A12", "A4", "J1"),
+    doc="Per-series holiday load effect - the quantity the calendar "
+    "EXCLUSION queries (j3_holiday_anti) silently assume matters: mean "
+    "load on French national holidays (the Gauss-computus calendar, F5) "
+    "vs regular weekdays (weekends excluded as the confound), the "
+    "relative effect (mu_hol - mu_wd)/mu_wd, and a Welch two-sample "
+    "t-statistic from decimal-exact conditional moments. A grid operator "
+    "reads this to decide whether holidays need their own forecast "
+    "profile or can borrow the weekday model. Classification is one "
+    "broadcast IN against the driver-built calendar dim; the whole query "
+    "is ONE combinable 6-moment agg per series; every downstream IEEE op "
+    "is one shared expression text in both engines; series need >= 2 "
+    "observations per class (Welch variance exists) to appear.",
+)
+def a_holiday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import dec
+    from ..operators.calendar import holiday_dim
+
+    ev = _events(spark, sf_dir)
+    yr = ev.agg(
+        F.min(F.year("ts")).alias("lo"), F.max(F.year("ts")).alias("hi")
+    ).collect()[0]
+    hol = holiday_dim(spark, range(int(yr["lo"]), int(yr["hi"]) + 1)).select(
+        "day", F.lit(True).alias("is_hol")
+    )
+    day = F.date_trunc("day", F.col("ts"))
+    cls = (
+        ev.withColumn("day", day)
+        .join(F.broadcast(hol), "day", "left")
+        .select(
+            F.col("user_id").cast("string").alias("series_id"),
+            "value",
+            F.when(F.col("is_hol"), F.lit("hol"))
+            .when(F.weekday("day") >= 5, F.lit("wend"))
+            .otherwise(F.lit("wd"))
+            .alias("c"),
+        )
+    )
+    is_h, is_w = F.col("c") == "hol", F.col("c") == "wd"
+    v = F.col("value")
+    agg = (
+        cls.groupBy("series_id")
+        .agg(
+            F.sum(F.when(is_h, 1).otherwise(0)).cast("double").alias("nh"),
+            F.sum(dec(F.when(is_h, v))).cast("double").alias("sh"),
+            F.sum(dec(F.when(is_h, v * v))).cast("double").alias("qh"),
+            F.sum(F.when(is_w, 1).otherwise(0)).cast("double").alias("nw"),
+            F.sum(dec(F.when(is_w, v))).cast("double").alias("sw"),
+            F.sum(dec(F.when(is_w, v * v))).cast("double").alias("qw"),
+        )
+        .filter((F.col("nh") >= 2) & (F.col("nw") >= 2))
+    )
+    from ..functions.exact import qround
+
+    return agg.select(
+        "series_id",
+        F.col("nh").cast("bigint").alias("n_hol"),
+        F.col("nw").cast("bigint").alias("n_wd"),
+        qround(F.expr(_HE_MU_H), 6).alias("mu_hol"),
+        qround(F.expr(_HE_MU_W), 6).alias("mu_wd"),
+        qround(F.expr(_HE_EFF), 6).alias("effect_pct"),
+        qround(F.expr(_HE_T), 6).alias("t_stat"),
+    )
+
+
 @register(
     "p6_drop_last_day",
     oracle=f"""
