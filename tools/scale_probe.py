@@ -143,6 +143,7 @@ QUERIES = [
     "p_dp_quantile",            # local-DP threshold-bit CDF (r13)
     "t_lexical_density",        # MTLD factor walk, map-only HOF fold (r13)
     "mm_phash_multires",        # two-scale pHash recall channel (r13)
+    "a_holiday_effect",         # calendar-dim Welch effect readout (r13)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
