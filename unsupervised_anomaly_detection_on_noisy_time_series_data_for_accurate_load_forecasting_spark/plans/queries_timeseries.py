@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg_sql, dsum, dsum_sql, dvar_sql, lit_double
+from ..functions.exact import davg_sql, dsum, dsum_sql, dvar_sql, lit_double, qround_sql
 from ..functions.rng import rng_uniform, rng_uniform_sql
 from ..operators import anomaly as AN
 from ..operators import timeseries as TSO
@@ -175,6 +175,92 @@ def p3_regularize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_slots"),
         F.count(VAL).alias("n_observed"),
         (F.count(F.lit(1)) - F.count(VAL)).alias("n_missing"),
+    )
+
+
+@register(
+    "w_gap_histogram",
+    oracle=f"""
+    WITH {REG_CTE},
+    base AS (
+      SELECT series_id, CAST(count(*) AS BIGINT) AS n_slots,
+             CAST(count(value) AS BIGINT) AS n_observed
+      FROM reg GROUP BY 1
+    ),
+    miss AS (
+      SELECT series_id, CAST(epoch(ts) AS BIGINT) // 3600 AS idx
+      FROM reg WHERE value IS NULL
+    ),
+    runs AS (
+      SELECT series_id,
+             idx - row_number() OVER (PARTITION BY series_id ORDER BY idx) AS grp
+      FROM miss
+    ),
+    gaps AS (
+      SELECT series_id, grp, CAST(count(*) AS BIGINT) AS glen
+      FROM runs GROUP BY 1, 2
+    ),
+    gstats AS (
+      SELECT series_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(max(glen) AS BIGINT) AS max_gap
+      FROM gaps GROUP BY 1
+    )
+    SELECT b.series_id, b.n_slots, b.n_observed,
+           b.n_slots - b.n_observed AS n_missing,
+           coalesce(g.n_gaps, 0) AS n_gaps,
+           coalesce(g.max_gap, 0) AS max_gap,
+           {qround_sql('CASE WHEN g.n_gaps > 0 THEN CAST(b.n_slots - b.n_observed AS DOUBLE) / CAST(g.n_gaps AS DOUBLE) END', 6)} AS mean_gap_len
+    FROM base b LEFT JOIN gstats g ON b.series_id = g.series_id
+    """,
+    tags=("P3", "W5", "A14", "F9"),
+    doc="Per-series gap-structure profile over the hourly spine - the "
+    "data-quality readout that decides between the imputation strategies "
+    "the engine offers (exact-lag fill handles scattered 1-hour holes; "
+    "the AE imputer earns its cost only on long runs): count, longest, "
+    "and mean length of CONSECUTIVE missing-slot runs via the classic "
+    "gaps-and-islands grouping key idx - row_number (one partitioned "
+    "window over only the missing rows, never the full spine). "
+    "Series with no gaps report zeros with NULL mean. 100 TB shape: the "
+    "spine explode is linear, the window is per-series-partitioned over "
+    "the (small) missing subset, and the rollup is combinable.",
+)
+def w_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import qround
+
+    reg = TSO.regularize(None, hourly=hourly_df(spark, sf_dir))
+    base = reg.groupBy(SID).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_slots"),
+        F.count(VAL).cast("bigint").alias("n_observed"),
+    )
+    miss = reg.filter(F.col(VAL).isNull()).select(
+        SID, (F.unix_timestamp(TS).cast("bigint") / F.lit(3600)).cast("bigint").alias("idx")
+    )
+    runs = miss.withColumn(
+        "grp", F.col("idx") - F.row_number().over(W.partitionBy(SID).orderBy("idx"))
+    )
+    gaps = runs.groupBy(SID, "grp").agg(F.count(F.lit(1)).cast("bigint").alias("glen"))
+    gstats = gaps.groupBy(SID).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.max("glen").cast("bigint").alias("max_gap"),
+    )
+    out = base.join(gstats, SID, "left")
+    n_missing = F.col("n_slots") - F.col("n_observed")
+    return out.select(
+        SID,
+        "n_slots",
+        "n_observed",
+        n_missing.alias("n_missing"),
+        F.coalesce(F.col("n_gaps"), F.lit(0)).cast("bigint").alias("n_gaps"),
+        F.coalesce(F.col("max_gap"), F.lit(0)).cast("bigint").alias("max_gap"),
+        qround(
+            F.when(
+                F.col("n_gaps") > 0,
+                n_missing.cast("double") / F.col("n_gaps").cast("double"),
+            ),
+            6,
+        ).alias("mean_gap_len"),
     )
 
 
