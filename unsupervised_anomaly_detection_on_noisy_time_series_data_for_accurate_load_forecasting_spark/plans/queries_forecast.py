@@ -2211,6 +2211,132 @@ def a_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _granger_strings() -> dict[str, str]:
+    """Shared expression strings for the lag-24 predictive screen: centered
+    moments from the decimal-exact raw sums, restricted SSE (own lag only)
+    vs unrestricted SSE (own lag + system lag, Cramer on the 2×2), the
+    one-extra-regressor F statistic, and the R² gain — ONE text parsed by
+    both engines (the a_harmonic_regression doctrine)."""
+    # centered second moments: u = own lag-24, v = system lag-24, y = now
+    suu = "(quu - su * su / nn)"
+    svv = "(qvv - sv * sv / nn)"
+    suv = "(quv - su * sv / nn)"
+    syu = "(qyu - sy * su / nn)"
+    syv = "(qyv - sy * sv / nn)"
+    syy = "(qyy - sy * sy / nn)"
+    sse_r = f"({syy} - {syu} * {syu} / nullif({suu}, 0.0))"
+    det = f"({suu} * {svv} - {suv} * {suv})"
+    b1 = f"(({syu} * {svv} - {syv} * {suv}) / nullif({det}, 0.0))"
+    b2 = f"(({syv} * {suu} - {syu} * {suv}) / nullif({det}, 0.0))"
+    sse_u = f"({syy} - {b1} * {syu} - {b2} * {syv})"
+    return {
+        "b_sys": b2,
+        "f_stat": (
+            f"CASE WHEN {sse_u} > 0.0 AND {det} > 0.0 "
+            f"THEN (({sse_r} - {sse_u}) / ({sse_u} / (nn - 3.0))) END"
+        ),
+        "r2_gain": (
+            f"CASE WHEN {sse_r} > 0.0 AND {det} > 0.0 "
+            f"THEN (({sse_r} - {sse_u}) / {sse_r}) END"
+        ),
+    }
+
+
+_GRANGER = _granger_strings()
+_GRANGER_MIN_N = 48
+
+
+def _granger_oracle() -> str:
+    moments = f"""
+      SELECT series_id, CAST(count(*) AS DOUBLE) AS nn,
+             CAST(count(*) AS BIGINT) AS n_points,
+             {dsum_sql('y')} AS sy, {dsum_sql('u')} AS su, {dsum_sql('v')} AS sv,
+             {dsum_sql('y * y')} AS qyy, {dsum_sql('u * u')} AS quu,
+             {dsum_sql('v * v')} AS qvv, {dsum_sql('y * u')} AS qyu,
+             {dsum_sql('y * v')} AS qyv, {dsum_sql('u * v')} AS quv"""
+    return f"""
+    WITH {HOURLY_CTE},
+    sys AS (
+      SELECT ts, {dsum_sql('value')} AS sv FROM hourly GROUP BY 1
+    ),
+    t AS (
+      SELECT h1.series_id, h1.value AS y, h2.value AS u, s.sv AS v
+      FROM hourly h1
+      JOIN hourly h2 ON h1.series_id = h2.series_id
+                    AND h2.ts = h1.ts - INTERVAL 24 HOUR
+      JOIN sys s ON s.ts = h1.ts - INTERVAL 24 HOUR
+    ),
+    m AS ({moments} FROM t GROUP BY 1 HAVING count(*) >= {_GRANGER_MIN_N})
+    SELECT series_id, n_points,
+           {qround_sql(_GRANGER['b_sys'], 9)} AS b_sys,
+           {qround_sql(_GRANGER['f_stat'], 6)} AS f_stat,
+           {qround_sql(_GRANGER['r2_gain'], 9)} AS r2_gain
+    FROM m
+    """
+
+
+@register(
+    "a_granger_screen",
+    oracle=_granger_oracle,
+    tags=("A12", "A4", "J1", "M7"),
+    doc="Granger-style cross-learning screen per series: does the lag-24 "
+    "SYSTEM total improve the forecast of this series beyond its own "
+    "lag-24? Restricted (own-lag) vs unrestricted (own + system lag) OLS "
+    "both solve in closed form from ONE combinable 12-moment aggregate "
+    "(Cramer on the centered 2x2), and the one-extra-regressor F "
+    "statistic plus the R^2 gain are a single shared expression text in "
+    "both engines over decimal-exact sums - no iterative fit, no window. "
+    "This is the routing signal for hierarchical load forecasting: a "
+    "high F says the series should borrow the system profile (the "
+    "forecaster's cross-series mode), a low F says its own history "
+    "suffices. Lags align by explicit timestamp equi-joins (ts - 24h), "
+    "so irregular series never misalign the way a row-offset lag would. "
+    "Degenerate guards (constant series, collinear lags) emit NULL via "
+    "the same CASE text in both engines; series need >= "
+    f"{_GRANGER_MIN_N} aligned points.",
+)
+def a_granger_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import dsum, qround
+
+    hourly = TSO.hourly_series(_events(spark, sf_dir))
+    sys_tot = hourly.groupBy("ts").agg(dsum("value").alias("svv"))
+    h1 = hourly.select("series_id", "ts", F.col("value").alias("y"))
+    lag_ts = F.col("ts") - F.expr("INTERVAL 24 HOURS")
+    h2 = hourly.select(
+        "series_id", F.col("ts").alias("lts"), F.col("value").alias("u")
+    )
+    t = (
+        h1.withColumn("lts", lag_ts)
+        .join(h2, ["series_id", "lts"])
+        .join(sys_tot.select(F.col("ts").alias("lts"), F.col("svv").alias("v")), "lts")
+        .select("series_id", "y", "u", "v")
+    )
+    m = (
+        t.groupBy("series_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nn"),
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            dsum("y").alias("sy"),
+            dsum("u").alias("su"),
+            dsum("v").alias("sv"),
+            dsum(F.col("y") * F.col("y")).alias("qyy"),
+            dsum(F.col("u") * F.col("u")).alias("quu"),
+            dsum(F.col("v") * F.col("v")).alias("qvv"),
+            dsum(F.col("y") * F.col("u")).alias("qyu"),
+            dsum(F.col("y") * F.col("v")).alias("qyv"),
+            dsum(F.col("u") * F.col("v")).alias("quv"),
+        )
+        .filter(F.col("n_points") >= _GRANGER_MIN_N)
+    )
+    return m.select(
+        "series_id",
+        "n_points",
+        qround(F.expr(_GRANGER["b_sys"]), 9).alias("b_sys"),
+        qround(F.expr(_GRANGER["f_stat"]), 6).alias("f_stat"),
+        qround(F.expr(_GRANGER["r2_gain"]), 9).alias("r2_gain"),
+    )
+
+
 @register(
     "w_seasonal_strength",
     oracle=f"""
