@@ -131,3 +131,98 @@ def test_stream_sessions_matches_batch_gaps_and_islands(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == expected
+
+
+def test_stream_gap_monitor_state_carries_across_batches(spark, sf_dir, tmp_path):
+    """Split the events feed into 4 event_id-ordered files and stream them
+    one per micro-batch: the per-user (n_events, n_gaps, max_gap_s) must
+    equal the batch lag-window replay exactly — the cross-batch state
+    carry (last timestamp surviving the batch boundary) is what's on
+    trial; a state reset would undercount boundary gaps."""
+    import os
+    import time
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.streaming.stateful import (
+        GAP_THRESHOLD_US,
+        stream_gap_monitor,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    n = ev.count()
+    ordered = ev.orderBy("event_id").collect()
+    qs = [ordered[i * n // 4 : (i + 1) * n // 4] for i in range(4)]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, chunk in enumerate(qs):
+        p = str(feed / f"part{i}.parquet")
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + ".dir")
+        # file source ingests in mtime order — pin it to the split order
+        src = next(
+            f for f in os.listdir(p + ".dir") if f.endswith(".parquet")
+        )
+        os.rename(os.path.join(p + ".dir", src), p)
+        t = 1_700_000_000 + i * 10
+        os.utime(p, (t, t))
+    s = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "part*.parquet")
+        .parquet(str(feed))
+    )
+    out = stream_gap_monitor(s)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gapmon_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.table("gapmon_t")
+    got = {
+        r.user_id: (r.n_events, r.n_gaps, r.max_gap_s)
+        for r in t.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_gaps", "max_gap_s")).alias("m"))
+        .select("user_id", "m.*")
+        .collect()
+    }
+    assert q.lastProgress is not None  # the stream really ran
+    batch = (
+        ev.selectExpr(
+            "user_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+            "lag(unix_micros(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY event_id) AS prev",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("us") - F.col("prev") > GAP_THRESHOLD_US),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_gaps"),
+            F.floor(
+                F.greatest(
+                    F.coalesce(F.max(F.col("us") - F.col("prev")), F.lit(0)),
+                    F.lit(0),
+                )
+                / 1_000_000
+            )
+            .cast("bigint")
+            .alias("max_gap_s"),
+        )
+        .collect()
+    )
+    want = {r.user_id: (r.n_events, r.n_gaps, r.max_gap_s) for r in batch}
+    assert got == want

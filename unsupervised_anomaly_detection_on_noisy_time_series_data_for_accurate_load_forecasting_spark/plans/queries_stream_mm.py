@@ -2154,3 +2154,50 @@ def stream_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.ewma_q").alias("ewma_q"),
         F.col("m.n_alerts").alias("n_alerts"),
     )
+
+
+@register(
+    "stream_gap_monitor",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND us - prev > 10800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           CAST(greatest(coalesce(max(us - prev), 0), 0) // 1000000 AS BIGINT)
+             AS max_gap_s
+    FROM t GROUP BY 1
+    """,
+    tags=("STREAM", "W5", "A14", "F9"),
+    doc="Streaming feed-health monitor: per user, count inter-event gaps "
+    "above 3 h and track the maximum gap via applyInPandasWithState with "
+    "O(1) state (count, last timestamp, hole count, max gap) - the LIVE "
+    "twin of w_gap_histogram, watching the raw arrival stream before any "
+    "regularization exists (a dead meter shows up here hours before the "
+    "batch spine is ever built). Gap arithmetic is exact integer "
+    "microseconds (Arrow delivers Spark's us-precision timestamps; the "
+    "oracle's epoch_us sees the identical integers), trajectory is a "
+    "function of event_id order (within-batch sort + carried state, the "
+    "stream_ewma_control contract), so the AvailableNow replay equals "
+    "the batch lag-window replay bit-for-bit at any micro-batch slicing.",
+)
+def stream_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.score_stream import run_available_now, stream_events
+    from ..streaming.stateful import stream_gap_monitor as sgm
+
+    s = stream_events(spark, sf_dir)
+    out = sgm(s)
+    name = run_available_now(out, "stream_gapmon", output_mode="append")
+    t = spark.table(name)
+    m = t.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "n_gaps", "max_gap_s")).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.col("m.n_events").alias("n_events"),
+        F.col("m.n_gaps").alias("n_gaps"),
+        F.col("m.max_gap_s").alias("max_gap_s"),
+    )

@@ -308,3 +308,86 @@ def stream_ewma_control(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+GAP_THRESHOLD_US = 3 * 3600 * 1_000_000  # an inter-event gap > 3 h is a hole
+
+GAP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_gaps", T.LongType()),
+        T.StructField("max_gap_s", T.LongType()),
+    ]
+)
+
+GAP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_gaps", T.LongType()),
+        T.StructField("max_gap_us", T.LongType()),
+    ]
+)
+
+
+def _gap_monitor(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user feed-health fold: inter-event time between CONSECUTIVE
+    events in event_id order (the arrival-order contract every stateful
+    operator here shares — within-batch sort + carried state makes the
+    whole trajectory a function of the ordered stream, independent of
+    micro-batch slicing). Gaps are exact integer µs differences; a gap
+    above GAP_THRESHOLD_US counts as a feed hole. O(1) state: (count,
+    last timestamp, hole count, max gap)."""
+    n0, last0, g0, mx0 = state.get if state.exists else (0, -1, 0, 0)
+    n, last, gaps, mx = int(n0), int(last0), int(g0), int(mx0)
+
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    # Spark timestamps are µs-precision; force the µs unit explicitly (the
+    # pandas default unit has varied ns/µs across versions — ns→µs is exact
+    # here, and int64 µs is the exact integer the oracle's epoch_us sees)
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    for t in ts_us:
+        t = int(t)
+        if n > 0:
+            gap = t - last
+            if gap > mx:
+                mx = gap
+            if gap > GAP_THRESHOLD_US:
+                gaps += 1
+        last = t
+        n += 1
+
+    state.update((n, last, gaps, mx))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": int(key[0]),
+                "n_events": n,
+                "n_gaps": gaps,
+                "max_gap_s": mx // 1_000_000,
+            }
+        ]
+    )
+
+
+def stream_gap_monitor(stream: DataFrame) -> DataFrame:
+    """Per-user streaming feed-health monitor: counts inter-event gaps above
+    the 3 h threshold and tracks the maximum gap — the live twin of the
+    batch w_gap_histogram (which profiles the hourly spine; this watches
+    the raw arrival stream before any regularization exists). O(1) state
+    per user."""
+    return (
+        stream.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _gap_monitor,
+            outputStructType=GAP_OUT_SCHEMA,
+            stateStructType=GAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
