@@ -704,6 +704,120 @@ def s_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RERANK_SHORTLIST = 32  # stage-1 IVF-PQ candidates per query before exact re-rank
+
+
+def _ann_rerank_oracle() -> str:
+    """Two-stage mirror: the IVF-PQ CTE chain at shortlist size, then the
+    exact-cosine re-rank CTEs from the IVF oracle pattern — both stages
+    hash-verified as one program."""
+    cb_vals, lut_vals = _pq_sql_literals()
+    return f"""
+    WITH {_LONG},
+    {_ivf_cells_ctes()},
+    {_pq_codes_ctes(cb_vals)},
+    lut(qid, sub, code, pd2i) AS (VALUES {lut_vals}),
+    sc AS (
+      SELECT p.qid, c.vec_id AS nid, CAST(sum(l.pd2i) AS BIGINT) AS d2i
+      FROM probes p
+      JOIN corpus c USING (cell)
+      JOIN codes co ON co.vec_id = c.vec_id
+      JOIN lut l ON l.qid = p.qid AND l.sub = co.sub AND l.code = co.code
+      WHERE c.vec_id != p.qid
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT qid, nid, rk_pq FROM (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d2i, nid) AS rk_pq
+        FROM sc)
+      WHERE rk_pq <= {_RERANK_SHORTLIST}
+    ),
+    nm AS (SELECT vec_id, {dsum_sql('x * x')} AS sq FROM long GROUP BY 1),
+    dots AS (
+      SELECT s.qid, s.nid, s.rk_pq, {dsum_sql('q.x * t.x')} AS dot
+      FROM short s
+      JOIN long q ON q.vec_id = s.qid
+      JOIN long t ON t.vec_id = s.nid AND t.i = q.i
+      GROUP BY 1, 2, 3
+    ),
+    cos AS (
+      SELECT qid, nid, rk_pq, dot / sqrt(qn.sq * tn.sq) AS cosine
+      FROM dots JOIN nm qn ON qid = qn.vec_id JOIN nm tn ON nid = tn.vec_id
+    ),
+    rr AS (
+      SELECT qid, nid, cosine, rk_pq,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS INTEGER) AS rk
+      FROM cos
+    )
+    SELECT qid, nid, (floor(cosine * 1000000000.0 + 0.5) / 1000000000.0) AS cosine,
+           rk, CAST(rk_pq AS INTEGER) AS rk_pq, (rk_pq != rk) AS moved
+    FROM rr WHERE rk <= 5
+    """
+
+
+@register(
+    "s_ann_rerank",
+    oracle=_ann_rerank_oracle,
+    tags=("SIM-ivf", "SIM-pq", "SIM-bruteforce", "J5", "O3"),
+    doc="Two-stage retrieval - the deployment shape every production ANN "
+    "stack ends at: the IVF-PQ composite index shortlists "
+    f"{_RERANK_SHORTLIST} candidates per query on integer ADC codes "
+    "(bandwidth-cheap, rank-noisy), then ONLY those pairs are re-scored "
+    "with exact float cosine and re-ranked to the final top-5 - the "
+    "re-rank touches shortlist x dim floats instead of corpus x dim, "
+    "which is the whole economics of the pattern at 100 TB. Output "
+    "carries both ranks plus a moved flag, so the rank churn the "
+    "quantizer causes (and the re-ranker repairs) is visible per hit "
+    "rather than buried in an aggregate recall number. Both stages "
+    "replay in the oracle as one program.",
+)
+def s_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import dsum, qround
+
+    emb = _emb(spark, sf_dir)
+    short = SIM.ivfpq_topk(
+        emb, n_queries=100, k=_RERANK_SHORTLIST, books=_pq_books(spark, sf_dir)
+    ).select("qid", "nid", F.col("rk").alias("rk_pq"))
+    long = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    )
+    nm = long.groupBy("vec_id").agg(dsum(F.col("x") * F.col("x")).alias("sq"))
+    q = long.select(F.col("vec_id").alias("qid"), "i", F.col("x").alias("qx"))
+    t = long.select(F.col("vec_id").alias("nid"), "i", F.col("x").alias("tx"))
+    dots = (
+        short.join(q, "qid")
+        .join(t, ["nid", "i"])
+        .groupBy("qid", "nid", "rk_pq")
+        .agg(dsum(F.col("qx") * F.col("tx")).alias("dot"))
+    )
+    cos = (
+        dots.join(nm.select(F.col("vec_id").alias("qid"), F.col("sq").alias("qsq")), "qid")
+        .join(nm.select(F.col("vec_id").alias("nid"), F.col("sq").alias("tsq")), "nid")
+        .select(
+            "qid",
+            "nid",
+            "rk_pq",
+            (F.col("dot") / F.sqrt(F.col("qsq") * F.col("tsq"))).alias("cosine"),
+        )
+    )
+    rr = cos.withColumn(
+        "rk",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid")))
+        .cast("int"),
+    ).filter(F.col("rk") <= 5)
+    return rr.select(
+        "qid",
+        "nid",
+        qround("cosine", 9).alias("cosine"),
+        "rk",
+        F.col("rk_pq").cast("int").alias("rk_pq"),
+        (F.col("rk_pq") != F.col("rk")).alias("moved"),
+    )
+
+
 def _sem_cents_values_sql() -> tuple[str, int]:
     """(VALUES literal, k) for the SEMANTIC-DEDUP centroid set: unlike
     :func:`_cents_values_sql` (fixed k = 8, the s_kmeans_embed contract),
