@@ -144,6 +144,10 @@ QUERIES = [
     "t_lexical_density",        # MTLD factor walk, map-only HOF fold (r13)
     "mm_phash_multires",        # two-scale pHash recall channel (r13)
     "a_holiday_effect",         # calendar-dim Welch effect readout (r13)
+    "w_gap_histogram",          # gaps-and-islands missing-run profile (r13)
+    "a_granger_screen",         # 12-moment closed-form OLS screen (r13)
+    "stream_gap_monitor",       # O(1)-state feed-health fold (r13)
+    "s_ann_rerank",             # IVF-PQ shortlist + exact re-rank (r13)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
