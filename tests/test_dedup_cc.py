@@ -304,3 +304,27 @@ def test_bfs_hops_round_cap_and_unreached(spark):
     got = {r.node: r.hop for r in bfs_hops(edges, n_sources=1, rounds=2).collect()}
     # single hub = smallest id among max-degree (deg 2): node 2
     assert got == {2: 0, 1: 1, 3: 1, 4: 2}
+
+
+def test_bfs_hops_partitioning_invariant(spark):
+    """The min-hub attribution claim is schedule independence: the same
+    random graph fed in 1 partition vs shuffled across 7 partitions must
+    yield the identical (node, hop, hub) set."""
+    import random
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        bfs_hops,
+    )
+
+    rng = random.Random(99)
+    und = list({(rng.randrange(1, 60), rng.randrange(1, 60)) for _ in range(120)})
+    und = [(u, v) for u, v in und if u != v]
+    sym = und + [(v, u) for u, v in und]
+    one = spark.createDataFrame(sym, "src long, dst long").coalesce(1)
+    shuf = spark.createDataFrame(
+        sorted(sym, key=lambda e: rng.random()), "src long, dst long"
+    ).repartition(7)
+    key = lambda df: {(r.node, r.hop, r.hub) for r in df.collect()}
+    assert key(bfs_hops(one, n_sources=3, rounds=4)) == key(
+        bfs_hops(shuf, n_sources=3, rounds=4)
+    )
