@@ -359,3 +359,46 @@ def test_resize_real_gif(spark):
     # grayscale palette -> all 3 decoded channels equal the source plane
     want = grid[np.ix_(ys, xs)].ravel()
     assert np.allclose(px, want, atol=1e-12)
+
+
+def test_motion_energy_static_vs_cut(spark):
+    """Motion-energy semantics on hand-built clips through the REAL AVI
+    round trip: a static clip scores exactly zero everywhere; a clip with
+    one hard cut peaks at that pair; energy is diff^2 so a double-height
+    jump scores 4x a single-height jump."""
+    import numpy as np
+    import pandas as pd
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        codecs as CX,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        motion_energy,
+    )
+
+    base = np.full((8, 8), 100, dtype=np.uint8)
+    static = np.stack([base] * 4)
+    cut = np.stack([base, base, np.full((8, 8), 140, dtype=np.uint8), base])
+    cut2 = np.stack([base, base, np.full((8, 8), 180, dtype=np.uint8), base])
+
+    def media_row(mid, frames):
+        return {
+            "media_id": mid,
+            "payload": bytearray(CX.encode_avi_rle8(frames)),
+            "meta": {
+                "mime": "video/x-msvideo",
+                "width": 8,
+                "height": 8,
+                "n_frames": frames.shape[0],
+            },
+        }
+
+    pdf = pd.DataFrame([media_row(1, static), media_row(2, cut), media_row(3, cut2)])
+    media = spark.createDataFrame(pdf, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in motion_energy(media).collect()}
+    assert got[1].total_energy == 0.0 and got[1].peak_energy == 0.0
+    assert got[2].n_pairs == 3 and got[2].peak_idx == 2
+    # jump of 80 gray levels vs 40: diff^2 scales 4x exactly (no clipping)
+    assert abs(got[3].peak_energy - 4.0 * got[2].peak_energy) < 1e-12
+    assert abs(got[3].total_energy - 4.0 * got[2].total_energy) < 1e-12
