@@ -279,7 +279,8 @@ def test_bfs_hops_distances_and_min_hub_attribution(spark):
         und + [(v, u) for u, v in und], "src long, dst long"
     )
     got = {r.node: (r.hop, r.hub) for r in bfs_hops(edges, n_sources=2, rounds=4).collect()}
-    # degrees: 1->4, 9->4 (4,6,10,plus bridge), 4->2, rest lower; hubs = {1, 9}
+    # degrees: 1->4, 9->3 (4, 6, 10 — the bridge IS edge 9-4), 4->2, rest
+    # lower; hubs = {1, 9}
     assert got[1] == (0, 1) and got[9] == (0, 9)
     # node 4 touches both hubs at hop 1 -> min hub id 1 wins the tie
     assert got[4] == (1, 1)

@@ -1243,7 +1243,9 @@ def w_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     s24a = F.array(*[F.lit(s) for _, _, s in _PH24])
     c168a = F.array(*[F.lit(c) for _, c, _ in _PH168])
     s168a = F.array(*[F.lit(s) for _, _, s in _PH168])
-    hr = (F.unix_timestamp("ts") / F.lit(3600)).cast("bigint")
+    # F.floor, not a bare bigint cast: CAST truncates toward zero while the
+    # oracle's // floor-divides — they diverge for negative (pre-1970) epochs.
+    hr = F.floor(F.unix_timestamp("ts") / F.lit(3600))
     p24 = F.pmod(hr, F.lit(24)).cast("int")
     p168 = F.pmod(hr, F.lit(168)).cast("int")
     t = hourly.join(mu.hint("shuffle_hash"), "series_id").select(
@@ -1363,7 +1365,9 @@ def w_spectral_peak_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c24a = F.array(*[F.lit(c) for _, c, _ in _PH24])
     s24a = F.array(*[F.lit(s) for _, _, s in _PH24])
-    hr = (F.unix_timestamp("ts") / F.lit(3600)).cast("bigint")
+    # F.floor, not a bare bigint cast: CAST truncates toward zero while the
+    # oracle's // floor-divides — they diverge for negative (pre-1970) epochs.
+    hr = F.floor(F.unix_timestamp("ts") / F.lit(3600))
     p24 = F.pmod(hr, F.lit(24)).cast("int")
     proj = [
         c
@@ -2169,7 +2173,9 @@ def a_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = TSO.hourly_series(_events(spark, sf_dir))
     sa = F.array(*[F.lit(s) for _, _, s in _PH24])
     ca = F.array(*[F.lit(c) for _, c, _ in _PH24])
-    hr = (F.unix_timestamp("ts") / F.lit(3600)).cast("bigint")
+    # F.floor, not a bare bigint cast: CAST truncates toward zero while the
+    # oracle's // floor-divides — they diverge for negative (pre-1970) epochs.
+    hr = F.floor(F.unix_timestamp("ts") / F.lit(3600))
     p24 = F.pmod(hr, F.lit(24)).cast("int")
     t = hourly.select(
         "series_id",
@@ -2393,7 +2399,9 @@ def w_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     filled = prepared_df(spark, sf_dir)
     mw = W.partitionBy("series_id").orderBy("ts").rowsBetween(-12, 12)
-    hr = (F.unix_timestamp("ts") / F.lit(3600)).cast("bigint")
+    # F.floor, not a bare bigint cast: CAST truncates toward zero while the
+    # oracle's // floor-divides — they diverge for negative (pre-1970) epochs.
+    hr = F.floor(F.unix_timestamp("ts") / F.lit(3600))
     w = filled.select(
         "series_id",
         "value",

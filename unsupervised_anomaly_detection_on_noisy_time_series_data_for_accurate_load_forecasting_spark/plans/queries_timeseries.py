@@ -235,7 +235,9 @@ def w_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(VAL).cast("bigint").alias("n_observed"),
     )
     miss = reg.filter(F.col(VAL).isNull()).select(
-        SID, (F.unix_timestamp(TS).cast("bigint") / F.lit(3600)).cast("bigint").alias("idx")
+        # F.floor, not a bare bigint cast: CAST truncates toward zero while
+        # the oracle's // floor-divides — divergent for pre-1970 epochs.
+        SID, F.floor(F.unix_timestamp(TS) / F.lit(3600)).alias("idx")
     )
     runs = miss.withColumn(
         "grp", F.col("idx") - F.row_number().over(W.partitionBy(SID).orderBy("idx"))
