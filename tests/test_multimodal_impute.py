@@ -402,3 +402,42 @@ def test_motion_energy_static_vs_cut(spark):
     # jump of 80 gray levels vs 40: diff^2 scales 4x exactly (no clipping)
     assert abs(got[3].peak_energy - 4.0 * got[2].peak_energy) < 1e-12
     assert abs(got[3].total_energy - 4.0 * got[2].total_energy) < 1e-12
+
+
+def test_motion_energy_gif_path_matches_avi_path(spark):
+    """The image/gif mime branch of motion_energy must score a clip
+    identically to the video/x-msvideo branch — same frames, two different
+    real containers (GIF89a+LZW vs RIFF+MS-RLE8), one energy kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        codecs as CX,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        motion_energy,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(5, 6, 16), dtype=np.uint8)
+
+    def row(mid, payload, mime):
+        return {
+            "media_id": mid,
+            "payload": bytearray(payload),
+            "meta": {"mime": mime, "width": 16, "height": 6, "n_frames": 5},
+        }
+
+    pdf = pd.DataFrame(
+        [
+            row(1, CX.encode_gif(list(frames)), "image/gif"),
+            row(2, CX.encode_avi_rle8(frames), "video/x-msvideo"),
+        ]
+    )
+    media = spark.createDataFrame(pdf, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in motion_energy(media).collect()}
+    assert got[1].n_pairs == got[2].n_pairs == 4
+    assert got[1].total_energy == got[2].total_energy  # bit-identical
+    assert got[1].peak_idx == got[2].peak_idx
+    assert got[1].peak_energy == got[2].peak_energy

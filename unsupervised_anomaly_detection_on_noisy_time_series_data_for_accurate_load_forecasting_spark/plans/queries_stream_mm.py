@@ -1934,6 +1934,103 @@ def mm_avi_motion_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gif_anim_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF media frame (doc → 4-frame 6×16 clip encoded as one
+    GIF89a), shared by the GIF motion-energy query — the same gen shape as
+    mm_gif_frame_sample's island."""
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from ..operators import codecs as CX
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = _doc_gif_frames(text)
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "payload": bytearray(CX.encode_gif(list(frames))),
+                        "meta": {
+                            "mime": "image/gif",
+                            "width": _GIF_FRAME_W,
+                            "height": _GIF_FRAME_H,
+                            "n_frames": _GIF_N_FRAMES,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(gen, schema=MM.MEDIA_SCHEMA)
+
+
+def _mm_gif_motion_oracle() -> str:
+    """Mirror for the GIF motion-energy profiler: rebuild the decoded frame
+    stack with no container/codec and replay the island's exact numpy
+    reductions — same /255, same gray plane, same diff², same first-argmax
+    peak — then quantize the two energies on the 1e-9 lattice (the AVI
+    twin's mirror over the GIF frame spec)."""
+    import numpy as np
+
+    docs = _docs_pd()
+    rows = []
+    for r in docs.itertuples():
+        f8 = _doc_gif_frames(r.text)
+        frames = np.stack([f8, f8, f8], axis=3).astype(np.float64) / 255.0
+        g = frames.mean(axis=3)
+        d = np.diff(g, axis=0)
+        e = (d * d).mean(axis=(1, 2))
+        peak = int(np.argmax(e)) if len(e) else 0
+        rows.append(
+            f"({int(r.doc_id)}::BIGINT,{len(e)}::INTEGER,"
+            f"{lit_double(qround_py(float(e.sum()), 9))},"
+            f"{peak + 1 if len(e) else 0}::INTEGER,"
+            f"{lit_double(qround_py(float(e[peak]) if len(e) else 0.0, 9))})"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(media_id, n_pairs, total_energy, peak_idx, peak_energy)"
+    )
+
+
+@register(
+    "mm_gif_motion_energy",
+    oracle=lambda: _mm_gif_motion_oracle(),
+    tags=("MM-decode", "MM-codec", "MM-video"),
+    doc="Per-clip motion-energy profile through the REAL animated-GIF path "
+    "- completes motion evidence across BOTH multi-frame containers the "
+    "engine ships (mm_avi_motion_energy covers RIFF+MS-RLE8; this covers "
+    "GIF89a+LZW): the mm_gif_frame_sample encode island feeds operators/"
+    "multimodal.motion_energy's image/gif mime branch, which scores every "
+    "consecutive frame pair with the mean SQUARED gray-plane difference "
+    "and reduces in-island to one row per media (pair count, total "
+    "energy, first-argmax peak). The oracle rebuilds the frame planes "
+    "with no container or codec, so the variable-width-LZW round trip "
+    "and the energy math are hash-verified together. 100 TB shape: "
+    "payloads stay executor-side, output is O(1) per media, "
+    "embarrassingly media-parallel.",
+)
+def mm_gif_motion_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _gif_anim_media_df(spark, sf_dir)
+    e = MM.motion_energy(media)
+    return e.select(
+        "media_id",
+        "n_pairs",
+        qround(F.col("total_energy"), 9).alias("total_energy"),
+        "peak_idx",
+        qround(F.col("peak_energy"), 9).alias("peak_energy"),
+    )
+
+
 @register(
     "stream_volatility_alerts",
     oracle=f"""
