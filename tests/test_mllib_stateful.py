@@ -226,3 +226,57 @@ def test_stream_gap_monitor_state_carries_across_batches(spark, sf_dir, tmp_path
     )
     want = {r.user_id: (r.n_events, r.n_gaps, r.max_gap_s) for r in batch}
     assert got == want
+
+
+def test_stream_zjoin_availablenow_matches_batch_band_join(spark, sf_dir):
+    """AvailableNow replay of the two-sided z-join == the identical band
+    join executed as a plain batch DataFrame plan over the same parquet —
+    micro-batching must neither drop pairs that straddle batch boundaries
+    nor emit duplicates."""
+    from pyspark.sql import functions as F
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.streaming.score_stream import (
+        run_available_now,
+        stream_overlap_zjoin,
+    )
+
+    name = run_available_now(
+        stream_overlap_zjoin(spark, sf_dir), "t_zjoin", output_mode="append"
+    )
+    got = sorted(
+        (r.purchase_id, r.error_id, r.user_id, r.offset_min)
+        for r in spark.table(name).collect()
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    batch = p.join(
+        e,
+        F.expr(
+            "p_user = e_user AND p_ts >= e_ts - INTERVAL 30 minutes"
+            " AND p_ts <= e_ts + INTERVAL 90 minutes"
+        ),
+    ).select(
+        "purchase_id",
+        "error_id",
+        F.col("p_user").alias("user_id"),
+        F.floor(
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("e_ts")) / F.lit(60.0)
+        ).alias("offset_min"),
+    )
+    expected = sorted(
+        (r.purchase_id, r.error_id, r.user_id, r.offset_min) for r in batch.collect()
+    )
+    assert got == expected and len(got) > 0

@@ -862,3 +862,22 @@ def test_stream_ewma_control_state_is_scalar(spark):
 
     for f in EWMA_STATE_SCHEMA.fields:
         assert isinstance(f.dataType, (T.LongType, T.StringType)), f
+
+
+def test_stream_zjoin_state_is_bounded_both_directions(spark, sf_dir):
+    """The two-sided z-join must carry a watermark on BOTH sides and bound
+    p_ts - e_ts in BOTH directions (the band straddles zero, so unlike the
+    one-sided attribution join, BOTH inequalities are load-bearing for
+    eviction — dropping either leaves one side's state unbounded)."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.streaming.score_stream import (
+        stream_overlap_zjoin,
+    )
+
+    sdf = stream_overlap_zjoin(spark, sf_dir)
+    analyzed = sdf._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("EventTimeWatermark") == 2, "watermark missing on one side"
+    assert "e_ts#" in analyzed and "p_ts#" in analyzed
+    cond = re.search(r"Join Inner, \(*(.*)\)*\n", analyzed)
+    assert cond, "no inner join in analyzed plan"
+    c = cond.group(1)
+    assert ">=" in c and "<=" in c, f"band not bounded both ways: {c}"

@@ -978,6 +978,37 @@ def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_zjoin_incidents",
+    oracle="""
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+           p.user_id AS user_id,
+           CAST(floor(date_diff('second', e.ts, p.ts) / 60.0) AS BIGINT)
+             AS offset_min
+    FROM events p JOIN events e
+      ON p.user_id = e.user_id
+     AND p.event_type = 'purchase' AND e.event_type = 'error'
+     AND p.ts >= e.ts - INTERVAL 30 MINUTE AND p.ts <= e.ts + INTERVAL 90 MINUTE
+    """,
+    tags=("STREAM", "J-range"),
+    doc="Two-sided stream-stream inequality (z-) join: purchases match the "
+    "same user's error events whose incident window [e_ts-30m, e_ts+90m] "
+    "contains the purchase — the purchase may PRECEDE the error or follow "
+    "it (asymmetric slack), vs stream_join_attrib's one-sided "
+    "views-strictly-before-purchase band. Watermarks on both sides plus "
+    "the two-direction bound on p_ts - e_ts give bounded state; the "
+    "signed gap floor-divides to minutes (truncation would round -90 s "
+    "to -1, the oracle's floor says -2). AvailableNow replay of the "
+    "identical plan must reproduce the batch band join bit-for-bit.",
+)
+def stream_zjoin_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.score_stream import run_available_now, stream_overlap_zjoin
+
+    result = stream_overlap_zjoin(spark, sf_dir)
+    name = run_available_now(result, "stream_zjoin", output_mode="append")
+    return spark.table(name)
+
+
+@register(
     "stream_sessions",
     oracle="""
     WITH e AS (

@@ -180,6 +180,73 @@ def stream_attribution_join(
     )
 
 
+def stream_overlap_zjoin(
+    spark: SparkSession,
+    sf_dir: str,
+    before: str = "30 minutes",
+    after: str = "90 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Two-sided stream-stream inequality (z-) join: each purchase joins the
+    same user's error events whose INCIDENT WINDOW ``[e_ts - before,
+    e_ts + after]`` contains the purchase — i.e. the purchase may precede
+    the error (by up to ``before``) or follow it (by up to ``after``).
+    This is the second stream-stream shape next to
+    :func:`stream_attribution_join`: there the interval is anchored on one
+    side only (views strictly precede the purchase), so state eviction has
+    one direction to reason about; here the band straddles zero with
+    ASYMMETRIC slack, the attribution-window-that-ends pattern (incident
+    blackouts, promo windows, fraud lookaround).
+
+    State discipline is identical in kind: BOTH sides carry a watermark and
+    the join condition bounds ``p_ts - e_ts`` in BOTH directions
+    (``-before <= p_ts - e_ts <= after``), so Spark derives finite
+    event-time ranges for each side's state and evicts rows once the other
+    side's watermark clears them — bounded state at any feed size. Inner
+    join + append mode = each qualifying pair is emitted exactly once;
+    AvailableNow replay of the same plan is what the oracle compares
+    against.
+
+    ``offset_min`` is SIGNED (floor-divided, so -90 s → -2, matching the
+    oracle's ``floor(sec/60)``; a bigint cast would truncate toward zero).
+    """
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    errors = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    joined = purchases.join(
+        errors,
+        F.expr(
+            f"p_user = e_user AND p_ts >= e_ts - INTERVAL {before}"
+            f" AND p_ts <= e_ts + INTERVAL {after}"
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        "error_id",
+        F.col("p_user").alias("user_id"),
+        F.floor(
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("e_ts")) / F.lit(60.0)
+        ).alias("offset_min"),
+    )
+
+
 def stream_sessions(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "1 day"
 ) -> DataFrame:
