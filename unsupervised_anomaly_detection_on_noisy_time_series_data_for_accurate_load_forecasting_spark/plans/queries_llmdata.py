@@ -1502,3 +1502,63 @@ def t_kl_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(F.sum("ti").cast("double") / F.lit(1e12), 9).alias("kl_nats"),
         )
     )
+
+
+def _qsketch_oracle() -> str:
+    """Exact replay of the bottom-k order sample (operators/sketch.py): the
+    same seeded RNG draw per row, the same canonical (u, uid) bottom-k, the
+    same integer lower-nearest rank pick — the sketch STATE is on trial,
+    so the estimates hash-compare, unlike the band-adjudicated HLL/GK."""
+    from ..operators.sketch import QSKETCH_K, QSKETCH_SALT
+
+    draw = rng_draw_sql("event_id", salt=QSKETCH_SALT)
+    return f"""
+    WITH u AS (
+      SELECT event_type, value, event_id, {draw} AS u FROM events
+    ),
+    s AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY u, event_id) AS rn
+      FROM u
+    ),
+    samp AS (SELECT event_type, value, event_id FROM s WHERE rn <= {QSKETCH_K}),
+    mm AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m FROM samp GROUP BY 1),
+    nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+    o AS (
+      SELECT sa.event_type, sa.value, mm.m,
+             row_number() OVER (PARTITION BY sa.event_type
+                                ORDER BY sa.value, sa.event_id) AS rv
+      FROM samp sa JOIN mm USING (event_type)
+    )
+    SELECT o.event_type, any_value(nn.n) AS n, any_value(o.m) AS m,
+           max(CASE WHEN o.rv = (50 * (o.m - 1)) // 100 + 1 THEN o.value END) AS p50,
+           max(CASE WHEN o.rv = (90 * (o.m - 1)) // 100 + 1 THEN o.value END) AS p90,
+           max(CASE WHEN o.rv = (99 * (o.m - 1)) // 100 + 1 THEN o.value END) AS p99
+    FROM o JOIN nn USING (event_type)
+    GROUP BY o.event_type
+    """
+
+
+@register(
+    "a_quantile_sketch",
+    oracle=_qsketch_oracle,
+    tags=("A1", "A6", "A-sketch"),
+    doc="Deterministic mergeable quantile sketch (bottom-k order sample, "
+    "operators/sketch.py): per event_type, p50/p90/p99 read off the k=256 "
+    "rows with the smallest seeded-RNG draw — a sketch whose state is a "
+    "pure function of the input multiset, so unlike percentile_approx's "
+    "JVM-internal GK state it is replayable in DuckDB and HASH-verified, "
+    "and unlike KLL its merge needs no coins (bottom-k of a union is the "
+    "bottom-k of merged bottom-k's; any partitioning or micro-batch "
+    "slicing yields the identical state — proven in "
+    "tests/test_quantile_sketch.py). Quantiles use integer lower-nearest "
+    "ranks, so every output is a raw input double. 100 TB shape: the "
+    "mapInPandas combiner caps each Arrow batch at k rows per group "
+    "before the single shuffle; state is O(k) per group everywhere; the "
+    "exact n comes from one combinable count.",
+)
+def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import sketch_quantiles
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    return sketch_quantiles(ev, "event_type", "value", ["event_id"])
