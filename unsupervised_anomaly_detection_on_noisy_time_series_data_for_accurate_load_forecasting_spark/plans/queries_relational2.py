@@ -1962,12 +1962,17 @@ def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .shared import copurchase_edges_df
 
     und = copurchase_edges_df(spark, sf_dir)
+    # ONE degree frame shared by both edge→degree joins and the n_nodes
+    # count: without the lineage cut each of the three consumers re-runs
+    # the 2|E|-row degree aggregation from the cached edges (the r13 bench
+    # drift); the frame is node-count skinny, so the checkpoint is cheap
+    # at any scale.
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    ).localCheckpoint(eager=True)
     dirs = und.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
         und.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
