@@ -638,6 +638,30 @@ PICKS = [
         "constant-folded array element_at's inside WholeStageCodegen — no "
         "libm, no extra shuffle vs the 2-moment w_dft_power.",
     ),
+    (
+        "stream_zjoin_incidents",
+        "r14 two-sided stream-stream z-join (post-replay sink read shown; "
+        "the streaming plan carries EventTimeWatermark on BOTH sides and "
+        "bounds p_ts - e_ts in BOTH directions — the band straddles zero, "
+        "so BOTH inequalities are load-bearing for state eviction; asserted "
+        "in tests/test_plans.py::test_stream_zjoin_state_is_bounded_both_"
+        "directions).",
+    ),
+    (
+        "a_quantile_sketch",
+        "r14 deterministic mergeable quantile sketch: the MapInPandas "
+        "combiner caps each Arrow batch at k=256 rows per group BEFORE the "
+        "single hash exchange, so the partitioned row_number window orders "
+        "only O(k·batches) survivors — never the corpus; the exact n side "
+        "is one combinable count broadcast back.",
+    ),
+    (
+        "mm_gif_motion_energy",
+        "r14 GIF twin of the motion-energy island: scan → repartition to "
+        "all cores → ONE MapInPandas (encode GIF89a, decode, diff² reduce "
+        "to one row per media) — payloads never leave the executor, no "
+        "shuffle after the spread.",
+    ),
 ]
 
 

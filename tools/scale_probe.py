@@ -148,6 +148,9 @@ QUERIES = [
     "a_granger_screen",         # 12-moment closed-form OLS screen (r13)
     "stream_gap_monitor",       # O(1)-state feed-health fold (r13)
     "s_ann_rerank",             # IVF-PQ shortlist + exact re-rank (r13)
+    "stream_zjoin_incidents",   # two-sided stream-stream z-join replay (r14)
+    "a_quantile_sketch",        # bottom-k order-sample quantile sketch (r14)
+    "mm_gif_motion_energy",     # diff^2 energy through animated GIF (r14)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
