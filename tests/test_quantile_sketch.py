@@ -104,17 +104,23 @@ def test_sketch_rank_error_bound(spark):
 
 
 def test_sketch_plan_shape(spark, sf_dir):
-    """The registered query's plan must show the mapInPandas combiner (the
-    per-batch bottom-k cap) feeding the shuffle, and no single-task global
-    window — the O(k·parts) shuffle contract."""
-    import re
-
+    """The registered query's plan must show Catalyst's map-side rank-limit
+    combiner (WindowGroupLimit Partial BEFORE the exchange, Final after) so
+    at most k rows per group per task ever shuffle — the O(k·tasks)
+    contract — and no Python stage anywhere (the sketch is all-JVM)."""
     from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans.registry import (
         REGISTRY,
     )
 
     df = REGISTRY["a_quantile_sketch"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan, "combiner stage missing"
-    assert not re.search(r"Window.*\n.*Sort.*\[\]", plan)
+    partial = plan.find("WindowGroupLimit") != -1 and "Partial" in plan
+    assert partial, "map-side rank-limit combiner missing"
+    i_partial = plan.find(", Partial")
+    i_exchange = plan.find("Exchange hashpartitioning")
+    assert i_partial != -1 and i_exchange != -1
+    # toString prints top-down: the Partial limit sits BELOW (after in
+    # text) the exchange it feeds
+    assert i_partial > i_exchange, "partial limit not below the exchange"
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

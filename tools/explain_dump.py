@@ -649,11 +649,12 @@ PICKS = [
     ),
     (
         "a_quantile_sketch",
-        "r14 deterministic mergeable quantile sketch: the MapInPandas "
-        "combiner caps each Arrow batch at k=256 rows per group BEFORE the "
-        "single hash exchange, so the partitioned row_number window orders "
-        "only O(k·batches) survivors — never the corpus; the exact n side "
-        "is one combinable count broadcast back.",
+        "r14 deterministic mergeable quantile sketch: Catalyst rewrites the "
+        "rank filter into a map-side WindowGroupLimit Partial that caps "
+        "each task at k=256 rows per group BEFORE the single hash exchange "
+        "(the combiner, all-JVM), so the finishing windows order only "
+        "O(k·tasks) survivors — never the corpus; the exact n side is one "
+        "combinable count broadcast back.",
     ),
     (
         "mm_gif_motion_energy",

@@ -37,9 +37,10 @@ the integer rank ``(q_pct · (m-1)) // 100 + 1`` (1-based lower-nearest
 rank, pure integer arithmetic — no float interpolation to diverge by an
 ulp cross-engine), giving rank error O(n/sqrt(k)) w.h.p.
 
-100 TB shape: the map side folds each Arrow batch to ≤ k rows per group
-(``mapInPandas`` partial — the explicit combiner), so at most
-``k · n_partitions`` rows per group ever reach the single shuffle; the
+100 TB shape: Catalyst rewrites the rank filter into a map-side
+``WindowGroupLimit Partial`` (each task forwards ≤ k rows per group —
+the combiner, JVM-side, inside the scan stage's codegen), so at most
+``k · n_tasks`` rows per group ever reach the single shuffle; the
 finishing window orders only those. State per group is O(k) everywhere.
 Reference contract: the quantile surface of SURVEY.md §2 A1/A6 (the
 reference computes exact numpy quantiles, process_aemo.py:60-75; this is
@@ -67,30 +68,24 @@ def bottom_k_sample(
     """The k rows with the smallest ``(u, *uid_cols)`` per group, where
     ``u = rng_draw(*uid_cols, salt)`` — the canonical order-sample state.
 
-    Two-stage mergeable plan: a ``mapInPandas`` partial caps each Arrow
-    batch's contribution at k rows per group BEFORE the shuffle (the
-    combiner — correct by the bottom-k merge identity, see module doc),
-    then one partitioned window takes the exact global bottom-k of the
-    ≤ k·n_batches survivors. Output: input columns plus ``u``.
+    The plan is ONE rank window, and the merge-combiner comes from
+    Catalyst: the ``row_number() <= k`` filter is rewritten into a
+    ``WindowGroupLimit Partial`` BEFORE the hash exchange (each map task
+    forwards at most k rows per group — exactly the bottom-k merge
+    identity, executed JVM-side inside the scan stage) plus a ``Final``
+    after it, so at most k·n_tasks rows per group ever shuffle. A first
+    cut implemented the partial by hand as a ``mapInPandas`` fold; the
+    executed plan showed Catalyst's partial ALREADY capping map-side,
+    leaving the pandas stage nothing to do but push the whole input
+    through an Arrow round trip — the JVM form is strictly better
+    (plan shape pinned in tests/test_quantile_sketch.py).
+    Output: input columns plus ``u``.
     """
     with_u = df.withColumn("u", rng_draw(*uid_cols, salt=salt))
     cols = with_u.columns
-    order = ["u", *uid_cols]
-
-    def partial(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            yield (
-                pdf.sort_values(order, kind="mergesort")
-                .groupby(group_col, sort=False)
-                .head(k)
-            )
-
-    reduced = with_u.mapInPandas(partial, schema=with_u.schema)
-    w = Window.partitionBy(group_col).orderBy(*order)
+    w = Window.partitionBy(group_col).orderBy("u", *uid_cols)
     return (
-        reduced.withColumn("_rn", F.row_number().over(w))
+        with_u.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(*cols)
     )

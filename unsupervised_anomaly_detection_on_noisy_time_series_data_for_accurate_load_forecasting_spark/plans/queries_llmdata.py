@@ -1552,9 +1552,10 @@ def _qsketch_oracle() -> str:
     "bottom-k of merged bottom-k's; any partitioning or micro-batch "
     "slicing yields the identical state — proven in "
     "tests/test_quantile_sketch.py). Quantiles use integer lower-nearest "
-    "ranks, so every output is a raw input double. 100 TB shape: the "
-    "mapInPandas combiner caps each Arrow batch at k rows per group "
-    "before the single shuffle; state is O(k) per group everywhere; the "
+    "ranks, so every output is a raw input double. 100 TB shape: Catalyst "
+    "rewrites the rank filter into a map-side WindowGroupLimit Partial "
+    "that caps each task at k rows per group before the single shuffle "
+    "(the combiner, JVM-side); state is O(k) per group everywhere; the "
     "exact n comes from one combinable count.",
 )
 def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
