@@ -280,3 +280,68 @@ def test_stream_zjoin_availablenow_matches_batch_band_join(spark, sf_dir):
         (r.purchase_id, r.error_id, r.user_id, r.offset_min) for r in batch.collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_stream_zjoin_band_boundaries_inclusive_at_microseconds(spark, tmp_path):
+    """Pin the band contract at the exact edges: purchases at e_ts - 30m
+    and e_ts + 90m (to the microsecond) are IN; 1 µs beyond either edge is
+    OUT; the signed offset floor-divides (-30m -> -30, -1 µs short of a
+    minute boundary floors DOWN, not toward zero)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.streaming.score_stream import (
+        run_available_now,
+        stream_overlap_zjoin,
+    )
+
+    e_ts = dt.datetime(2024, 6, 1, 12, 0, 0, 500000)
+    us = dt.timedelta(microseconds=1)
+
+    def ev(eid, ts, etype, uid=7):
+        return Row(
+            event_id=eid, ts=ts, user_id=uid, event_type=etype, value=1.0, props="{}"
+        )
+
+    rows = [
+        ev(1, e_ts, "error"),
+        ev(10, e_ts - dt.timedelta(minutes=30), "purchase"),        # ON lower edge
+        ev(11, e_ts - dt.timedelta(minutes=30) - us, "purchase"),   # 1 µs early
+        ev(12, e_ts + dt.timedelta(minutes=90), "purchase"),        # ON upper edge
+        ev(13, e_ts + dt.timedelta(minutes=90) + us, "purchase"),   # 1 µs late
+        # 1 µs before the error: the diff truncates to SECONDS first (both
+        # engines: unix_timestamp / date_diff('second')), so offset is 0
+        ev(14, e_ts - us, "purchase"),
+        ev(15, e_ts, "purchase"),       # simultaneous: offset 0
+        ev(16, e_ts, "purchase", uid=8),  # other user: never joins
+        # 59 s early: floor(-59/60) = -1 — a bigint cast would truncate to 0
+        ev(17, e_ts - dt.timedelta(seconds=59), "purchase"),
+    ]
+    feed = tmp_path / "zfeed"
+    feed.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # INT96 (Spark's default physical type) trips the source's nanos-sniff
+    # branch; the real generator ships MICROS — write what production writes
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(feed / "stage")
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    import glob
+    import shutil
+
+    part = glob.glob(str(feed / "stage" / "part-*.parquet"))[0]
+    shutil.copy(part, str(feed / "events.parquet"))
+
+    name = run_available_now(
+        stream_overlap_zjoin(spark, str(feed)), "t_zedge", output_mode="append"
+    )
+    got = {r.purchase_id: r.offset_min for r in spark.table(name).collect()}
+    assert got == {10: -30, 12: 90, 14: 0, 15: 0, 17: -1}
