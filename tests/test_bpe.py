@@ -1,0 +1,207 @@
+"""BPE trainer/encoder vs a from-scratch pure-Python reference.
+
+The reference implementation below is written directly from the canonical
+Sennrich et al. 2016 formulation (arXiv:1508.07909): count every adjacent
+symbol-pair position weighted by word frequency, merge the arg-max pair
+(ties → lexicographically smallest) left-to-right non-overlapping, repeat.
+It shares no code with operators/bpe.py, so agreement is two independent
+derivations meeting — the same oracle standard the registry queries use.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+    bpe,
+)
+
+CORPUS = [
+    "the lowest lower low low low",
+    "newer newest new new news",
+    "the the the widest wide wider",
+    "low lower newest nest nests rest rests",
+    "it's the widest nest you've seen",
+    "",  # empty doc must be a no-op
+    "aaaa aaa aa a",  # overlap recounting + left-to-right non-overlap merges
+]
+
+
+# ---------------------------------------------------------------- reference
+def ref_word_freqs(corpus):
+    import re
+
+    c: Counter = Counter()
+    for doc in corpus:
+        for w in re.split("[^a-z0-9']+", doc.lower()):
+            if w:
+                c[w] += 1
+    return dict(c)
+
+
+def ref_pair_counts(vocab):
+    pairs: Counter = Counter()
+    for syms, cnt in vocab.items():
+        for i in range(len(syms) - 1):
+            pairs[(syms[i], syms[i + 1])] += cnt
+    return pairs
+
+
+def ref_merge(syms, a, b):
+    out = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def ref_train(word_freqs, num_merges, min_count=2):
+    vocab = {
+        tuple(w) + (bpe.END_OF_WORD,): c for w, c in word_freqs.items()
+    }
+    merges = []
+    for rank in range(num_merges):
+        pairs = ref_pair_counts(vocab)
+        if not pairs:
+            break
+        # max count, tie-break lexicographically smallest pair
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((rank, a, b, n))
+        vocab = {ref_merge(s, a, b): c for s, c in vocab.items()}
+    return merges, vocab
+
+
+# ------------------------------------------------------------------- tests
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame([(t,) for t in CORPUS], schema="text string")
+
+
+@pytest.fixture(scope="module")
+def trained(spark, corpus_df):
+    wf = bpe.word_frequencies(corpus_df)
+    merges, words = bpe.train_bpe(wf, num_merges=25, checkpoint_every=4)
+    return wf, merges, words
+
+
+def test_word_frequencies_match_reference(corpus_df):
+    got = {
+        r["word"]: r["cnt"]
+        for r in bpe.word_frequencies(corpus_df).collect()
+    }
+    assert got == ref_word_freqs(CORPUS)
+
+
+def test_merge_sequence_matches_reference(trained):
+    _, merges, _ = trained
+    ref_merges, _ = ref_train(ref_word_freqs(CORPUS), 25)
+    assert merges == ref_merges
+    assert len(merges) > 5  # the corpus is rich enough to be a real check
+
+
+def test_final_segmentation_matches_reference(trained):
+    _, _, words = trained
+    ref_merges, ref_vocab = ref_train(ref_word_freqs(CORPUS), 25)
+    got = {tuple(r["syms"]): r["cnt"] for r in words.collect()}
+    assert got == {s: c for s, c in ref_vocab.items()}
+
+
+def test_partitioning_invariance(spark, corpus_df, trained):
+    """Merge sequence is a function of the word multiset, not layout."""
+    _, merges, _ = trained
+    wf7 = bpe.word_frequencies(corpus_df.repartition(7))
+    merges7, _ = bpe.train_bpe(wf7, num_merges=25, checkpoint_every=4)
+    assert merges7 == merges
+
+
+def test_checkpoint_cadence_invariance(trained):
+    """localCheckpoint is a lineage barrier only — never a semantic one."""
+    wf, merges, _ = trained
+    merges1, _ = bpe.train_bpe(wf, num_merges=25, checkpoint_every=1)
+    merges100, _ = bpe.train_bpe(wf, num_merges=25, checkpoint_every=100)
+    assert merges1 == merges == merges100
+
+
+def test_min_count_stops_early(trained):
+    wf, _, _ = trained
+    merges, _ = bpe.train_bpe(wf, num_merges=10_000, min_count=3)
+    assert merges  # something merges at count >= 3
+    assert all(n >= 3 for _, _, _, n in merges)
+    # and the stop is genuine: the unrestricted run goes further
+    more, _ = bpe.train_bpe(wf, num_merges=10_000, min_count=2)
+    assert len(more) >= len(merges)
+
+
+def test_encode_reproduces_training_segmentation(spark, trained):
+    """Greedy-by-rank encode == training segmentation for training words.
+
+    This is the classic BPE invariant: applying the learned merges in rank
+    order to any training word reproduces exactly the symbols the trainer
+    left it with.
+    """
+    wf, merges, words = trained
+    train_words = spark.createDataFrame(
+        [(r["word"],) for r in wf.collect()], schema="text string"
+    )
+    enc = {
+        r["text"]: tuple(r["bpe_tokens"])
+        for r in bpe.encode_with_merges(train_words, merges).collect()
+    }
+    _, ref_vocab = ref_train(ref_word_freqs(CORPUS), 25)
+    # rebuild word -> final syms from the reference vocab
+    for syms, _ in ref_vocab.items():
+        word = "".join(syms).replace(bpe.END_OF_WORD, "")
+        assert enc[word] == syms
+
+
+def test_encode_handles_unseen_and_null(spark, trained):
+    _, merges, _ = trained
+    df = spark.createDataFrame(
+        [("qzx low",), (None,), ("",)], schema="text string"
+    )
+    rows = {
+        (r["text"] if r["text"] is not None else "<null>"): r["bpe_tokens"]
+        for r in bpe.encode_with_merges(df, merges).collect()
+    }
+    assert rows["<null>"] == []
+    assert rows[""] == []
+    toks = rows["qzx low"]
+    # unseen word falls back to (possibly partially merged) char symbols,
+    # and reconstructing the text from tokens is lossless
+    joined = "".join(toks).replace(bpe.END_OF_WORD, " ").strip()
+    assert joined == "qzx low"
+
+
+def test_vocabulary_contents(spark, trained):
+    wf, merges, _ = trained
+    vocab = {
+        (r["token"], r["kind"]) for r in bpe.vocabulary(merges, wf).collect()
+    }
+    chars = {c for w in ref_word_freqs(CORPUS) for c in w}
+    assert {(c, "char") for c in chars} <= vocab
+    assert {(a + b, "merge") for _, a, b, _ in merges} <= vocab
+    assert (bpe.END_OF_WORD, "marker") in vocab
+
+
+def test_overlap_semantics_on_runs(spark):
+    """'aaaa aaa' pins both halves of the canonical overlap rule:
+    counting recounts overlaps; merging is left-to-right non-overlapping."""
+    df = spark.createDataFrame([("aaaa aaa",)], schema="text string")
+    wf = bpe.word_frequencies(df)
+    merges, words = bpe.train_bpe(wf, num_merges=1, min_count=1)
+    assert merges[0][1:3] == ("a", "a")
+    # aaaa -> [aa, aa, </w>]; aaa -> [aa, a, </w>]
+    got = {tuple(r["syms"]) for r in words.collect()}
+    assert got == {
+        ("aa", "aa", bpe.END_OF_WORD),
+        ("aa", "a", bpe.END_OF_WORD),
+    }

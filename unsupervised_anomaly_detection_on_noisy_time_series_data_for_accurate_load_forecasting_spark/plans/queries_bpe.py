@@ -1,0 +1,255 @@
+"""STAGED registry queries for the distributed BPE tokenizer family.
+
+DORMANT in r14: this module is deliberately NOT imported by
+``plans/__init__.py`` yet, so the driver's registry and first-50 window do
+not see these queries. The driver-window budget (NOTES_r15.md) reserves
+r14–r15 slots for draining the lit_double taint backlog; when the backlog
+clears (r16/r17), registration is the one-line, taint-exempt
+``from . import queries_bpe`` in ``plans/__init__.py``.
+
+Until then the queries are fully exercised by pytest (tests/test_bpe.py,
+tests/test_bpe_query.py run the Spark plan AND the mirror oracle and
+compare with the driver-gate comparator at sf0.001), so the code lands
+green and the later registration is evidence-only, not new code.
+
+Oracle model: python-mirror (the neural precedent, queries_neural.py:1-20)
+— BPE training is iterative arg-max, not expressible in one DuckDB SQL, so
+the oracle re-derives the expected output single-node from the parquet via
+an independent Counter-based replay and emits a VALUES golden. Counts are
+integers throughout; the one float column is a single IEEE division of two
+exact BIGINTs on both engines, so no lit_double is needed (exact-operand
+doctrine, NOTES_r14.md).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import bpe
+from ..sources.readers import load_table
+from .registry import register
+
+# Modest by design: the synthetic documents vocabulary is small, so the
+# trainer's min_count stop usually fires before the cap — the cap exists to
+# bound the round count (each merge round is one skinny shuffle + a 1-row
+# collect over the Heaps-law word table, see operators/bpe.py).
+NUM_MERGES = 32
+MIN_COUNT = 2
+
+_MERGES_MEMO: Dict[str, List[Tuple[int, str, str, int]]] = {}
+
+
+def _oracle_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def ensure_merges(spark: SparkSession, sf_dir: str) -> List[Tuple[int, str, str, int]]:
+    """Train (or restore from the session memo) the merge table for sf_dir."""
+    got = _MERGES_MEMO.get(sf_dir)
+    if got is None:
+        wf = bpe.word_frequencies(load_table(spark, sf_dir, "documents"))
+        got, _ = bpe.train_bpe(wf, num_merges=NUM_MERGES, min_count=MIN_COUNT)
+        _MERGES_MEMO[sf_dir] = got
+    return got
+
+
+# ---------------------------------------------------------------- mirror
+def _mirror_word_freqs() -> Dict[str, int]:
+    import duckdb
+    from collections import Counter
+
+    con = duckdb.connect()
+    texts = con.execute(
+        "SELECT text FROM read_parquet("
+        f"'{_oracle_sf_dir()}/documents.parquet') WHERE text IS NOT NULL"
+    ).fetchall()
+    con.close()
+    splitter = re.compile(bpe.WORD_SPLIT_PATTERN)
+    c: Counter = Counter()
+    for (t,) in texts:
+        for w in splitter.split(t.lower()):
+            if w:
+                c[w] += 1
+    return dict(c)
+
+
+def _mirror_train(
+    word_freqs: Dict[str, int], num_merges: int, min_count: int
+) -> Tuple[List[Tuple[int, str, str, int]], Dict[Tuple[str, ...], int]]:
+    """Counter-based single-node replay of canonical BPE training.
+
+    Independent of the Spark path: dict/Counter arg-max per round vs the
+    engine's explode + partial-agg + TakeOrdered. Shared spec only: every
+    adjacent position counts; ties break to the lexicographically smallest
+    pair; merges apply left-to-right non-overlapping.
+    """
+    from collections import Counter
+
+    vocab: Dict[Tuple[str, ...], int] = {
+        tuple(w) + (bpe.END_OF_WORD,): c for w, c in word_freqs.items()
+    }
+    merges: List[Tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs: Counter = Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((rank, a, b, n))
+        nxt: Dict[Tuple[str, ...], int] = {}
+        for syms, cnt in vocab.items():
+            out: List[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + cnt
+        vocab = nxt
+    return merges, vocab
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_merges_mirror_sql() -> str:
+    merges, _ = _mirror_train(_mirror_word_freqs(), NUM_MERGES, MIN_COUNT)
+    assert merges, "mirror learned no merges — corpus degenerate?"
+    rows = ",".join(
+        f"({r},{_sql_str(a)},{_sql_str(b)},{n})" for r, a, b, n in merges
+    )
+    return (
+        "SELECT CAST(rank AS INTEGER) AS rank, a, b,"
+        " CAST(pair_count AS BIGINT) AS pair_count"
+        f" FROM (VALUES {rows}) AS m(rank, a, b, pair_count)"
+    )
+
+
+@register(
+    "t_bpe_merges",
+    oracle=lambda: _bpe_merges_mirror_sql(),
+    tags=("X-text",),
+    doc="Distributed BPE tokenizer training over the documents corpus: one "
+    "combinable corpus-sized shuffle compacts text into the Heaps-law "
+    "word-frequency table, then each merge round is a skinny pair-count "
+    "shuffle + TakeOrdered(1) arg-max with a JVM F.aggregate merge fold "
+    "(operators/bpe.py). Deterministic count-then-lexicographic "
+    "tie-break makes the merge sequence a pure function of the word "
+    "multiset. Oracle = independent Counter-based single-node replay "
+    "(VALUES golden).",
+)
+def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = ensure_merges(spark, sf_dir)
+    return bpe.merges_to_df(spark, merges).select(
+        F.col("rank").cast("int").alias("rank"),
+        "a",
+        "b",
+        F.col("pair_count").cast("bigint").alias("pair_count"),
+    )
+
+
+def _bpe_compression_mirror_sql() -> str:
+    """Per-source tokenizer-efficiency profile via rank-order merge replay.
+
+    Encoding in the mirror applies the learned merges sequentially in rank
+    order per distinct word (provably equivalent to the engine's greedy
+    lowest-rank-first encoder, and implemented in the structurally opposite
+    direction), then weights by per-source word occurrences.
+    """
+    import duckdb
+    from collections import Counter
+
+    wf = _mirror_word_freqs()
+    merges, _ = _mirror_train(wf, NUM_MERGES, MIN_COUNT)
+
+    tok_count: Dict[str, int] = {}
+    for w in wf:
+        syms: List[str] = list(w) + [bpe.END_OF_WORD]
+        for _, a, b, _n in merges:
+            out: List[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        tok_count[w] = len(syms)
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT source, text, n_chars FROM read_parquet("
+        f"'{_oracle_sf_dir()}/documents.parquet') WHERE text IS NOT NULL"
+    ).fetchall()
+    con.close()
+    splitter = re.compile(bpe.WORD_SPLIT_PATTERN)
+    agg: Dict[str, List[int]] = {}
+    for source, text, n_chars in docs:
+        got = agg.setdefault(source, [0, 0, 0])
+        got[0] += 1
+        got[1] += sum(
+            tok_count[w] for w in splitter.split(text.lower()) if w
+        )
+        got[2] += int(n_chars)
+    rows = ",".join(
+        f"({_sql_str(s)},{v[0]},{v[1]},{v[2]})" for s, v in sorted(agg.items())
+    )
+    return (
+        "SELECT source, CAST(n_docs AS BIGINT) AS n_docs,"
+        " CAST(total_tokens AS BIGINT) AS total_tokens,"
+        " CAST(total_chars AS BIGINT) AS total_chars,"
+        " CAST(total_tokens AS DOUBLE) / CAST(total_chars AS DOUBLE)"
+        " AS tokens_per_char"
+        f" FROM (VALUES {rows}) AS t(source, n_docs, total_tokens, total_chars)"
+    )
+
+
+@register(
+    "t_bpe_compression",
+    oracle=lambda: _bpe_compression_mirror_sql(),
+    tags=("X-text",),
+    doc="Tokenizer-efficiency profile: encode the corpus with the learned "
+    "BPE merges (Arrow-batched greedy-by-rank pandas UDF with a per-batch "
+    "word memo — Zipf makes repeats the common case) and report per-source "
+    "document count, total token count, and tokens-per-char. The float "
+    "column is one IEEE division of two exact BIGINTs on both engines. "
+    "Oracle = rank-order merge replay (equivalent to greedy-by-rank), "
+    "weighted by per-source word occurrences.",
+)
+def t_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = ensure_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    enc = bpe.encode_with_merges(docs, merges)
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("bpe_tokens")).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            (
+                F.col("total_tokens").cast("double")
+                / F.col("total_chars").cast("double")
+            ).alias("tokens_per_char"),
+        )
+    )
