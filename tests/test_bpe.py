@@ -205,3 +205,57 @@ def test_overlap_semantics_on_runs(spark):
         ("aa", "aa", bpe.END_OF_WORD),
         ("aa", "a", bpe.END_OF_WORD),
     }
+
+
+# ------------------------------------------------------- plan + property
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pair_count_plan_is_partial_aggregated_and_python_free(spark, corpus_df):
+    """The per-round pair count must map-side combine (partial_sum before
+    the exchange) and keep the training hot path JVM-only — no
+    ArrowEvalPython / BatchEvalPython anywhere in the loop's plans."""
+    import re
+
+    wf = bpe.word_frequencies(corpus_df)
+    words = wf.select(bpe._init_symbols().alias("syms"), "cnt")
+    plan = _plan(bpe._pair_counts(words))
+    assert re.search(r"HashAggregate.*partial_sum", plan), plan[:800]
+    assert "EvalPython" not in plan
+    # and the merge fold is likewise pure JVM expression work
+    fold_plan = _plan(words.withColumn("syms", bpe._merge_fold("a", "b")))
+    assert "EvalPython" not in fold_plan
+
+
+def test_encode_plan_is_single_arrow_stage(spark, corpus_df, trained):
+    """Encoding adds exactly one Arrow-batched Python stage and no shuffle:
+    a map-only pass over the corpus."""
+    _, merges, _ = trained
+    plan = _plan(bpe.encode_with_merges(corpus_df, merges))
+    assert plan.count("ArrowEvalPython") == 1, plan[:800]
+    assert "Exchange" not in plan
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _sym = st.sampled_from(["a", "b", "ab", "c", bpe.END_OF_WORD])
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_sym, min_size=1, max_size=12), st.sampled_from([("a", "b"), ("a", "a"), ("ab", "c")]))
+    def test_merge_fold_matches_python_fold(spark_holder, syms, pair):
+        """JVM F.aggregate fold == reference left-to-right merge on random
+        symbol arrays (overlap runs, merged-symbol collisions included)."""
+        spark = spark_holder
+        df = spark.createDataFrame([(syms,)], schema="syms array<string>")
+        got = df.select(bpe._merge_fold(*pair).alias("m")).collect()[0]["m"]
+        assert tuple(got) == ref_merge(syms, *pair)
+
+    @pytest.fixture(scope="module")
+    def spark_holder(spark):
+        return spark
+
+except ImportError:  # pragma: no cover - hypothesis is baked into the env
+    pass
