@@ -259,3 +259,93 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked into the env
     pass
+
+
+# ------------------------------------------------------- batched scale mode
+def ref_merge_multi(syms, pair_map):
+    out = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and (syms[i], syms[i + 1]) in pair_map:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def ref_train_batched(word_freqs, num_merges, batch_size, min_count=2):
+    """Reference for the batched spec: top 4*batch candidates per round by
+    (count desc, lex), greedy pairwise-symbol-disjoint filter, one
+    left-to-right non-chaining pass applying the picked set."""
+    vocab = {tuple(w) + (bpe.END_OF_WORD,): c for w, c in word_freqs.items()}
+    merges = []
+    rnd = 0
+    while len(merges) < num_merges:
+        want = min(batch_size, num_merges - len(merges))
+        pairs = ref_pair_counts(vocab)
+        cands = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[: 4 * want]
+        used, picked = set(), []
+        for (a, b), n in cands:
+            if len(picked) == want:
+                break
+            if n < min_count:
+                break
+            if a in used or b in used:
+                continue
+            picked.append((a, b))
+            used |= {a, b}
+            merges.append((len(merges), rnd, a, b, n))
+        if not picked:
+            break
+        pm = set(picked)
+        nxt = {}
+        for syms, cnt in vocab.items():
+            k = ref_merge_multi(syms, pm)
+            nxt[k] = nxt.get(k, 0) + cnt
+        vocab = nxt
+        rnd += 1
+    return merges, vocab
+
+
+def test_batched_batch1_reproduces_exact_greedy(trained):
+    wf, exact, _ = trained
+    batched, _ = bpe.train_bpe_batched(wf, num_merges=25, batch_size=1)
+    assert [(r, a, b, n) for r, _rnd, a, b, n in batched] == exact
+    # and every round merges exactly one pair
+    assert [rnd for _, rnd, *_ in batched] == list(range(len(batched)))
+
+
+def test_batched_matches_reference_spec(trained):
+    wf, _, _ = trained
+    got, words = bpe.train_bpe_batched(wf, num_merges=25, batch_size=4)
+    ref, ref_vocab = ref_train_batched(ref_word_freqs(CORPUS), 25, 4)
+    assert got == ref
+    got_vocab = {tuple(r["syms"]): r["cnt"] for r in words.collect()}
+    assert got_vocab == ref_vocab
+
+
+def test_batched_rounds_compress_and_stay_disjoint(trained):
+    wf, _, _ = trained
+    merges, _ = bpe.train_bpe_batched(wf, num_merges=24, batch_size=8)
+    assert len(merges) > 8
+    n_rounds = max(rnd for _, rnd, *_ in merges) + 1
+    assert n_rounds < len(merges) / 2  # real compression vs one-per-round
+    by_round = {}
+    for _, rnd, a, b, _n in merges:
+        by_round.setdefault(rnd, []).append((a, b))
+    for rnd, pairs in by_round.items():
+        # cross-pair disjointness (a self-pair like (a, a) is one pair and
+        # legitimately repeats its own symbol)
+        for i, p in enumerate(pairs):
+            for q in pairs[i + 1 :]:
+                assert not (set(p) & set(q)), f"round {rnd}: {p} overlaps {q}"
+
+
+def test_batched_partitioning_invariance(spark, corpus_df, trained):
+    wf, _, _ = trained
+    base, _ = bpe.train_bpe_batched(wf, num_merges=20, batch_size=4)
+    wf7 = bpe.word_frequencies(corpus_df.repartition(7))
+    again, _ = bpe.train_bpe_batched(wf7, num_merges=20, batch_size=4)
+    assert base == again
