@@ -349,3 +349,26 @@ def test_batched_partitioning_invariance(spark, corpus_df, trained):
     wf7 = bpe.word_frequencies(corpus_df.repartition(7))
     again, _ = bpe.train_bpe_batched(wf7, num_merges=20, batch_size=4)
     assert base == again
+
+
+# ----------------------------------------------------------- artifact store
+def test_merge_artifact_roundtrip(tmp_path, spark, trained):
+    _, merges, _ = trained
+    p = str(tmp_path / "tok" / "merges.json")
+    bpe.save_merges(p, merges, meta={"corpus": "unit"})
+    assert bpe.load_merges(p) == merges
+    # a restored table drives encode identically to the in-memory one
+    df = spark.createDataFrame([("the lowest nests",)], schema="text string")
+    a = bpe.encode_with_merges(df, merges).collect()[0]["bpe_tokens"]
+    b = bpe.encode_with_merges(df, bpe.load_merges(p)).collect()[0]["bpe_tokens"]
+    assert a == b
+
+
+def test_merge_artifact_rejects_foreign_format(tmp_path):
+    import json
+
+    p = str(tmp_path / "bad.json")
+    with open(p, "w") as f:
+        json.dump({"format": "something-else"}, f)
+    with pytest.raises(ValueError):
+        bpe.load_merges(p)

@@ -314,6 +314,46 @@ def merges_to_df(spark: SparkSession, merges: Sequence[Tuple[int, str, str, int]
     )
 
 
+def save_merges(
+    path: str, merges: Sequence[Tuple[int, str, str, int]], meta: Optional[dict] = None
+) -> None:
+    """Persist a learned merge table as a portable JSON artifact.
+
+    Same doctrine as the S9 model store (ml/artifacts.py): driver-side file,
+    no pickle, written to a unique tmp name then atomically renamed so
+    concurrent writers of the same path never interleave.
+    """
+    import json
+    import os
+    import uuid
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "format": "bpe-merges-v1",
+                "end_of_word": END_OF_WORD,
+                "word_split_pattern": WORD_SPLIT_PATTERN,
+                "merges": [list(m) for m in merges],
+                "meta": meta or {},
+            },
+            f,
+            sort_keys=True,
+        )
+    os.replace(tmp, path)
+
+
+def load_merges(path: str) -> List[Tuple[int, str, str, int]]:
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("format") != "bpe-merges-v1":
+        raise ValueError(f"not a bpe-merges-v1 artifact: {path}")
+    return [(int(r), a, b, int(n)) for r, a, b, n in doc["merges"]]
+
+
 def _encode_word(word: str, ranks: dict) -> Tuple[str, ...]:
     """Greedy lowest-rank-first BPE encode of one word (reference encode).
 
