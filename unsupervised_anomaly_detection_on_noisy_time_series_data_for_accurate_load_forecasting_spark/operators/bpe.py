@@ -314,6 +314,21 @@ def merges_to_df(spark: SparkSession, merges: Sequence[Tuple[int, str, str, int]
     )
 
 
+def _normalize_merges(
+    merges: Sequence[Tuple],
+) -> List[Tuple[int, str, str, int]]:
+    """Accept exact-mode ``(rank, a, b, n)`` or batched-mode
+    ``(rank, round, a, b, n)`` tuples and return the exact shape."""
+    out: List[Tuple[int, str, str, int]] = []
+    for m in merges:
+        if len(m) == 5:
+            rank, _rnd, a, b, n = m
+        else:
+            rank, a, b, n = m
+        out.append((int(rank), a, b, int(n)))
+    return out
+
+
 def save_merges(
     path: str, merges: Sequence[Tuple[int, str, str, int]], meta: Optional[dict] = None
 ) -> None:
@@ -399,7 +414,7 @@ def encode_with_merges(
     per-word memo keeps the loop amortized O(1) for repeated words within
     a batch (Zipf makes repeats the common case).
     """
-    ranks = {(a, b): rank for rank, a, b, _ in merges}
+    ranks = {(a, b): rank for rank, a, b, _ in _normalize_merges(merges)}
 
     @F.pandas_udf(ArrayType(StringType()))
     def _encode(texts: pd.Series) -> pd.Series:
@@ -450,7 +465,8 @@ def vocabulary(
         .withColumn("kind", F.lit("char"))
     )
     merged = spark.createDataFrame(
-        [(a + b, "merge") for _, a, b, _ in merges], schema="token string, kind string"
+        [(a + b, "merge") for _, a, b, _ in _normalize_merges(merges)],
+        schema="token string, kind string",
     )
     marker = spark.createDataFrame(
         [(END_OF_WORD, "marker")], schema="token string, kind string"

@@ -36,24 +36,35 @@ from .registry import register
 
 # Modest by design: the synthetic documents vocabulary is small, so the
 # trainer's min_count stop usually fires before the cap — the cap exists to
-# bound the round count (each merge round is one skinny shuffle + a 1-row
-# collect over the Heaps-law word table, see operators/bpe.py).
+# bound the round count. The registry query runs the BATCHED spec
+# (operators/bpe.py train_bpe_batched): it is the production 32k-vocab
+# path (rounds compress ~batch_size-fold; SCALING.md measured ×4 wall at
+# ×10 vocab) and, like exact greedy, a pure function of the word multiset
+# — exact mode stays pinned by the unit suite (tests/test_bpe.py).
 NUM_MERGES = 32
+BATCH_SIZE = 8
 MIN_COUNT = 2
 
-_MERGES_MEMO: Dict[str, List[Tuple[int, str, str, int]]] = {}
+_MERGES_MEMO: Dict[str, List[Tuple[int, int, str, str, int]]] = {}
 
 
 def _oracle_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
-def ensure_merges(spark: SparkSession, sf_dir: str) -> List[Tuple[int, str, str, int]]:
-    """Train (or restore from the session memo) the merge table for sf_dir."""
+def ensure_merges(
+    spark: SparkSession, sf_dir: str
+) -> List[Tuple[int, int, str, str, int]]:
+    """Train (or restore from the session memo) the merge table for sf_dir.
+
+    Batched-spec merges: ``(rank, round, a, b, pair_count)``.
+    """
     got = _MERGES_MEMO.get(sf_dir)
     if got is None:
         wf = bpe.word_frequencies(load_table(spark, sf_dir, "documents"))
-        got, _ = bpe.train_bpe(wf, num_merges=NUM_MERGES, min_count=MIN_COUNT)
+        got, _ = bpe.train_bpe_batched(
+            wf, num_merges=NUM_MERGES, batch_size=BATCH_SIZE, min_count=MIN_COUNT
+        )
         _MERGES_MEMO[sf_dir] = got
     return got
 
@@ -78,46 +89,68 @@ def _mirror_word_freqs() -> Dict[str, int]:
     return dict(c)
 
 
-def _mirror_train(
-    word_freqs: Dict[str, int], num_merges: int, min_count: int
-) -> Tuple[List[Tuple[int, str, str, int]], Dict[Tuple[str, ...], int]]:
-    """Counter-based single-node replay of canonical BPE training.
+def _mirror_merge_pass(
+    syms: Tuple[str, ...], picked: set
+) -> Tuple[str, ...]:
+    """One left-to-right non-chaining pass applying a disjoint pair set."""
+    out: List[str] = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and (syms[i], syms[i + 1]) in picked:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
 
-    Independent of the Spark path: dict/Counter arg-max per round vs the
-    engine's explode + partial-agg + TakeOrdered. Shared spec only: every
-    adjacent position counts; ties break to the lexicographically smallest
-    pair; merges apply left-to-right non-overlapping.
+
+def _mirror_train(
+    word_freqs: Dict[str, int], num_merges: int, batch_size: int, min_count: int
+) -> Tuple[List[Tuple[int, int, str, str, int]], Dict[Tuple[str, ...], int]]:
+    """Counter-based single-node replay of the batched BPE spec.
+
+    Independent of the Spark path: dict/Counter candidate ranking per round
+    vs the engine's explode + partial-agg + TakeOrdered. Shared spec only:
+    every adjacent position counts; candidates order by (count desc, lex);
+    greedy pairwise-symbol-disjoint filter takes up to ``batch_size`` from
+    the top ``4 × batch_size``; one left-to-right non-chaining pass applies
+    the picked set.
     """
     from collections import Counter
 
     vocab: Dict[Tuple[str, ...], int] = {
         tuple(w) + (bpe.END_OF_WORD,): c for w, c in word_freqs.items()
     }
-    merges: List[Tuple[int, str, str, int]] = []
-    for rank in range(num_merges):
+    merges: List[Tuple[int, int, str, str, int]] = []
+    rnd = 0
+    while len(merges) < num_merges:
+        want = min(batch_size, num_merges - len(merges))
         pairs: Counter = Counter()
         for syms, cnt in vocab.items():
             for i in range(len(syms) - 1):
                 pairs[(syms[i], syms[i + 1])] += cnt
-        if not pairs:
+        cands = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[: 4 * want]
+        used: set = set()
+        picked: set = set()
+        for (a, b), n in cands:
+            if len(picked) == want:
+                break
+            if n < min_count:
+                break
+            if a in used or b in used:
+                continue
+            picked.add((a, b))
+            used.update((a, b))
+            merges.append((len(merges), rnd, a, b, int(n)))
+        if not picked:
             break
-        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        if n < min_count:
-            break
-        merges.append((rank, a, b, n))
         nxt: Dict[Tuple[str, ...], int] = {}
         for syms, cnt in vocab.items():
-            out: List[str] = []
-            i = 0
-            while i < len(syms):
-                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            nxt[tuple(out)] = nxt.get(tuple(out), 0) + cnt
+            k = _mirror_merge_pass(syms, picked)
+            nxt[k] = nxt.get(k, 0) + cnt
         vocab = nxt
+        rnd += 1
     return merges, vocab
 
 
@@ -126,15 +159,19 @@ def _sql_str(s: str) -> str:
 
 
 def _bpe_merges_mirror_sql() -> str:
-    merges, _ = _mirror_train(_mirror_word_freqs(), NUM_MERGES, MIN_COUNT)
+    merges, _ = _mirror_train(
+        _mirror_word_freqs(), NUM_MERGES, BATCH_SIZE, MIN_COUNT
+    )
     assert merges, "mirror learned no merges — corpus degenerate?"
     rows = ",".join(
-        f"({r},{_sql_str(a)},{_sql_str(b)},{n})" for r, a, b, n in merges
+        f"({r},{rnd},{_sql_str(a)},{_sql_str(b)},{n})"
+        for r, rnd, a, b, n in merges
     )
     return (
-        "SELECT CAST(rank AS INTEGER) AS rank, a, b,"
+        "SELECT CAST(rank AS INTEGER) AS rank,"
+        " CAST(round AS INTEGER) AS round, a, b,"
         " CAST(pair_count AS BIGINT) AS pair_count"
-        f" FROM (VALUES {rows}) AS m(rank, a, b, pair_count)"
+        f" FROM (VALUES {rows}) AS m(rank, round, a, b, pair_count)"
     )
 
 
@@ -142,22 +179,21 @@ def _bpe_merges_mirror_sql() -> str:
     "t_bpe_merges",
     oracle=lambda: _bpe_merges_mirror_sql(),
     tags=("X-text",),
-    doc="Distributed BPE tokenizer training over the documents corpus: one "
-    "combinable corpus-sized shuffle compacts text into the Heaps-law "
-    "word-frequency table, then each merge round is a skinny pair-count "
-    "shuffle + TakeOrdered(1) arg-max with a JVM F.aggregate merge fold "
-    "(operators/bpe.py). Deterministic count-then-lexicographic "
-    "tie-break makes the merge sequence a pure function of the word "
-    "multiset. Oracle = independent Counter-based single-node replay "
-    "(VALUES golden).",
+    doc="Distributed BPE tokenizer training over the documents corpus, "
+    "batched spec (the 32k-vocab scale path): one combinable corpus-sized "
+    "shuffle compacts text into the Heaps-law word-frequency table, then "
+    "each round merges the top batch pairwise-symbol-disjoint pairs via a "
+    "skinny pair-count shuffle + bounded candidate collect + one JVM "
+    "F.aggregate fold pass (operators/bpe.py). Deterministic "
+    "count-then-lexicographic candidate order makes the merge sequence a "
+    "pure function of the word multiset. Oracle = independent "
+    "Counter-based single-node replay (VALUES golden).",
 )
 def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = ensure_merges(spark, sf_dir)
-    return bpe.merges_to_df(spark, merges).select(
-        F.col("rank").cast("int").alias("rank"),
-        "a",
-        "b",
-        F.col("pair_count").cast("bigint").alias("pair_count"),
+    return spark.createDataFrame(
+        [list(m) for m in merges],
+        schema="rank int, round int, a string, b string, pair_count bigint",
     )
 
 
@@ -173,12 +209,12 @@ def _bpe_compression_mirror_sql() -> str:
     from collections import Counter
 
     wf = _mirror_word_freqs()
-    merges, _ = _mirror_train(wf, NUM_MERGES, MIN_COUNT)
+    merges, _ = _mirror_train(wf, NUM_MERGES, BATCH_SIZE, MIN_COUNT)
 
     tok_count: Dict[str, int] = {}
     for w in wf:
         syms: List[str] = list(w) + [bpe.END_OF_WORD]
-        for _, a, b, _n in merges:
+        for _, _rnd, a, b, _n in merges:
             out: List[str] = []
             i = 0
             while i < len(syms):
