@@ -56,3 +56,29 @@ def test_merges_memo_reused_between_queries(spark, sf_dir):
     memo_after_first = dict(queries_bpe._MERGES_MEMO)
     REGISTRY["t_bpe_compression"].spark(spark, sf_dir).collect()
     assert queries_bpe._MERGES_MEMO == memo_after_first  # no retrain
+
+
+def test_merges_restore_from_artifact_store(spark, sf_dir, tmp_path, monkeypatch):
+    """Second session (fresh memo) restores from the keyed artifact instead
+    of retraining; a hyperparameter change rotates the key and retrains."""
+    monkeypatch.setenv("SPARK_GRAFT_WEIGHTS_DIR", str(tmp_path))
+    queries_bpe._MERGES_MEMO.clear()
+    trained = queries_bpe.ensure_merges(spark, sf_dir)
+    arts = [p for p in tmp_path.iterdir() if p.name.startswith("bpe-merges-")]
+    assert len(arts) == 1
+
+    queries_bpe._MERGES_MEMO.clear()
+
+    def boom(*a, **k):  # restore path must not retrain
+        raise AssertionError("retrained despite warm artifact")
+
+    monkeypatch.setattr(queries_bpe.bpe, "train_bpe_batched", boom)
+    restored = queries_bpe.ensure_merges(spark, sf_dir)
+    assert restored == trained
+
+    # hyperparameter change -> new key -> honest slow path (boom fires)
+    queries_bpe._MERGES_MEMO.clear()
+    monkeypatch.setattr(queries_bpe, "NUM_MERGES", queries_bpe.NUM_MERGES - 1)
+    with pytest.raises(AssertionError, match="retrained"):
+        queries_bpe.ensure_merges(spark, sf_dir)
+    queries_bpe._MERGES_MEMO.clear()

@@ -359,14 +359,24 @@ def save_merges(
     os.replace(tmp, path)
 
 
-def load_merges(path: str) -> List[Tuple[int, str, str, int]]:
+def load_merges(path: str) -> List[Tuple]:
+    """Load a merge artifact, preserving the stored tuple shape:
+    exact-mode ``(rank, a, b, n)`` or batched ``(rank, round, a, b, n)``."""
     import json
 
     with open(path) as f:
         doc = json.load(f)
     if doc.get("format") != "bpe-merges-v1":
         raise ValueError(f"not a bpe-merges-v1 artifact: {path}")
-    return [(int(r), a, b, int(n)) for r, a, b, n in doc["merges"]]
+    out: List[Tuple] = []
+    for m in doc["merges"]:
+        if len(m) == 5:
+            r, rnd, a, b, n = m
+            out.append((int(r), int(rnd), a, b, int(n)))
+        else:
+            r, a, b, n = m
+            out.append((int(r), a, b, int(n)))
+    return out
 
 
 def _encode_word(word: str, ranks: dict) -> Tuple[str, ...]:

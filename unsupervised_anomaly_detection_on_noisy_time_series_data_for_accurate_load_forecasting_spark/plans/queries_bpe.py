@@ -55,16 +55,42 @@ def _oracle_sf_dir() -> str:
 def ensure_merges(
     spark: SparkSession, sf_dir: str
 ) -> List[Tuple[int, int, str, str, int]]:
-    """Train (or restore from the session memo) the merge table for sf_dir.
+    """Train — or restore from the session memo / keyed artifact store —
+    the merge table for sf_dir. Batched-spec merges:
+    ``(rank, round, a, b, pair_count)``.
 
-    Batched-spec merges: ``(rank, round, a, b, pair_count)``.
+    Same doctrine as the neural weight checkpoints (ml/artifacts.py): the
+    fit is deterministic in (input bytes, derivation source,
+    hyperparameters), so the artifact key is exactly those three — a data
+    or math change rotates the key and forces an honest retrain, and the
+    independent mirror oracle (which always retrains) would catch a stale
+    restore as a hash mismatch. A resident engine trains its tokenizer
+    once, not per session.
     """
     got = _MERGES_MEMO.get(sf_dir)
     if got is None:
-        wf = bpe.word_frequencies(load_table(spark, sf_dir, "documents"))
-        got, _ = bpe.train_bpe_batched(
-            wf, num_merges=NUM_MERGES, batch_size=BATCH_SIZE, min_count=MIN_COUNT
+        from ..ml import artifacts as AR
+
+        fp = AR.source_fingerprint(
+            bpe.__name__,
+            __name__,
+            extra=f"merges={NUM_MERGES},batch={BATCH_SIZE},min={MIN_COUNT}",
         )
+        key = AR.input_data_fingerprint(
+            [os.path.join(sf_dir, "documents.parquet")], fp
+        )
+        path = os.path.join(AR.weights_cache_dir(), f"bpe-merges-{key}.json")
+        if os.path.exists(path):
+            got = [tuple(m) for m in bpe.load_merges(path)]
+        else:
+            wf = bpe.word_frequencies(load_table(spark, sf_dir, "documents"))
+            got, _ = bpe.train_bpe_batched(
+                wf,
+                num_merges=NUM_MERGES,
+                batch_size=BATCH_SIZE,
+                min_count=MIN_COUNT,
+            )
+            bpe.save_merges(path, got, meta={"sf_dir": sf_dir, "spec": "batched"})
         _MERGES_MEMO[sf_dir] = got
     return got
 
