@@ -185,7 +185,14 @@ def train_unigram(
     Returns ``(rank, piece, count_q)`` where ``count_q`` is the final EM
     round's fixed-point expected count — an exact integer, so the output
     is hash-comparable across engines.
+
+    The word table is checkpointed up front: seeding and every EM round
+    re-scan it, and without the barrier each pass would re-execute the
+    corpus-sized ``word_frequencies`` plan (measured ×2.1 on a ×10-docs
+    step; checkpointed, the corpus is read once and the rounds are
+    word-table-bound like BPE's).
     """
+    word_freqs = word_freqs.localCheckpoint(eager=True)
     vocab = seed_vocab(word_freqs, seed_size=seed_size, min_count=min_count)
     for _ in range(em_rounds):
         vocab = em_round(word_freqs, vocab)
