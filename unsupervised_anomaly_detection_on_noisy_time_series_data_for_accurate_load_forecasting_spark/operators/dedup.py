@@ -424,6 +424,48 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str =
     return agg.select(id_col, code.cast("bigint").alias("simhash"))
 
 
+GRAPH_ROWS_PER_PARTITION = 1_000_000  # ~30-60 MB of skinny graph rows
+
+
+def ckpt_coalesced(
+    df: DataFrame, rows: int | None = None, rows_per_partition: int = GRAPH_ROWS_PER_PARTITION
+) -> DataFrame:
+    """Eager localCheckpoint + SCALE-ADAPTIVE coalesce (r15 optimization).
+
+    Iterative graph operators checkpoint skinny frames (edges, labels,
+    frontiers) every round; the materialized RDD keeps the partition count
+    of whatever plan produced it — at small data that is 32-128 near-empty
+    partitions, and every downstream round pays a task per partition per
+    stage (measured: the per-round stages of pagerank/k-core were
+    task-scheduling-bound, not compute-bound). Coalescing the checkpoint to
+    ``ceil(rows / rows_per_partition)`` partitions (never more than it
+    already has — coalesce only merges) makes the partition count a
+    function of DATA SIZE, exactly the guide's scale-adaptive partitioning:
+    tiny graphs collapse to a few partitions, a 100 TB edge list keeps its
+    thousands. ``coalesce`` on an already-materialized checkpoint is a
+    narrow dependency — no second materialization, no shuffle.
+
+    ``rows``: pass the frame's row count when the caller already knows it;
+    otherwise one cheap count job over the materialized blocks runs here.
+    """
+    ck = df.localCheckpoint(eager=True)
+    n = ck.count() if rows is None else rows
+    parts = max(1, -(-n // rows_per_partition))
+    return ck.coalesce(parts) if parts < ck.rdd.getNumPartitions() else ck
+
+
+def ckpt_capped(df: DataFrame, parts: int) -> DataFrame:
+    """Eager localCheckpoint + coalesce to at most ``parts`` partitions —
+    the count-free variant of :func:`ckpt_coalesced` for per-round frames
+    whose row count is BOUNDED by an already-sized frame (a score/label
+    vector is at most node-count long, and nodes <= 2 x edges): reusing the
+    edge frame's adaptive partition count avoids paying one count job per
+    round while keeping the same scale story (the bound grows with the
+    data, so big graphs keep big partition counts)."""
+    ck = df.localCheckpoint(eager=True)
+    return ck.coalesce(parts) if parts < ck.rdd.getNumPartitions() else ck
+
+
 def connected_components(pairs: DataFrame, a: str = "d1", b: str = "d2", max_iter: int = 20) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every vertex is
     labeled with the MINIMUM vertex id reachable from it — the canonical
@@ -451,16 +493,14 @@ def connected_components(pairs: DataFrame, a: str = "d1", b: str = "d2", max_ite
     # tree, re-analyzed per iteration until Catalyst time explodes. An
     # iterative operator must TRUNCATE lineage each round; the checkpointed
     # label set is (vertex, cluster) — tiny at any corpus scale.
-    edges = (
+    edges = ckpt_coalesced(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = ckpt_coalesced(
         edges.select(F.col("src").alias("vertex"))
         .distinct()
         .withColumn("cluster", F.col("vertex"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     base = labels  # last checkpointed label set (comparison baseline)
@@ -495,7 +535,7 @@ def connected_components(pairs: DataFrame, a: str = "d1", b: str = "d2", max_ite
         # odd round's single job — a ≤2× recompute of one join+agg, cheaper
         # than a whole extra materialization job at every tested scale).
         if it % 2 == 1 or it == max_iter - 1:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = ckpt_capped(new_labels, edges.rdd.getNumPartitions())
             changed = (
                 new_labels.join(base.withColumnRenamed("cluster", "_old"), "vertex")
                 .filter(F.col("cluster") < F.col("_old"))
@@ -601,23 +641,20 @@ def pagerank_fixed_point(
     dangling correction is out of scope).
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-    e = edges.join(deg, src).localCheckpoint(eager=True)
-    nodes = (
+    e = ckpt_coalesced(edges.join(deg, src))
+    nodes = ckpt_coalesced(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     init = (10**9) // n_nodes
     base = (15 * 10**7) // n_nodes
     # nodes that no edge points at: rank is base + 0.85·0 = base, forever
-    no_in = (
+    no_in = ckpt_coalesced(
         nodes.join(
             edges.select(F.col(dst).alias("node")).distinct(), "node", "left_anti"
-        )
-        .select("node", F.lit(base).cast("bigint").alias("r"))
-        .localCheckpoint(eager=True)
+        ).select("node", F.lit(base).cast("bigint").alias("r"))
     )
     ranks = nodes.select("node", F.lit(init).cast("bigint").alias("r"))
     for i in range(iters):
@@ -630,7 +667,7 @@ def pagerank_fixed_point(
             (F.lit(base).cast("bigint") + F.expr("(85 * S) div 100")).alias("r"),
         ).unionByName(no_in)
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ckpt_coalesced(ranks)
     return ranks.select(
         "node",
         F.col("r").alias("rank_q"),
@@ -667,11 +704,10 @@ def label_propagation(
     with period 2; the fixed round count pins WHICH side of the oscillation
     is reported, identically in both engines).
     """
-    nodes = (
+    nodes = ckpt_coalesced(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = nodes.select("node", F.col("node").alias("lbl"))
     for i in range(iters):
@@ -694,7 +730,7 @@ def label_propagation(
             .select("node", F.coalesce("nlbl", "lbl").alias("lbl"))
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
-            labels = labels.localCheckpoint(eager=True)
+            labels = ckpt_coalesced(labels)
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
@@ -860,6 +896,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hot_cap: int = DUP_SPAN_HOT_CAP,
+    islands: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr-style cross-document duplicate span detection: find every
     maximal run of characters (length ≥ k) shared verbatim between two
@@ -885,8 +922,15 @@ def duplicate_spans(
     all-pairs doc join; candidate volume is bounded by hot_cap × matches.
 
     Output: (d1, d2, n_kgrams, n_spans, max_span_chars) per document pair.
+
+    ``islands``: pass a precomputed (ideally checkpointed) island frame from
+    :func:`dup_span_islands` over the SAME (df, k, hot_cap) to share the
+    rolling-hash + candidate-join pass across consumers in a session
+    (plans/shared.span_islands_df).
     """
-    spans = dup_span_islands(df, k=k, text_col=text_col, id_col=id_col, hot_cap=hot_cap)
+    spans = islands if islands is not None else dup_span_islands(
+        df, k=k, text_col=text_col, id_col=id_col, hot_cap=hot_cap
+    )
     return spans.groupBy("d1", "d2").agg(
         F.sum("n_matches").cast("bigint").alias("n_kgrams"),
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
@@ -958,6 +1002,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hot_cap: int = DUP_SPAN_HOT_CAP,
+    islands: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr-style duplicate-span REMOVAL — the "remove" half of Lee et
     al.'s char-level dedup that :func:`duplicate_spans` only detects: of
@@ -981,7 +1026,9 @@ def remove_duplicate_spans(
     """
     from .textops import poly_hash_sql_expr
 
-    isl = dup_span_islands(df, k=k, text_col=text_col, id_col=id_col, hot_cap=hot_cap)
+    isl = islands if islands is not None else dup_span_islands(
+        df, k=k, text_col=text_col, id_col=id_col, hot_cap=hot_cap
+    )
     iv = isl.select(
         F.col("d2").alias(id_col),
         (F.col("p1s") + F.col("delta")).alias("s"),
@@ -1165,6 +1212,11 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
         # the oracle's unrolled CTEs) would
         e = e.localCheckpoint(eager=True)
         n_now = e.count()
+        # scale-adaptive partition count for the next round's scans (narrow
+        # coalesce over the materialized blocks — see ckpt_coalesced)
+        parts = max(1, -(-n_now // GRAPH_ROWS_PER_PARTITION))
+        if parts < e.rdd.getNumPartitions():
+            e = e.coalesce(parts)
         if n_now == n_edges:
             break
         n_edges = n_now
@@ -1220,9 +1272,12 @@ def bfs_hops(
         .filter(F.col("_rn") <= n_sources)
         .select(F.col(src).alias("node"))
     )
-    assigned = hubs.select(
-        "node", F.lit(0).cast("int").alias("hop"), F.col("node").alias("hub")
-    ).localCheckpoint(eager=True)
+    assigned = ckpt_coalesced(
+        hubs.select(
+            "node", F.lit(0).cast("int").alias("hop"), F.col("node").alias("hub")
+        ),
+        rows=n_sources,
+    )
     frontier = assigned.select("node", "hub")
     for r in range(1, rounds + 1):
         cand = (
@@ -1234,9 +1289,13 @@ def bfs_hops(
             "node", F.lit(r).cast("int").alias("hop"), "hub"
         )
         new = new.localCheckpoint(eager=True)
-        if new.isEmpty():
+        n_new = new.count()  # doubles as the empty-frontier probe
+        if n_new == 0:
             break
-        assigned = assigned.unionAll(new).localCheckpoint(eager=True)
+        parts = max(1, -(-n_new // GRAPH_ROWS_PER_PARTITION))
+        if parts < new.rdd.getNumPartitions():
+            new = new.coalesce(parts)
+        assigned = ckpt_capped(assigned.unionAll(new), edges.rdd.getNumPartitions())
         frontier = new.select("node", "hub")
     return assigned
 
@@ -1271,7 +1330,8 @@ def hits_fixed_point(
     """
     if iters < 1:
         raise ValueError(f"hits_fixed_point requires iters >= 1, got {iters}")
-    e = pairs.select(src, dst).localCheckpoint(eager=True)
+    e = ckpt_coalesced(pairs.select(src, dst))
+    parts_e = e.rdd.getNumPartitions()
     hubs = (
         e.select(F.col(src).alias("node")).distinct().select("node", F.lit(10**9).cast("bigint").alias("h"))
     )
@@ -1281,8 +1341,8 @@ def hits_fixed_point(
             e.join(hubs, F.col(src) == F.col("node"))
             .groupBy(F.col(dst).alias("anode"))
             .agg(F.sum("h").alias("a"))
-            .localCheckpoint(eager=True)
         )
+        a = ckpt_capped(a, parts_e)
         sa = a.agg(F.sum("a").alias("sa"))
         auths = (
             a.crossJoin(F.broadcast(sa))
@@ -1295,8 +1355,8 @@ def hits_fixed_point(
             e.join(auths, F.col(dst) == F.col("anode"))
             .groupBy(F.col(src).alias("node"))
             .agg(F.sum("a").alias("h"))
-            .localCheckpoint(eager=True)
         )
+        h = ckpt_capped(h, parts_e)
         sh = h.agg(F.sum("h").alias("sh"))
         hubs = (
             h.crossJoin(F.broadcast(sh))

@@ -640,8 +640,12 @@ _DUP_K = 32
 )
 def d_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as DD
+    from .shared import span_islands_df
 
-    return DD.duplicate_spans(_docs(spark, sf_dir), k=_DUP_K)
+    # r15: detection and removal share one session-lifetime island frame
+    return DD.duplicate_spans(
+        _docs(spark, sf_dir), k=_DUP_K, islands=span_islands_df(spark, sf_dir)
+    )
 
 
 def _countmin_oracle() -> str:
@@ -967,8 +971,12 @@ def _dup_removal_oracle() -> str:
 )
 def d_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as DD
+    from .shared import span_islands_df
 
-    return DD.remove_duplicate_spans(_docs(spark, sf_dir), k=_DUP_K)
+    # r15: detection and removal share one session-lifetime island frame
+    return DD.remove_duplicate_spans(
+        _docs(spark, sf_dir), k=_DUP_K, islands=span_islands_df(spark, sf_dir)
+    )
 
 
 def _pipeline_span_clean_oracle() -> str:

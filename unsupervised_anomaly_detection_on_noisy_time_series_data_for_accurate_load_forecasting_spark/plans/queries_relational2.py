@@ -2164,16 +2164,13 @@ def _hits_oracle(iters: int = 4) -> str:
 )
 def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hits_fixed_point
+    from .shared import trading_pairs_df
 
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
+    # r15: the directed (c→s) pair set is the session-lifetime trading-pairs
+    # view — identical distinct o⋈li derivation, shared with the bipartite
+    # memo instead of re-run per query.
+    pairs = trading_pairs_df(spark, sf_dir).select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
     )
     return hits_fixed_point(pairs, iters=4)
 

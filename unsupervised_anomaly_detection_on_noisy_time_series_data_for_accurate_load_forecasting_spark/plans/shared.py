@@ -79,6 +79,31 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLES_MEMO[sf_dir]
 
 
+_SPAN_ISLANDS_MEMO: dict[str, DataFrame] = {}
+
+
+def span_islands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed duplicate-span island frame over the raw documents
+    corpus — (d1, d2, delta, p1s, n_matches), one row per maximal shared
+    char run. r15: `d_dup_spans` (detection rollup) and
+    `d_dup_span_removal` (text surgery) both started from
+    dup_span_islands(documents) and re-ran the whole rolling-hash +
+    candidate-join + verify chain (~5 s each at sf0.1); the island frame
+    is a property of the corpus (the shingles_df doctrine), pair-count
+    tiny, and serves both. pipeline_span_clean gates the corpus FIRST, so
+    its island frame is a different input and deliberately not shared."""
+    from ..operators import dedup as DD
+    from ..operators.dedup import ckpt_coalesced
+    from ..sources.readers import load_table as _lt
+
+    if sf_dir not in _SPAN_ISLANDS_MEMO:
+        for k in list(_SPAN_ISLANDS_MEMO):
+            _SPAN_ISLANDS_MEMO.pop(k).unpersist(False)
+        isl = DD.dup_span_islands(_lt(spark, sf_dir, "documents"))
+        _SPAN_ISLANDS_MEMO[sf_dir] = ckpt_coalesced(isl)
+    return _SPAN_ISLANDS_MEMO[sf_dir]
+
+
 _COPURCHASE_MEMO: dict[str, DataFrame] = {}
 _BIPARTITE_MEMO: dict[str, DataFrame] = {}
 
@@ -108,15 +133,24 @@ def copurchase_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _COPURCHASE_MEMO[sf_dir]
 
 
-def bipartite_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted symmetric customer–supplier bipartite edge list (both
-    directions of each distinct (custkey, suppkey) trading pair) — the
-    orders⋈lineitem join + distinct that PageRank iterates over."""
+_TRADING_PAIRS_MEMO: dict[str, DataFrame] = {}
+
+
+def trading_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed distinct customer→supplier trading pairs ('c…', 's…'
+    prefixed keys) — the orders⋈lineitem distinct that BOTH the symmetric
+    bipartite view (PageRank/BFS) and the directed HITS graph start from.
+    r15: previously g_hits re-ran the fact join + distinct per query while
+    bipartite_edges_df ran the identical derivation for its own memo; one
+    shared checkpoint serves both (the pair set is a property of the data,
+    not of either query — the hourly/shingles memo doctrine)."""
     from pyspark.sql import functions as F
 
-    if sf_dir not in _BIPARTITE_MEMO:
-        for k in list(_BIPARTITE_MEMO):
-            _BIPARTITE_MEMO.pop(k).unpersist(False)
+    from ..operators.dedup import ckpt_coalesced
+
+    if sf_dir not in _TRADING_PAIRS_MEMO:
+        for k in list(_TRADING_PAIRS_MEMO):
+            _TRADING_PAIRS_MEMO.pop(k).unpersist(False)
         o = load_table(spark, sf_dir, "orders")
         li = load_table(spark, sf_dir, "lineitem")
         pairs = (
@@ -127,9 +161,30 @@ def bipartite_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
+        _TRADING_PAIRS_MEMO[sf_dir] = ckpt_coalesced(pairs)
+    return _TRADING_PAIRS_MEMO[sf_dir]
+
+
+def bipartite_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted symmetric customer–supplier bipartite edge list (both
+    directions of each distinct (custkey, suppkey) trading pair) — the
+    orders⋈lineitem join + distinct that PageRank iterates over."""
+    from pyspark.sql import functions as F
+
+    if sf_dir not in _BIPARTITE_MEMO:
+        for k in list(_BIPARTITE_MEMO):
+            _BIPARTITE_MEMO.pop(k).unpersist(False)
+        pairs = trading_pairs_df(spark, sf_dir)
         e = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
             pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         )
-        e.persist()
-        _BIPARTITE_MEMO[sf_dir] = e
+        # r15: eager checkpoint + scale-adaptive coalesce instead of a bare
+        # persist. The persisted union kept 64 near-empty partitions at
+        # small SF, and every graph consumer's setup (degree join, node
+        # distinct) paid 64-128 scan tasks per job; the consumers are all
+        # linear per-round (pagerank/BFS — no wedge explosion), so sizing
+        # partitions by edge count is safe. See dedup.ckpt_coalesced.
+        from ..operators.dedup import ckpt_coalesced
+
+        _BIPARTITE_MEMO[sf_dir] = ckpt_coalesced(e)
     return _BIPARTITE_MEMO[sf_dir]
