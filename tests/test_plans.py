@@ -378,10 +378,22 @@ def test_dup_spans_caps_hot_kgrams_and_never_broadcasts_text(spark, sf_dir):
     is IN the plan (a LeftAnti join against the >cap hash list — without it
     a boilerplate k-gram shared by f docs yields O(f²) candidate pairs), and
     (b) no BroadcastExchange carries a text column (candidate texts are
-    unbounded at corpus scale; the verify joins must stay shuffle-side)."""
+    unbounded at corpus scale; the verify joins must stay shuffle-side).
+
+    r15: the registered queries consume the island frame through the shared
+    checkpointed session view (plans.shared.span_islands_df), whose barrier
+    truncates lineage — so the bounds are asserted on the island BUILDER
+    plan, the one that actually executes when the view materializes."""
     import re
 
-    plan = _plan(REGISTRY["d_dup_spans"].spark(spark, sf_dir))
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        dedup as DD,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.sources.readers import (
+        load_table,
+    )
+
+    plan = _plan(DD.dup_span_islands(load_table(spark, sf_dir, "documents")))
     assert "LeftAnti" in plan, "hot-k-gram cap anti-join missing from plan"
     for m in re.finditer(r"BroadcastExchange[^\n]*", plan):
         assert "_t1" not in m.group(0) and "_t2" not in m.group(0)

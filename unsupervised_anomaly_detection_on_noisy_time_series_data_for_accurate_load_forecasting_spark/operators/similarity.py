@@ -1222,38 +1222,73 @@ def pca_fit(emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"):
 
     Returns (mu list[float], components list[list[float]] — top
     PCA_COMPONENTS rows, eigenvalue-descending).
+
+    r15 plan shape: the covariance reduction is TWO Arrow islands over the
+    pruned embedding column (guide §4.2 — whole batches to numpy), not the
+    former vec-keyed self-join of the long form (n·d rows joined to n·d²
+    product rows, all through a decimal aggregate — measured ~5 s at
+    sf0.1, the dominant cost of s_pca_project). Each task emits d (means
+    pass) / d² (covariance pass) int64 micro-unit partials; quantization
+    is floor(x·1e6 + 0.5) per element BEFORE summation — the identical
+    arithmetic the numpy-mirror oracle runs, and integer sums are
+    associative, so any partitioning yields bit-identical totals (the
+    decimal-exact contract, now with the quantized units summed as BIGINT;
+    Spark's final F.sum over the per-task partials stays int64-safe
+    because partials are bounded by rows·|x|·1e6 and ANSI mode would fail
+    loudly, not wrap, at the 9.2e18 ceiling).
     """
     import numpy as np
+    import pandas as pd
+    from decimal import Decimal
 
-    from ..functions.exact import dec
-
-    long = emb.select(
-        F.col(id_col), F.posexplode(F.col(emb_col).cast("array<double>")).alias("i", "x")
-    )
     n = emb.count()
     d = emb.select(F.max(F.size(emb_col)).alias("d")).collect()[0]["d"]
-    mrows = long.groupBy("i").agg(F.sum(dec("x")).alias("s")).collect()
+    vecs = emb.select(F.col(emb_col).cast("array<double>").alias("_e"))
+
+    def col_sums(batches):
+        acc = np.zeros(d, dtype=np.int64)
+        seen = False
+        for b in batches:
+            X = np.stack(b["_e"].to_numpy())
+            acc += np.floor(X * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+            seen = True
+        if seen:
+            yield pd.DataFrame({"i": np.arange(d, dtype=np.int32), "s": acc})
+
+    mrows = (
+        vecs.mapInPandas(col_sums, schema="i int, s long")
+        .groupBy("i")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
     mu = [0.0] * d
     for r in mrows:
-        mu[r["i"]] = float(r["s"]) / n
-    from ..functions.exact import lit_double
+        mu[r["i"]] = float(Decimal(int(r["s"])).scaleb(-6)) / n
+    mu_np = np.array(mu, dtype=np.float64)
+    ii_flat = np.repeat(np.arange(d, dtype=np.int32), d)
+    jj_flat = np.tile(np.arange(d, dtype=np.int32), d)
 
-    mu_arr = "array(" + ", ".join(lit_double(float(m)) for m in mu) + ")"
-    a = long.select(F.col(id_col).alias("_v"), F.col("i").alias("ii"), F.col("x").alias("xa"))
-    b = long.select(F.col(id_col).alias("_v"), F.col("i").alias("jj"), F.col("x").alias("xb"))
-    prod = F.expr(
-        f"(xa - element_at({mu_arr}, ii + 1)) * (xb - element_at({mu_arr}, jj + 1))"
-    )
+    def cov_cells(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        seen = False
+        for b in batches:
+            X = np.stack(b["_e"].to_numpy())
+            cent = X - mu_np[None, :]
+            P = cent[:, :, None] * cent[:, None, :]
+            acc += np.floor(P * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+            seen = True
+        if seen:
+            yield pd.DataFrame({"ii": ii_flat, "jj": jj_flat, "s": acc.ravel()})
+
     crows = (
-        a.join(b, "_v")
-        .select("ii", "jj", dec(prod).alias("p"))
+        vecs.mapInPandas(cov_cells, schema="ii int, jj int, s long")
         .groupBy("ii", "jj")
-        .agg(F.sum("p").alias("s"))
+        .agg(F.sum("s").alias("s"))
         .collect()
     )
     C = np.zeros((d, d))
     for r in crows:
-        C[r["ii"], r["jj"]] = float(r["s"]) / (n - 1)
+        C[r["ii"], r["jj"]] = float(Decimal(int(r["s"])).scaleb(-6)) / (n - 1)
     return mu, _pca_components_from_cov(C)
 
 

@@ -589,10 +589,11 @@ def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming result bit-for-bit at any micro-batch slicing.",
 )
 def stream_online_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.score_stream import run_available_now, stream_events
+    from ..streaming.score_stream import run_available_now, stream_state_partitions as SSP, stream_events
     from ..streaming.stateful import online_zscore_flags
 
     flags = online_zscore_flags(stream_events(spark, sf_dir))
+    # Python-stateful: keep session partitioning (see stream_ewma_control)
     name = run_available_now(flags, "online_flags", output_mode="append")
     return spark.table(name).select(
         "user_id", "event_id", qround("z", 6).alias("z"), "n_seen"

@@ -50,10 +50,10 @@ from .registry import register
     "z-flag join, drained via Trigger.AvailableNow ≡ batch semantics.",
 )
 def stream_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.score_stream import run_available_now, stream_window_flags as swf
+    from ..streaming.score_stream import run_available_now, stream_state_partitions as SSP, stream_window_flags as swf
 
     result = swf(spark, sf_dir)
-    name = run_available_now(result, "stream_flags")
+    name = run_available_now(result, "stream_flags", state_partitions=SSP(sf_dir))
     return spark.table(name)
 
 
@@ -74,14 +74,14 @@ def stream_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the streaming analog of P2's keep-first row_number.",
 )
 def stream_dedup_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.score_stream import run_available_now, stream_events
+    from ..streaming.score_stream import run_available_now, stream_state_partitions as SSP, stream_events
 
     s = stream_events(spark, sf_dir).withWatermark("ts", "1 day")
     dd = s.withColumn("h", F.date_trunc("hour", F.col("ts"))).dropDuplicatesWithinWatermark(
         ["user_id", "h"]
     )
     agg = dd.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_unique_hours"))
-    name = run_available_now(agg, "stream_dedup", output_mode="complete")
+    name = run_available_now(agg, "stream_dedup", output_mode="complete", state_partitions=SSP(sf_dir))
     return spark.table(name).select(
         F.col("user_id").cast("string").alias("series_id"), "n_unique_hours"
     )
@@ -970,10 +970,10 @@ def mm_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical plan must reproduce the batch interval join bit-for-bit.",
 )
 def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.score_stream import run_available_now, stream_attribution_join
+    from ..streaming.score_stream import run_available_now, stream_state_partitions as SSP, stream_attribution_join
 
     result = stream_attribution_join(spark, sf_dir)
-    name = run_available_now(result, "stream_attrib", output_mode="append")
+    name = run_available_now(result, "stream_attrib", output_mode="append", state_partitions=SSP(sf_dir))
     return spark.table(name)
 
 
@@ -1001,10 +1001,10 @@ def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical plan must reproduce the batch band join bit-for-bit.",
 )
 def stream_zjoin_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.score_stream import run_available_now, stream_overlap_zjoin
+    from ..streaming.score_stream import run_available_now, stream_state_partitions as SSP, stream_overlap_zjoin
 
     result = stream_overlap_zjoin(spark, sf_dir)
-    name = run_available_now(result, "stream_zjoin", output_mode="append")
+    name = run_available_now(result, "stream_zjoin", output_mode="append", state_partitions=SSP(sf_dir))
     return spark.table(name)
 
 
@@ -1041,10 +1041,10 @@ def stream_zjoin_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merges whenever sub-second parts straddle the boundary).",
 )
 def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.score_stream import run_available_now, stream_sessions as ss
+    from ..streaming.score_stream import run_available_now, stream_state_partitions as SSP, stream_sessions as ss
 
     result = ss(spark, sf_dir)
-    name = run_available_now(result, "stream_sessions", output_mode="complete")
+    name = run_available_now(result, "stream_sessions", output_mode="complete", state_partitions=SSP(sf_dir))
     return spark.table(name)
 
 
@@ -1094,11 +1094,12 @@ def _stream_theta_oracle() -> str:
     "struct-max - no window function.",
 )
 def stream_theta_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.score_stream import run_available_now, stream_events
+    from ..streaming.score_stream import run_available_now, stream_state_partitions as SSP, stream_events
     from ..streaming.stateful import stream_theta_users as stu
 
     s = stream_events(spark, sf_dir)
     out = stu(s)
+    # Python-stateful: keep session partitioning (see stream_ewma_control)
     name = run_available_now(out, "stream_theta", output_mode="append")
     t = spark.table(name)
     m = t.groupBy("window_start").agg(
@@ -1792,7 +1793,7 @@ def mm_jpeg_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     "row per source.",
 )
 def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.score_stream import run_available_now, stream_documents
+    from ..streaming.score_stream import run_available_now, stream_state_partitions as SSP, stream_documents
 
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks).cast("bigint")
@@ -1813,7 +1814,7 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias("n_pass"),
     )
-    name = run_available_now(agg, "stream_qgate", output_mode="complete")
+    name = run_available_now(agg, "stream_qgate", output_mode="complete", state_partitions=SSP(sf_dir, "documents"))
     return spark.table(name)
 
 
@@ -2104,7 +2105,7 @@ def mm_gif_motion_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "open window per series.",
 )
 def stream_volatility_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.score_stream import run_available_now, series_stats, stream_events
+    from ..streaming.score_stream import run_available_now, stream_state_partitions as SSP, series_stats, stream_events
 
     stream = stream_events(spark, sf_dir).withWatermark("ts", "1 day")
     stats = series_stats(spark, sf_dir, min_events=2).select("user_id", "std_v")
@@ -2116,7 +2117,7 @@ def stream_volatility_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.max("value") - F.min("value"), 6).alias("spread"),
         F.first("std_v").alias("std_v"),
     )
-    name = run_available_now(agg, "stream_vol")
+    name = run_available_now(agg, "stream_vol", state_partitions=SSP(sf_dir))
     return spark.table(name).select(
         F.col("user_id").cast("string").alias("series_id"),
         F.col("w.start").alias("window_start"),
@@ -2266,11 +2267,15 @@ def _ewma_control_oracle() -> str:
     "order, replayed step-for-step by the oracle's recursive CTE.",
 )
 def stream_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.score_stream import run_available_now, stream_events
+    from ..streaming.score_stream import run_available_now, stream_state_partitions as SSP, stream_events
     from ..streaming.stateful import stream_ewma_control as sec
 
     s = stream_events(spark, sf_dir)
     out = sec(s)
+    # Python-stateful (applyInPandasWithState): the state stage is Python
+    # compute, so it keeps the session partitioning for parallelism (the
+    # size-derived count is for JVM state stores, where per-partition
+    # overhead dominates)
     name = run_available_now(out, "stream_ewma", output_mode="append")
     t = spark.table(name)
     m = t.groupBy("user_id").agg(
@@ -2313,11 +2318,12 @@ def stream_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the batch lag-window replay bit-for-bit at any micro-batch slicing.",
 )
 def stream_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.score_stream import run_available_now, stream_events
+    from ..streaming.score_stream import run_available_now, stream_state_partitions as SSP, stream_events
     from ..streaming.stateful import stream_gap_monitor as sgm
 
     s = stream_events(spark, sf_dir)
     out = sgm(s)
+    # Python-stateful: keep session partitioning (see stream_ewma_control)
     name = run_available_now(out, "stream_gapmon", output_mode="append")
     t = spark.table(name)
     m = t.groupBy("user_id").agg(

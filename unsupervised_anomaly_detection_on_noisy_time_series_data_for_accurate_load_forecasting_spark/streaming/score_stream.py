@@ -106,22 +106,96 @@ def stream_window_flags(
 _RUN_COUNTER = [0]
 
 
-def run_available_now(result: DataFrame, table_name: str, output_mode: str = "complete") -> str:
+def _scratch_root() -> str:
+    """Root for streaming checkpoint/scratch dirs. Defaults to tmpfs
+    (/dev/shm) when present: the HDFS-backed state store writes one delta
+    file per state partition per stateful operator per micro-batch plus
+    offset/commit logs — pure scratch I/O for an AvailableNow replay, and
+    measured ~25% of the stream-stream join wall when it landed on disk.
+    On a cluster the checkpoint must live on durable shared storage; this
+    path is only for the local replay harness, and
+    ``SPARK_GRAFT_STREAM_CKPT_DIR`` overrides it."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    import tempfile
+
+    return tempfile.gettempdir()
+
+
+def stream_state_partitions(sf_dir: str, table: str = "events") -> int:
+    """Scale-adaptive state-partition count for a streaming plan reading
+    ``{sf_dir}/{table}.parquet``: ceil(source bytes / 32 MB), clamped to
+    [1, 4096]. The state-store cost of a micro-batch is one delta file +
+    commit per partition per stateful operator, so the partition count
+    should follow STATE VOLUME (here proxied by source size), not a
+    constant: a 2 MB test feed needs one partition (32 was pure
+    per-batch file overhead — measured 60% of the stream-stream join
+    wall), a 100 TB feed derives thousands. Overridable via
+    ``SPARK_GRAFT_STREAM_PARTITIONS``. Results are partition-count
+    independent: every registered streaming query aggregates or joins
+    per key, and the oracle replays prove set-equality."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        return int(env)
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return max(1, min(4096, -(-nbytes // (32 * 1024 * 1024))))
+
+
+def run_available_now(
+    result: DataFrame,
+    table_name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> str:
     """Drain the full source as micro-batches into an in-memory sink
     (Trigger.AvailableNow — the batch-replay mode of the same streaming plan).
     `complete` emits final window-agg states (append would hold back windows
     newer than the watermark); stateful operators that emit incrementally use
-    `append`. Returns the unique sink table name."""
+    `append`. Returns the unique sink table name.
+
+    r15: each run gets a UNIQUE checkpoint dir under the tmpfs scratch root
+    (removed after termination — replay checkpoints are scratch, and a
+    shared/stale location silently replays old offsets), and
+    ``state_partitions`` (see :func:`stream_state_partitions`) sizes
+    `spark.sql.shuffle.partitions` for the stream's state stores, restored
+    right after the query finishes."""
+    import os
+    import shutil
+    import uuid
+
     _RUN_COUNTER[0] += 1
     name = f"{table_name}_{_RUN_COUNTER[0]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    spark = result.sparkSession
+    ckpt = os.path.join(
+        _scratch_root(), f"graft-ckpt-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return name
 
 
@@ -306,7 +380,10 @@ def stream_upsert_sink(
 
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    root = tempfile.mkdtemp(prefix="graft_upsert_")
+    # r15: scratch (source split, state table, checkpoint) on the tmpfs
+    # scratch root — this path rewrites the state table once per
+    # micro-batch, pure scratch I/O for the replay harness
+    root = tempfile.mkdtemp(prefix="graft_upsert_", dir=_scratch_root())
     src_dir, state_dir, ckpt = (
         f"{root}/src",
         f"{root}/state",
