@@ -61,6 +61,8 @@ def main() -> None:
             with open(os.path.join(args.explain_dir, f"{name}_{args.tag}.txt"), "w") as f:
                 f.write(plan)
         walls = []
+        if args.reps <= 0:
+            continue
         for _ in range(args.reps):
             spark.sparkContext.setJobDescription(f"probe:{name}")
             t0 = time.time()

@@ -594,16 +594,30 @@ def nn_weighted_scores(
     bk, bk_w = np.ascontiguousarray(bank[:, :-1]), bank[:, -1]
     if row_chunk is None:
         # The broadcast (row_chunk, bank_m, dim) float64 intermediate is the
-        # peak allocation (twice: the diff and its square). Size the chunk to
-        # a fixed ~64 MB byte budget so peak memory stays flat as the bank
-        # grows — with 32 concurrent local tasks a fixed 512-row chunk was
-        # ~826 MB/task at m=12603, dim=16, an executor-OOM risk at scale.
+        # peak allocation. Size the chunk to a fixed ~64 MB byte budget so
+        # peak memory stays flat as the bank grows — with 32 concurrent
+        # local tasks a fixed 512-row chunk was ~826 MB/task at m=12603,
+        # dim=16, an executor-OOM risk at scale.
         budget = 64 * 1024 * 1024
         row_chunk = min(512, max(1, budget // max(1, bk.shape[0] * bk.shape[1] * 8)))
     out = np.empty(len(X), dtype=np.float64)
+    # r15 (guide §4.2/§4.5): ONE preallocated intermediate reused across
+    # chunks. The original allocated two fresh (chunk, m, dim) temporaries
+    # PER CHUNK — at 64 MB each, glibc services every one with a fresh
+    # mmap, so the whole pass was page-fault-bound (measured ~100 µs/row;
+    # first island call per worker paid a further multi-second
+    # fault storm under 32-way concurrency). In-place subtract/square into
+    # a reused buffer performs the IDENTICAL per-cell operations in the
+    # identical order — same bits, no allocator traffic.
+    dbuf = np.empty((min(row_chunk, len(X)), bk.shape[0], bk.shape[1]))
+    d2buf = np.empty((min(row_chunk, len(X)), bk.shape[0]))
     for s in range(0, len(X), row_chunk):
         xc = X[s : s + row_chunk]
-        d2 = ((xc[:, None, :] - bk[None, :, :]) ** 2).sum(axis=2)
+        d = dbuf[: len(xc)]
+        d2 = d2buf[: len(xc)]
+        np.subtract(xc[:, None, :], bk[None, :, :], out=d)
+        np.square(d, out=d)
+        d.sum(axis=2, out=d2)
         idx = d2.argmin(axis=1)
         rows = np.arange(len(xc))
         out[s : s + row_chunk] = np.sqrt(np.maximum(d2[rows, idx], 0.0)) * bk_w[idx]

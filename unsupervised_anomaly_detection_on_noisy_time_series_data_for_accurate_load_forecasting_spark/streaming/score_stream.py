@@ -127,6 +127,38 @@ def _scratch_root() -> str:
     return tempfile.gettempdir()
 
 
+def _sweep_stale_scratch() -> None:
+    """Remove scratch dirs left by DEAD processes under the scratch root.
+
+    ``run_available_now`` removes its checkpoint dir on termination, but
+    ``stream_upsert_sink`` must leave its state table on disk (the returned
+    DataFrame reads it lazily after the function exits), so a process that
+    exits without draining — or is killed — leaks its dir. Every dir name
+    embeds the owning pid; sweeping dirs whose pid is gone bounds tmpfs
+    growth across bench/check processes without ever touching a live run."""
+    import os
+    import re
+    import shutil
+
+    root = _scratch_root()
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    pat = re.compile(r"^(?:graft-ckpt|graft_upsert)[-_](\d+)[-_]")
+    for e in entries:
+        m = pat.match(e)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+        except PermissionError:
+            pass
+
+
 def stream_state_partitions(sf_dir: str, table: str = "events") -> int:
     """Scale-adaptive state-partition count for a streaming plan reading
     ``{sf_dir}/{table}.parquet``: ceil(source bytes / 32 MB), clamped to
@@ -176,6 +208,7 @@ def run_available_now(
     _RUN_COUNTER[0] += 1
     name = f"{table_name}_{_RUN_COUNTER[0]}"
     spark = result.sparkSession
+    _sweep_stale_scratch()
     ckpt = os.path.join(
         _scratch_root(), f"graft-ckpt-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     )
@@ -382,8 +415,12 @@ def stream_upsert_sink(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     # r15: scratch (source split, state table, checkpoint) on the tmpfs
     # scratch root — this path rewrites the state table once per
-    # micro-batch, pure scratch I/O for the replay harness
-    root = tempfile.mkdtemp(prefix="graft_upsert_", dir=_scratch_root())
+    # micro-batch, pure scratch I/O for the replay harness. The dir name
+    # embeds the pid so _sweep_stale_scratch can reclaim it after this
+    # process exits (the returned DataFrame reads the state table lazily,
+    # so it cannot be deleted here).
+    _sweep_stale_scratch()
+    root = tempfile.mkdtemp(prefix=f"graft_upsert_{os.getpid()}_", dir=_scratch_root())
     src_dir, state_dir, ckpt = (
         f"{root}/src",
         f"{root}/state",
