@@ -593,22 +593,24 @@ def nn_weighted_scores(
     as a global argmin; chunking over rows cannot reorder bank indices."""
     bk, bk_w = np.ascontiguousarray(bank[:, :-1]), bank[:, -1]
     if row_chunk is None:
-        # The broadcast (row_chunk, bank_m, dim) float64 intermediate is the
-        # peak allocation. Size the chunk to a fixed ~64 MB byte budget so
-        # peak memory stays flat as the bank grows — with 32 concurrent
-        # local tasks a fixed 512-row chunk was ~826 MB/task at m=12603,
-        # dim=16, an executor-OOM risk at scale.
-        budget = 64 * 1024 * 1024
+        # The (row_chunk, bank_m, dim) float64 intermediate is the peak
+        # allocation. Size the chunk to a fixed ~4 MB byte budget: small
+        # enough to live in L2 (the subtract/square/sum chain re-reads the
+        # intermediate 3x, so a DRAM-sized buffer is memory-bound — measured
+        # 0.52 s/task at a 64 MB buffer vs 0.30 s at 4 MB for the same
+        # rows), and small enough that 32 concurrent local tasks first-touch
+        # 128 MB of fresh pages instead of 2 GB (the 64 MB buffer cost each
+        # worker a ~5-6 s concurrent page-fault storm on its first island
+        # call — measured rep0 6.4 s -> 0.33 s at chunk=32). Peak memory
+        # stays flat as the bank grows, same as the old 64 MB budget.
+        budget = 4 * 1024 * 1024
         row_chunk = min(512, max(1, budget // max(1, bk.shape[0] * bk.shape[1] * 8)))
     out = np.empty(len(X), dtype=np.float64)
     # r15 (guide §4.2/§4.5): ONE preallocated intermediate reused across
-    # chunks. The original allocated two fresh (chunk, m, dim) temporaries
-    # PER CHUNK — at 64 MB each, glibc services every one with a fresh
-    # mmap, so the whole pass was page-fault-bound (measured ~100 µs/row;
-    # first island call per worker paid a further multi-second
-    # fault storm under 32-way concurrency). In-place subtract/square into
-    # a reused buffer performs the IDENTICAL per-cell operations in the
-    # identical order — same bits, no allocator traffic.
+    # chunks. In-place subtract/square into a reused buffer performs the
+    # IDENTICAL per-cell operations in the identical order as fresh
+    # temporaries — same bits, no allocator traffic (row chunking cannot
+    # change results: each (row, bank-row) cell is computed independently).
     dbuf = np.empty((min(row_chunk, len(X)), bk.shape[0], bk.shape[1]))
     d2buf = np.empty((min(row_chunk, len(X)), bk.shape[0]))
     for s in range(0, len(X), row_chunk):
