@@ -142,6 +142,38 @@ def test_rolling_char_kgram_matches_direct_fold(spark):
         assert got == want, f"k={k}"
 
 
+def test_kgram_island_matches_sql_chain(spark):
+    # the numpy-island hasher must be BIT-IDENTICAL to the SQL window chain
+    # (same lattice, same modulus) row for row — including the edge shapes:
+    # empty text, len < k, len == k, and a doc of repeated characters
+    import random
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        char_kgram_hashes,
+        char_kgram_hashes_np,
+    )
+
+    rng = random.Random(29)
+    texts = [
+        "",
+        "ab",
+        "x" * 8,
+        "y" * 200,
+        "".join(chr(rng.randrange(32, 127)) for _ in range(513)),
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for k in (3, 8, 32):
+        sql_rows = {
+            (r["doc_id"], r["pos"]): r["h"]
+            for r in char_kgram_hashes(df, k=k).collect()
+        }
+        np_rows = {
+            (r["doc_id"], r["pos"]): r["h"]
+            for r in char_kgram_hashes_np(df, k=k).collect()
+        }
+        assert np_rows == sql_rows, f"k={k}"
+
+
 def test_duplicate_spans_known_overlap(spark):
     # doc 1 and doc 2 share one verbatim 40-char span; doc 3 is unrelated
     shared = "The quick brown fox jumps over the lazy".ljust(40, "!")

@@ -382,8 +382,12 @@ def test_dup_spans_caps_hot_kgrams_and_never_broadcasts_text(spark, sf_dir):
 
     r15: the registered queries consume the island frame through the shared
     checkpointed session view (plans.shared.span_islands_df), whose barrier
-    truncates lineage — so the bounds are asserted on the island BUILDER
-    plan, the one that actually executes when the view materializes."""
+    truncates lineage — and the island builder itself checkpoints the
+    candidate frame (one merge-join execution instead of three). So the
+    hot-cap bound is asserted on the CANDIDATE builder plan
+    (_span_candidates — the subtree that executes when the checkpoint
+    materializes) and the no-text-broadcast bound on the island builder,
+    whose verify joins sit above the barrier."""
     import re
 
     from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
@@ -393,8 +397,15 @@ def test_dup_spans_caps_hot_kgrams_and_never_broadcasts_text(spark, sf_dir):
         load_table,
     )
 
-    plan = _plan(DD.dup_span_islands(load_table(spark, sf_dir, "documents")))
-    assert "LeftAnti" in plan, "hot-k-gram cap anti-join missing from plan"
+    docs = load_table(spark, sf_dir, "documents")
+    cand_plan = _plan(
+        DD._span_candidates(
+            docs, k=DD.DUP_SPAN_K, text_col="text", id_col="doc_id",
+            hot_cap=DD.DUP_SPAN_HOT_CAP,
+        )
+    )
+    assert "LeftAnti" in cand_plan, "hot-k-gram cap anti-join missing from plan"
+    plan = _plan(DD.dup_span_islands(docs))
     for m in re.finditer(r"BroadcastExchange[^\n]*", plan):
         assert "_t1" not in m.group(0) and "_t2" not in m.group(0)
     # the broadcast subtrees: walk Exchange blocks — no text column may sit

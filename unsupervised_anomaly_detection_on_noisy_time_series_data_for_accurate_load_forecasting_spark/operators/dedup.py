@@ -887,6 +887,102 @@ def char_kgram_hashes(
     )
 
 
+def char_kgram_hashes_np(
+    df: DataFrame,
+    k: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`char_kgram_hashes` computed in ONE Arrow island instead of the
+    char-explode + powers-join + double-window chain — bit-identical values
+    by construction (guide §4.2: hand whole batches to vectorized numpy).
+
+    The SQL chain materializes one row PER CHARACTER (posexplode), joins a
+    powers dim, and runs two per-doc window passes — measured ~4-8 s at
+    sf0.1 for 1.5 M chars, all shuffle/window machinery around ~0.1 s of
+    arithmetic. Here each task computes the IDENTICAL lattice per doc in
+    numpy int64: sc_j = c_j·31^{−j} mod M, S = cumsum(sc) mod M,
+    H(i) = (S_{i+k−1} − S_{i−1})·31^{i+k−1} mod M — the same algebra, the
+    same modulus, the same int64 intermediate bounds (c·ip31 < 2^52,
+    per-doc cumsum < len·M as in the SQL window sum, final product < M² <
+    2^62), so every hash value is the same 64-bit integer the SQL chain
+    yields (pytest parity-asserts island == SQL chain per row). Docs
+    shorter than ``k`` contribute no rows, exactly like the SQL chain's
+    lead(k−1) null filter. Only (id, text) cross the Python boundary, and
+    positions/hashes come back — no per-character row ever exists in the
+    JVM."""
+    import pandas as pd  # noqa: F401  (imported for the island closure)
+
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, pos int, h long"
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        # powers tables grow once per task to the longest doc seen
+        p31 = np.array([1], dtype=np.int64)
+        ip31 = np.array([1], dtype=np.int64)
+        inv31 = pow(31, M - 2, M)
+
+        def grow(n: int) -> None:
+            nonlocal p31, ip31
+            if len(p31) > n:
+                return
+            old = len(p31)
+            p31 = np.resize(p31, n + 1)
+            ip31 = np.resize(ip31, n + 1)
+            for i in range(old, n + 1):
+                p31[i] = (p31[i - 1] * 31) % M
+                ip31[i] = (ip31[i - 1] * inv31) % M
+
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                L = len(txt)
+                if L < k:
+                    continue
+                grow(L)
+                c = np.frombuffer(
+                    txt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                sc = (c * ip31[1 : L + 1]) % M
+                s = np.cumsum(sc) % M
+                s_prev = (s - sc) % M
+                n = L - k + 1
+                h = ((s[k - 1 :] - s_prev[:n]) % M) * p31[k : L + 1]
+                h %= M
+                ids.append(np.full(n, did))
+                poss.append(np.arange(1, n + 1, dtype=np.int32))
+                hs.append(h)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids),
+                    "pos": np.concatenate(poss),
+                    "h": np.concatenate(hs),
+                }
+            )
+
+    src = df.select(id_col, text_col)
+    # The island inherits the scan's partitioning; a small corpus read as
+    # one parquet split would hash single-threaded (and its 2 consumers —
+    # hot list + probe side — would both run serial). Repartition UP to the
+    # session parallelism only when the scan is narrower: at real scale the
+    # scan already has >= cores splits and this branch is a no-op, so no
+    # text bytes are shuffled where it matters (guide §2: scale-adaptive
+    # partitioning, not a constant).
+    target = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(gen, schema=out_schema)
+
+
 DUP_SPAN_HOT_CAP = 128  # max corpus-wide occurrences of a k-gram hash
 
 
@@ -938,6 +1034,42 @@ def duplicate_spans(
     )
 
 
+def _span_candidates(
+    df: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    hot_cap: int,
+) -> DataFrame:
+    """The pre-verify candidate frame of :func:`dup_span_islands`: rolling
+    k-gram hashes (numpy island — bit-identical to the SQL chain), the
+    hot-k-gram frequency cap (LeftAnti — the 100 TB quadratic-skew bound,
+    plan-asserted in tests/test_plans.py on THIS function since the island
+    builder checkpoints its output), and the hash equi-self-join."""
+    g = char_kgram_hashes_np(df, k=k, text_col=text_col, id_col=id_col)
+    # hot-hash list: partial-aggregated count per hash, then an anti join.
+    # Typically tiny (AQE broadcasts it); correct as a shuffle join even
+    # when a boilerplate-heavy corpus makes it large.
+    hot = g.groupBy("h").agg(F.count(F.lit(1)).alias("_hf")).filter(
+        F.col("_hf") > hot_cap
+    ).select("h")
+    g_cap = g.join(hot, "h", "left_anti")
+    # self-join over ONE aliased frame (not two renamed projections): the
+    # two join inputs canonicalize identically, so the rolling-hash +
+    # anti-join lineage shuffles once and the second side is a
+    # ReusedExchange — renamed projections would recompute it per side.
+    x, y = g_cap.alias("x"), g_cap.alias("y")
+    return x.join(
+        y,
+        (F.col("x.h") == F.col("y.h")) & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+    ).select(
+        F.col(f"x.{id_col}").alias("d1"),
+        F.col("x.pos").alias("p1"),
+        F.col(f"y.{id_col}").alias("d2"),
+        F.col("y.pos").alias("p2"),
+    )
+
+
 def dup_span_islands(
     df: DataFrame,
     k: int = DUP_SPAN_K,
@@ -952,28 +1084,17 @@ def dup_span_islands(
     start in d1, n_matches). See :func:`duplicate_spans` for the full
     scale-shape discussion (rolling hashes, hot-k-gram cap, shuffle-side
     text verify)."""
-    g = char_kgram_hashes(df, k=k, text_col=text_col, id_col=id_col)
-    # hot-hash list: partial-aggregated count per hash, then an anti join.
-    # Typically tiny (AQE broadcasts it); correct as a shuffle join even
-    # when a boilerplate-heavy corpus makes it large.
-    hot = g.groupBy("h").agg(F.count(F.lit(1)).alias("_hf")).filter(
-        F.col("_hf") > hot_cap
-    ).select("h")
-    g_cap = g.join(hot, "h", "left_anti")
-    # self-join over ONE aliased frame (not two renamed projections): the
-    # two join inputs canonicalize identically, so the rolling-hash +
-    # anti-join lineage shuffles once and the second side is a
-    # ReusedExchange — renamed projections would recompute it per side.
-    x, y = g_cap.alias("x"), g_cap.alias("y")
-    cand = x.join(
-        y,
-        (F.col("x.h") == F.col("y.h")) & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-    ).select(
-        F.col(f"x.{id_col}").alias("d1"),
-        F.col("x.pos").alias("p1"),
-        F.col(f"y.{id_col}").alias("d2"),
-        F.col("y.pos").alias("p2"),
+    cand = ckpt_coalesced(
+        _span_candidates(df, k=k, text_col=text_col, id_col=id_col, hot_cap=hot_cap)
     )
+    # ^ r15: the candidate frame is consumed three+ ways below (ids derives
+    # from it twice, the verify join once); without a barrier each consumer
+    # re-executes the hash self-join's sort+merge (only the exchanges
+    # beneath it are runtime-reused). The frame is tiny by construction
+    # (hot_cap bounds any hash's contribution at hot_cap²), so one eager
+    # localCheckpoint + scale-adaptive coalesce replaces 3 merge-join
+    # executions with 1 (measured 7.3 -> 6.0 s steady at sf0.1 before the
+    # island hasher, on top of which the hasher takes the build to ~3 s).
     ids = cand.select(F.col("d1").alias(id_col)).union(cand.select("d2")).distinct()
     texts = df.join(ids, id_col, "left_semi").select(id_col, text_col)
     t1 = texts.select(F.col(id_col).alias("d1"), F.col(text_col).alias("_t1"))

@@ -1000,14 +1000,14 @@ def _pipeline_span_clean_oracle() -> str:
     "pipeline_span_clean",
     oracle=_pipeline_span_clean_oracle,
     tags=("TXT-quality", "DEDUP-exactsubstr", "A13", "U5"),
-    doc="Cleaning pipeline as ONE plan: quality gate (q >= 0.3) -> "
-    "ExactSubstr span removal over the gated survivors -> per-language "
-    "contamination accounting (docs, chars before/removed/after, docs "
-    "emptied entirely). The gate prunes BEFORE the rolling-hash pass pays "
-    "anything (predicate below the explode), and the whole chain - gate, "
-    "hash join, interval merge, text surgery, rollup - is one Catalyst "
-    "plan with no materialization between stages. The oracle chains the "
-    "same gate CTE into the per-character removal replay.",
+    doc="Cleaning pipeline: quality gate (q >= 0.3) -> ExactSubstr span "
+    "removal over the gated survivors -> per-language contamination "
+    "accounting (docs, chars before/removed/after, docs emptied entirely). "
+    "The gate prunes BEFORE the rolling-hash island pays anything, and the "
+    "only materialization in the chain is the island builder's tiny "
+    "checkpointed candidate frame (r15 - one merge-join execution instead "
+    "of three). The oracle chains the same gate CTE into the "
+    "per-character removal replay.",
 )
 def pipeline_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as DD
