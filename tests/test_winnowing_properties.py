@@ -74,13 +74,13 @@ def test_fingerprint_density_bound(text):
 
 
 def test_python_spec_matches_engine_kernel(spark):
-    """The pure-Python replica above IS the engine spec: run the registered
-    Spark HOF chain on a hand-built frame and compare fingerprint sets."""
-    from pyspark.sql import functions as F
-
+    """The pure-Python replica above IS the engine spec: run the engine's
+    fingerprint island (r15: the numpy rolling-lattice rewrite of the HOF
+    chain) on a hand-built frame and compare fingerprint sets."""
     from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans.queries_text import (
         _WIN_K,
         _WIN_W,
+        _winnow_fps_df,
     )
 
     assert (_WIN_K, _WIN_W) == (K, W)
@@ -89,32 +89,13 @@ def test_python_spec_matches_engine_kernel(spark):
         "something else entirely, but the common boilerplate header appears here verbatim too",
         "short",
         "",
+        "x" * (K + W),  # repeated chars: one distinct gram, one fingerprint
+        "y" * (K - 1),  # just under the gram length: empty fingerprint set
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    codes_expr = "transform(split(text, ''), ch -> cast(ascii(ch) as bigint))"
-    grams_expr = (
-        f"CASE WHEN size(codes) < {K} THEN array() "
-        f"ELSE transform(sequence(1, size(codes) - {K - 1}), "
-        f"i -> aggregate(slice(codes, i, {K}), 7L, (a, c) -> pmod(a * 31 + c, {M}L))) END"
-    )
-    fps_expr = (
-        "CASE WHEN size(grams) = 0 THEN array() "
-        f"WHEN size(grams) < {W} THEN array(array_min(grams)) "
-        f"ELSE array_distinct(transform(sequence(1, size(grams) - {W - 1}), "
-        f"j -> array_min(slice(grams, j, {W})))) END"
-    )
-    got = {
-        r.doc_id: set(r.fps)
-        for r in (
-            df.select("doc_id", F.expr(codes_expr).alias("codes"))
-            .select("doc_id", F.expr(grams_expr).alias("grams"))
-            .select("doc_id", F.expr(fps_expr).alias("fps"))
-            .localCheckpoint(eager=True)
-            .collect()
-        )
-    }
+    got = {r.doc_id: set(r.fps) for r in _winnow_fps_df(spark, df).collect()}
     for i, t in enumerate(texts):
         assert got[i] == _fingerprints(t), (i, t)
     # and the two boilerplate-sharing docs do share a fingerprint

@@ -2381,6 +2381,81 @@ _WIN_W = 16  # winnowing window (grams)
 _WIN_NEIGH = 8  # sorted-neighborhood span within a fingerprint bucket
 
 
+def _winnow_fps_df(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Per-doc winnowing fingerprint sets (doc_id, fps array<long>) as ONE
+    Arrow island — r15 rewrite of the three-stage HOF chain (codes →
+    per-position aggregate-fold grams → sliding array_min), which paid an
+    interpreted lambda per gram position (O(len·k) fold steps per doc,
+    ~4 s at sf0.1 for 1.5 M chars of ~0.1 s arithmetic; guide §4.2).
+
+    Bit-equivalence: the island computes the same residues mod M through
+    the rolling-prefix algebra (gram fold seeded at 7 ≡ 7·31^k + the plain
+    window fold — modular arithmetic gives the identical [0, M) value the
+    HOF's per-step pmod yields), and the same size/emptiness cases. The
+    fps LIST ORDER differs (np.unique sorts; array_distinct keeps first
+    occurrence) — immaterial by construction: both consumers are
+    order-invariant (size(fps) and explode→groupBy), pytest parity-asserts
+    the SETS match the pure-Python spec."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    k, w, mod = _WIN_K, _WIN_W, M
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        inv31 = pow(31, mod - 2, mod)
+        seed_term = (7 * pow(31, k, mod)) % mod
+        p31 = np.array([1], dtype=np.int64)
+        ip31 = np.array([1], dtype=np.int64)
+
+        def grow(n: int) -> None:
+            nonlocal p31, ip31
+            if len(p31) > n:
+                return
+            old = len(p31)
+            p31 = np.resize(p31, n + 1)
+            ip31 = np.resize(ip31, n + 1)
+            for i in range(old, n + 1):
+                p31[i] = (p31[i - 1] * 31) % mod
+                ip31[i] = (ip31[i - 1] * inv31) % mod
+
+        for pdf in batches:
+            ids, fps_out = [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                if txt is None or len(txt) < k:
+                    ids.append(did)
+                    fps_out.append(np.empty(0, dtype=np.int64))
+                    continue
+                L = len(txt)
+                grow(L)
+                c = np.frombuffer(
+                    txt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                sc = (c * ip31[1 : L + 1]) % mod
+                s = np.cumsum(sc) % mod
+                s_prev = (s - sc) % mod
+                n = L - k + 1
+                h = ((s[k - 1 :] - s_prev[:n]) % mod) * p31[k : L + 1] % mod
+                grams = (h + seed_term) % mod
+                if n < w:
+                    fps = grams.min(keepdims=True)
+                else:
+                    fps = np.unique(sliding_window_view(grams, w).min(axis=1))
+                ids.append(did)
+                fps_out.append(fps)
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "fps": fps_out})
+
+    return (
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, schema="doc_id long, fps array<long>")
+    )
+
+
 @register(
     "t_winnowing_fp",
     oracle=f"""
@@ -2440,38 +2515,10 @@ def t_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.exact import qround
 
     d = _docs(spark, sf_dir)
-    # decompose the string into a code array in its OWN projection: an
-    # inline split/substring inside the gram lambda is re-evaluated per
-    # invocation (substring re-seeks from the head, split re-allocates the
-    # whole array) — O(len²) per doc, a measured multi-minute hang even at
-    # sf0.001; with the hoisted column the same work is ~4 s
-    codes_expr = "transform(split(text, ''), ch -> cast(ascii(ch) as bigint))"
-    grams_expr = (
-        f"CASE WHEN size(codes) < {_WIN_K} THEN array() "
-        f"ELSE transform(sequence(1, size(codes) - {_WIN_K - 1}), "
-        f"i -> aggregate(slice(codes, i, {_WIN_K}), "
-        f"7L, (a, c) -> pmod(a * 31 + c, {M}L))) END"
-    )
-    fps_expr = (
-        "CASE WHEN size(grams) = 0 THEN array() "
-        f"WHEN size(grams) < {_WIN_W} THEN array(array_min(grams)) "
-        f"ELSE array_distinct(transform(sequence(1, size(grams) - {_WIN_W - 1}), "
-        f"j -> array_min(slice(grams, j, {_WIN_W})))) END"
-    )
-    # localCheckpoint is load-bearing twice over: (1) the fingerprint frame
-    # is consumed by both the bucket explode and the per-doc counts, and
-    # (2) WITHOUT a barrier Catalyst's CollapseProject merges these three
-    # projections back into one, substituting `codes` textually into the
-    # per-gram lambda — re-splitting the string per gram, the exact O(len²)
-    # this staging exists to avoid (measured: minutes vs ~4 s at sf0.001).
-    # One row per doc with a ~dozen-entry int list — kilobytes.
-    f_df = (
-        d.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.expr(codes_expr).alias("codes"))
-        .select("doc_id", F.expr(grams_expr).alias("grams"))
-        .select("doc_id", F.expr(fps_expr).alias("fps"))
-        .localCheckpoint(eager=True)
-    )
+    # localCheckpoint: the fingerprint frame is consumed by both the bucket
+    # explode and the per-doc counts — one island execution, not two. One
+    # row per doc with a ~dozen-entry int list — kilobytes.
+    f_df = _winnow_fps_df(spark, d).localCheckpoint(eager=True)
     cnt = f_df.select("doc_id", F.size("fps").alias("nfp"))
     e = f_df.select("doc_id", F.explode("fps").alias("fp"))
     r = e.withColumn(
