@@ -18,6 +18,54 @@ import uuid
 import numpy as np
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def single_threaded_blas():
+    """Pin OpenBLAS to ONE thread for the duration of a deterministic fit.
+
+    OpenBLAS picks GEMM kernel splits — and therefore float reduction
+    ORDER — by thread count, so the same training on the same data yields
+    different low bits under different thread pools (measured: three
+    distinct fc_ab weight hashes at 1/4/32 threads; an artifact trained in
+    one environment then failed the mirror oracle by 4e-7 when the check
+    process refit under another). Every artifact-producing driver-side fit
+    runs inside this pin so stored weights are reproducible in ANY later
+    process — restore-vs-refit equality is exactly what the keyed-artifact
+    doctrine and the mirror oracles assume. The fits are seconds-long d×d
+    style problems; single-threaded BLAS costs little and buys
+    bit-stability. No-op (fit proceeds unpinned) if the OpenBLAS control
+    symbols are absent."""
+    import ctypes
+    import re
+
+    try:
+        with open("/proc/self/maps") as f:
+            paths = sorted(set(re.findall(r"/\S*openblas\S*", f.read())))
+        if not paths:
+            yield
+            return
+        lib = ctypes.CDLL(paths[0])
+        get = getattr(lib, "openblas_get_num_threads64_", None) or getattr(
+            lib, "openblas_get_num_threads", None
+        )
+        set_ = getattr(lib, "openblas_set_num_threads64_", None) or getattr(
+            lib, "openblas_set_num_threads", None
+        )
+        if get is None or set_ is None:
+            yield
+            return
+        prev = int(get())
+        set_(1)
+        try:
+            yield
+        finally:
+            set_(prev)
+    except OSError:
+        yield
+
+
 def _promote_dir(tmp: str, dest: str) -> None:
     """Atomically promote a PRIVATE tmp dir to its content-addressed final
     path. The tmp dir carries a per-process unique suffix, so concurrent

@@ -123,7 +123,20 @@ def _q6(a: np.ndarray) -> np.ndarray:
 def fit_ab_models(train_pdf: pd.DataFrame) -> dict[tuple[str, str], dict[str, np.ndarray]]:
     """Train 4 models: {seq2seq, scinet} × {cleaned, contam}. Deterministic:
     seeded inits, key-sorted full-batch data, fixed schedules, inputs
-    canonicalized to the 1e-6 lattice (see :func:`_q6`)."""
+    canonicalized to the 1e-6 lattice (see :func:`_q6`), and BLAS pinned
+    to one thread for the fit (r15: OpenBLAS reduction order follows the
+    thread count, so an unpinned fit is only reproducible within one
+    environment — the stored artifact then diverges from the mirror
+    oracle's refit; see artifacts.single_threaded_blas)."""
+    from .artifacts import single_threaded_blas
+
+    with single_threaded_blas():
+        return _fit_ab_models_pinned(train_pdf)
+
+
+def _fit_ab_models_pinned(
+    train_pdf: pd.DataFrame,
+) -> dict[tuple[str, str], dict[str, np.ndarray]]:
     out: dict[tuple[str, str], dict[str, np.ndarray]] = {}
     for variant in VARIANTS:
         suffix = "clean" if variant == "cleaned" else "contam"

@@ -146,12 +146,18 @@ def _ae_day_windows_pd(points: pd.DataFrame) -> pd.DataFrame:
 
 def _fit_ae(windows_pdf: pd.DataFrame) -> DenoisingAE:
     """Deterministic fit on key-sorted windows: input = mask-zeroed values,
-    target = the observed sequence (autoencoder.py:134-139 denoising loss)."""
+    target = the observed sequence (autoencoder.py:134-139 denoising loss).
+    BLAS pinned to one thread for the fit — batch-gradient reductions are
+    the order-sensitive step (see artifacts.single_threaded_blas; same
+    restore-vs-refit doctrine as fit_ab_models)."""
+    from ..ml.artifacts import single_threaded_blas
+
     clean = np.stack(windows_pdf["vals"].to_numpy())
     mask = np.stack(windows_pdf["mask"].to_numpy())
     masked_in = np.where(mask == 1, 0.0, clean)
     ae = DenoisingAE(seq_len=24, seed=AE_SEED)
-    ae.fit(masked_in, clean, epochs=AE_EPOCHS, mask=mask)
+    with single_threaded_blas():
+        ae.fit(masked_in, clean, epochs=AE_EPOCHS, mask=mask)
     return ae
 
 
