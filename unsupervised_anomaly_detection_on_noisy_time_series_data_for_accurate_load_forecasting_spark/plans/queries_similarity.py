@@ -143,7 +143,7 @@ _BF_SQL = f"""
     doc="Exact cosine top-5 for the first 100 vectors (broadcast query side).",
 )
 def s_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.cosine_topk(_emb(spark, sf_dir), n_queries=100, k=5)
+    return _topk(spark, sf_dir, "bf")
 
 
 @register(
@@ -329,7 +329,7 @@ def _ivf_oracle() -> str:
 def s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.exact import qround
 
-    return SIM.ivf_topk(_emb(spark, sf_dir), n_queries=100, k=5).select(
+    return _topk(spark, sf_dir, "ivf").select(
         "qid", "nid", qround("cosine", 9).alias("cosine"), "rk"
     )
 
@@ -464,7 +464,7 @@ _SQ8_SQL = """
     "exact integer and only the final sqrt/divide touch floating point.",
 )
 def s_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.sq8_topk(_emb(spark, sf_dir), n_queries=100, k=5)
+    return _topk(spark, sf_dir, "sq8")
 
 
 def _cents_values_sql() -> str:
@@ -666,6 +666,45 @@ def _pq_books(spark: SparkSession, sf_dir: str):
     return _PQ_BOOKS_MEMO[sf_dir]
 
 
+_TOPK_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _topk(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
+    """Session-lifetime per-method ANN top-k frames at the canonical
+    evaluation point (n_queries=100, k=5) — the `_scores` memo doctrine
+    (queries_ml) applied to the ANN family: the per-method queries
+    (s_ann_bruteforce_topk, s_ivf_topk, s_sq8_topk, s_pq_topk,
+    s_ivfpq_topk) and the evaluation queries (s_ann_recall_eval,
+    s_ann_recall_matrix, s_ndcg_eval, s_matryoshka_recall's full-dim
+    anchor) are registry siblings over the SAME five deterministic
+    scoring passes; in one session each pass must run once, with its
+    build billed to the first toucher, instead of brute-force ×5 and
+    IVF ×4 (r15 probe: s_ann_recall_matrix alone was 13–25 s at sf0.1,
+    nearly all of it re-running sibling passes). Each frame is exactly
+    100×k rows — kilobytes persisted at any corpus scale."""
+    key = (sf_dir, method)
+    if key not in _TOPK_MEMO:
+        for k in list(_TOPK_MEMO):
+            if k[0] != sf_dir:
+                _TOPK_MEMO.pop(k).unpersist(False)
+        emb = _emb(spark, sf_dir)
+        if method == "bf":
+            df = SIM.cosine_topk(emb, n_queries=100, k=5)
+        elif method == "ivf":
+            df = SIM.ivf_topk(emb, n_queries=100, k=5)
+        elif method == "sq8":
+            df = SIM.sq8_topk(emb, n_queries=100, k=5)
+        elif method == "pq":
+            df = SIM.pq_topk(emb, n_queries=100, k=5, books=_pq_books(spark, sf_dir))
+        elif method == "ivfpq":
+            df = SIM.ivfpq_topk(emb, n_queries=100, k=5, books=_pq_books(spark, sf_dir))
+        else:
+            raise ValueError(f"unknown topk method {method!r}")
+        df.persist()
+        _TOPK_MEMO[key] = df
+    return _TOPK_MEMO[key]
+
+
 @register(
     "s_pq_topk",
     oracle=_pq_oracle,
@@ -680,7 +719,7 @@ def _pq_books(spark: SparkSession, sf_dir: str):
     "integer-quantized, so DuckDB replays codes, LUT, and top-k exactly.",
 )
 def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.pq_topk(_emb(spark, sf_dir), n_queries=100, k=5, books=_pq_books(spark, sf_dir))
+    return _topk(spark, sf_dir, "pq")
 
 
 @register(
@@ -699,9 +738,7 @@ def s_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-for-bit.",
 )
 def s_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.ivfpq_topk(
-        _emb(spark, sf_dir), n_queries=100, k=5, books=_pq_books(spark, sf_dir)
-    )
+    return _topk(spark, sf_dir, "ivfpq")
 
 
 _RERANK_SHORTLIST = 32  # stage-1 IVF-PQ candidates per query before exact re-rank
@@ -999,9 +1036,8 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle programs and joins them).",
 )
 def s_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    bf = SIM.cosine_topk(emb, n_queries=100, k=5).select("qid", "nid")
-    ivf = SIM.ivf_topk(emb, n_queries=100, k=5).select(
+    bf = _topk(spark, sf_dir, "bf").select("qid", "nid")
+    ivf = _topk(spark, sf_dir, "ivf").select(
         F.col("qid").alias("v_qid"), F.col("nid").alias("v_nid")
     )
     j = bf.join(
@@ -1043,13 +1079,12 @@ def s_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-verified (the oracle composes five existing oracle programs).",
 )
 def s_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    bf = SIM.cosine_topk(emb, n_queries=100, k=5).select("qid", "nid")
+    bf = _topk(spark, sf_dir, "bf").select("qid", "nid")
     methods = (
-        ("ivf", SIM.ivf_topk(emb, n_queries=100, k=5)),
-        ("sq8", SIM.sq8_topk(emb, n_queries=100, k=5)),
-        ("pq", SIM.pq_topk(emb, n_queries=100, k=5, books=_pq_books(spark, sf_dir))),
-        ("ivfpq", SIM.ivfpq_topk(emb, n_queries=100, k=5, books=_pq_books(spark, sf_dir))),
+        ("ivf", _topk(spark, sf_dir, "ivf")),
+        ("sq8", _topk(spark, sf_dir, "sq8")),
+        ("pq", _topk(spark, sf_dir, "pq")),
+        ("ivfpq", _topk(spark, sf_dir, "ivfpq")),
     )
     parts = []
     for name, df in methods:
@@ -1378,13 +1413,21 @@ def _bf_at_dim(d: int) -> str:
 )
 def s_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    full = SIM.cosine_topk(emb, n_queries=100, k=5).select("qid", "nid")
+    full = _topk(spark, sf_dir, "bf").select("qid", "nid")
     parts = []
     for d in (64, 32, 16):
-        te = emb.withColumn("embedding", F.slice("embedding", 1, d))
-        tk = SIM.cosine_topk(te, n_queries=100, k=5).select(
-            F.col("qid").alias("v_qid"), F.col("nid").alias("v_nid")
-        )
+        if d == SIM.DIM:
+            # slice(embedding, 1, DIM) is the identity on the DIM-wide
+            # corpus, so the full-width pass IS the shared brute-force
+            # frame — reuse it instead of re-running the scoring pass.
+            tk = _topk(spark, sf_dir, "bf").select(
+                F.col("qid").alias("v_qid"), F.col("nid").alias("v_nid")
+            )
+        else:
+            te = emb.withColumn("embedding", F.slice("embedding", 1, d))
+            tk = SIM.cosine_topk(te, n_queries=100, k=5).select(
+                F.col("qid").alias("v_qid"), F.col("nid").alias("v_nid")
+            )
         hits = full.join(
             tk,
             (F.col("qid") == F.col("v_qid")) & (F.col("nid") == F.col("v_nid")),
@@ -1447,11 +1490,10 @@ _NDCG_W, _NDCG_IDCG = _ndcg_weights()
 def s_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.exact import dsum, qround
 
-    emb = _emb(spark, sf_dir)
-    bf = SIM.cosine_topk(emb, n_queries=100, k=5).select(
+    bf = _topk(spark, sf_dir, "bf").select(
         F.col("qid").alias("e_qid"), F.col("nid").alias("e_nid")
     )
-    appr = SIM.ivf_topk(emb, n_queries=100, k=5).select("qid", "nid", "rk")
+    appr = _topk(spark, sf_dir, "ivf").select("qid", "nid", "rk")
     warr = F.array(*[F.lit(w) for w in _NDCG_W])
     j = appr.join(
         bf,

@@ -43,6 +43,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r15: ContextCleaner reclaims shuffle files, broadcast blocks and
+        # localCheckpointed RDD blocks only after their JVM references are
+        # garbage-collected — and a mostly-idle multi-GB heap can go the
+        # whole session without a full GC, so a resident engine accumulates
+        # dead blocks and slows down over hundreds of queries (measured:
+        # median per-query inflation grows 1.08x -> 1.25x from the first to
+        # the last fifth of a 271-query bench run). Spark ships a periodic
+        # safety GC for exactly this (spark.cleaner.periodicGC.interval);
+        # its 30min default never fires inside a ~10min run. 90s keeps
+        # steady-state heap flat at any scale (the cost is one concurrent
+        # full-GC cycle every interval, amortized across all queries).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "90s"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
