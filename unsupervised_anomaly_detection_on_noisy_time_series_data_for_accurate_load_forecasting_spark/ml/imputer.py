@@ -187,6 +187,77 @@ def knn_impute_days(series: DataFrame, k: int = 3, day_size: int = 24) -> DataFr
     )
 
 
+def knn_impute_day_stats(series: DataFrame, k: int = 3, day_size: int = 24) -> DataFrame:
+    """M6 rollup form of :func:`knn_impute_days`: the registry consumer
+    (m6_knn_impute) only reads per-series AGGREGATES of the imputed grid, so
+    the island emits them directly — (n, n_was_null, n_still_null, and the
+    exact micro-unit sum of the filled values) as four scalars per series —
+    instead of shipping every imputed point back through Arrow, exploding it
+    to rows and re-shuffling the full grid into a decimal aggregation
+    (guide §2.3: aggregate before you shuffle; the explode+groupBy path
+    re-shuffled ~n_points rows to produce n_series rows).
+
+    Arithmetic contract (bit-identical to the explode path's
+    ``qround(dsum(coalesce(value, 0)), 6)``): dsum quantizes each double as
+    ``floor(v*1e6 + 0.5)`` onto the exact decimal lattice, so the decimal
+    sum IS the int64 micro-unit sum computed here (identical IEEE multiply/
+    add/floor per element, associative integer addition); the final
+    ``s_micro / 1e6`` long-by-double division is the same single rounding
+    qround's ``floor(..)/1e6`` performs (the double product ``S*1e6`` sits
+    within 0.5 of the integer for |S_micro| < ~2^52, so the floor recovers
+    it exactly — the same bound qround itself documents). NaNs (grid gaps
+    the kernel could not fill) contribute floor(0.5) = 0, exactly like
+    ``coalesce(value, 0.0)``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("series_id", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("n_was_null", T.LongType()),
+            T.StructField("n_still_null", T.LongType()),
+            T.StructField("s_micro", T.LongType()),
+        ]
+    )
+
+    val_nan = F.when(F.col(VAL).isNull(), F.lit(float("nan"))).otherwise(F.col(VAL))
+    packed = (
+        series.select(SID, F.unix_timestamp(F.col(TS)).alias("tsl"), val_nan.alias("v"))
+        .groupBy(SID)
+        .agg(F.array_sort(F.collect_list(F.struct("tsl", "v"))).alias("pts"))
+        .select(SID, F.expr("transform(pts, s -> s.v)").alias("vals"))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sids, ns, nwn, nsn, sm = [], [], [], [], []
+            for sid, vals in zip(pdf["series_id"], pdf["vals"]):
+                v = np.asarray(vals, dtype=float)
+                imputed = knn_impute_series(v, k=k, day_size=day_size)
+                still = np.isnan(imputed)
+                filled = np.where(still, 0.0, imputed)
+                sids.append(sid)
+                ns.append(len(v))
+                nwn.append(int(np.isnan(v).sum()))
+                nsn.append(int(still.sum()))
+                sm.append(int(np.floor(filled * 1e6 + 0.5).astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "series_id": sids,
+                    "n": np.asarray(ns, dtype=np.int64),
+                    "n_was_null": np.asarray(nwn, dtype=np.int64),
+                    "n_still_null": np.asarray(nsn, dtype=np.int64),
+                    "s_micro": np.asarray(sm, dtype=np.int64),
+                }
+            )
+
+    return packed.mapInPandas(gen, schema=out_schema)
+
+
 def imputation_eval(imputed: DataFrame) -> DataFrame:
     """Self-evaluation on masked points (the reference's imputation metric
     loop, anomaly_imputation/main.py:74-119): MAE/MSE on mask==1 only."""

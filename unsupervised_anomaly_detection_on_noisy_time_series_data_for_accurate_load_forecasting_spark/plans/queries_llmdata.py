@@ -1014,6 +1014,13 @@ def pipeline_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textops as TX
 
     d = _docs(spark, sf_dir)
+    # r15: checkpointing the gated corpus here was tried and REVERTED — the
+    # gate is consumed four ways downstream, but materializing the gated
+    # text bytes once (eager localCheckpoint) measured SLOWER than four
+    # scan+gate re-evaluations (probe min 3.9 s -> 6.7 s at sf0.1): the
+    # quality gate is cheap codegen'd HOF work over a page-cached scan,
+    # and the checkpoint both serializes the pipeline behind a full-corpus
+    # materialization and pays its write+read.
     q = d.filter(TX.quality_score() >= F.lit(_PREP_CUT))
     rem = DD.remove_duplicate_spans(q.select("doc_id", "text"), k=_DUP_K)
     out = rem.join(q.select("doc_id", "lang"), "doc_id")

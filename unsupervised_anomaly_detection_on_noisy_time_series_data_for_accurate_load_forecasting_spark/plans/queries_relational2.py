@@ -489,15 +489,21 @@ def _m6_oracle() -> str:
     "kernel re-run single-node on the DuckDB-mirrored grid.",
 )
 def m6_knn_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.imputer import knn_impute_days
+    from ..ml.imputer import knn_impute_day_stats
 
     reg = TSO.regularize(None, hourly=hourly_df(spark, sf_dir))
-    filled = knn_impute_days(reg)
-    return filled.groupBy(SID).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("was_null").cast("bigint").alias("n_was_null"),
-        F.sum(F.col("value").isNull().cast("int")).cast("bigint").alias("n_still_null"),
-        qround(dsum(F.coalesce(F.col(VAL), F.lit(0.0))), 6).alias("sum_filled"),
+    # r15: the rollup island (one 4-scalar row per series) replaces
+    # knn_impute_days + explode + re-shuffle + decimal agg — bit-identical
+    # by the micro-unit lattice argument in knn_impute_day_stats' docstring
+    # (the previous explode form read: groupBy(SID).agg(count, sum(was_null),
+    # sum(isnull), qround(dsum(coalesce(value, 0)), 6))).
+    stats = knn_impute_day_stats(reg)
+    return stats.select(
+        SID,
+        "n",
+        "n_was_null",
+        "n_still_null",
+        (F.col("s_micro") / F.lit(float(10**6))).alias("sum_filled"),
     )
 
 
