@@ -271,11 +271,20 @@ def m17_ae_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SP._live_caches.append(windows)  # released by the next ML query's run
     w_b = spark.sparkContext.broadcast(ensure_ae_weights(spark, sf_dir, windows=windows))
 
+    # r15: the island emits per-(series, batch) PARTIAL sums on the exact
+    # int64 micro-unit lattice instead of one row per masked point — the
+    # m6 rollup move (guide §2.3, aggregate before you shuffle): the final
+    # per-series MAE/MSE need only n / Σfloor(|e|·1e6+0.5) / Σfloor(e²·1e6
+    # +0.5), and integer partials are associative, so summing them across
+    # batches then dividing reproduces the explode path's
+    # dsum(...)/n doubles bit-for-bit (same IEEE subtract/multiply/floor
+    # per point, same single rounding at the final long/1e6 division).
     schema = T.StructType(
         [
             T.StructField("series_id", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("imputed", T.DoubleType()),
+            T.StructField("n_masked", T.LongType()),
+            T.StructField("abs_micro", T.LongType()),
+            T.StructField("sq_micro", T.LongType()),
         ]
     )
 
@@ -290,22 +299,23 @@ def m17_ae_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
             mask = np.stack(pdf["mask"].to_numpy())
             out = model.predict(clean, mask)
             sel = mask == 1  # M18 splice: only hidden points are replaced
-            reps = sel.sum(axis=1)
-            yield pd.DataFrame(
+            e = out[sel] - clean[sel]
+            g = pd.DataFrame(
                 {
-                    "series_id": np.repeat(pdf["series_id"].to_numpy(), reps),
-                    "value": clean[sel],
-                    "imputed": out[sel],
+                    "series_id": np.repeat(pdf["series_id"].to_numpy(), sel.sum(axis=1)),
+                    "n_masked": np.int64(1),
+                    "abs_micro": np.floor(np.abs(e) * 1e6 + 0.5).astype(np.int64),
+                    "sq_micro": np.floor(e * e * 1e6 + 0.5).astype(np.int64),
                 }
-            )
+            ).groupby("series_id", as_index=False, sort=False).sum()
+            yield g
 
-    pts = windows.mapInPandas(gen, schema=schema)
-    n = F.count(F.lit(1)).cast("double")
-    e = F.col("imputed") - F.col("value")
-    return pts.groupBy(SID).agg(
-        F.count(F.lit(1)).alias("n_masked"),
-        (dsum(F.abs(e)) / n).alias("mae"),
-        (dsum(e * e) / n).alias("mse"),
+    parts = windows.mapInPandas(gen, schema=schema)
+    n = F.sum("n_masked").cast("double")
+    return parts.groupBy(SID).agg(
+        F.sum("n_masked").alias("n_masked"),
+        ((F.sum("abs_micro") / F.lit(float(10**6))) / n).alias("mae"),
+        ((F.sum("sq_micro") / F.lit(float(10**6))) / n).alias("mse"),
     )
 
 
