@@ -425,10 +425,29 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str =
 
 
 GRAPH_ROWS_PER_PARTITION = 1_000_000  # ~30-60 MB of skinny graph rows
+# Parallelism floor: below this many rows a partition is not worth a task,
+# above it the frame should spread over the cores that exist. Together with
+# the 1M-row scale bound this makes the partition count
+#   max(rows/1M, min(defaultParallelism, rows/32k))
+# — small frames still collapse (scheduling win), mid-size frames use every
+# core (an r15 probe found the 1.17M-row bipartite edge frame coalesced to
+# ONE partition, serializing every per-round graph join on local[32]), and
+# at cluster scale rows/1M (memory) or defaultParallelism (cores) dominates.
+GRAPH_ROWS_PAR_FLOOR = 262_144
+
+
+def graph_parts(n: int, sc) -> int:
+    """Scale- AND parallelism-adaptive partition count for skinny graph
+    frames of ``n`` rows (see GRAPH_ROWS_PAR_FLOOR)."""
+    return max(
+        1,
+        -(-n // GRAPH_ROWS_PER_PARTITION),
+        min(sc.defaultParallelism, -(-n // GRAPH_ROWS_PAR_FLOOR)),
+    )
 
 
 def ckpt_coalesced(
-    df: DataFrame, rows: int | None = None, rows_per_partition: int = GRAPH_ROWS_PER_PARTITION
+    df: DataFrame, rows: int | None = None
 ) -> DataFrame:
     """Eager localCheckpoint + SCALE-ADAPTIVE coalesce (r15 optimization).
 
@@ -447,11 +466,27 @@ def ckpt_coalesced(
 
     ``rows``: pass the frame's row count when the caller already knows it;
     otherwise one cheap count job over the materialized blocks runs here.
+
+    r15: the target is now parallelism-aware as well (:func:`graph_parts`)
+    — and when the materialized frame arrived badly UNDER-partitioned (an
+    AQE-coalesced upstream shuffle can hand a million-row frame over in
+    1-2 partitions, which would serialize every downstream iteration), it
+    is spread once via repartition + a second checkpoint. That branch only
+    fires in the under-partitioned regime, where the frame is by
+    definition modest (~rows x skinny-row bytes), so the extra
+    materialization is a one-time few-hundred-ms cost per session view;
+    at cluster scale upstream partitioning already meets the target and
+    the branch is dead code.
     """
     ck = df.localCheckpoint(eager=True)
     n = ck.count() if rows is None else rows
-    parts = max(1, -(-n // rows_per_partition))
-    return ck.coalesce(parts) if parts < ck.rdd.getNumPartitions() else ck
+    parts = graph_parts(n, ck.sparkSession.sparkContext)
+    cur = ck.rdd.getNumPartitions()
+    if parts < cur:
+        return ck.coalesce(parts)
+    if parts >= 2 * cur and n >= 2 * GRAPH_ROWS_PAR_FLOOR:
+        return ck.repartition(parts).localCheckpoint(eager=True)
+    return ck
 
 
 def ckpt_capped(df: DataFrame, parts: int) -> DataFrame:
@@ -1333,9 +1368,10 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 8) -> DataFrame:
         # the oracle's unrolled CTEs) would
         e = e.localCheckpoint(eager=True)
         n_now = e.count()
-        # scale-adaptive partition count for the next round's scans (narrow
-        # coalesce over the materialized blocks — see ckpt_coalesced)
-        parts = max(1, -(-n_now // GRAPH_ROWS_PER_PARTITION))
+        # scale- and parallelism-adaptive partition count for the next
+        # round's scans (narrow coalesce over the materialized blocks —
+        # see ckpt_coalesced / graph_parts)
+        parts = graph_parts(n_now, e.sparkSession.sparkContext)
         if parts < e.rdd.getNumPartitions():
             e = e.coalesce(parts)
         if n_now == n_edges:
@@ -1413,7 +1449,7 @@ def bfs_hops(
         n_new = new.count()  # doubles as the empty-frontier probe
         if n_new == 0:
             break
-        parts = max(1, -(-n_new // GRAPH_ROWS_PER_PARTITION))
+        parts = graph_parts(n_new, new.sparkSession.sparkContext)
         if parts < new.rdd.getNumPartitions():
             new = new.coalesce(parts)
         assigned = ckpt_capped(assigned.unionAll(new), edges.rdd.getNumPartitions())
