@@ -58,6 +58,17 @@ def get_spark(
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "90s"),
         )
+        # r15: pre-import numpy/pandas/pyarrow + the engine package in the
+        # worker DAEMON so forked workers inherit them copy-on-write — a
+        # drained worker pool otherwise makes the next Arrow-island stage
+        # pay ~2-4 s of imports in every concurrent fresh worker (measured:
+        # codec islands 1.4 s isolated vs 5-15 s in-bench on a cold pool).
+        # See worker_daemon.py.
+        .config(
+            "spark.python.daemon.module",
+            "unsupervised_anomaly_detection_on_noisy_time_series_data_for_"
+            "accurate_load_forecasting_spark.worker_daemon",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
