@@ -1072,17 +1072,15 @@ def _lpa_oracle(iters: int = 4) -> str:
 )
 def g_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import label_propagation
+    from .shared import trading_pairs_df
 
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # r15: the repeat-business sparsification is a pure filter of the
+    # session trading-pairs view (which now carries the per-pair line-item
+    # count) — the o⋈li fact join + pair aggregation no longer re-runs
+    # inside this query.
     pairs = (
-        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 3)
+        trading_pairs_df(spark, sf_dir)
+        .filter(F.col("n_li") >= 3)
         .select("c", "s")
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
