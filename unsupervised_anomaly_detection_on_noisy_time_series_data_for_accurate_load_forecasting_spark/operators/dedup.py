@@ -337,6 +337,7 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     sh: DataFrame | None = None,
     bands: DataFrame | None = None,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash→LSH→exact-verify: the scalable near-dup join. Candidates from
     band buckets, then exact Jaccard computed PER CANDIDATE PAIR.
@@ -358,7 +359,8 @@ def minhash_lsh_dedup(
         sh = shingle_hashes(df, text_col, id_col)
     if bands is None:
         bands = minhash_bands(sh, id_col)
-    cands = lsh_candidate_pairs(bands, id_col)
+    if cands is None:
+        cands = lsh_candidate_pairs(bands, id_col)
     shf = df_capped_shingles(sh, id_col)
     sizes = shf.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     e1 = shf.select(F.col(id_col).alias("d1"), "shingle")
@@ -600,6 +602,7 @@ def fuzzy_edit_pairs(
     id_col: str = "doc_id",
     sh: DataFrame | None = None,
     bands: DataFrame | None = None,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """Blocked fuzzy matching: LSH band buckets generate candidate pairs,
     Levenshtein edit distance verifies them — the character-level near-dup
@@ -620,7 +623,8 @@ def fuzzy_edit_pairs(
         sh = shingle_hashes(df, text_col, id_col)
     if bands is None:
         bands = minhash_bands(sh, id_col)
-    cands = lsh_candidate_pairs(bands, id_col)
+    if cands is None:
+        cands = lsh_candidate_pairs(bands, id_col)
     ids = cands.select(F.col("d1").alias(id_col)).union(cands.select("d2")).distinct()
     texts = df.join(ids, id_col, "left_semi").select(F.col(id_col), F.col(text_col))
     t1 = texts.select(F.col(id_col).alias("d1"), F.col(text_col).alias("_t1"))

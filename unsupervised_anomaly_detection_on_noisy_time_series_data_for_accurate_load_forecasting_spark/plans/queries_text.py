@@ -585,6 +585,25 @@ _MH_P02_CTES = f"""{_SH_CTES},
     )"""
 
 
+_MH_CANDS_MEMO: dict[str, DataFrame] = {}
+
+
+def _mh_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted LSH candidate-pair set over the session band view — the
+    window-rank + bucket self-join + distinct chain that BOTH the verified
+    pair set (:func:`_mh_pairs_02`) and the fuzzy edit-distance verify
+    (d_fuzzy_edit_pairs) start from. Candidates are threshold-independent,
+    so one materialization serves every verifier (r15: the fuzzy query
+    re-ran the whole chain, ~2.5 s of its wall at sf0.1)."""
+    if sf_dir not in _MH_CANDS_MEMO:
+        for k in list(_MH_CANDS_MEMO):
+            _MH_CANDS_MEMO.pop(k).unpersist(False)
+        c = DD.lsh_candidate_pairs(_mh_bands(spark, sf_dir))
+        c.persist()
+        _MH_CANDS_MEMO[sf_dir] = c
+    return _MH_CANDS_MEMO[sf_dir]
+
+
 _MH_PAIRS_MEMO: dict[str, DataFrame] = {}
 
 
@@ -603,6 +622,7 @@ def _mh_pairs_02(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_jaccard=0.2,
             sh=_sh(spark, sf_dir),
             bands=_mh_bands(spark, sf_dir),
+            cands=_mh_cands(spark, sf_dir),
         )
         p.persist()
         _MH_PAIRS_MEMO[sf_dir] = p
@@ -1381,6 +1401,7 @@ def d_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_rel_edit=0.4,
         sh=_sh(spark, sf_dir),
         bands=_mh_bands(spark, sf_dir),
+        cands=_mh_cands(spark, sf_dir),
     )
 
 
