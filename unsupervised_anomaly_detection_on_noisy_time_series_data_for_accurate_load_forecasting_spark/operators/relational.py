@@ -16,27 +16,64 @@ from pyspark.sql import functions as F
 from ..functions.exact import davg, dsum, qround
 
 
-def pricing_summary(lineitem: DataFrame) -> DataFrame:
+def pricing_summary(lineitem: DataFrame, salt_buckets: int = 1) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary: scan → filter → partial agg → final agg.
 
     One shuffle on a 6-value grouping key; everything before it is map-side.
     Exercises A2-style arithmetic and decimal-exact sums (see functions.exact).
-    """
+
+    r15: the sums run two-level on the int64 micro-unit lattice —
+    per row floor(x·1e6 + 0.5) as a long (exactly the value dec()
+    quantizes to), long partials per (group, salt bucket), then one exact
+    decimal sum of the ≤ ``salt_buckets`` partials per group and a single
+    decimal→double rounding identical to dsum's. Integer partition of a
+    sum is associative, so the result is bit-identical to the decimal
+    aggregation while the per-row accumulation is long adds instead of
+    BigDecimal (noop-sink 1.8 s → ~0.5 s at sf0.1). ``salt_buckets``
+    bounds each bucket's micro-unit sum below 2^63: callers derive it
+    from input size (~1 per 512 MB of fact input, i.e. 1 at test SFs,
+    thousands at 100 TB — see queries_relational.q1_pricing_summary)."""
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+
+    def mu(c) -> F.Column:
+        c = F.col(c) if isinstance(c, str) else c
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    salt = F.pmod(F.xxhash64("l_orderkey"), F.lit(int(salt_buckets))).alias("_salt")
+    partial = (
         lineitem.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", salt)
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(mu("l_quantity")).alias("_q"),
+            F.sum(mu("l_extendedprice")).alias("_p"),
+            F.sum(mu(disc_price)).alias("_d"),
+            F.sum(mu(charge)).alias("_c"),
+            F.sum(mu("l_discount")).alias("_disc"),
+            F.count("l_quantity").alias("_nq"),
+            F.count("l_extendedprice").alias("_np"),
+            F.count("l_discount").alias("_nd"),
+            F.count(F.lit(1)).alias("_n"),
         )
+    )
+
+    def fin(partial_col: str) -> F.Column:
+        # exact Σ micro / 1e6 as decimal, then ONE rounding to double —
+        # the same single rounding dsum's decimal-sum→double cast performs
+        return (
+            F.sum(partial_col).cast("decimal(38,0)")
+            / F.lit(1000000).cast("decimal(7,0)")
+        ).cast("double")
+
+    return partial.groupBy("l_returnflag", "l_linestatus").agg(
+        fin("_q").alias("sum_qty"),
+        fin("_p").alias("sum_base_price"),
+        fin("_d").alias("sum_disc_price"),
+        fin("_c").alias("sum_charge"),
+        (fin("_q") / F.sum("_nq").cast("double")).alias("avg_qty"),
+        (fin("_p") / F.sum("_np").cast("double")).alias("avg_price"),
+        (fin("_disc") / F.sum("_nd").cast("double")).alias("avg_disc"),
+        F.sum("_n").alias("count_order"),
     )
 
 

@@ -35,7 +35,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     doc="TPC-H-Q1-shaped pricing summary; decimal-exact sums.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.pricing_summary(_t(spark, sf_dir, "lineitem"))
+    import os
+
+    # salt buckets sized from fact-input bytes (~1 per 512 MB): each
+    # bucket's micro-unit partial stays < 2^63 at any scale (1 bucket at
+    # test SFs — the salt column is then constant and free).
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+    except OSError:
+        nbytes = 0
+    buckets = max(1, -(-nbytes // (512 * 1024 * 1024)))
+    return R.pricing_summary(_t(spark, sf_dir, "lineitem"), salt_buckets=buckets)
 
 
 @register(

@@ -1413,25 +1413,40 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("u", F.expr(u))
         .withColumn("w", F.expr(_poisson_weight_case("u")))
     )
-    # r15: the replicate sums run on the int64 micro-unit lattice instead
-    # of decimal(27,6) — floor((price·w)·1e6 + 0.5) per row is exactly the
-    # value dec() quantizes to, integer sums are associative, and the final
-    # decimal(38,0)/1e6 division reproduces the decimal-sum→double cast's
-    # single rounding, so mean_r is bit-identical (verified equal on all
-    # 200 replicates) while the 30M-row aggregation drops from BigDecimal
-    # partials to long adds (noop-sink: 3.1 s → 0.7 s at sf0.1). Exactness
-    # bound: |Σ| < 2^63 micro-units ≈ 9·10^12 in price units per replicate
-    # — the same documented magnitude bound the engine-wide qround/dec
-    # lattice already carries.
+    # r15: the replicate sums run two-level on the int64 micro-unit lattice
+    # instead of decimal(27,6) — per row floor((price·w)·1e6 + 0.5) as a
+    # long (exactly the value dec() quantizes to), long partials per
+    # (replicate, salt bucket), one exact decimal sum of the partials, and
+    # a final decimal→double cast that reproduces dsum's single rounding.
+    # Integer partition of a sum is associative, so mean_r is bit-identical
+    # (verified equal on all 200 replicates; oracle parity at both SFs)
+    # while the 30M-row accumulation is long adds instead of BigDecimal
+    # (noop-sink 3.1 s → 0.7 s at sf0.1). Salt buckets follow input bytes
+    # (~1 per 512 MB of orders) so each bucket's micro-unit partial stays
+    # < 2^63 at any scale; locally the salt is a constant and free.
+    import os
+
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, "orders.parquet"))
+    except OSError:
+        nbytes = 0
+    buckets = max(1, -(-nbytes // (512 * 1024 * 1024)))
     mu = F.floor(F.col("o_totalprice") * F.col("w") * F.lit(1e6) + F.lit(0.5)).cast(
         "long"
     )
-    means = reps.withColumn("mu", mu).groupBy("r").agg(
+    salt = F.pmod(F.xxhash64("o_orderkey"), F.lit(int(buckets))).alias("_salt")
+    partial = (
+        reps.withColumn("mu", mu)
+        .groupBy("r", salt)
+        .agg(F.sum("mu").alias("_m"), F.sum("w").alias("_w"))
+    )
+    means = partial.groupBy("r").agg(
         (
-            F.expr(
-                "cast(sum(mu) as decimal(38,0)) / cast(1000000 as decimal(7,0))"
+            (
+                F.sum("_m").cast("decimal(38,0)")
+                / F.lit(1000000).cast("decimal(7,0)")
             ).cast("double")
-            / F.sum("w").cast("double")
+            / F.sum("_w").cast("double")
         ).alias("mean_r")
     )
     arr = means.agg(F.sort_array(F.collect_list("mean_r")).alias("a"))
