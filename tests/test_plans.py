@@ -352,8 +352,23 @@ def test_ivfpq_is_broadcast_probed_one_shuffle_agg(spark, sf_dir):
     n_queries·M·K rows — both tiny at any corpus size), the ADC sum must
     partial-aggregate (map-side combine before the (qid, nid) exchange),
     and the only nested loop is the deliberate 16-row centroid broadcast
-    cross of the coarse assignment."""
-    df = REGISTRY["s_ivfpq_topk"].spark(spark, sf_dir)
+    cross of the coarse assignment.
+
+    r15: asserts on the scoring frame the `_topk` session memo builds at
+    first touch — once the memo is warm the REGISTERED query serves the
+    persisted 500-row frame (InMemoryTableScan), so the scale shape lives
+    in the builder (the `_span_candidates` plan-assert doctrine)."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators import (
+        similarity as SIM,
+    )
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans.queries_similarity import (
+        _emb,
+        _pq_books,
+    )
+
+    df = SIM.ivfpq_topk(
+        _emb(spark, sf_dir), n_queries=100, k=5, books=_pq_books(spark, sf_dir)
+    )
     plan = _plan(df)
     # the 16-row centroid broadcast cross appears once under the corpus
     # branch and once under the probes branch — nothing else may nested-loop
