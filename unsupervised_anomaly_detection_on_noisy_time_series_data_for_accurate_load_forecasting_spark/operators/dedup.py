@@ -776,7 +776,11 @@ def label_propagation(
 
 
 def triangle_counts(
-    edges: DataFrame, a: str = "u", b: str = "v", pre_canonical: bool = False
+    edges: DataFrame,
+    a: str = "u",
+    b: str = "v",
+    pre_canonical: bool = False,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node triangle participation counts via DEGREE ORIENTATION — the
     third iterative/graph operator beside :func:`connected_components` and
@@ -812,12 +816,15 @@ def triangle_counts(
             .distinct()
         )
         und.persist()  # consumed twice: orientation source + wedge-closing probe
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    if deg is None:
+        # ``deg``: pass a precomputed (node, deg) frame — e.g. the session
+        # degree view in plans/shared.py — to skip this 2|E|-row aggregation.
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     ann = und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
@@ -830,9 +837,16 @@ def triangle_counts(
     )
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
-    wedges = e1.join(e2, "src").filter(F.col("e1.dst") < F.col("e2.dst")).select(
-        "src", F.col("e1.dst").alias("d1"), F.col("e2.dst").alias("d2")
-    )
+    # SHUFFLE_HASH, explicitly: the wedge self-join must never SORT the
+    # oriented edge list (both sides are the full edge set; O(√m)-bounded
+    # out-degree means no skewed build key). Without the hint the strategy
+    # rides on Catalyst's crude join-output size estimate — measured
+    # flipping to SortMergeJoin when ``deg`` arrives as a pre-built view
+    # instead of an inline aggregate. AQE still upgrades to broadcast at
+    # runtime when the shuffled side is actually small.
+    wedges = e1.join(e2.hint("shuffle_hash"), "src").filter(
+        F.col("e1.dst") < F.col("e2.dst")
+    ).select("src", F.col("e1.dst").alias("d1"), F.col("e2.dst").alias("d2"))
     # close the wedge against the canonical edge set (d1 < d2 already).
     # SHUFFLE_HASH: the wedge side is ~Σdeg² rows (34x the edge list here) —
     # a sort-merge join would SORT it; hashing the small edge side instead

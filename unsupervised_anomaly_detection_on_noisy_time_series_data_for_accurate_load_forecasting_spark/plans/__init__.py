@@ -56,7 +56,10 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
     from . import queries_ml, queries_neural, queries_similarity, queries_text
     from .shared import (
         bipartite_edges_df,
+        cleaned_points_df,
+        copurchase_deg_df,
         copurchase_edges_df,
+        copurchase_wedges_df,
         hourly_df,
         prepared_df,
         shingles_df,
@@ -113,6 +116,14 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
         # node-Jaccard, resource-allocation — r12) — first-toucher billing
         # was charging whichever graph query ran first ~5 s of shared build
         ("copurchase_edges", copurchase_edges_df, ()),
+        # r15c: degree table (six consumers: node-Jaccard, assortativity,
+        # local clustering, resource-allocation, triangles, degree-hist) and
+        # the capped-center wedge frame (node-Jaccard, local clustering,
+        # resource-allocation) — each was rebuilt per query before.
+        ("copurchase_deg", copurchase_deg_df, ("copurchase_edges",)),
+        ("copurchase_wedges", copurchase_wedges_df, ("copurchase_deg",)),
+        # r15c: cleaned point frame (pipeline_anomaly_e2e + forecast_ab_neural)
+        ("cleaned_points", cleaned_points_df, ("prepared",)),
         # r15: the remaining multi-consumer lazy views, same first-toucher
         # argument as copurchase (each is a corpus-level derived view shared
         # by >= 2 registered queries; the stale "one consumer" rationale for

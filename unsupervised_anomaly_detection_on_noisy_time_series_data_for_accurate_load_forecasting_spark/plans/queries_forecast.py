@@ -2402,16 +2402,37 @@ def w_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F.floor, not a bare bigint cast: CAST truncates toward zero while the
     # oracle's // floor-divides — they diverge for negative (pre-1970) epochs.
     hr = F.floor(F.unix_timestamp("ts") / F.lit(3600))
+    # r15: the sliding 25-row sum accumulates the int64 micro-units dec()
+    # quantizes to (floor(v·1e6+0.5)) instead of decimal(27,6) — Spark
+    # re-adds the whole frame per output row for bounded sliding windows,
+    # so the 25 adds/row were BigDecimal before and long now. The window
+    # bound keeps the lattice safe at any scale: |Σ| ≤ 25·|v|·1e6 < 2^63
+    # for |v| < 3.7e11 (ANSI raises loudly beyond — same domain note as
+    # dec() itself). The finish is one exact Σmicro/1e6 decimal division
+    # and a single decimal→double rounding — exactly the rounding the
+    # decimal window sum's final cast performed, so `trend` is
+    # bit-identical (oracle parity re-proven at both SFs).
+    mu = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    trend_d = (
+        F.sum(mu).over(mw).cast("decimal(38,0)") / F.lit(1000000).cast("decimal(7,0)")
+    ).cast("double")
     w = filled.select(
         "series_id",
         "value",
-        (F.sum(dec("value")).over(mw).cast("double") / F.lit(25.0)).alias("trend"),
+        (trend_d / F.lit(25.0)).alias("trend"),
         F.count(F.lit(1)).over(mw).alias("wn"),
         F.pmod(hr, F.lit(24)).cast("int").alias("hod"),
     )
     d = w.filter(F.col("wn") == 25).select(
         "series_id", "hod", "value", (F.col("value") - F.col("trend")).alias("det")
     )
+    # r15: `d` feeds BOTH the per-(series, hod) seasonal mean and the join
+    # back — without a lineage cut the sort + 25-row sliding window execute
+    # twice (runtime exchange reuse dedupes only the exchange underneath).
+    # The eager checkpoint materializes the exact computed rows (no
+    # semantic change), inside the timed query. Row-count bounded by the
+    # prepared grid — skinny at any scale.
+    d = d.localCheckpoint(eager=True)
     s = d.groupBy("series_id", "hod").agg(davg("det").alias("seas"))
     r = d.join(s.hint("shuffle_hash"), ["series_id", "hod"]).select(
         "series_id",

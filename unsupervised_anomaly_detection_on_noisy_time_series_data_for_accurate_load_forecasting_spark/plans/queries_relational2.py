@@ -1140,9 +1140,14 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import triangle_counts
-    from .shared import copurchase_edges_df
+    from .shared import copurchase_deg_df, copurchase_edges_df
 
-    out = triangle_counts(copurchase_edges_df(spark, sf_dir), pre_canonical=True)
+    # r15: the orientation degrees come from the session degree view.
+    out = triangle_counts(
+        copurchase_edges_df(spark, sf_dir),
+        pre_canonical=True,
+        deg=copurchase_deg_df(spark, sf_dir),
+    )
     return out.select(
         F.col("node").cast("bigint").alias("part_id"),
         F.col("n_triangles").cast("bigint").alias("n_triangles"),
@@ -1597,15 +1602,10 @@ def a_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct-degree count, never by n.",
 )
 def g_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .shared import copurchase_edges_df
+    from .shared import copurchase_deg_df
 
-    e = copurchase_edges_df(spark, sf_dir)
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    # r15: degree table is the session view shared by six graph queries.
+    deg = copurchase_deg_df(spark, sf_dir).select(F.col("deg").alias("degree"))
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     ).select(F.col("degree").cast("bigint").alias("degree"), "n_nodes")
@@ -1860,7 +1860,9 @@ def a_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NJ_CENTER_CAP = 64
+from .shared import WEDGE_CENTER_CAP as _WEDGE_CAP
+
+NJ_CENTER_CAP = _WEDGE_CAP
 NJ_MIN_COMMON = 2
 NJ_MIN_JACCARD = 0.01
 
@@ -1904,29 +1906,16 @@ NJ_MIN_JACCARD = 0.01
     "Integer arithmetic end to end.",
 )
 def g_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .shared import copurchase_edges_df
+    from .shared import copurchase_deg_df, copurchase_wedges_df
 
-    und = copurchase_edges_df(spark, sf_dir)
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    ctr = deg.filter(F.col("deg") <= NJ_CENTER_CAP).select("node")
-    adj = (
-        und.join(ctr.withColumnRenamed("node", "u"), "u", "left_semi")
-        .select(F.col("u").alias("c"), F.col("v").alias("n"))
-        .unionAll(
-            und.join(ctr.withColumnRenamed("node", "v"), "v", "left_semi")
-            .select(F.col("v").alias("c"), F.col("u").alias("n"))
-        )
-    )
-    a = adj.alias("a")
-    b = adj.alias("b")
+    # r15: degree table and capped-center wedge frame are the session views
+    # (see plans/shared.py). The shared wedge frame's centers are deg
+    # 2..cap while this query's cap admits deg-1 centers too — which emit
+    # zero wedges, so the multiset grouped here is identical.
+    deg = copurchase_deg_df(spark, sf_dir)
     common = (
-        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n")))
-        .groupBy(F.col("a.n").alias("d1"), F.col("b.n").alias("d2"))
+        copurchase_wedges_df(spark, sf_dir)
+        .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     g1 = deg.select(F.col("node").alias("d1"), F.col("deg").alias("deg1"))
@@ -1995,20 +1984,13 @@ def g_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate - a single scalar out, no window, no driver state.",
 )
 def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .shared import copurchase_edges_df
+    from .shared import copurchase_deg_df, copurchase_edges_df
 
     und = copurchase_edges_df(spark, sf_dir)
-    # ONE degree frame shared by both edge→degree joins and the n_nodes
-    # count: without the lineage cut each of the three consumers re-runs
-    # the 2|E|-row degree aggregation from the cached edges (the r13 bench
-    # drift); the frame is node-count skinny, so the checkpoint is cheap
-    # at any scale.
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    ).localCheckpoint(eager=True)
+    # r15: the checkpointed degree frame is now the session-lifetime view
+    # (six graph queries consume it) — same lineage-cut the r13 fix put
+    # here per-query, paid once per session instead.
+    deg = copurchase_deg_df(spark, sf_dir)
     dirs = und.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
         und.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
@@ -2045,7 +2027,7 @@ def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LCC_CENTER_CAP = 64
+LCC_CENTER_CAP = _WEDGE_CAP
 
 
 @register(
@@ -2091,29 +2073,14 @@ LCC_CENTER_CAP = 64
     "left join. Integer counts; the coefficient is one fixed IEEE division.",
 )
 def g_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .shared import copurchase_edges_df
+    from .shared import copurchase_deg_df, copurchase_edges_df, copurchase_wedges_df
 
     und = copurchase_edges_df(spark, sf_dir)
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    # r15: degree table + capped-center wedge frame are the session views
+    # (shared verbatim with g_node_jaccard / g_resource_alloc).
+    deg = copurchase_deg_df(spark, sf_dir)
     ctr = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= LCC_CENTER_CAP))
-    adj = (
-        und.join(ctr.select(F.col("node").alias("u")), "u", "left_semi")
-        .select(F.col("u").alias("c"), F.col("v").alias("n"))
-        .unionAll(
-            und.join(ctr.select(F.col("node").alias("v")), "v", "left_semi")
-            .select(F.col("v").alias("c"), F.col("u").alias("n"))
-        )
-    )
-    a = adj.alias("a")
-    b = adj.alias("b")
-    wedge = a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n"))).select(
-        F.col("a.c").alias("c"), F.col("a.n").alias("d1"), F.col("b.n").alias("d2")
-    )
+    wedge = copurchase_wedges_df(spark, sf_dir).select("c", "d1", "d2")
     tri = (
         wedge.join(
             und.hint("shuffle_hash"),
@@ -2258,34 +2225,19 @@ RA_MIN_COMMON = 2  # report only pairs with >= 2 common neighbors
     "Contributions route through the decimal-exact sum - order-independent.",
 )
 def g_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .shared import copurchase_edges_df
+    from .shared import copurchase_edges_df, copurchase_wedges_df
 
     und = copurchase_edges_df(spark, sf_dir)
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    ctr = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= LCC_CENTER_CAP))
-    adj = (
-        und.join(ctr.select(F.col("node").alias("u")), "u", "left_semi")
-        .select(F.col("u").alias("c"), F.col("v").alias("n"))
-        .unionAll(
-            und.join(ctr.select(F.col("node").alias("v")), "v", "left_semi")
-            .select(F.col("v").alias("c"), F.col("u").alias("n"))
-        )
-    )
-    a, b = adj.alias("a"), adj.alias("b")
-    wedge = a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n"))).select(
-        F.col("a.c").alias("c"), F.col("a.n").alias("d1"), F.col("b.n").alias("d2")
-    )
+    # r15: the shared wedge view carries the center degree, so the old join
+    # back to the center table disappears — the per-wedge 1/deg contribution
+    # reads cdeg directly. dec() quantizes the identical IEEE double per
+    # wedge and decimal sums are associative, so `ra` is bit-identical.
     contrib = (
-        wedge.join(ctr.withColumnRenamed("node", "c").hint("shuffle_hash"), "c")
+        copurchase_wedges_df(spark, sf_dir)
         .groupBy(F.col("d1").alias("u"), F.col("d2").alias("v"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_common"),
-            dsum(F.lit(1.0) / F.col("deg").cast("double")).alias("ra"),
+            dsum(F.lit(1.0) / F.col("cdeg").cast("double")).alias("ra"),
         )
     )
     return (

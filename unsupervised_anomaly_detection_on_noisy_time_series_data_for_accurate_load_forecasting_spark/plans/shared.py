@@ -57,6 +57,30 @@ def prepared_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PREPARED_MEMO[sf_dir]
 
 
+_CLEANED_MEMO: dict[str, DataFrame] = {}
+
+
+def cleaned_points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted cleaned-series point frame — the full inject → detect →
+    impute chain over the prepared grid (deterministic seeded-RNG column
+    program, so the memo changes nothing any oracle compares).
+
+    r15: `pipeline_anomaly_e2e` and `forecast_ab_neural` each re-ran the
+    whole chain (three window passes over the prepared view) per query; the
+    cleaned corpus is a property of the data, not of either query — the
+    hourly/prepared memo doctrine one level up. Row count equals the
+    prepared grid's, so the pin is as cheap as `prepared_df`'s."""
+    from ..operators import anomaly as AN
+
+    if sf_dir not in _CLEANED_MEMO:
+        for k in list(_CLEANED_MEMO):
+            _CLEANED_MEMO.pop(k).unpersist(False)
+        c = AN.cleaned_series(None, prepared=prepared_df(spark, sf_dir))
+        c.persist()
+        _CLEANED_MEMO[sf_dir] = c
+    return _CLEANED_MEMO[sf_dir]
+
+
 _SHINGLES_MEMO: dict[str, DataFrame] = {}
 
 
@@ -131,6 +155,93 @@ def copurchase_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.persist()
         _COPURCHASE_MEMO[sf_dir] = e
     return _COPURCHASE_MEMO[sf_dir]
+
+
+_COPURCHASE_DEG_MEMO: dict[str, DataFrame] = {}
+
+# One degree cap for every bounded-wedge consumer (g_node_jaccard,
+# g_local_clustering, g_resource_alloc) — the queries alias it so their
+# oracle texts stay unchanged. A single constant is what makes the wedge
+# frame below shareable at all.
+WEDGE_CENTER_CAP = 64
+
+
+def copurchase_deg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed degree table (node, deg) of the co-purchase graph.
+
+    r15: six queries (g_node_jaccard, g_assortativity, g_local_clustering,
+    g_resource_alloc, g_triangles, g_degree_hist) each re-ran the identical
+    2|E|-row union + groupBy from the cached edge view — the degree table is
+    a property of the graph, not of any one query (the hourly/shingles memo
+    doctrine). persist(), NOT localCheckpoint: an InMemoryRelation carries
+    accurate size stats so consumers still auto-broadcast the node-count-
+    skinny table where they did before (a checkpointed ExistingRDD has
+    unknown stats — measured flipping g_triangles' oriented self-join from
+    BroadcastHashJoin to SortMergeJoin, 3.8 s → 8.3 s)."""
+    from pyspark.sql import functions as F
+
+    if sf_dir not in _COPURCHASE_DEG_MEMO:
+        for k in list(_COPURCHASE_DEG_MEMO):
+            _COPURCHASE_DEG_MEMO.pop(k).unpersist(False)
+        und = copurchase_edges_df(spark, sf_dir)
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        deg.persist()
+        _COPURCHASE_DEG_MEMO[sf_dir] = deg
+    return _COPURCHASE_DEG_MEMO[sf_dir]
+
+
+_COPURCHASE_WEDGES_MEMO: dict[str, DataFrame] = {}
+
+
+def copurchase_wedges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed capped-center wedge frame (c, cdeg, d1, d2) — one row per
+    unordered neighbor pair (d1 < d2) around each center of degree
+    2..WEDGE_CENTER_CAP.
+
+    r15: g_node_jaccard, g_local_clustering and g_resource_alloc each built
+    this exact frame per query (two semi-joins + the adjacency self-join —
+    the dominant shuffle of all three). Their center sets differ only by
+    degree-1 nodes (g_node_jaccard admits them), which emit ZERO wedges (one
+    adjacent row cannot form a d1 < d2 pair), so the three wedge multisets
+    are identical and one materialization serves all. Carrying the center
+    degree costs one long per row and saves g_resource_alloc's join back to
+    the center table. Volume is bounded by cap·|E| regardless of hub skew —
+    the same bound each query already relied on. persist(), not checkpoint,
+    for the same stats-preservation reason as copurchase_deg_df."""
+    from pyspark.sql import functions as F
+
+    if sf_dir not in _COPURCHASE_WEDGES_MEMO:
+        for k in list(_COPURCHASE_WEDGES_MEMO):
+            _COPURCHASE_WEDGES_MEMO.pop(k).unpersist(False)
+        und = copurchase_edges_df(spark, sf_dir)
+        ctr = copurchase_deg_df(spark, sf_dir).filter(
+            (F.col("deg") >= 2) & (F.col("deg") <= WEDGE_CENTER_CAP)
+        )
+        adj = (
+            und.join(ctr.withColumnRenamed("node", "u"), "u")
+            .select(F.col("u").alias("c"), F.col("deg").alias("cdeg"), F.col("v").alias("n"))
+            .unionAll(
+                und.join(ctr.withColumnRenamed("node", "v"), "v")
+                .select(F.col("v").alias("c"), F.col("deg").alias("cdeg"), F.col("u").alias("n"))
+            )
+        )
+        a, b = adj.alias("a"), adj.alias("b")
+        wedges = a.join(
+            b, (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n"))
+        ).select(
+            F.col("a.c").alias("c"),
+            F.col("a.cdeg").alias("cdeg"),
+            F.col("a.n").alias("d1"),
+            F.col("b.n").alias("d2"),
+        )
+        wedges.persist()
+        _COPURCHASE_WEDGES_MEMO[sf_dir] = wedges
+    return _COPURCHASE_WEDGES_MEMO[sf_dir]
 
 
 _TRADING_PAIRS_MEMO: dict[str, DataFrame] = {}
