@@ -371,11 +371,14 @@ def forecast_ab_neural(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml import forecaster as FC
     from ..ml import softpatch as SP
 
-    from .shared import prepared_df
+    from .shared import cleaned_points_df
 
-    points = AN.cleaned_series(
-        None, prepared=prepared_df(spark, sf_dir)
-    ).select(SID, TS, "value_contam", "cleaned")
+    # r15: the cleaned point frame is the session view shared with
+    # pipeline_anomaly_e2e — the inject→detect→impute window chain no
+    # longer re-runs inside this query.
+    points = cleaned_points_df(spark, sf_dir).select(
+        SID, TS, "value_contam", "cleaned"
+    )
     # run_forecast_ab with a session-lifetime (sf_dir → weights) memo: the
     # 4-model fit is deterministic per sf_dir, so repeat invocations skip
     # straight to distributed scoring (single-entry memo: new sf evicts).

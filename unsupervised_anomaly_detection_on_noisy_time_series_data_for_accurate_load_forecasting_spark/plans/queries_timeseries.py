@@ -666,7 +666,11 @@ def m4_inject_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Flagship end-to-end slice: regularize→fill→inject→detect→impute→score.",
 )
 def pipeline_anomaly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return AN.pipeline_metrics(AN.cleaned_series(None, prepared=prepared_df(spark, sf_dir)))
+    from .shared import cleaned_points_df
+
+    # r15: the cleaned point frame is the session view shared with
+    # forecast_ab_neural (see plans/shared.py).
+    return AN.pipeline_metrics(cleaned_points_df(spark, sf_dir))
 
 
 @register(
