@@ -98,7 +98,9 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
         # groupBy per session; sampled/delta consumers filter it by doc_id
         ("text_mh_bands", queries_text._mh_bands, ("text_shingles",)),
         ("lsh_bands", queries_similarity._bands, ()),
-        ("lsh_near_pairs", queries_similarity._near_pairs_02, ("lsh_bands",)),
+        # r15c: the pair memo is now threshold-free (-1.0) — s_knn_graph and
+        # s_lsh_near_pairs join its consumer set (filters of one frame)
+        ("lsh_near_pairs", queries_similarity._near_pairs_all, ("lsh_bands",)),
         ("pq_codebooks", queries_similarity._pq_books, ("lsh_near_pairs",)),
         ("sem_centroids", queries_similarity._sem_cents, ("pq_codebooks",)),
         ("prepared", prepared_df, ("hourly",)),

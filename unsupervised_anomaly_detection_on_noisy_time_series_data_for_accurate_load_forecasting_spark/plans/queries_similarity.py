@@ -80,21 +80,32 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEAR_PAIRS_MEMO: dict[str, DataFrame] = {}
 
 
-def _near_pairs_02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted exact-cosine near-pair graph at the LOWEST threshold any
-    consumer uses (0.2). The exact cosine column is deterministic, so every
-    higher-threshold consumer (cc clustering at 0.25) is a pure filter of
-    this one materialization — candidate generation and the decimal-exact
-    verification run once per session instead of per consumer."""
+def _near_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted exact-cosine candidate-pair graph with NO threshold
+    (min_cosine=-1.0). The exact cosine column is deterministic, so EVERY
+    thresholded consumer (embedding dedup at 0.2, cc clustering at 0.25,
+    s_lsh_near_pairs at 0.25) is a pure filter of this one materialization,
+    and s_knn_graph — which needs every bucket candidate — reads it
+    directly. r15: the memo previously sat at 0.2, so s_knn_graph re-ran
+    the whole candidate + verify chain per session (probe 4.7 s) and
+    s_lsh_near_pairs re-ran it at 0.25 (3.3 s). Building at -1.0 costs the
+    same as at 0.2 (measured 2.1-2.9 s either way at sf0.1 — the decimal
+    dot dominates, and the fast-prune margin guarantee is what makes
+    filter-after ≡ build-at-threshold), and the frame stays candidate-
+    bounded (cap per (band, bucket)): 37 k rows at sf0.1."""
     if sf_dir not in _NEAR_PAIRS_MEMO:
         for k in list(_NEAR_PAIRS_MEMO):
             _NEAR_PAIRS_MEMO.pop(k).unpersist(False)
         p = SIM.lsh_near_pairs(
-            _emb(spark, sf_dir), min_cosine=0.2, bands=_bands(spark, sf_dir)
+            _emb(spark, sf_dir), min_cosine=-1.0, bands=_bands(spark, sf_dir)
         )
         p.persist()
         _NEAR_PAIRS_MEMO[sf_dir] = p
     return _NEAR_PAIRS_MEMO[sf_dir]
+
+
+def _near_pairs_02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _near_pairs_all(spark, sf_dir).filter(F.col("cosine") >= 0.2)
 
 
 _BF_SQL = f"""
@@ -235,7 +246,9 @@ _BANDED = f"""
     "populations bounded as the corpus grows.",
 )
 def s_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.lsh_near_pairs(_emb(spark, sf_dir), min_cosine=0.25, bands=_bands(spark, sf_dir))
+    # r15: pure filter of the threshold-free session pair graph — identical
+    # rows (fast-prune margin guarantee + deterministic cosine column).
+    return _near_pairs_all(spark, sf_dir).filter(F.col("cosine") >= 0.25)
 
 
 @register(
@@ -1209,7 +1222,9 @@ def s_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    pairs = SIM.lsh_near_pairs(_emb(spark, sf_dir), min_cosine=-1.0, bands=_bands(spark, sf_dir))
+    # r15: the threshold-free session pair graph IS this query's candidate
+    # set (it was built with min_cosine=-1.0 here all along).
+    pairs = _near_pairs_all(spark, sf_dir)
     sym = pairs.select(
         F.col("d1").alias("src"), F.col("d2").alias("nbr"), "cosine"
     ).unionAll(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("nbr"), "cosine"))
