@@ -53,7 +53,13 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
 
     from pyspark.sql import DataFrame as _DF
 
-    from . import queries_ml, queries_neural, queries_similarity, queries_text
+    from . import (
+        queries_llmdata,
+        queries_ml,
+        queries_neural,
+        queries_similarity,
+        queries_text,
+    )
     from .shared import (
         bipartite_edges_df,
         cleaned_points_df,
@@ -141,6 +147,10 @@ def prepare(spark, sf_dir: str) -> dict[str, float]:
         #   and the 0.5-graph CC labels (d_dup_cluster_hist + 2 more)
         ("text_mh_pairs", queries_text._mh_pairs_02, ("text_mh_bands",)),
         ("text_mh_cc", queries_text._mh_cc_05, ("text_mh_pairs",)),
+        # r15c: bigram-perplexity top-k (t_bigram_perplexity +
+        # pipeline_quality_funnel) — the memo landed in r15 but was lazy,
+        # so its ~6 s LM train billed to whichever consumer ran first
+        ("ppl_topk", queries_llmdata._ppl_topk, ()),
     )
     with ThreadPoolExecutor(max_workers=len(dag)) as ex:
         for name, build, deps in dag:
