@@ -320,8 +320,56 @@ def test_triangle_join_is_equi_and_skew_bounded(spark, sf_dir):
     plan = _formatted(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # r15: the oriented wedge self-join must stay HASH-based. When the
+    # degree table became a pre-built session view, Catalyst's crude
+    # join-output estimate flipped this join to SortMergeJoin (sorting the
+    # full edge list twice, measured 3.8 -> 8.3 s at sf0.1); the explicit
+    # shuffle_hash hint pins it, and this assert keeps it pinned.
+    assert "SortMergeJoin" not in plan
     total = df.agg(F.sum("n_triangles")).collect()[0][0]
     assert total % 3 == 0 and total > 0
+
+
+def test_shared_wedge_view_matches_inline_build(spark):
+    """The shared capped-center wedge view serves g_node_jaccard (centers:
+    deg <= cap) AND g_local_clustering / g_resource_alloc (centers:
+    2 <= deg <= cap). The identity relies on degree-1 centers emitting ZERO
+    wedges; pin it on a toy graph that HAS a degree-1 node and a
+    cap-excluded hub."""
+    from pyspark.sql import functions as F
+
+    cap = 3
+    # star hub 1-(2,3,4,5) [deg 4 > cap, excluded]; path 2-3-4 [deg-2/3
+    # centers]; pendant 6-2 [6 has deg 1]
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (3, 4), (2, 6)], "u long, v long"
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+    def wedges(lo):
+        ctr = deg.filter((F.col("deg") >= lo) & (F.col("deg") <= cap))
+        adj = (
+            edges.join(ctr.withColumnRenamed("node", "u"), "u")
+            .select(F.col("u").alias("c"), F.col("v").alias("n"))
+            .unionAll(
+                edges.join(ctr.withColumnRenamed("node", "v"), "v")
+                .select(F.col("v").alias("c"), F.col("u").alias("n"))
+            )
+        )
+        a, b = adj.alias("a"), adj.alias("b")
+        return sorted(
+            a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n")))
+            .select(F.col("a.c").alias("c"), F.col("a.n").alias("d1"), F.col("b.n").alias("d2"))
+            .collect()
+        )
+
+    lo1, lo2 = wedges(1), wedges(2)  # node-jaccard's center set vs the view's
+    assert lo1 == lo2 and len(lo2) > 0
 
 
 def test_pq_encoding_is_map_only(spark, sf_dir):
