@@ -1,10 +1,20 @@
 """Benchmark harness: runs every registry query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+JSON line: {"metric": ..., "value": total_sec + prepare_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is executed to completion (results drained to the driver, like the
 correctness gate does) after a warm-up of the session and input metadata.
+
+r16 measurement change (per the r15 verdict's demand #1): the headline
+``value`` now INCLUDES the untimed shared-view/prepare step
+(``value = total_sec + prepare_sec``), so moving work between a query and a
+session view no longer moves it off the scored ledger. Both components are
+still printed separately (``total_sec`` is the old-basis number, directly
+comparable to r14/r15 artifacts; ``prepare_sec`` + the per-item ``prepare``
+map break down the warm-up). ``artifacts`` reports the cold/warm status of
+every across-run ``.weights_cache`` artifact touched during prepare, so a
+reader can tell a cold-store run from a warm one (r15 verdict demand #2).
 """
 
 from __future__ import annotations
@@ -98,21 +108,35 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # total_sec leads the payload: past driver captures clipped the TAIL of
+    # Cold/warm status of every across-run .weights_cache artifact touched
+    # this run (first touch wins: a miss that then built stays "cold").
+    try:
+        from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.ml import (
+            artifacts as _arts,
+        )
+
+        artifact_status = _arts.artifact_access_log()
+    except Exception:
+        artifact_status = {}
+    # value leads the payload: past driver captures clipped the TAIL of
     # this line, so the headline number survives even a truncated artifact.
     # The per-query map is sorted COST-DESCENDING for the same reason — a
     # clipped capture keeps the expensive queries (the ones worth comparing
     # across rounds) and loses only the sub-second tail.
     by_cost = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     payload = {
-        "total_sec": total,
-        "metric": "registry_queries_total_wall",
-        "value": total,
+        # r16: the scored headline is END-TO-END (queries + prepare) — see
+        # the module docstring. total_sec stays the r14/r15-comparable
+        # queries-only sum.
+        "value": round(total + prepare_sec, 3),
+        "metric": "registry_queries_plus_prepare_wall",
         "unit": "sec",
+        "total_sec": total,
         "prepare_sec": prepare_sec,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "queries": by_cost,
         "prepare": prepare_timings,
+        "artifacts": artifact_status,
     }
     line = json.dumps(payload)
     print(line)

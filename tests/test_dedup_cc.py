@@ -361,3 +361,128 @@ def test_bfs_hops_partitioning_invariant(spark):
     assert key(bfs_hops(one, n_sources=3, rounds=4)) == key(
         bfs_hops(shuf, n_sources=3, rounds=4)
     )
+
+
+def test_lsh_candidate_pairs_lead_emit_matches_self_join(spark):
+    """r16: the lead()-based sorted-neighborhood pair emit must produce the
+    exact pair set of the rank self-join it replaced — including the
+    bucket-cap truncation and the cross-bucket boundary (leads are
+    partition-bounded). The reference below IS the pre-r16 join, run
+    against the production builder on a frame with an over-cap bucket."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    rows = [
+        # bucket A: 7 members (over cap=5 -> ids 6,7 truncated)
+        *[(0, "A", i) for i in range(1, 8)],
+        # bucket B: 3 members, one shared with A
+        (0, "B", 2), (0, "B", 9), (0, "B", 10),
+        # same key in another band: pairs dedup via distinct()
+        (1, "A", 1), (1, "A", 2),
+        # singleton bucket: no pairs
+        (1, "C", 4),
+    ]
+    bands = spark.createDataFrame(rows, "band int, band_key string, doc_id long")
+    cap, neigh = 5, 2
+
+    got = {
+        (r.d1, r.d2)
+        for r in lsh_candidate_pairs(
+            bands, bucket_cap=cap, neighborhood=neigh
+        ).collect()
+    }
+
+    rk = F.row_number().over(W.partitionBy("band", "band_key").orderBy("doc_id"))
+    ranked = bands.withColumn("_rk", rk).filter(F.col("_rk") <= cap)
+    a, b = ranked.alias("a"), ranked.alias("b")
+    ref = {
+        (r.d1, r.d2)
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b._rk") - F.col("a._rk")).between(1, neigh),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+        .collect()
+    }
+    assert got == ref
+    assert (6, 7) not in got  # cap truncated ids 6 and 7 in bucket A
+    assert all(d1 < d2 for d1, d2 in got)
+
+
+def test_semantic_candidates_lead_matches_join(spark):
+    """r16: semantic_candidates' lead()-based sorted-neighborhood emit must
+    produce the exact (pair, payload) set of the rank/sequence-explode
+    equi-join it replaced. The reference below IS the pre-r16 join, run on
+    a frame with a cluster larger than the window (boundary nulls), a
+    2-member cluster, and a singleton (no pairs)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.similarity import (
+        semantic_candidates,
+    )
+
+    rows = [
+        # cluster 0: 5 members, window 3 -> rank gaps 4 never pair
+        *[(i, [float(i), 1.0], 0, float(i)) for i in range(1, 6)],
+        # cluster 1: tie on d2 broken by vec_id
+        (10, [1.0, 2.0], 1, 7.0),
+        (11, [2.0, 1.0], 1, 7.0),
+        # cluster 2: singleton
+        (20, [3.0, 3.0], 2, 0.5),
+    ]
+    v_all = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster int, d2 double"
+    )
+    window = 3
+
+    def key(df):
+        return sorted(
+            (r.d1, r.d2, tuple(r.ea), tuple(r.eb), r.sqa, r.sqb)
+            for r in df.collect()
+        )
+
+    got = key(semantic_candidates(v_all, window=window))
+
+    # pre-r16 reference: rank window + sequence-explode equi-join
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.operators.similarity import (
+        dnorm_sq,
+    )
+
+    v = v_all.withColumn("sq", dnorm_sq()).filter(F.col("sq") > 0)
+    rw = W.partitionBy("cluster").orderBy("d2", "vec_id")
+    ranked = v.withColumn("rk", F.row_number().over(rw))
+    a = ranked.select(
+        "cluster", "rk",
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        F.col("sq").alias("sqa"),
+    )
+    b = ranked.select(
+        "cluster", F.col("rk").alias("rkb"),
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        F.col("sq").alias("sqb"),
+    )
+    b_exp = (
+        b.withColumn("_j", F.explode(F.sequence(F.lit(1), F.lit(window))))
+        .withColumn("rk", F.col("rkb") - F.col("_j"))
+        .filter(F.col("rk") >= 1)
+        .drop("_j", "rkb")
+    )
+    ref = key(
+        a.join(b_exp, ["cluster", "rk"]).select(
+            F.least("va", "vb").alias("d1"),
+            F.greatest("va", "vb").alias("d2"),
+            "ea", "eb", "sqa", "sqb",
+        )
+    )
+    assert got == ref and len(got) > 0
+    # 5-member cluster with window 3: C(5,2) - (gap-4 pair) = 9 pairs,
+    # 2-member cluster: 1 pair, singleton: 0
+    assert len(got) == 10

@@ -345,3 +345,26 @@ def test_stream_zjoin_band_boundaries_inclusive_at_microseconds(spark, tmp_path)
     )
     got = {r.purchase_id: r.offset_min for r in spark.table(name).collect()}
     assert got == {10: -30, 12: 90, 14: 0, 15: 0, 17: -1}
+
+
+def test_det_ann_scores_np_matches_hof(embedded):
+    """r16: the Arrow-island ANN scorer must reproduce the HOF two-speed
+    form bit-for-bit — same bank, same probe cells, same quantized
+    distances (the island uses the mirror's exact arithmetic, so any
+    drift in either kernel fails this)."""
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.ml.mllib_modes import (
+        det_ann_scores,
+        det_ann_scores_np,
+    )
+
+    hof = {
+        (r.series_id, r.window_start): r.score
+        for r in det_ann_scores(embedded).collect()
+    }
+    isl = {
+        (r.series_id, r.window_start): r.score
+        for r in det_ann_scores_np(embedded).collect()
+    }
+    assert hof.keys() == isl.keys()
+    for k, v in hof.items():
+        assert isl[k] == v, (k, isl[k], v)  # bit-exact, no tolerance

@@ -335,8 +335,15 @@ def test_shared_wedge_view_matches_inline_build(spark):
     deg <= cap) AND g_local_clustering / g_resource_alloc (centers:
     2 <= deg <= cap). The identity relies on degree-1 centers emitting ZERO
     wedges; pin it on a toy graph that HAS a degree-1 node and a
-    cap-excluded hub."""
+    cap-excluded hub. r16 (per the r15 advisor): both center sets run
+    through the PRODUCTION builder (shared.build_wedges — the same code
+    copurchase_wedges_df materializes), so a drift in the center filter or
+    the d1 < d2 / cdeg invariants fails here, not just in a re-implementation."""
     from pyspark.sql import functions as F
+
+    from unsupervised_anomaly_detection_on_noisy_time_series_data_for_accurate_load_forecasting_spark.plans.shared import (
+        build_wedges,
+    )
 
     cap = 3
     # star hub 1-(2,3,4,5) [deg 4 > cap, excluded]; path 2-3-4 [deg-2/3
@@ -352,24 +359,31 @@ def test_shared_wedge_view_matches_inline_build(spark):
     )
 
     def wedges(lo):
-        ctr = deg.filter((F.col("deg") >= lo) & (F.col("deg") <= cap))
-        adj = (
-            edges.join(ctr.withColumnRenamed("node", "u"), "u")
-            .select(F.col("u").alias("c"), F.col("v").alias("n"))
-            .unionAll(
-                edges.join(ctr.withColumnRenamed("node", "v"), "v")
-                .select(F.col("v").alias("c"), F.col("u").alias("n"))
-            )
-        )
-        a, b = adj.alias("a"), adj.alias("b")
-        return sorted(
-            a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n")))
-            .select(F.col("a.c").alias("c"), F.col("a.n").alias("d1"), F.col("b.n").alias("d2"))
-            .collect()
-        )
+        return sorted(build_wedges(edges, deg, lo=lo, cap=cap).collect())
 
     lo1, lo2 = wedges(1), wedges(2)  # node-jaccard's center set vs the view's
     assert lo1 == lo2 and len(lo2) > 0
+    # cdeg rides along correctly: every wedge center here is 2-3 with the
+    # toy degrees {2: 3, 3: 3, 4: 2}
+    degs = {r.node: r.deg for r in deg.collect()}
+    assert all(r.cdeg == degs[r.c] for r in lo2)
+
+
+def test_ansi_enabled_and_long_sum_overflow_raises(spark):
+    """w_seasonal_strength's int64 micro-unit window sum documents that
+    long-sum overflow raises rather than silently wrapping. That is only
+    true because Spark 4 runs ANSI mode by default and session.py leaves it
+    on — pin BOTH facts so a future config edit that turns ANSI off fails
+    this test instead of silently voiding the documented guard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    two = spark.range(2).select(
+        F.lit(2**62).cast("long").alias("v")
+    )
+    with pytest.raises(Exception, match="(?i)overflow|ARITHMETIC_OVERFLOW"):
+        two.agg(F.sum("v")).collect()
 
 
 def test_pq_encoding_is_map_only(spark, sf_dir):

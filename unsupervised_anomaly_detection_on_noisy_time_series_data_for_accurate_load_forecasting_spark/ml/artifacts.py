@@ -115,6 +115,22 @@ import sys
 
 _CACHE_ENV = "SPARK_GRAFT_WEIGHTS_DIR"
 
+# Cold/warm access log for the across-run artifact store (r15 verdict §2:
+# the bench must disclose whether a run restored artifacts or built them).
+# One entry per artifact NAME per process; first touch wins, so an initial
+# miss that then builds stays "cold" even though later reads hit.
+_ACCESS_LOG: dict[str, str] = {}
+
+
+def _record_access(label: str, hit: bool) -> None:
+    _ACCESS_LOG.setdefault(label, "warm" if hit else "cold")
+
+
+def artifact_access_log() -> dict[str, str]:
+    """{artifact name: "warm"|"cold"} for every keyed artifact this process
+    tried to restore (bench.py prints it in the JSON line)."""
+    return dict(_ACCESS_LOG)
+
 
 def weights_cache_dir() -> str:
     default = os.path.join(
@@ -195,7 +211,9 @@ def restore_dataframe(spark, kind: str, key: str):
     scan instead of a recompute."""
     p = dataframe_ckpt_path(kind, key)
     if not os.path.isdir(p):
+        _record_access(kind, hit=False)
         return None
+    _record_access(kind, hit=True)
     return spark.read.parquet(p)
 
 
@@ -217,9 +235,12 @@ def load_alias(name: str, alias: str) -> str | None:
     p = os.path.join(weights_cache_dir(), f"alias-{name}-{alias}.json")
     try:
         with open(p) as f:
-            return json.load(f)["key"]
+            key = json.load(f)["key"]
     except (OSError, ValueError, KeyError):
+        _record_access(name, hit=False)
         return None
+    _record_access(name, hit=True)
+    return key
 
 
 def save_alias(name: str, alias: str, key: str) -> None:
@@ -264,7 +285,9 @@ def load_weight_groups(name: str, key: str) -> dict[str, dict[str, np.ndarray]] 
             for g, p, sk in manifest:
                 out.setdefault(g, {})[p] = z[sk]
     except (OSError, ValueError, KeyError):
+        _record_access(name, hit=False)
         return None
+    _record_access(name, hit=True)
     return out
 
 
@@ -283,6 +306,9 @@ def save_bank_keyed(name: str, key: str, bank: np.ndarray, meta: dict | None = N
 def load_bank_keyed(name: str, key: str) -> np.ndarray | None:
     d = os.path.join(weights_cache_dir(), f"{name}-{key}")
     try:
-        return np.load(os.path.join(d, "bank.npz"))["bank"]
+        bank = np.load(os.path.join(d, "bank.npz"))["bank"]
     except (OSError, ValueError, KeyError):
+        _record_access(name, hit=False)
         return None
+    _record_access(name, hit=True)
+    return bank

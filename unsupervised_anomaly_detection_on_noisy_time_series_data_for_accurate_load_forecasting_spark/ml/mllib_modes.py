@@ -203,6 +203,154 @@ def det_ann_scores(
     )
 
 
+def det_ann_scores_np(
+    embedded: DataFrame,
+    n_bank: int = ANN_N_BANK,
+    n_lists: int = ANN_N_LISTS,
+    n_probe: int = ANN_N_PROBE,
+) -> DataFrame:
+    """:func:`det_ann_scores` with the probe + scoring folds in ONE Arrow
+    island (r16, guide §4.2 — the s_pca_fit/int64-lattice precedent): same
+    bank, same cells, same probe selection, same quantized distances, same
+    scores, bit-for-bit.
+
+    The HOF form evaluates ~n_lists fast folds + margin-gated BigDecimal
+    folds per patch row in interpreted expression code (aggregate/zip_with
+    lambdas never enter whole-stage codegen) — measured ~6 s floor at sf0.1
+    with the plan already shuffle-minimal, i.e. all compute. Here the bank
+    is selected by the same Spark TakeOrdered over the cross-engine RNG
+    draw (one bounded 64-row collect at construction — the s_pca_project
+    fit-at-construction pattern; never data-sized), and every per-patch
+    distance runs vectorized in numpy using the mirror's exact arithmetic
+    (softpatch_mirror._qd2_rows): per-element double square, tie-free
+    floor(v·1e6 + 0.5) quantization — exact integer-valued doubles — an
+    exact sum (dim · 1e6-scaled squares ≪ 2^53), one correctly-rounded
+    /1e6. That IS the value the decimal(27,6) fold + double cast yields, so
+    replacing the fold changes no bit (pinned by
+    tests/test_mllib_stateful.py::test_det_ann_scores_np_matches_hof).
+    Probe cells = stable argsort of the quantized cell distances (ties to
+    the lower cell id, the row_number/lexsort order); the two-speed
+    margin machinery has no job here — the quantized ranking is computed
+    directly at numpy speed, which the margin filter only ever
+    approximated conservatively.
+
+    Scale shape: the island maps over the embedded view's partitions
+    (only series_id/window_start/feature cross the boundary), emits one
+    partial max per (series, window) per batch, and a skinny final
+    max-aggregation finishes — the bank rides along as a ~n_bank·dim
+    closure constant, never a join side."""
+    import numpy as np
+
+    skey = F.col("series_id").cast("bigint")
+    eday = F.floor(F.unix_timestamp(F.col("window_start")) / 86400).cast("bigint")
+    from ..functions.rng import rng_draw
+
+    drawn = embedded.select(
+        "series_id",
+        "window_start",
+        "patch_idx",
+        "feature",
+        rng_draw(skey, eday, F.col("patch_idx"), salt=ANN_BANK_SALT).alias("_d"),
+        skey.alias("_sk"),
+        eday.alias("_ed"),
+    )
+    bank_rows = (
+        drawn.orderBy("_d", "_sk", "_ed", "patch_idx")
+        .limit(n_bank)
+        .select("feature")
+        .collect()
+    )
+    bank = np.array([r["feature"] for r in bank_rows], dtype=np.float64)
+    cells = bank[: min(n_lists, len(bank))]
+
+    def _qd2(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # (n, dim) vs (m, dim) -> (n, m), the mirror's exact quantized d²
+        d = X[:, None, :] - C[None, :, :]
+        return np.floor(d * d * 1e6 + 0.5).sum(axis=2) / 1e6
+
+    # bank row -> nearest cell, ties to the first (lowest-id) minimum
+    bank_cell = np.argmin(_qd2(bank, cells), axis=1) if len(bank) else np.empty(0, np.int64)
+    k_probe = min(n_probe, len(cells))
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        # r16 second pass: the unchunked form allocated a FRESH
+        # (batch_rows, n_bank, dim) float64 intermediate per 10k-row Arrow
+        # batch (~130 MB) in every one of 32 freshly forked workers — a
+        # first-touch page-fault storm on the query's ONE in-bench call
+        # (measured: rep0 14.9 s vs rep1+ 1.4 s isolated; 13.4 s in-bench).
+        # Same fix as the r15 SoftPatch kernel (ml/softpatch.py): row-chunk
+        # to a fixed ~4 MB L2-resident budget and reuse ONE preallocated
+        # intermediate across chunks. Every (row, bank-row, dim) cell is
+        # computed independently by identical elementwise ops in identical
+        # order, so chunking and buffer reuse change no bit.
+        budget = 4 * 1024 * 1024
+        dbuf = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array([np.asarray(f, dtype=np.float64) for f in pdf["feature"]])
+            n, dim = X.shape
+            chunk = min(512, max(1, budget // max(1, len(bank) * dim * 8)))
+            if dbuf is None or dbuf.shape[1] != dim or len(dbuf) < min(chunk, n):
+                dbuf = np.empty((chunk, len(bank), dim))  # bank ⊇ cells
+                d2buf = np.empty((chunk, len(bank)))
+            d2min = np.empty(n)
+
+            def _qd2_into(xc, C, m):
+                # exact quantized d² (the mirror's arithmetic) into the
+                # reused buffer: subtract, square, ·1e6, +0.5, floor, sum
+                # — elementwise-identical to floor(d·d·1e6 + 0.5).sum()/1e6
+                d = dbuf[:m, : len(C)]
+                np.subtract(xc[:, None, :], C[None, :, :], out=d)
+                np.multiply(d, d, out=d)
+                np.multiply(d, 1e6, out=d)
+                np.add(d, 0.5, out=d)
+                np.floor(d, out=d)
+                d2 = d2buf[:m, : len(C)]
+                d.sum(axis=2, out=d2)
+                np.divide(d2, 1e6, out=d2)
+                return d2
+
+            for s in range(0, n, chunk):
+                xc = X[s : s + chunk]
+                m = len(xc)
+                cd = _qd2_into(xc, cells, m)  # (m, n_lists) exact values
+                # stable argsort == sort by (cdist, cell id) — lexsort order
+                probe = np.argsort(cd, axis=1, kind="stable")[:, :k_probe]
+                allowed = (bank_cell[None, None, :] == probe[:, :, None]).any(axis=1)
+                D = _qd2_into(xc, bank, m)  # (m, n_bank)
+                d2min[s : s + chunk] = np.where(allowed, D, np.inf).min(axis=1)
+            # a patch whose probed cells hold no postings drops out, exactly
+            # like the HOF form's inner join probes⋈plists (cannot occur
+            # unless duplicate centroids empty a cell; kept for parity)
+            keep = np.isfinite(d2min)
+            part = (
+                pd.DataFrame(
+                    {
+                        "series_id": pdf["series_id"].to_numpy()[keep],
+                        "window_start": pdf["window_start"].to_numpy()[keep],
+                        "pd2": d2min[keep],
+                    }
+                )
+                .groupby(["series_id", "window_start"], as_index=False)["pd2"]
+                .max()
+            )
+            yield part
+
+    ws_type = embedded.schema["window_start"].dataType.simpleString()
+    sid_type = embedded.schema["series_id"].dataType.simpleString()
+    partials = embedded.select("series_id", "window_start", "feature").mapInPandas(
+        score_batches,
+        schema=f"series_id {sid_type}, window_start {ws_type}, pd2 double",
+    )
+    return partials.groupBy("series_id", "window_start").agg(
+        F.sqrt(F.max("pd2")).alias("score")
+    )
+
+
 def kmeans_coreset(embedded: DataFrame, k: int = 256, seed: int = 42) -> DataFrame:
     """M11 scale mode: k cluster centers as the memory bank.
 

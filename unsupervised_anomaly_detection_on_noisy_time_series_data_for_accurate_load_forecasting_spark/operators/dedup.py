@@ -281,20 +281,28 @@ def lsh_candidate_pairs(
     reported truncation, never a silent hang. Ranks order by id, so the
     d1 < d2 invariant is preserved and both bounds mirror exactly in SQL.
     """
-    rk = F.row_number().over(W.partitionBy("band", "band_key").orderBy(F.col(id_col)))
+    win = W.partitionBy("band", "band_key").orderBy(F.col(id_col))
+    rk = F.row_number().over(win)
     ranked = bands.withColumn("_rk", rk)
     if bucket_cap is not None:
         ranked = ranked.filter(F.col("_rk") <= bucket_cap)
-    a = ranked.alias("a")
-    b = ranked.alias("b")
+    # r16 (guide §2.3/§2.4): pairs used to form via a bucket SELF-JOIN of
+    # the ranked frame on (band, band_key) with rank gap 1..neighborhood —
+    # a second exchange + sort-merge of both aliases just to look
+    # ``neighborhood`` rows ahead within the bucket. lead(id, j) over the
+    # same window IS that lookahead: one window pass emits each member's
+    # next 1..neighborhood surviving bucket neighbors (lead is partition-
+    # bounded, so nulls appear exactly where the join predicate's bucket
+    # equality cut; both windows share one partitioning+sort, so the
+    # filtered rank and the leads plan without a second exchange). Ranks
+    # order by id, so d1 < d2 and the pair multiset are unchanged.
+    nbrs = F.array(
+        *[F.lead(F.col(id_col), j).over(win) for j in range(1, neighborhood + 1)]
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("b._rk") - F.col("a._rk")).between(1, neighborhood),
-        )
-        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        ranked.withColumn("_nb", nbrs)  # window exprs can't live under explode
+        .select(F.col(id_col).alias("d1"), F.explode("_nb").alias("d2"))
+        .where(F.col("d2").isNotNull())
         .distinct()
     )
 
@@ -805,6 +813,16 @@ def triangle_counts(
     undirected edge set (u < v, distinct, ideally persisted — e.g. the
     session-lifetime co-purchase view in plans/shared.py) to skip the
     least/greatest + distinct shuffle and the internal persist.
+
+    ``deg`` contract (r16, per the r15 advisor): a caller-supplied degree
+    frame must be computed over the SAME canonical distinct edge set this
+    function orients. With ``pre_canonical=False`` the function
+    canonicalizes+distincts internally, so a ``deg`` built over the raw
+    edge multiset can disagree — counts stay CORRECT (any consistent total
+    order orients acyclically; every triangle is still rooted exactly
+    once), but the O(√m) out-degree bound that the shuffle_hash/no-skew
+    notes below rely on silently breaks. When in doubt pass ``deg=None``
+    and let it recompute.
     """
     u, v = F.col(a), F.col(b)
     if pre_canonical:

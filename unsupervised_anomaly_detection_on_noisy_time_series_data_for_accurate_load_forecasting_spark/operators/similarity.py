@@ -749,36 +749,51 @@ def semantic_candidates(v_all: DataFrame, window: int = SEMDEDUP_WINDOW) -> Data
     vec_id) inside each cluster, pair each vector only with its ``window``
     predecessors in that order. Candidate volume is ≤ window·n — LINEAR in
     n (the probe in tools/scale_probe.py counts this frame directly as the
-    scaling evidence). Pairing is an equi-join on (cluster, rank) via a
-    sequence explode; a's join key is unique per cluster, so SHUFFLE_HASH
-    builds the small unique side and streams b."""
+    scaling evidence).
+
+    r16 (guide §2.3/§2.4 — the lsh_candidate_pairs/t_winnowing_fp lead()
+    discipline): pairing used to be an equi-join on (cluster, rank) with
+    the successor side sequence-exploded ×window BEFORE the join — i.e.
+    window·n rows, EACH CARRYING A FULL EMBEDDING, crossed a second
+    exchange just to meet their predecessor ≤ window ranks back.
+    lead(·, j) over the SAME (cluster | d2, vec_id) window IS that
+    lookahead: one window pass (the single exchange the rank already
+    paid) emits each member's next 1..window in-cluster successors with
+    their embeddings — the heavy payload never crosses a second shuffle
+    and the join disappears. (d2, vec_id) is a total order (vec_id is
+    unique), so lead-at-gap-j ≡ rank-gap-j and the pair multiset is
+    unchanged; lead is partition-bounded, so nulls appear exactly where
+    the cluster-equality join predicate cut. Pinned by
+    tests/test_dedup_cc.py::test_semantic_candidates_lead_matches_join."""
     v = v_all.withColumn("sq", dnorm_sq()).filter(F.col("sq") > 0)
     rw = W.partitionBy("cluster").orderBy("d2", "vec_id")
-    ranked = v.withColumn("rk", F.row_number().over(rw))
-    a = ranked.select(
-        F.col("cluster"),
-        F.col("rk"),
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        F.col("sq").alias("sqa"),
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.lead("vec_id", j).over(rw).alias("vb"),
+                F.lead("embedding", j).over(rw).alias("eb"),
+                F.lead("sq", j).over(rw).alias("sqb"),
+            )
+            for j in range(1, window + 1)
+        ]
     )
-    b = ranked.select(
-        F.col("cluster"),
-        F.col("rk").alias("rkb"),
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        F.col("sq").alias("sqb"),
-    )
-    b_exp = (
-        b.withColumn("_j", F.explode(F.sequence(F.lit(1), F.lit(window))))
-        .withColumn("rk", F.col("rkb") - F.col("_j"))
-        .filter(F.col("rk") >= 1)
-        .drop("_j", "rkb")
-    )
-    return a.hint("shuffle_hash").join(b_exp, ["cluster", "rk"]).select(
-        F.least("va", "vb").alias("d1"),
-        F.greatest("va", "vb").alias("d2"),
-        "ea", "eb", "sqa", "sqb",
+    return (
+        v.withColumn("_nb", nbrs)  # window exprs can't live under explode
+        .select(
+            F.col("vec_id").alias("va"),
+            F.col("embedding").alias("ea"),
+            F.col("sq").alias("sqa"),
+            F.explode("_nb").alias("_p"),
+        )
+        .where(F.col("_p.vb").isNotNull())
+        .select(
+            F.least("va", "_p.vb").alias("d1"),
+            F.greatest("va", "_p.vb").alias("d2"),
+            "ea",
+            F.col("_p.eb").alias("eb"),
+            "sqa",
+            F.col("_p.sqb").alias("sqb"),
+        )
     )
 
 

@@ -2405,13 +2405,20 @@ def w_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15: the sliding 25-row sum accumulates the int64 micro-units dec()
     # quantizes to (floor(v·1e6+0.5)) instead of decimal(27,6) — Spark
     # re-adds the whole frame per output row for bounded sliding windows,
-    # so the 25 adds/row were BigDecimal before and long now. The window
-    # bound keeps the lattice safe at any scale: |Σ| ≤ 25·|v|·1e6 < 2^63
-    # for |v| < 3.7e11 (ANSI raises loudly beyond — same domain note as
-    # dec() itself). The finish is one exact Σmicro/1e6 decimal division
-    # and a single decimal→double rounding — exactly the rounding the
-    # decimal window sum's final cast performed, so `trend` is
-    # bit-identical (oracle parity re-proven at both SFs).
+    # so the 25 adds/row were BigDecimal before and long now. Domain
+    # bounds (r16, tightened per the r15 advisor): the bound that
+    # guarantees ORACLE PARITY is the lattice-fidelity limit |v| ≲ 4.5e9 —
+    # past 2^52, v·1e6's double spacing exceeds 1 so the +0.5 tie-break is
+    # absorbed and this long path can land one 1e-6 ulp away from the
+    # decimal(27,6) quantization the oracle replays. int64 capacity is the
+    # far wider |Σ| ≤ 25·|v|·1e6 < 2^63 (|v| < 3.7e11), and long-sum
+    # overflow past it DOES raise: Spark 4 runs ANSI mode by default,
+    # session.py leaves it on, and tests/test_plans.py::
+    # test_ansi_enabled_and_long_sum_overflow_raises pins both facts.
+    # The finish is one exact Σmicro/1e6 decimal division and a single
+    # decimal→double rounding — exactly the rounding the decimal window
+    # sum's final cast performed, so `trend` is bit-identical inside the
+    # parity domain (oracle parity re-proven at both SFs).
     mu = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
     trend_d = (
         F.sum(mu).over(mw).cast("decimal(38,0)") / F.lit(1000000).cast("decimal(7,0)")

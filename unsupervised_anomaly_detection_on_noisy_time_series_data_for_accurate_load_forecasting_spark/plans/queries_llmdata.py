@@ -1013,15 +1013,28 @@ def pipeline_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as DD
     from ..operators import textops as TX
 
+    from ..operators.dedup import ckpt_coalesced
+
     d = _docs(spark, sf_dir)
-    # r15: checkpointing the gated corpus here was tried and REVERTED — the
-    # gate is consumed four ways downstream, but materializing the gated
-    # text bytes once (eager localCheckpoint) measured SLOWER than four
-    # scan+gate re-evaluations (probe min 3.9 s -> 6.7 s at sf0.1): the
-    # quality gate is cheap codegen'd HOF work over a page-cached scan,
-    # and the checkpoint both serializes the pipeline behind a full-corpus
-    # materialization and pays its write+read.
-    q = d.filter(TX.quality_score() >= F.lit(_PREP_CUT))
+    # r15: checkpointing the gated corpus (TEXT BYTES) was tried and
+    # REVERTED — materializing the gated text once measured SLOWER than
+    # four scan+gate re-evaluations (probe min 3.9 s -> 6.7 s at sf0.1):
+    # the checkpoint serialized the pipeline behind a full-corpus
+    # materialization and paid its write+read.
+    # r16 (the cheaper shared-gate shape the r15 verdict asked for):
+    # evaluate the quality HOF (three split/filter/distinct passes per
+    # doc) ONCE into a checkpointed doc_id-only survivor frame — skinny at
+    # any corpus scale — and gate every downstream consumer with a
+    # semi-join on it. The three re-reads of the corpus stay (they are
+    # page-cached scans the reverted variant also couldn't avoid paying
+    # for in write+read form); what disappears is re-running the gate
+    # expression over every doc's token array 3 extra times. Survivor set
+    # identical by determinism of the gate, so the join-gated q equals the
+    # filter-gated q row-for-row.
+    gate_ids = ckpt_coalesced(
+        d.filter(TX.quality_score() >= F.lit(_PREP_CUT)).select("doc_id")
+    )
+    q = d.join(gate_ids, "doc_id", "left_semi")
     rem = DD.remove_duplicate_spans(q.select("doc_id", "text"), k=_DUP_K)
     out = rem.join(q.select("doc_id", "lang"), "doc_id")
     return out.groupBy("lang").agg(
@@ -1245,7 +1258,9 @@ def _ppl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in list(_PPL_TOPK_MEMO):
             _PPL_TOPK_MEMO.pop(k).unpersist(False)
         df = CO.bigram_perplexity_topk(_docs(spark, sf_dir))
-        df.persist()
+        from .shared import view_persist
+
+        view_persist(df)
         _PPL_TOPK_MEMO[sf_dir] = df
     return _PPL_TOPK_MEMO[sf_dir]
 

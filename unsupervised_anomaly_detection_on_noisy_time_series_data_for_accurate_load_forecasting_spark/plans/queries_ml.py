@@ -150,7 +150,9 @@ def _embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 embed_windows(day_windows(points), SoftPatchConfig()), "mlembed", key
             )
         emb = emb.repartition(spark.sparkContext.defaultParallelism)
-        emb.persist()
+        from .shared import view_persist
+
+        view_persist(emb)
         _EMB_MEMO[sf_dir] = emb
     return _EMB_MEMO[sf_dir]
 
@@ -270,10 +272,14 @@ def _ann_oracle() -> str:
 )
 def ml_ann_scores_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.exact import qround
-    from ..ml.mllib_modes import det_ann_scores
+    from ..ml.mllib_modes import det_ann_scores_np
 
     embedded = _embedded(spark, sf_dir)  # shared persisted embedding pass
-    scores = det_ann_scores(embedded)
+    # r16: the probe/scoring folds run as one Arrow island over the mirror's
+    # exact quantized arithmetic instead of interpreted HOF aggregate()
+    # lambdas — same bank, same probes, same bits (see det_ann_scores_np;
+    # parity with the HOF form pinned in tests/test_mllib_stateful.py).
+    scores = det_ann_scores_np(embedded)
     return scores.select(
         "series_id", "window_start", qround("score", 9).alias("score")
     )

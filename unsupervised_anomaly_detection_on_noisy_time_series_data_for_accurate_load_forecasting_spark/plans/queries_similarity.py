@@ -72,7 +72,9 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_files=4,
             )
         b = stored.join(emb, "vec_id").select("vec_id", "embedding", "band", "bucket")
-        b.persist()
+        from .shared import view_persist
+
+        view_persist(b)
         _BANDS_MEMO[sf_dir] = b
     return _BANDS_MEMO[sf_dir]
 
@@ -99,7 +101,9 @@ def _near_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = SIM.lsh_near_pairs(
             _emb(spark, sf_dir), min_cosine=-1.0, bands=_bands(spark, sf_dir)
         )
-        p.persist()
+        from .shared import view_persist
+
+        view_persist(p)
         _NEAR_PAIRS_MEMO[sf_dir] = p
     return _NEAR_PAIRS_MEMO[sf_dir]
 
@@ -713,7 +717,9 @@ def _topk(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
             df = SIM.ivfpq_topk(emb, n_queries=100, k=5, books=_pq_books(spark, sf_dir))
         else:
             raise ValueError(f"unknown topk method {method!r}")
-        df.persist()
+        from .shared import view_persist
+
+        view_persist(df)
         _TOPK_MEMO[key] = df
     return _TOPK_MEMO[key]
 

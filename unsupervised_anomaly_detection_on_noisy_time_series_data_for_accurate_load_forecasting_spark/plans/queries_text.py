@@ -549,7 +549,9 @@ def _mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in list(_MH_BANDS_MEMO):
             _MH_BANDS_MEMO.pop(k).unpersist(False)
         b = DD.minhash_bands(_sh(spark, sf_dir))
-        b.persist()
+        from .shared import view_persist
+
+        view_persist(b)
         _MH_BANDS_MEMO[sf_dir] = b
     return _MH_BANDS_MEMO[sf_dir]
 
@@ -599,7 +601,9 @@ def _mh_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in list(_MH_CANDS_MEMO):
             _MH_CANDS_MEMO.pop(k).unpersist(False)
         c = DD.lsh_candidate_pairs(_mh_bands(spark, sf_dir))
-        c.persist()
+        from .shared import view_persist
+
+        view_persist(c)
         _MH_CANDS_MEMO[sf_dir] = c
     return _MH_CANDS_MEMO[sf_dir]
 
@@ -624,7 +628,9 @@ def _mh_pairs_02(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands=_mh_bands(spark, sf_dir),
             cands=_mh_cands(spark, sf_dir),
         )
-        p.persist()
+        from .shared import view_persist
+
+        view_persist(p)
         _MH_PAIRS_MEMO[sf_dir] = p
     return _MH_PAIRS_MEMO[sf_dir]
 
@@ -766,7 +772,9 @@ def _mh_cc_05(spark: SparkSession, sf_dir: str) -> DataFrame:
             _mh_pairs_02(spark, sf_dir).filter(F.col("jaccard") >= 0.5).select("d1", "d2")
         )
         cc = DD.connected_components(pairs)
-        cc.persist()
+        from .shared import view_persist
+
+        view_persist(cc)
         _MH_CC_MEMO[sf_dir] = cc
     return _MH_CC_MEMO[sf_dir]
 
@@ -2542,17 +2550,22 @@ def t_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_df = _winnow_fps_df(spark, d).localCheckpoint(eager=True)
     cnt = f_df.select("doc_id", F.size("fps").alias("nfp"))
     e = f_df.select("doc_id", F.explode("fps").alias("fp"))
-    r = e.withColumn(
-        "rk", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
-    )
-    a, b = r.alias("a"), r.alias("b")
+    # r16 (guide §2.3/§2.4): the sorted-neighborhood pairs used to form via
+    # a rank window + bucket SELF-JOIN on fp (rank gap 1.._WIN_NEIGH) — the
+    # exploded fingerprint frame crossed a second exchange + two sort-merge
+    # sides just to look _WIN_NEIGH rows ahead inside its own partition.
+    # lead(doc_id, j) over the same (fp, doc_id) window IS that lookahead:
+    # each row emits its next 1.._WIN_NEIGH bucket neighbors in ONE window
+    # pass (lead is partition-bounded, so nulls replace cross-bucket reach
+    # exactly where the join predicate a.fp = b.fp cut). Pair multiset is
+    # identical by construction; the self-join and its exchange are gone.
+    win = W.partitionBy("fp").orderBy("doc_id")
+    nbrs = F.array(*[F.lead("doc_id", j).over(win) for j in range(1, _WIN_NEIGH + 1)])
     cand = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("b.rk") - F.col("a.rk")).between(1, _WIN_NEIGH),
-        )
-        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        e.withColumn("_nb", nbrs)  # window exprs can't live under explode
+        .select(F.col("doc_id").alias("ida"), F.explode("_nb").alias("idb"))
+        .where(F.col("idb").isNotNull())
+        .groupBy("ida", "idb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )

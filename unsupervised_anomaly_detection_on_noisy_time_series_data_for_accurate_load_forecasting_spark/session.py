@@ -58,6 +58,24 @@ def get_spark(
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "90s"),
         )
+        # r16 (§5, the mm_*/codec-family in-bench inflation): the IDLE
+        # Python-worker pool is unbounded by default, and a long bench run
+        # grows it monotonically (measured via tools/gc_sampler.py: 33
+        # workers / 3.7 GB RSS after prepare -> 98 workers / 11.6 GB by the
+        # mm_* family's slot, the exact stretch whose queries ran 3-6x over
+        # their isolated walls). Capping the pool at the core count keeps a
+        # full complement of warm workers for every concurrent task while
+        # evicting the LRU tail — the leak, not the working set. Busy
+        # workers are never evicted, and a re-fork after a burst is
+        # copy-on-write-cheap because the daemon pre-imports everything
+        # (below). A resident 100 TB executor has the same leak shape, just
+        # slower — idle-pool bounding is the standing fix, sized to the
+        # executor's task slots (overridable for deployments that want a
+        # deeper warm pool).
+        .config(
+            "spark.python.factory.idleWorkerMaxPoolSize",
+            os.environ.get("SPARK_GRAFT_PY_IDLE_POOL", cpus),
+        )
         # r15: pre-import numpy/pandas/pyarrow + the engine package in the
         # worker DAEMON so forked workers inherit them copy-on-write — a
         # drained worker pool otherwise makes the next Arrow-island stage
